@@ -1,0 +1,46 @@
+"""Central query registry: merges every operator module's QUERIES/ORACLES.
+
+``__spark_entry__.py`` re-exports these for the driver. Modules are
+imported lazily-tolerantly so one broken optional module never takes
+down the whole registry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = (
+    "samza_hello_samza_spark.operators.samza_surface",
+    "samza_hello_samza_spark.plans.analytics",
+    "samza_hello_samza_spark.operators.dedup",
+    "samza_hello_samza_spark.operators.similarity",
+    "samza_hello_samza_spark.operators.text_analysis",
+    "samza_hello_samza_spark.operators.multimodal",
+)
+
+
+def _load() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    import importlib
+
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for mod_name in _MODULES:
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            continue
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracles.update(getattr(mod, "ORACLES", {}))
+    return queries, oracles
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return _load()[0]
+
+
+def all_oracles() -> dict[str, str]:
+    return _load()[1]

@@ -1,0 +1,101 @@
+"""SparkSession factory tuned for both local[*] testing and cluster scale.
+
+Every knob here is chosen for the 100 TB target, then scaled down by
+env for local runs:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic join-strategy switching replace hand-tuning.
+- Arrow on: any Pandas-UDF operator (minhash, multimodal) moves
+  columnar batches, not pickled rows.
+- ``spark.sql.shuffle.partitions`` defaults to 2×cores locally; on a
+  real cluster AQE coalesces from a deliberately high initial number.
+- Broadcast threshold raised: TPC-H-style dims (region, nation,
+  customer, supplier, part) must broadcast, never shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: All tables the driver materializes per scale factor.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "samza-hello-samza-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+    cpus = cpus or default_cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Driver testdata stores TIMESTAMP(NANOS); read as long and
+        # convert in load_table (truncating to micros, matching what
+        # DuckDB does when it reads the same files).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
+
+
+#: columns stored as TIMESTAMP(NANOS) in the driver parquet, per table.
+_NANOS_TS_COLUMNS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table.
+
+    A plain ``spark.read.parquet`` keeps the scan a v1 FileScan with
+    full predicate pushdown + column pruning; callers filter/select
+    directly on the result so Catalyst prunes at the source.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    # Runtime-set (not only in our builder): the driver harness hands us
+    # ITS session, which won't have this conf. It is a SQL conf, so
+    # setting it per-session here is safe and idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if isinstance(df.schema[col].dataType, LongType):
+            # nanos → micros by integer floor-div: identical truncation
+            # to DuckDB's TIMESTAMP_NS → TIMESTAMP read of these files.
+            df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from samza_hello_samza_spark.session import TABLES, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cpus=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def assert_matches_oracle(spark, duck, fn, sql, sf_dir=SF_DIR):
+    """Mirror of the driver's compare: row count + order-insensitive values,
+    columns sorted by name."""
+    sdf = fn(spark, sf_dir)
+    cols = sorted(sdf.columns)
+    spark_rows = sorted(
+        tuple(_norm(r[c]) for c in cols) for r in sdf.collect()
+    )
+    ddf = duck.execute(sql).df()
+    assert sorted(ddf.columns.tolist()) == cols, (
+        f"column mismatch: spark={cols} duck={sorted(ddf.columns.tolist())}"
+    )
+    duck_rows = sorted(
+        tuple(_norm(v) for v in row)
+        for row in ddf[cols].itertuples(index=False, name=None)
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    mismatches = [
+        (s, d) for s, d in zip(spark_rows, duck_rows) if s != d
+    ]
+    assert not mismatches, f"first value mismatches: {mismatches[:5]}"
