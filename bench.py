@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized through the `noop` sink — full execution,
+no driver-side collect bottleneck, mirroring a cluster write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from samza_hello_samza_spark.registry import all_queries
+from samza_hello_samza_spark.session import DEFAULT_SF_DIR, get_spark
+
+#: Headliners: the scale-sensitive plans (scans, shuffles, joins,
+#: windows, dedup, ANN) — not the trivially tiny ones.
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "part_type_stats",
+    "groupby_count",
+    "tumbling_window",
+    "session_window",
+    "stream_stream_join",
+    "stream_table_join",
+    "wikipedia_stats",
+    "wordcount",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_bruteforce_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # JVM/codegen warmup (uncounted).
+    queries["groupby_count"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
