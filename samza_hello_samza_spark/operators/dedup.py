@@ -1,0 +1,361 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five strategies over the ``documents`` / ``embeddings`` tables:
+
+- exact        : normalize → md5 → group (oracle-checked)
+- ngram_jaccard: 3-word shingle overlap join, J ≥ 0.5 (oracle-checked)
+- minhash_lsh  : shingle → 24 minhash perms → 12 bands of 2 →
+                 band-bucket join (rows-only; hash family is Spark
+                 xxhash64, not portable to DuckDB — property-tested
+                 against the jaccard oracle in tests/)
+- simhash      : 32-bit simhash, 4×8-bit band join, hamming ≤ 6
+                 (rows-only, property-tested)
+- embedding    : pairwise cosine ≥ 0.45 (oracle-checked vs DuckDB
+                 list_cosine_similarity)
+
+Scale design: everything is shingle-/band-bucket joins — never an
+O(n²) cross join except `dedup_embedding`, which is the small-sample
+calibration baseline; the scale path for embedding near-dup is the
+LSH bucketing in operators/similarity.py. Minhash aggregation is 24
+JVM-side `min()` columns (no Python in the hot path); band explode is
+`posexplode` over a 12-element array.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+N_PERMS = 24
+N_BANDS = 12  # bands of 2 rows → P(candidate | J=0.5) ≈ 0.90
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 6
+EMBED_TAU = 0.45
+
+_rng = random.Random(42)
+_PERM_A = [_rng.randrange(1, MERSENNE_P) for _ in range(N_PERMS)]
+_PERM_B = [_rng.randrange(0, MERSENNE_P) for _ in range(N_PERMS)]
+
+
+def _normalized_text(col: F.Column) -> F.Column:
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def _words(col: F.Column) -> F.Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+
+
+def _shingles(words: F.Column, k: int = 3) -> F.Column:
+    """k-word shingles as an array column (JVM-side, 0-based subscripts).
+
+    Guarded: Spark's sequence(0, -1) is a DESCENDING sequence, so a
+    doc with < k words must short-circuit to an empty array.
+    """
+    idx = F.sequence(F.lit(0), F.size(words) - k)
+    arr = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(words) >= k, arr).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    return (
+        tokenized.select("doc_id", F.explode(_shingles(F.col("words"), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Distinct (doc_id, xxhash64(shingle)) — hashing BEFORE the explode
+    so the distinct/groupBy shuffles 16-byte rows, never shingle strings.
+
+    ``words`` is materialized as its own projection first: the shingle
+    lambda dereferences it ~3×per shingle, and inlining the split+filter
+    tree into every element_at (what CollapseProject would do to a
+    cheap alias) re-tokenizes the document hundreds of times per row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    hashes = F.transform(_shingles(F.col("words"), k), lambda s: F.xxhash64(s))
+    return (
+        tokenized.select("doc_id", F.explode(hashes).alias("h"))
+        .distinct()
+    )
+
+
+def _bucket_pairs(bands: DataFrame, key_cols: list[str], payload: str) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs per bucket, single-pass.
+
+    groupBy + collect_list + expression-level pair expansion instead
+    of a self-join: the upstream pipeline is computed ONCE (a
+    self-join would recompute it per side). Buckets are capped at
+    ``MAX_BUCKET`` docs — a bucket bigger than that is a degenerate
+    cluster (boilerplate shingle); at 100 TB you drop those hot
+    buckets, you don't emit O(m²) pairs from them.
+    """
+    pair_expr = f"""
+        explode(flatten(transform(sequence(0, size(ids) - 2), i ->
+            transform(sequence(i + 1, size(ids) - 1), j ->
+                struct(ids[i] AS pa, ids[j] AS pb)))))
+    """
+    return (
+        bands.groupBy(*key_cols)
+        .agg(F.slice(F.array_sort(F.collect_list(payload)), 1, MAX_BUCKET).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.expr(pair_expr).alias("p"))
+    )
+
+
+MAX_BUCKET = 1000
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text.
+
+    Output: one row per doc with its canonical (min) doc_id and a
+    duplicate flag. At 100 TB the md5 group key keeps shuffle rows
+    narrow (16 bytes + id) instead of shipping full texts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(_normalized_text(F.col("text"))).alias("text_hash")
+    )
+    canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("canonical_doc_id"))
+    return (
+        hashed.join(canon, "text_hash")
+        .select(
+            "doc_id",
+            "canonical_doc_id",
+            (F.col("doc_id") != F.col("canonical_doc_id")).cast("int").alias("is_duplicate"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-word-shingle Jaccard ≥ 0.5 (overlap join).
+
+    The pair join is on the shingle key — cost is Σ df², bounded
+    because long shingles are rare; never a cross join.
+    """
+    sh = _doc_shingles(spark, sf_dir, k=3)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle→minhash→band→bucket-join.
+
+    24 permutations of xxhash64(shingle) reduced mod 2^31-1; 12 bands
+    of 2 rows. All hashing/aggregation is whole-stage-codegen'd column
+    math. Output: distinct candidate pairs (doc_a < doc_b).
+    """
+    sh = _doc_shingle_hashes(spark, sf_dir, k=3)
+    h1 = F.pmod(F.col("h"), F.lit(MERSENNE_P))
+    mins = sh.withColumn("h1", h1).groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(_PERM_A[i]) * F.col("h1") + F.lit(_PERM_B[i]), F.lit(MERSENNE_P))).alias(f"m{i}")
+            for i in range(N_PERMS)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    return (
+        _bucket_pairs(bands, ["band", "sig"], "doc_id")
+        .select(F.col("p.pa").alias("doc_a"), F.col("p.pb").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit signature, 4×8-bit bands, hamming ≤ 6.
+
+    The signature is 32 conditional-sum aggregate columns (sign of
+    weighted bit votes) — pure JVM column math, one shuffle on doc_id.
+    Candidates collide on any band; verified by bit_count(xor).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("wh", F.xxhash64("word"))
+    )
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sigs = wc.groupBy("doc_id").agg(*bit_votes).select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(SIMHASH_BITS)),
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * band_width)
+                    .bitwiseAND(F.lit((1 << band_width) - 1))
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "code"),
+    )
+    pairs = (
+        _bucket_pairs(
+            bands.withColumn("payload", F.struct("doc_id", "simhash")),
+            ["band", "code"],
+            "payload",
+        )
+        .select(
+            F.col("p.pa.doc_id").alias("doc_a"),
+            F.col("p.pb.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("p.pa.simhash").bitwiseXOR(F.col("p.pb.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+    return pairs
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.45).
+
+    All-pairs baseline for calibration; the 100 TB path is LSH
+    bucketing (similarity.ann_lsh_topk). Dot products are JVM-side
+    ``zip_with``/``aggregate`` folds over array<double>.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    e = emb.withColumn("norm", norm)
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6))
+        .filter(F.col("cosine") >= EMBED_TAU)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+_SHINGLES_SQL = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(words) - 2),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        FROM w
+    )
+"""
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        WITH hashed AS (
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash
+            FROM documents
+        ),
+        canon AS (
+            SELECT text_hash, min(doc_id) AS canonical_doc_id FROM hashed GROUP BY text_hash
+        )
+        SELECT h.doc_id, c.canonical_doc_id,
+               CASE WHEN h.doc_id <> c.canonical_doc_id THEN 1 ELSE 0 END AS is_duplicate
+        FROM hashed h JOIN canon c USING (text_hash)
+    """,
+    "dedup_ngram_jaccard": _SHINGLES_SQL
+    + """
+    , counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+    """,
+    "dedup_embedding": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+}

@@ -1,0 +1,149 @@
+"""Approximate-nearest-neighbor search over the embeddings table.
+
+- ``ann_bruteforce_topk``: exact cosine top-k against a fixed query
+  vector (vec_id 0). Oracle-checked vs DuckDB list_cosine_similarity.
+  Dot products are JVM-side zip_with/aggregate folds — correctness
+  baseline and small-candidate-set scorer.
+- ``ann_lsh_topk``: random-hyperplane LSH. Codes are computed by an
+  Arrow-batched pandas_udf (numpy matmul across the batch — the
+  vectorized Python path, ~100× a row-at-a-time UDF); candidate set =
+  bucket collision with the query in either 8-bit band; exact cosine
+  re-rank on candidates only. Rows-only check (LSH recall is
+  property-tested against brute force in tests/).
+
+Scale notes: brute force is a full scan per query — fine for one
+query, wrong for batch ANN; the LSH variant prunes to bucket
+collisions, and at 100 TB the band tables would be bucketed/sorted on
+(band, code) so probe queries touch only matching files.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..session import load_table
+
+TOP_K = 10
+QUERY_VEC_ID = 0
+N_PLANES = 16  # two 8-bit bands
+DIM = 64
+
+_rng = random.Random(7)
+#: deterministic hyperplanes, shipped to executors as a broadcast constant.
+PLANES = np.array(
+    [[_rng.gauss(0.0, 1.0) for _ in range(DIM)] for _ in range(N_PLANES)]
+)
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(v: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id 0 (deterministic tiebreak)."""
+    e = _embeddings(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("qnorm")
+    )
+    cand = e.filter(F.col("vec_id") != QUERY_VEC_ID)
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine", F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qnorm")), 6)
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "cosine")
+    )
+
+
+@F.pandas_udf(LongType())
+def _lsh_code(emb: pd.Series) -> pd.Series:
+    """Arrow-batched hyperplane codes: one numpy matmul per batch."""
+    mat = np.stack(emb.to_numpy())  # (batch, DIM)
+    bits = (mat @ PLANES.T) > 0  # (batch, N_PLANES)
+    codes = np.zeros(len(emb), dtype=np.int64)
+    for i in range(N_PLANES):
+        codes |= bits[:, i].astype(np.int64) << i
+    return pd.Series(codes)
+
+
+LSH_BAND_BITS = 4
+LSH_N_BANDS = N_PLANES // LSH_BAND_BITS  # 4 bands of 4 bits
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine top-10 of vec_id 0: prune → exact re-rank.
+
+    Candidates collide with the query in any of 4 4-bit bands of the
+    16-bit hyperplane code. On near-uniform vectors this keeps ~50%
+    neighbor recall while pruning ~4× of the corpus; real clustered
+    embeddings prune far harder. Band width/count are the
+    recall-vs-cost dial.
+    """
+    e = _embeddings(spark, sf_dir).withColumn("code", _lsh_code(F.col("v")))
+    for i in range(LSH_N_BANDS):
+        e = e.withColumn(
+            f"b{i}",
+            F.shiftrightunsigned(F.col("code"), i * LSH_BAND_BITS).bitwiseAND(
+                F.lit((1 << LSH_BAND_BITS) - 1)
+            ),
+        )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qnorm"),
+        *[F.col(f"b{i}").alias(f"qb{i}") for i in range(LSH_N_BANDS)],
+    )
+    collide = None
+    for i in range(LSH_N_BANDS):
+        cond = F.col(f"b{i}") == F.col(f"qb{i}")
+        collide = cond if collide is None else (collide | cond)
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(collide)
+    )
+    return (
+        cand.withColumn(
+            "cosine", F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qnorm")), 6)
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "cosine")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "ann_bruteforce_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+        FROM e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT {TOP_K}
+    """,
+}
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+}

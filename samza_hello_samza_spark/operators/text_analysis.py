@@ -1,0 +1,227 @@
+"""Text-analysis operators for training-data pipelines.
+
+All four are pure pyspark.sql.functions column math (whole-stage
+codegen, no Python in the hot path), each with a DuckDB oracle:
+
+- text_langid      : stopword-vote language ID (explode → broadcast
+                     join vs a tiny stopword relation → argmax)
+- text_quality     : length / punctuation / stopword-ratio scoring
+- text_tokencount  : whitespace + BPE-ish regex token counts
+- text_fingerprint : min-shingle-md5 document fingerprint (1-perm
+                     minhash — stable under small edits)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .dedup import _normalized_text, _shingles, _words
+
+#: tiny per-language stopword lists (public, common function words).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "en", "por"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "也"),
+}
+
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _stopword_rows() -> list[tuple[str, str]]:
+    return [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws]
+
+
+def _stopword_values_sql() -> str:
+    rows = ", ".join(f"('{lang}', '{w}')" for lang, w in _stopword_rows())
+    return f"(VALUES {rows}) AS sw(lang, word)"
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict language by stopword votes; 'und' when no stopword hits.
+
+    The stopword relation is ~50 rows → broadcast; the explode is the
+    only wide operation and aggregates back to one row per doc.
+    Deterministic argmax: max votes, then lexicographically first lang.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    sw = spark.createDataFrame(_stopword_rows(), ["cand_lang", "word"])
+    votes = (
+        words.join(F.broadcast(sw), "word")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("votes"), F.asc("cand_lang"))
+    best = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "votes")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("votes"), F.lit(0)).alias("votes"),
+        )
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length, word shape, punctuation, stopwords."""
+    docs = load_table(spark, sf_dir, "documents")
+    en_stop = STOPWORDS["en"]
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    n_chars = F.length(F.col("text"))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"([^\w\s])"), 1))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*en_stop)))
+    avg_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_words >= 20) & (n_words <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 12), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.01, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens + chars-per-token."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(_words(F.col("text")))
+    bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(f"({BPE_TOKEN_REGEX})"), 1))
+    return docs.select(
+        "doc_id",
+        ws_tokens.cast("long").alias("ws_tokens"),
+        bpe_tokens.cast("long").alias("bpe_tokens"),
+        F.round(
+            F.when(bpe_tokens > 0, F.length("text") / bpe_tokens).otherwise(F.lit(0.0)), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-shingle-md5 fingerprint (1-perm minhash over 5-word shingles).
+
+    Stable under small edits (only changes if the minimal shingle
+    changes); falls back to md5(normalized text) for short docs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize words: the shingle lambda dereferences it 5× per
+    # shingle; inlining the split would re-tokenize per element_at.
+    tokenized = docs.select(
+        "doc_id", "text", _words(F.col("text")).alias("words")
+    )
+    shingle_hashes = F.transform(
+        _shingles(F.col("words"), k=5), lambda s: F.md5(s)
+    )
+    return tokenized.select(
+        "doc_id",
+        F.coalesce(
+            F.array_min(shingle_hashes), F.md5(_normalized_text(F.col("text")))
+        ).alias("fingerprint"),
+    )
+
+
+_WORDS_SQL = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+
+ORACLES: dict[str, str] = {
+    "text_langid": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, sw.lang AS cand_lang, count(*) AS votes
+            FROM words JOIN {_stopword_values_sql()} ON words.word = sw.word
+            GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT doc_id, cand_lang, votes,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY votes DESC, cand_lang ASC) AS rn
+            FROM votes
+        )
+        SELECT d.doc_id, d.lang,
+               coalesce(b.cand_lang, 'und') AS pred_lang,
+               CAST(coalesce(b.votes, 0) AS BIGINT) AS votes
+        FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+    "text_quality": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({_WORDS_SQL}) AS n_words,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS n_punct,
+                   len(list_filter({_WORDS_SQL},
+                       x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS n_stop
+            FROM documents
+        ),
+        ratios AS (
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0.0 END AS awl,
+                   CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+                   CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS sr
+            FROM base
+        )
+        SELECT doc_id, n_words,
+               round(awl, 6) AS avg_word_len,
+               round(pr, 6) AS punct_ratio,
+               round(sr, 6) AS stopword_ratio,
+               round(
+                   (CASE WHEN n_words BETWEEN 20 AND 5000 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN awl BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN pr <= 0.1 THEN 0.2 ELSE 0.0 END)
+                 + (CASE WHEN sr >= 0.01 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+        FROM ratios
+    """,
+    "text_tokencount": f"""
+        SELECT doc_id,
+               len({_WORDS_SQL}) AS ws_tokens,
+               len(regexp_extract_all(text, '({BPE_TOKEN_REGEX})', 1)) AS bpe_tokens,
+               round(CASE WHEN len(regexp_extract_all(text, '({BPE_TOKEN_REGEX})', 1)) > 0
+                          THEN length(text) / len(regexp_extract_all(text, '({BPE_TOKEN_REGEX})', 1))
+                          ELSE 0.0 END, 6) AS chars_per_token
+        FROM documents
+    """,
+    "text_fingerprint": f"""
+        WITH w AS (
+            SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(words) >= 5 THEN
+                       list_min(list_transform(generate_series(1, len(words) - 4),
+                           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                 || ' ' || words[i+3] || ' ' || words[i+4])))
+                   ELSE NULL END AS min_sh,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fallback
+            FROM w
+        )
+        SELECT doc_id, coalesce(min_sh, fallback) AS fingerprint FROM sh
+    """,
+}
+
+QUERIES = {
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_tokencount": text_tokencount,
+    "text_fingerprint": text_fingerprint,
+}

