@@ -101,12 +101,15 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     by_user = Window.partitionBy("user_id").orderBy("ts")
-    gap_sec = SESSION_GAP_MIN * 60
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    # micros + >= : matches streaming F.session_window exactly (a new
+    # event at precisely last+gap starts a NEW session — half-open
+    # session intervals), with no floor-to-seconds boundary artifacts.
     with_breaks = ev.withColumn(
         "is_break",
         (
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(by_user))
-            > F.lit(gap_sec)
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user))
+            >= F.lit(gap_us)
         )
         .cast("int"),
     ).withColumn("session_id", F.coalesce(F.sum("is_break").over(by_user), F.lit(0)))
@@ -356,7 +359,7 @@ ORACLES: dict[str, str] = {
     "session_window": """
         WITH breaks AS (
             SELECT user_id, ts,
-                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_break
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS is_break
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), sessions AS (

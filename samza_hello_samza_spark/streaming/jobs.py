@@ -1,0 +1,203 @@
+"""Streaming jobs: each Samza example as a DataFrame→DataFrame transform.
+
+Every job is a pure transformation over a (streaming or batch)
+DataFrame — the same declarative plan serves both executions, which
+is how Structured Streaming's incrementalizer is meant to be used
+(SIGMOD'18 Structured Streaming paper, §4). Tests run the identical
+transform on the batch frame and assert equality with the streamed
+results.
+
+Watermarks: 10 minutes of allowed lateness everywhere — the dial for
+state size at scale. State-store growth is bounded by
+(#keys × #open windows); at 100 TB ingest the shuffle partition count
+(`spark.sql.shuffle.partitions`) is the state parallelism, so it must
+be sized to the key space, not the data volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..functions.wikipedia import parse_raw_line, synthesize_raw_line
+
+WATERMARK = "10 minutes"
+
+
+def filter_events_job(events: DataFrame) -> DataFrame:
+    """FilterExample.java:59-61 — same predicate as the batch operator."""
+    return events.filter(
+        (F.col("user_id").isNotNull()) & (F.col("event_type") != "error")
+    )
+
+
+def tumbling_counts_job(events: DataFrame) -> DataFrame:
+    """TumblingWindowExample.java:64-70 — per-user counts per 5-min window."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "5 minutes").alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("views"))
+        .select(
+            F.unix_timestamp("win.start").alias("window_start_epoch"),
+            "user_id",
+            "views",
+        )
+    )
+
+
+def session_counts_job(events: DataFrame) -> DataFrame:
+    """SessionWindowExample.java:66-74 — native session_window (30-min gap).
+
+    Streaming-native gap-merge sessionization; the batch analog in
+    operators/samza_surface.py computes the same sessions via
+    lag + cumulative sum.
+    """
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("views"))
+        .select(
+            F.unix_timestamp("win.start").alias("session_start_epoch"),
+            "user_id",
+            "views",
+        )
+    )
+
+
+def view_click_join_job(events: DataFrame) -> DataFrame:
+    """JoinExample.java:86-105 — watermarked stream-stream interval join.
+
+    Both sides watermarked; the time-bound predicate lets Spark expire
+    join state (Samza's 3-minute TTL becomes the interval condition).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", WATERMARK)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 3 MINUTES")),
+        "inner",
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.unix_timestamp("view_ts").alias("view_ts_epoch"),
+        F.unix_timestamp("click_ts").alias("click_ts_epoch"),
+    )
+
+
+def enrich_job(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """StreamTableJoinExample.java:95-99 — stream ⋈ broadcast static dim."""
+    return events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("c_name").alias("company"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+def wikipedia_stats_job(events: DataFrame) -> DataFrame:
+    """WikipediaApplication.java:150-210 — parse + 10-min window stats.
+
+    ``size(collect_set(title))`` replaces countDistinct (unsupported
+    in streaming aggregation); per-window state is one set per window,
+    bounded by the watermark. ``edits_all_time`` (the reference's
+    KeyValueStore running total) lives in stateful_totals_job instead
+    — a windowed agg can't see across windows.
+    """
+    raw = events.select(
+        "ts",
+        synthesize_raw_line(
+            F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value")
+        ).alias("raw"),
+    )
+    p = parse_raw_line(F.col("raw"))
+    parsed = raw.select(
+        "ts",
+        p["title"].alias("title"),
+        p["diff_bytes"].alias("diff_bytes"),
+        p["is_minor"].cast("int").alias("is_minor"),
+        p["is_new"].cast("int").alias("is_new"),
+        p["is_bot_edit"].cast("int").alias("is_bot_edit"),
+        p["is_special"].cast("int").alias("is_special"),
+    )
+    return (
+        parsed.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "10 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("edits"),
+            F.sum("diff_bytes").alias("bytes_added"),
+            F.size(F.collect_set("title")).cast("long").alias("unique_titles"),
+            F.sum("is_minor").alias("minor_edits"),
+            F.sum("is_new").alias("new_edits"),
+            F.sum("is_bot_edit").alias("bot_edits"),
+            F.sum("is_special").alias("special_edits"),
+        )
+        .select(F.unix_timestamp("win.start").alias("window_start_epoch"), "edits",
+                "bytes_added", "unique_titles", "minor_edits", "new_edits",
+                "bot_edits", "special_edits")
+    )
+
+
+STATEFUL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("total_events", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType([StructField("total", LongType())])
+
+
+def _update_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user event total — the applyInPandasWithState analog
+    of WikipediaStatsStreamTask.java:50-53's KeyValueStore counter:
+    state survives across micro-batches exactly as the store survives
+    across messages."""
+    (total,) = state.get if state.exists else (0,)
+    for pdf in pdfs:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "total_events": [total]})
+
+
+def stateful_totals_job(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: all-time per-user totals across batches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=STATEFUL_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,160 @@
+"""Streaming twins produce the same results as their batch analogs.
+
+Mirrors the reference's test strategy (TestSamzaCookBookExamples.java:
+bounded in-memory streams, assert on collected output): each job runs
+on a bounded file stream with availableNow, and the collected sink
+contents are compared against the identical transform applied to the
+batch DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from samza_hello_samza_spark.operators import samza_surface
+from samza_hello_samza_spark.session import load_table
+from samza_hello_samza_spark.streaming import jobs, sources
+from samza_hello_samza_spark.streaming.runner import run_stream_to_memory
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+@pytest.fixture(scope="module")
+def stream_events(spark):
+    return sources.events_stream(spark, SF_DIR)
+
+
+def _rows_set(rows, cols):
+    return sorted(tuple(r[c] for c in cols) for r in rows)
+
+
+def test_filter_stream_matches_batch(spark, batch_events, stream_events):
+    got = run_stream_to_memory(
+        jobs.filter_events_job(stream_events).select("event_id"), mode="append"
+    )
+    want = jobs.filter_events_job(batch_events).select("event_id").collect()
+    assert _rows_set(got, ["event_id"]) == _rows_set(want, ["event_id"])
+
+
+def test_tumbling_stream_matches_batch(spark, batch_events, stream_events):
+    cols = ["window_start_epoch", "user_id", "views"]
+    got = run_stream_to_memory(jobs.tumbling_counts_job(stream_events), mode="update")
+    want = jobs.tumbling_counts_job(batch_events).collect()
+    assert _rows_set(got, cols) == _rows_set(want, cols)
+
+
+def test_session_stream_matches_batch_sessionization(spark, batch_events, stream_events):
+    """Native session_window ≡ the batch lag/cumsum sessionization.
+
+    Session windows are append-only: a session is emitted once the
+    watermark (max event time − 10 min) passes its end (last event +
+    30-min gap). Assert (a) everything emitted matches a batch
+    session exactly, (b) every batch session that provably closed
+    before the watermark was emitted, (c) output is nonempty.
+    """
+    from pyspark.sql import functions as F
+
+    cols = ["session_start_epoch", "user_id", "views"]
+    got_set = set(
+        _rows_set(
+            run_stream_to_memory(jobs.session_counts_job(stream_events), mode="append"),
+            cols,
+        )
+    )
+    # reference sessionization in plain Python (sf0.001 is tiny)
+    ev = sorted(
+        (r.user_id, r.te)
+        for r in batch_events.select(
+            "user_id", F.unix_timestamp("ts").alias("te")
+        ).collect()
+    )
+    per_user: dict[int, list[int]] = {}
+    for uid, te in ev:
+        per_user.setdefault(uid, []).append(te)
+    sessions = []  # (start, uid, views, last)
+    for uid, times in per_user.items():
+        start, last, views = times[0], times[0], 1
+        for t in times[1:]:
+            if t - last >= 1800:
+                sessions.append((start, uid, views, last))
+                start, views = t, 0
+            views += 1
+            last = t
+        sessions.append((start, uid, views, last))
+    max_ts = max(te for _, te in ev)
+    watermark = max_ts - 600
+    want_all = {(s, u, v) for s, u, v, _ in sessions}
+    want_closed = {(s, u, v) for s, u, v, last in sessions if last + 1800 < watermark}
+    assert got_set, "no sessions emitted"
+    assert got_set <= want_all, f"spurious sessions: {sorted(got_set - want_all)[:5]}"
+    assert want_closed <= got_set, (
+        f"closed sessions not emitted: {sorted(want_closed - got_set)[:5]}"
+    )
+
+
+def test_join_stream_matches_batch(spark, batch_events, stream_events):
+    cols = ["user_id", "view_id", "click_id"]
+    got = run_stream_to_memory(jobs.view_click_join_job(stream_events), mode="append")
+    want = samza_surface.stream_stream_join(spark, SF_DIR).collect()
+    assert _rows_set(got, cols) == _rows_set(want, cols)
+
+
+def test_enrich_stream_matches_batch(spark, batch_events, stream_events):
+    cols = ["event_id", "company"]
+    cust = sources.customer_table(spark, SF_DIR)
+    got = run_stream_to_memory(jobs.enrich_job(stream_events, cust), mode="append")
+    want = samza_surface.stream_table_join(spark, SF_DIR).collect()
+    assert _rows_set(got, cols) == _rows_set(want, cols)
+
+
+def test_wikipedia_stats_stream_matches_batch(spark, stream_events):
+    cols = [
+        "window_start_epoch",
+        "edits",
+        "bytes_added",
+        "unique_titles",
+        "minor_edits",
+    ]
+    got = run_stream_to_memory(jobs.wikipedia_stats_job(stream_events), mode="update")
+    want = samza_surface.wikipedia_stats(spark, SF_DIR).collect()
+    assert _rows_set(got, cols) == _rows_set(want, cols)
+
+
+def test_stateful_totals_accumulate_across_batches(spark, tmp_path, batch_events):
+    """The applyInPandasWithState counter must carry state between
+    micro-batches (KeyValueStore semantics): feed the same file twice
+    as two batches → totals double."""
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    base = os.path.join(SF_DIR, "events.parquet")
+    shutil.copy(base, os.path.join(src_dir, "b1.parquet"))
+    shutil.copy(base, os.path.join(src_dir, "b2.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(base).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    )
+    rows = run_stream_to_memory(jobs.stateful_totals_job(stream), mode="update")
+    finals = {}
+    for r in rows:  # memory sink appends each update; last one wins
+        finals[r.user_id] = r.total_events
+    batch_counts = {
+        r.user_id: r.cnt
+        for r in batch_events.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert finals, "stateful job emitted nothing"
+    for uid, cnt in batch_counts.items():
+        assert finals[uid] == 2 * cnt, f"user {uid}: {finals[uid]} != 2*{cnt}"
