@@ -209,16 +209,16 @@ def merge_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def wikipedia_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WikipediaParser.java:46-80 — regex parse of raw edit lines.
+def _parsed_edits(spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Shared parse pipeline: synthesize raw line → regex-extract fields.
 
-    Raw lines are synthesized deterministically from events (the
-    container has no IRC feed), then parsed back with the reference's
-    regex — all inside whole-stage codegen.
+    ``extra_cols`` (e.g. ts) ride along from the scan so consumers
+    never need a join back to events — one scan, zero shuffles.
     """
     ev = load_table(spark, sf_dir, "events")
     raw = ev.select(
         "event_id",
+        *extra_cols,
         synthesize_raw_line(
             F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value")
         ).alias("raw"),
@@ -226,6 +226,7 @@ def wikipedia_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_raw_line(F.col("raw"))
     return raw.select(
         "event_id",
+        *extra_cols,
         parsed["title"].alias("title"),
         parsed["user"].alias("edit_user"),
         parsed["diff_bytes"].alias("diff_bytes"),
@@ -240,17 +241,26 @@ def wikipedia_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wikipedia_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WikipediaParser.java:46-80 — regex parse of raw edit lines.
+
+    Raw lines are synthesized deterministically from events (the
+    container has no IRC feed), then parsed back with the reference's
+    regex — all inside whole-stage codegen.
+    """
+    return _parsed_edits(spark, sf_dir)
+
+
 def wikipedia_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WikipediaStatsStreamTask.java:30-75 — 10-min-window edit stats.
 
     Per window: edits, bytes-added, unique-titles, flag counts; plus
     ``edits_all_time`` — the KeyValueStore-backed running total —
     expressed as a cumulative sum over the (tiny) aggregated window
-    rows, not over raw events.
+    rows, not over raw events. ``ts`` rides along from the single
+    events scan (no join back, unlike a naive two-source plan).
     """
-    parsed = wikipedia_parse(spark, sf_dir)
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
-    edits = parsed.join(ev, "event_id")  # re-attach event time
+    edits = _parsed_edits(spark, sf_dir, extra_cols=("ts",))
     windowed = edits.groupBy(
         F.unix_timestamp(F.window("ts", "10 minutes").start).alias("window_start_epoch")
     ).agg(

@@ -1,0 +1,66 @@
+"""Salted joins preserve results; bucketed joins eliminate the Exchange."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from samza_hello_samza_spark.operators.skew import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from samza_hello_samza_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_join_matches_plain_join(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    cust = load_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "user_id"
+    )
+    plain = (
+        ev.join(cust, "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    salted = (
+        salted_join(ev, cust, "user_id", n_salts=4)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted((r.user_id, r.n) for r in plain) == sorted(
+        (r.user_id, r.n) for r in salted
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        lineitem = load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+        write_bucketed(lineitem, "b_lineitem", "o_orderkey", n_buckets=8)
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # result parity with the plain join
+        want = orders.join(lineitem, "o_orderkey").count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
