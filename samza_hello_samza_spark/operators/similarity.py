@@ -11,10 +11,16 @@
   re-rank on candidates only. Rows-only check (LSH recall is
   property-tested against brute force in tests/).
 
+- ``ann_ivf_topk``: inverted-file index — coarse-quantize every
+  vector to its nearest of NLIST centroids, probe the query's NPROBE
+  nearest lists, exact re-rank inside them. Rows-only check; recall
+  property-tested.
+
 Scale notes: brute force is a full scan per query — fine for one
 query, wrong for batch ANN; the LSH variant prunes to bucket
 collisions, and at 100 TB the band tables would be bucketed/sorted on
-(band, code) so probe queries touch only matching files.
+(band, code) so probe queries touch only matching files. The IVF
+corpus is partitioned by list id, so probes become partition pruning.
 """
 
 from __future__ import annotations
@@ -131,6 +137,68 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize into lists, probe the nearest few.
+
+    The inverted-file index in three steps:
+
+    1. Centroids: the first ``IVF_NLIST`` vectors by ``vec_id`` — a
+       deterministic seed set, collected driver-side like a dim table
+       (bounded at NLIST rows regardless of corpus size).
+    2. Assignment: every vector goes to its max-cosine centroid via an
+       Arrow-batched pandas_udf (one normalized matmul per batch,
+       ties to the lowest centroid id).
+    3. Search: the query probes its ``IVF_NPROBE`` nearest lists only;
+       exact cosine re-rank runs on that candidate subset.
+
+    Rows-only check (like LSH: float argmax near list boundaries isn't
+    bit-stable across engines); recall vs brute force is asserted in
+    tests. At 100 TB the assigned corpus is written partitioned by
+    ``list_id``, so a probe reads NPROBE/NLIST of the files — partition
+    pruning does the candidate cut before any compute runs.
+    """
+    e = _embeddings(spark, sf_dir)
+    seed = (
+        e.filter(F.col("vec_id") < IVF_NLIST).orderBy("vec_id").collect()
+    )  # NLIST-row dim-table collect, independent of corpus size
+    cmat = np.stack([np.asarray(r.v) for r in seed])
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @F.pandas_udf(LongType())
+    def _assign(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ cnorm.T, axis=1).astype(np.int64))
+
+    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    qvec = np.asarray(qrow.v)
+    probe = np.argsort(-(cnorm @ (qvec / np.linalg.norm(qvec))))[
+        :IVF_NPROBE
+    ].tolist()
+
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("qnorm")
+    )
+    cand = (
+        e.withColumn("list_id", _assign(F.col("v")))
+        .filter(F.col("list_id").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(F.broadcast(q))
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qnorm")), 6),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "cosine")
+    )
+
+
 ORACLES: dict[str, str] = {
     "ann_bruteforce_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -146,4 +214,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
 }

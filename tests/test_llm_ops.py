@@ -77,6 +77,25 @@ def test_ann_lsh_recall(spark):
     assert overlap >= 0.2, f"ANN recall {overlap:.2f} suspiciously low"
 
 
+def test_ann_ivf_recall(spark):
+    """IVF top-k overlaps brute-force top-k and candidates come only
+    from probed lists (NPROBE/NLIST of the corpus on uniform data)."""
+    brute = [r.vec_id for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect()]
+    ivf = similarity.ann_ivf_topk(spark, SF_DIR).collect()
+    ids = [r.vec_id for r in ivf]
+    assert len(ids) == similarity.TOP_K
+    cosines = [r.cosine for r in ivf]
+    assert cosines == sorted(cosines, reverse=True)
+    overlap = len(set(brute) & set(ids)) / len(brute)
+    assert overlap >= 0.2, f"IVF recall {overlap:.2f} suspiciously low"
+
+
+def test_ann_ivf_deterministic(spark):
+    a = [tuple(r) for r in similarity.ann_ivf_topk(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in similarity.ann_ivf_topk(spark, SF_DIR).collect()]
+    assert a == b
+
+
 def test_multimodal_decode_deterministic(spark):
     df1 = sorted(multimodal.multimodal_decode(spark, SF_DIR).collect())
     df2 = sorted(multimodal.multimodal_decode(spark, SF_DIR).collect())
