@@ -272,10 +272,34 @@ def wikipedia_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_bot_edit").alias("bot_edits"),
         F.sum("is_special").alias("special_edits"),
     )
-    running = Window.orderBy("window_start_epoch").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # edits_all_time (the KeyValueStore running total) as a two-phase
+    # distributed prefix sum: cumulative sum inside day-sized buckets,
+    # plus each bucket's offset (total of all earlier buckets) from a
+    # triangular broadcast join over the tiny bucket-totals table. No
+    # single-partition global WindowExec anywhere in the plan — the
+    # naive Window.orderBy(...) form funnels every row through one
+    # task, which is the classic 100 TB bottleneck.
+    bucketed = windowed.withColumn(
+        "_bucket", F.floor(F.col("window_start_epoch") / F.lit(86400))
     )
-    return windowed.withColumn("edits_all_time", F.sum("edits").over(running))
+    in_bucket = Window.partitionBy("_bucket").orderBy(
+        "window_start_epoch"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    within = bucketed.withColumn("_cum_in", F.sum("edits").over(in_bucket))
+    totals = bucketed.groupBy("_bucket").agg(F.sum("edits").alias("_total"))
+    earlier = totals.select(
+        F.col("_bucket").alias("_b2"), F.col("_total").alias("_t2")
+    )
+    offsets = (
+        totals.join(F.broadcast(earlier), F.col("_b2") < F.col("_bucket"), "left")
+        .groupBy("_bucket")
+        .agg(F.coalesce(F.sum("_t2"), F.lit(0)).cast("long").alias("_offset"))
+    )
+    return (
+        within.join(F.broadcast(offsets), "_bucket")
+        .withColumn("edits_all_time", F.col("_cum_in") + F.col("_offset"))
+        .drop("_bucket", "_cum_in", "_offset")
+    )
 
 
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
