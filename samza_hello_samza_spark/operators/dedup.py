@@ -79,8 +79,12 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """Distinct (doc_id, xxhash64(shingle)) — hashing BEFORE the explode
-    so the distinct/groupBy shuffles 16-byte rows, never shingle strings.
+    """(doc_id, xxhash64(shingle)) rows — hashing BEFORE the explode so
+    downstream aggregation shuffles 16-byte rows, never shingle strings.
+
+    Deliberately NOT deduplicated: min() over a multiset equals min()
+    over its set, so minhash signatures are identical and skipping the
+    distinct saves a full-width shuffle of every shingle row.
 
     ``words`` is materialized as its own projection first: the shingle
     lambda dereferences it ~3×per shingle, and inlining the split+filter
@@ -90,10 +94,7 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFra
     docs = load_table(spark, sf_dir, "documents")
     tokenized = docs.select("doc_id", _words(F.col("text")).alias("words"))
     hashes = F.transform(_shingles(F.col("words"), k), lambda s: F.xxhash64(s))
-    return (
-        tokenized.select("doc_id", F.explode(hashes).alias("h"))
-        .distinct()
-    )
+    return tokenized.select("doc_id", F.explode(hashes).alias("h"))
 
 
 def _bucket_pairs(bands: DataFrame, key_cols: list[str], payload: str) -> DataFrame:
