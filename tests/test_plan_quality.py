@@ -1,0 +1,107 @@
+"""Physical-plan invariants for every registered query.
+
+Correctness says the answer is right; these assertions say the *plan*
+is the one you'd still want at 100 TB:
+
+- no row-at-a-time Python UDFs (``BatchEvalPython``) anywhere — Python
+  only ever appears as Arrow-batched (``ArrowEvalPython``/``MapInPandas``),
+  and only in the operators that declared it;
+- no unplanned cartesian products — non-equi joins must at least be
+  broadcast nested-loop with a bounded build side, and only in the
+  operators designed around one (all-pairs calibration baselines,
+  1-row scalar-subquery broadcasts);
+- global top-k compiles to ``TakeOrderedAndProject`` (distributed
+  partial top-k), never a global range-partitioned sort;
+- selective filters reach the parquet scan (``PushedFilters`` has a
+  real predicate, not just IsNotNull).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from samza_hello_samza_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+#: operators whose semantics are built on a bounded non-equi /
+#: all-pairs broadcast join (calibration baselines, scalar subqueries,
+#: single-query-vector scoring).
+NONEQUI_OK = {
+    "dedup_embedding",      # all-pairs cosine calibration baseline
+    "dedup_ngram_jaccard",  # sf0.001 fallback plan; equi on shingle at scale
+    "q22_idle_customers",   # 1-row scalar-subquery broadcast
+    "wikipedia_stats",      # triangular join over tiny bucket totals (prefix sum)
+    "ann_bruteforce_topk",  # 1-row query-vector broadcast
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+}
+
+#: operators that declared an Arrow-batched Python stage.
+ARROW_OK = {"ann_lsh_topk", "ann_ivf_topk", "multimodal_decode"}
+
+#: queries ending in a global ORDER BY ... LIMIT k.
+TOPK = {
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_volume",
+    "top_users_by_value",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+}
+
+
+def _plan(spark, name: str) -> str:
+    # default metadata truncation (100 chars) cuts PushedFilters lists
+    # mid-entry; raise it so assertions see the full scan metadata.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_rowwise_python_udf(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name} runs a row-at-a-time Python UDF"
+    if name not in ARROW_OK:
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{name} has an undeclared Python stage"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unplanned_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in NONEQUI_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} has an undeclared non-equi join"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(TOPK & set(QUERIES)))
+def test_topk_is_distributed(spark, name):
+    plan = _plan(spark, name)
+    assert "TakeOrderedAndProject" in plan, f"{name} top-k is not partial top-k"
+    assert "rangepartitioning" not in plan, f"{name} does a global sort for top-k"
+
+
+@pytest.mark.parametrize(
+    "name,scan_filter",
+    [
+        ("q1_pricing_summary", r"LessThanOrEqual\(l_shipdate"),
+        ("q6_forecast_revenue", r"GreaterThanOrEqual\(l_shipdate"),
+        ("q4_order_priority", r"EqualTo\(l_returnflag,R\)"),
+        ("q19_disjunctive_revenue", r"PushedFilters: \[[^\]]*Or\("),
+        ("filter_events", r"EqualTo\(event_type"),
+        ("samza_sql_filter", r"PushedFilters: \[[^\]]*EqualTo"),
+    ],
+)
+def test_filter_pushdown_reaches_scan(spark, name, scan_filter):
+    plan = _plan(spark, name)
+    assert re.search(scan_filter, plan), (
+        f"{name}: expected pushed filter /{scan_filter}/ in scan\n{plan[:2000]}"
+    )
