@@ -1,6 +1,6 @@
 """Deduplication operators for LLM training-data pipelines.
 
-Five strategies over the ``documents`` / ``embeddings`` tables:
+Six strategies over the ``documents`` / ``embeddings`` tables:
 
 - exact        : normalize → md5 → group (oracle-checked)
 - ngram_jaccard: 3-word shingle overlap join, J ≥ 0.5 (oracle-checked)
@@ -12,6 +12,9 @@ Five strategies over the ``documents`` / ``embeddings`` tables:
                  (rows-only, property-tested)
 - embedding    : pairwise cosine ≥ 0.45 (oracle-checked vs DuckDB
                  list_cosine_similarity)
+- clusters     : connected components over the jaccard pairs via
+                 iterative min-label propagation (oracle-checked vs a
+                 DuckDB recursive CTE)
 
 Scale design: everything is shingle-/band-bucket joins — never an
 O(n²) cross join except `dedup_embedding`, which is the small-sample
@@ -299,6 +302,62 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: connected components over Jaccard pairs.
+
+    Pair lists aren't actionable for dedup until they're clustered
+    (keep one doc per component). Components come from iterative
+    min-label propagation — label(v) ← min(label(v), min over
+    neighbors) — which converges in ≤ graph-diameter rounds; dup
+    clusters are near-cliques, so 2-3 rounds in practice. Each round
+    is one join + one aggregate, all DataFrame ops; the loop's only
+    driver-side value is the converged? count, and lineage is cut per
+    round with localCheckpoint so plans stay flat.
+
+    Oracle: DuckDB recursive CTE computing min-reachable-id — genuinely
+    SQL-expressible, so this iterative op IS hash-checked.
+
+    Output: (doc_id, cluster_id) for every doc in ≥1 near-dup pair,
+    cluster_id = min doc_id of its component.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # ≥ any realistic dup-cluster diameter
+        nbr = (
+            edges.join(labels, edges.doc_b == labels.id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.doc_a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 _SHINGLES_SQL = """
     WITH w AS (
         SELECT doc_id,
@@ -342,6 +401,32 @@ ORACLES: dict[str, str] = {
     JOIN counts nb ON nb.doc_id = doc_b
     WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
     """,
+    "dedup_clusters": _SHINGLES_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """
+    , counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN counts na ON na.doc_id = doc_a
+        JOIN counts nb ON nb.doc_id = doc_b
+        WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
     "dedup_embedding": """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -359,4 +444,5 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_clusters": dedup_clusters,
 }

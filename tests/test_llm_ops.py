@@ -77,6 +77,22 @@ def test_ann_lsh_recall(spark):
     assert overlap >= 0.2, f"ANN recall {overlap:.2f} suspiciously low"
 
 
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Both ends of every near-dup pair land in the same cluster, and
+    every cluster_id is the min doc_id of its members."""
+    pairs = dedup.dedup_ngram_jaccard(spark, SF_DIR).collect()
+    clusters = {
+        r.doc_id: r.cluster_id for r in dedup.dedup_clusters(spark, SF_DIR).collect()
+    }
+    for p in pairs:
+        assert clusters[p.doc_a] == clusters[p.doc_b], (p.doc_a, p.doc_b)
+    members: dict[int, list[int]] = {}
+    for doc, c in clusters.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
+
+
 def test_ann_ivf_recall(spark):
     """IVF top-k overlaps brute-force top-k and candidates come only
     from probed lists (NPROBE/NLIST of the corpus on uniform data)."""
