@@ -199,7 +199,40 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids), long form.
+
+    The array mean is DIM independent ``avg()`` aggregates — partial
+    sums combine map-side and one narrow shuffle moves (label, 64
+    doubles) per partition. Exploding first (the naive plan) would
+    inflate the shuffle ×DIM with one row per element. The post-agg
+    posexplode touches only n_labels rows. Output (label, dim, val)
+    is the join-friendly shape for centroid-lookup scoring.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.groupBy("label").agg(
+        *[
+            F.round(F.avg(F.col("v").getItem(i)), 6).alias(f"c{i}")
+            for i in range(DIM)
+        ]
+    )
+    return cents.select(
+        "label",
+        F.posexplode(F.array(*[F.col(f"c{i}") for i in range(DIM)])).alias(
+            "dim", "val"
+        ),
+    ).select("label", F.col("dim").cast("int").alias("dim"), "val")
+
+
 ORACLES: dict[str, str] = {
+    "embedding_centroids": f"""
+        SELECT label, CAST(i AS INT) AS dim, round(avg(v[i + 1]), 6) AS val
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             generate_series(0, {DIM - 1}) AS t(i)
+        GROUP BY label, i
+    """,
     "ann_bruteforce_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
@@ -215,4 +248,5 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "embedding_centroids": embedding_centroids,
 }

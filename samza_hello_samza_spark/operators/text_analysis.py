@@ -143,7 +143,46 @@ _WORDS_SQL = (
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 )
 
+TOP_BIGRAMS = 50
+
+
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word bigrams.
+
+    Explode → count → distributed top-k: partial counts combine
+    map-side and the final ordering is TakeOrderedAndProject (each
+    partition ships only its own top-50), never a global sort — the
+    right plan when the bigram vocabulary is billions of keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    bigrams = words.select(F.explode(_shingles(F.col("words"), k=2)).alias("bigram"))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(TOP_BIGRAMS)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "text_bigram_topk": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+            FROM documents
+        ),
+        bg AS (
+            SELECT unnest(list_transform(generate_series(1, len(words) - 1),
+                          i -> words[i] || ' ' || words[i+1])) AS bigram
+            FROM w
+        )
+        SELECT bigram, count(*) AS n
+        FROM bg
+        GROUP BY bigram
+        ORDER BY n DESC, bigram ASC
+        LIMIT {TOP_BIGRAMS}
+    """,
     "text_langid": f"""
         WITH words AS (
             SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
@@ -220,6 +259,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "text_bigram_topk": text_bigram_topk,
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_tokencount": text_tokencount,

@@ -49,6 +49,7 @@ TOPK = {
     "q10_returned_items",
     "q18_large_volume",
     "top_users_by_value",
+    "text_bigram_topk",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
