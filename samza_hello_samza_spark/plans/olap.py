@@ -1,0 +1,95 @@
+"""OLAP shapes beyond plain group-by: rollup, pivot, window frames.
+
+These round out the SQL surface an analytics engine owes its users
+(the reference's Samza SQL is Calcite, whose surface includes grouping
+sets and windowed aggregates). Each remains one declarative plan:
+
+- rollup: Spark expands grouping sets inside a single Expand+Aggregate
+  — one shuffle for all grouping levels, not one scan per level.
+- pivot: with an explicit value list, pivot compiles to conditional
+  aggregates (no second pass to discover keys — at 100 TB a
+  discover-values pass is a full extra scan).
+- window frame: per-user moving average — state bounded by the frame,
+  partitioned by user so no global ordering exists anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts/value at (priority, status), (priority), and () levels."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts, wide form (explicit pivot values)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-event moving average of value per user (window frame).
+
+    Partitioned by user_id — every partition sorts independently;
+    there is no single-partition WindowExec anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "orders_priority_rollup": """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    "user_event_pivot": """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        FROM events
+        GROUP BY user_id
+    """,
+    "user_value_moving_avg": """
+        SELECT event_id, user_id,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+        FROM events
+    """,
+}
+
+QUERIES = {
+    "orders_priority_rollup": orders_priority_rollup,
+    "user_event_pivot": user_event_pivot,
+    "user_value_moving_avg": user_value_moving_avg,
+}

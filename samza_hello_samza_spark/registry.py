@@ -17,6 +17,7 @@ _MODULES = (
     "samza_hello_samza_spark.operators.samza_surface",
     "samza_hello_samza_spark.plans.analytics",
     "samza_hello_samza_spark.plans.samza_sql",
+    "samza_hello_samza_spark.plans.olap",
     "samza_hello_samza_spark.operators.dedup",
     "samza_hello_samza_spark.operators.similarity",
     "samza_hello_samza_spark.operators.text_analysis",
