@@ -354,6 +354,66 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part (argmin per group).
+
+    No partsupp in this schema — per-(part, supplier) unit price comes
+    from lineitem. The argmin is a row_number window *partitioned by
+    part* (every partition ranks independently; no global sort), with
+    a deterministic (cost, suppkey) tiebreak.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = (
+        li.withColumn(
+            "unit_price", F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_price").alias("min_unit_price"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy("min_unit_price", "l_suppkey")
+    best = (
+        unit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("l_suppkey").alias("best_suppkey"),
+            "min_unit_price",
+        )
+    )
+
+
+def events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users — exact distinct count per day."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(F.count_distinct("user_id").alias("dau"))
+    )
+
+
+def events_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users via HyperLogLog++ (rows-only check).
+
+    At 100 TB exact count-distinct shuffles every (day, user) pair;
+    the HLL sketch combines map-side into ~KB per day — the scale
+    path. rsd=0.5% keeps it within a few percent of exact (asserted
+    against `events_dau` in tests).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.005).alias("dau"))
+    )
+
+
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -508,6 +568,31 @@ ORACLES: dict[str, str] = {
           )
         GROUP BY c_nationkey
     """,
+    "q2_min_cost_supplier": """
+        WITH unit AS (
+            SELECT l_partkey, l_suppkey,
+                   min(round(l_extendedprice / l_quantity, 6)) AS min_unit_price
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ),
+        ranked AS (
+            SELECT l_partkey, l_suppkey, min_unit_price,
+                   row_number() OVER (PARTITION BY l_partkey
+                                      ORDER BY min_unit_price, l_suppkey) AS rn
+            FROM unit
+        )
+        SELECT p_partkey, p_brand,
+               l_suppkey AS best_suppkey,
+               min_unit_price
+        FROM ranked JOIN part ON l_partkey = p_partkey
+        WHERE rn = 1 AND p_type = 'PROMO'
+    """,
+    "events_dau": """
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               count(DISTINCT user_id) AS dau
+        FROM events
+        GROUP BY 1
+    """,
 }
 
 QUERIES = {
@@ -524,4 +609,7 @@ QUERIES = {
     "q18_large_volume": q18_large_volume,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_idle_customers": q22_idle_customers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "events_dau": events_dau,
+    "events_dau_approx": events_dau_approx,
 }
