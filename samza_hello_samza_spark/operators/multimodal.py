@@ -24,6 +24,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -87,8 +90,132 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_decode_partition, DECODED_SCHEMA)
 
 
+RESIZE_BOX = 256  # fit-within target for the resize stub
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _resize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize: scale fake dims to fit RESIZE_BOX (aspect kept),
+    shrink payload proportionally. Swap in PIL thumbnail for real media."""
+    for pdf in batches:
+        out = {"doc_id": [], "width": [], "height": [], "payload": []}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            _, w, h = _decode_batch(p)
+            scale = min(1.0, RESIZE_BOX / max(w, h))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            keep = max(1, int(len(p) * scale))
+            out["doc_id"].append(doc_id)
+            out["width"].append(nw)
+            out["height"].append(nh)
+            out["payload"].append(bytes(p[:keep]))
+        yield pd.DataFrame(out)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline: binary in → binary out, Arrow-batched.
+
+    The shape every media-processing stage at 100 TB takes: payloads
+    never leave the executor, output partitioning follows input (no
+    shuffle), and the Python stage is one vectorized pass per batch.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return payloads.mapInPandas(_resize_partition, RESIZED_SCHEMA)
+
+
+N_FRAMES = 4
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("pts_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def _frame_sample_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler: N evenly-spaced payload slices stand in for
+    decoded video frames (swap in pyav/ffmpeg). 1→N fan-out happens
+    inside the executor — mapInPandas output needn't be 1:1 with input."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "pts_ms": [], "frame": []}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            dur_ms = 1000 * (1 + len(p) % 60)  # fake duration from payload
+            step = max(1, len(p) // N_FRAMES)
+            for i in range(N_FRAMES):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["pts_ms"].append(i * dur_ms // N_FRAMES)
+                out["frame"].append(bytes(p[i * step : (i + 1) * step]))
+        yield pd.DataFrame(out)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one asset row fans out to N frame rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return payloads.mapInPandas(_frame_sample_partition, FRAMES_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _features_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB feature extractor: FEATURE_DIM floats from rolling crc32
+    (swap in a real vision/audio encoder). Output feeds the ANN
+    operators (similarity.py) unchanged — decode → embed → index."""
+    for pdf in batches:
+        feats = []
+        for p in pdf["payload"]:
+            step = max(1, len(p) // FEATURE_DIM)
+            vec = [
+                (zlib.crc32(p[i * step : (i + 1) * step]) % 10_000) / 10_000.0
+                for i in range(FEATURE_DIM)
+            ]
+            feats.append(vec)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "features": feats}
+        )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction: binary payload → fixed-size float vector."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return payloads.mapInPandas(_features_partition, FEATURES_SCHEMA)
+
+
 ORACLES: dict[str, str] = {}
 
 QUERIES = {
     "multimodal_decode": multimodal_decode,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_features": multimodal_features,
 }

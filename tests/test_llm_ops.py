@@ -120,3 +120,32 @@ def test_multimodal_decode_deterministic(spark):
     row = df1[0]
     assert row.n_bytes > 0 and row.format in ("png", "jpeg", "webp")
     assert 16 <= row.width < 1040 and 16 <= row.height < 1040
+
+
+def test_multimodal_resize_fits_box(spark):
+    rows = multimodal.multimodal_resize(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r.width <= multimodal.RESIZE_BOX
+        assert 1 <= r.height <= multimodal.RESIZE_BOX
+        assert len(r.payload) > 0
+
+
+def test_multimodal_frame_sample_fan_out(spark):
+    n_docs = multimodal.multimodal_decode(spark, SF_DIR).count()
+    frames = multimodal.multimodal_frame_sample(spark, SF_DIR)
+    assert frames.count() == n_docs * multimodal.N_FRAMES
+    one = sorted(
+        frames.filter(frames.doc_id == 0).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in one] == list(range(multimodal.N_FRAMES))
+    pts = [r.pts_ms for r in one]
+    assert pts == sorted(pts) and pts[0] == 0
+
+
+def test_multimodal_features_shape(spark):
+    rows = multimodal.multimodal_features(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:20]:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r.features)

@@ -41,7 +41,14 @@ NONEQUI_OK = {
 }
 
 #: operators that declared an Arrow-batched Python stage.
-ARROW_OK = {"ann_lsh_topk", "ann_ivf_topk", "multimodal_decode"}
+ARROW_OK = {
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_features",
+}
 
 #: queries ending in a global ORDER BY ... LIMIT k.
 TOPK = {
