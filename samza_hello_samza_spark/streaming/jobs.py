@@ -169,6 +169,25 @@ def wikipedia_stats_job(events: DataFrame) -> DataFrame:
     )
 
 
+def dau_approx_job(events: DataFrame) -> DataFrame:
+    """Daily approximate distinct users over the stream.
+
+    ``approx_count_distinct`` keeps one HLL++ sketch per day-window in
+    state (~KB) instead of a per-user set — the only distinct-count
+    that stays bounded when a day holds billions of users. Watermark
+    closes days for append output.
+    """
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.005).alias("dau"))
+        .select(
+            F.unix_timestamp("win.start").alias("day_epoch"),
+            "dau",
+        )
+    )
+
+
 STATEFUL_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -127,6 +127,25 @@ def test_wikipedia_stats_stream_matches_batch(spark, stream_events):
     assert _rows_set(got, cols) == _rows_set(want, cols)
 
 
+def test_dau_stream_matches_batch_sketch(spark, stream_events):
+    """Streaming HLL DAU equals the batch HLL DAU (same sketch, same
+    rsd) — and therefore stays within 5% of exact (asserted on the
+    batch side in test_analytics)."""
+    from samza_hello_samza_spark.plans import analytics
+
+    got = run_stream_to_memory(jobs.dau_approx_job(stream_events), mode="update")
+    want = {
+        r.day: r.dau for r in analytics.events_dau_approx(spark, SF_DIR).collect()
+    }
+    import datetime as dt
+
+    got_by_day = {
+        dt.datetime.fromtimestamp(r.day_epoch, dt.timezone.utc).strftime("%Y-%m-%d"): r.dau
+        for r in got
+    }
+    assert got_by_day == want
+
+
 def test_stateful_totals_accumulate_across_batches(spark, tmp_path, batch_events):
     """The applyInPandasWithState counter must carry state between
     micro-batches (KeyValueStore semantics): feed the same file twice
