@@ -61,7 +61,50 @@ def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCTS = (0.5, 0.9, 0.99)
+
+
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per event type.
+
+    Exact percentiles buffer each group's values — fine for bounded
+    groups (5 event types), the correctness baseline for the approx
+    variant, which is the 100 TB path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", p), 6).alias(f"p{int(p * 100)}")
+            for p in PCTS
+        ]
+    )
+
+
+def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 via the KLL-style percentile_approx sketch.
+
+    Bounded-memory mergeable sketch per group — the only percentile
+    that works when one group holds billions of values. Accuracy is
+    asserted against the exact operator in tests (rows-only check).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.percentile_approx("value", p, 10000).alias(f"p{int(p * 100)}")
+            for p in PCTS
+        ]
+    )
+
+
 ORACLES: dict[str, str] = {
+    "event_value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
     "orders_priority_rollup": """
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS n_orders,
@@ -92,4 +135,6 @@ QUERIES = {
     "orders_priority_rollup": orders_priority_rollup,
     "user_event_pivot": user_event_pivot,
     "user_value_moving_avg": user_value_moving_avg,
+    "event_value_percentiles": event_value_percentiles,
+    "event_value_percentiles_approx": event_value_percentiles_approx,
 }
