@@ -96,7 +96,100 @@ def event_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation and its share of the total.
+
+    Share-of-total via a 1-row broadcast of the global sum — the
+    distributed form of ``sum() OVER ()`` (which would funnel every
+    row through one partition).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    total = per_nation.agg(F.sum("rev").alias("total_rev"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.col("total_rev"), 6).alias("share"),
+        )
+    )
+
+
+def customer_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer quartile segmentation by total order value.
+
+    The ntile-free plan: quartile thresholds are one exact-percentile
+    aggregate (a 1-row broadcast), binning is a CASE expression — no
+    global-ordering window anywhere, unlike ``ntile(4) OVER (ORDER BY
+    ...)`` which single-partitions the world.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monetary = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.count("*").alias("frequency"),
+    )
+    thresholds = monetary.agg(
+        F.percentile("monetary", 0.25).alias("q1"),
+        F.percentile("monetary", 0.50).alias("q2"),
+        F.percentile("monetary", 0.75).alias("q3"),
+    )
+    return (
+        monetary.crossJoin(F.broadcast(thresholds))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "monetary",
+            "frequency",
+            F.when(F.col("monetary") <= F.col("q1"), "Q1")
+            .when(F.col("monetary") <= F.col("q2"), "Q2")
+            .when(F.col("monetary") <= F.col("q3"), "Q3")
+            .otherwise("Q4")
+            .alias("segment"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "nation_revenue_share": """
+        WITH per_nation AS (
+            SELECT n_name, sum(o_totalprice) AS rev
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name,
+               round(rev, 2) AS revenue,
+               round(rev / (SELECT sum(rev) FROM per_nation), 6) AS share
+        FROM per_nation
+    """,
+    "customer_value_segments": """
+        WITH monetary AS (
+            SELECT o_custkey,
+                   round(sum(o_totalprice), 2) AS monetary,
+                   count(*) AS frequency
+            FROM orders GROUP BY o_custkey
+        ),
+        t AS (
+            SELECT quantile_cont(monetary, 0.25) AS q1,
+                   quantile_cont(monetary, 0.50) AS q2,
+                   quantile_cont(monetary, 0.75) AS q3
+            FROM monetary
+        )
+        SELECT o_custkey AS custkey, monetary, frequency,
+               CASE WHEN monetary <= q1 THEN 'Q1'
+                    WHEN monetary <= q2 THEN 'Q2'
+                    WHEN monetary <= q3 THEN 'Q3'
+                    ELSE 'Q4' END AS segment
+        FROM monetary, t
+    """,
     "event_value_percentiles": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,
@@ -137,4 +230,6 @@ QUERIES = {
     "user_value_moving_avg": user_value_moving_avg,
     "event_value_percentiles": event_value_percentiles,
     "event_value_percentiles_approx": event_value_percentiles_approx,
+    "nation_revenue_share": nation_revenue_share,
+    "customer_value_segments": customer_value_segments,
 }

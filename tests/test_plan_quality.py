@@ -35,6 +35,8 @@ NONEQUI_OK = {
     "dedup_ngram_jaccard",  # sf0.001 fallback plan; equi on shingle at scale
     "q22_idle_customers",   # 1-row scalar-subquery broadcast
     "wikipedia_stats",      # triangular join over tiny bucket totals (prefix sum)
+    "nation_revenue_share",  # 1-row global-total broadcast
+    "customer_value_segments",  # 1-row quantile-thresholds broadcast
     "ann_bruteforce_topk",  # 1-row query-vector broadcast
     "ann_lsh_topk",
     "ann_ivf_topk",
