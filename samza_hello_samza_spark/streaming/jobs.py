@@ -169,6 +169,19 @@ def wikipedia_stats_job(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_job(events: DataFrame) -> DataFrame:
+    """Streaming dedup of redelivered events (at-least-once input →
+    effectively-once pipeline).
+
+    ``dropDuplicatesWithinWatermark`` keys on event_id and expires its
+    seen-set with the watermark — plain ``dropDuplicates`` on a stream
+    keeps every key forever, which is unbounded state at 100 TB.
+    """
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def dau_approx_job(events: DataFrame) -> DataFrame:
     """Daily approximate distinct users over the stream.
 

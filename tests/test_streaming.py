@@ -146,6 +146,31 @@ def test_dau_stream_matches_batch_sketch(spark, stream_events):
     assert got_by_day == want
 
 
+def test_dedup_events_drops_redelivered(spark, tmp_path, batch_events):
+    """The same events file delivered as two micro-batches must come
+    out exactly once per event_id."""
+    src_dir = str(tmp_path / "dupsrc")
+    os.makedirs(src_dir)
+    base = os.path.join(SF_DIR, "events.parquet")
+    shutil.copy(base, os.path.join(src_dir, "b1.parquet"))
+    shutil.copy(base, os.path.join(src_dir, "b2.parquet"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(base).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    )
+    rows = run_stream_to_memory(jobs.dedup_events_job(stream), mode="append")
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)), "duplicates survived"
+    assert set(ids) == {r.event_id for r in batch_events.collect()}
+
+
 def test_stateful_totals_accumulate_across_batches(spark, tmp_path, batch_events):
     """The applyInPandasWithState counter must carry state between
     micro-batches (KeyValueStore semantics): feed the same file twice
