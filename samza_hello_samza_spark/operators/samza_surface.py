@@ -171,6 +171,31 @@ def stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_table_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_table_join through the explicit skew remedy.
+
+    Same rows as `stream_table_join` (the oracle is byte-identical) —
+    but joined via operators.skew.salted_join, so one hot user_id
+    spreads across n_salts tasks instead of one straggler. This is
+    the hand-applied fallback for when AQE's runtime skew split can't
+    help (e.g. a shuffle-free broadcast isn't possible because the
+    dim is too big, and the skew is known ahead of time).
+    """
+    from .skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("company"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return salted_join(ev, cust, "user_id").select(
+        "event_id", "user_id", "event_type", "company", "segment"
+    )
+
+
 def remote_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RemoteTableJoinExample.java:86-95 — keyed lookup against a remote table.
 
@@ -421,6 +446,11 @@ ORACLES: dict[str, str] = {
                c.c_name AS company, c.c_mktsegment AS segment
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
     """,
+    "stream_table_join_salted": """
+        SELECT e.event_id, e.user_id, e.event_type,
+               c.c_name AS company, c.c_mktsegment AS segment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
     "remote_table_join": """
         SELECT e.event_id, e.user_id, n.n_name AS looked_up
         FROM events e LEFT JOIN nation n ON (e.user_id % 25) = n.n_nationkey
@@ -480,6 +510,7 @@ QUERIES = {
     "session_window": session_window,
     "stream_stream_join": stream_stream_join,
     "stream_table_join": stream_table_join,
+    "stream_table_join_salted": stream_table_join_salted,
     "remote_table_join": remote_table_join,
     "merge_streams": merge_streams,
     "wikipedia_parse": wikipedia_parse,
