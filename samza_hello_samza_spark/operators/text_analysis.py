@@ -143,6 +143,35 @@ _WORDS_SQL = (
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 )
 
+#: per-language keep-rate (percent) — down-weights over-represented
+#: languages, the training-data mixture-control knob.
+SAMPLE_RATES_PCT = {"en": 30, "zh": 60}
+DEFAULT_RATE_PCT = 100
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language.
+
+    The sample bucket is the first 8 hex digits of md5(doc_id) mod 100
+    — seed-free, content-independent, identical across engines, runs,
+    and partitionings (``TABLESAMPLE``/``df.sample`` are neither
+    deterministic nor stratified). A doc is kept iff its bucket falls
+    under its language's keep-rate, so re-running the pipeline always
+    selects the same subset — which is what makes downstream caches
+    and incremental re-builds valid at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(DEFAULT_RATE_PCT)
+    for lang, pct in sorted(SAMPLE_RATES_PCT.items()):
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
 TOP_BIGRAMS = 50
 
 
@@ -166,6 +195,12 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "sample_stratified": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+              < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60 ELSE 100 END
+    """,
     "text_bigram_topk": f"""
         WITH w AS (
             SELECT doc_id,
@@ -259,6 +294,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "sample_stratified": sample_stratified,
     "text_bigram_topk": text_bigram_topk,
     "text_langid": text_langid,
     "text_quality": text_quality,
