@@ -172,6 +172,34 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < rate).select("doc_id", "lang", "source")
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style reading-ease score per document.
+
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with a
+    vowel-group syllable proxy — every term a regexp_count column
+    expression in one codegen'd projection; no tokenizer UDF.
+    Sentence/syllable counts are floored at 1 so punctuation-free docs
+    (these synthetic ones) stay defined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.greatest(F.lit(1), F.size(_words(F.col("text"))))
+    n_sent = F.greatest(F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+")))
+    n_syll = F.greatest(
+        F.lit(1), F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        F.round(score, 4).alias("flesch"),
+    )
+
+
 TOP_BIGRAMS = 50
 
 
@@ -195,6 +223,22 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "text_readability": """
+        WITH t AS (
+            SELECT doc_id,
+                   greatest(1, len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                               x -> x <> ''))) AS n_words,
+                   greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent,
+                   greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS n_syll
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_words AS INT) AS n_words,
+               CAST(n_syll AS INT) AS n_syllables,
+               round(206.835 - 1.015 * (n_words / CAST(n_sent AS DOUBLE))
+                             - 84.6 * (n_syll / CAST(n_words AS DOUBLE)), 4) AS flesch
+        FROM t
+    """,
     "sample_stratified": """
         SELECT doc_id, lang, source
         FROM documents
@@ -296,6 +340,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "sample_stratified": sample_stratified,
     "text_bigram_topk": text_bigram_topk,
+    "text_readability": text_readability,
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_tokencount": text_tokencount,
