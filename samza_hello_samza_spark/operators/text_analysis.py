@@ -200,6 +200,35 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATION_MIN_QUALITY = 0.7
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: sample → quality gate → dedup.
+
+    The product use-case in one declarative plan: deterministic
+    stratified sampling, the heuristic quality gate, and exact-dedup
+    canonical-only — composed as DataFrame joins so Catalyst fuses the
+    stages (shared scans, pushed filters) instead of three
+    materialized passes over the corpus.
+    """
+    from .dedup import dedup_exact
+
+    sampled = sample_stratified(spark, sf_dir)
+    quality = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    canonical = (
+        dedup_exact(spark, sf_dir)
+        .filter(F.col("is_duplicate") == 0)
+        .select("doc_id")
+    )
+    return (
+        sampled.join(quality, "doc_id")
+        .filter(F.col("quality_score") >= CURATION_MIN_QUALITY)
+        .join(canonical, "doc_id")
+        .select("doc_id", "lang", "source", "quality_score")
+    )
+
+
 TOP_BIGRAMS = 50
 
 
@@ -223,6 +252,50 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "curation_pipeline": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({_WORDS_SQL}) AS n_words,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS n_punct,
+                   len(list_filter({_WORDS_SQL},
+                       x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS n_stop
+            FROM documents
+        ),
+        ratios AS (
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0.0 END AS awl,
+                   CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+                   CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS sr
+            FROM base
+        ),
+        quality AS (
+            SELECT doc_id,
+                   round(
+                       (CASE WHEN n_words BETWEEN 20 AND 5000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN awl BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN pr <= 0.1 THEN 0.2 ELSE 0.0 END)
+                     + (CASE WHEN sr >= 0.01 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+            FROM ratios
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash
+            FROM documents
+        ),
+        canonical AS (
+            SELECT doc_id FROM hashed h
+            WHERE doc_id = (SELECT min(doc_id) FROM hashed h2
+                            WHERE h2.text_hash = h.text_hash)
+        )
+        SELECT d.doc_id, d.lang, d.source, q.quality_score
+        FROM documents d
+        JOIN quality q USING (doc_id)
+        JOIN canonical USING (doc_id)
+        WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+              < CASE d.lang WHEN 'en' THEN 30 WHEN 'zh' THEN 60 ELSE 100 END
+          AND q.quality_score >= {CURATION_MIN_QUALITY}
+    """,
     "text_readability": """
         WITH t AS (
             SELECT doc_id,
@@ -338,6 +411,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "curation_pipeline": curation_pipeline,
     "sample_stratified": sample_stratified,
     "text_bigram_topk": text_bigram_topk,
     "text_readability": text_readability,
