@@ -1,0 +1,76 @@
+"""Incremental aggregate maintenance: merge deltas, never re-scan history.
+
+The reference keeps running aggregates in a KeyValueStore updated per
+message (WikipediaStatsStreamTask's counters); the batch-warehouse
+equivalent at 100 TB is an *incrementally maintained* aggregate table:
+when a new day of data lands, combine yesterday's aggregate state with
+the delta's partial aggregates — cost proportional to the delta, not
+to all of history.
+
+The trick is storing MERGEABLE state, not final values: ``count`` and
+``sum`` merge by addition, ``avg`` must be carried as (sum, count) and
+finalized on read. Any algebraic aggregate (and sketches: HLL, KLL)
+fits this shape; holistic ones (exact median) do not — that's the
+boundary of the pattern, and why the sketch variants exist.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: mergeable state columns kept in the aggregate table.
+STATE_COLS = ("n_events", "sum_value")
+
+
+def _partial_agg(df: DataFrame, keys: list[str]) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def update_aggregate(
+    spark: SparkSession,
+    state_path: str,
+    delta: DataFrame,
+    keys: list[str] = ["user_id"],
+) -> None:
+    """Fold a delta into the stored aggregate state (upsert-by-merge).
+
+    Reads ONLY the existing state table (size ~ |keys|) and the delta —
+    history is never re-scanned. The combine is a union + re-aggregate
+    of partial states, which is exactly how Spark's own two-phase
+    aggregation merges map-side partials.
+    """
+    new_state = _partial_agg(delta, keys)
+    if os.path.exists(state_path):
+        old = spark.read.parquet(state_path)
+        new_state = (
+            old.unionByName(new_state)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+    tmp = state_path.rstrip("/") + ".staging"
+    new_state.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(state_path):
+        import shutil
+
+        shutil.rmtree(state_path)
+    os.rename(tmp, state_path)
+
+
+def read_aggregate(spark: SparkSession, state_path: str) -> DataFrame:
+    """Finalize stored state into user-facing values (avg from sum/count)."""
+    state = spark.read.parquet(state_path)
+    return state.select(
+        *[c for c in state.columns if c not in STATE_COLS],
+        F.col("n_events"),
+        F.round("sum_value", 2).alias("total_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+    )
