@@ -156,7 +156,98 @@ def customer_value_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: view → later click → later purchase.
+
+    Each stage narrows to per-user first-times with a min() aggregate,
+    then the next stage joins on user_id and keeps only later events —
+    stage joins all share the user_id key, so after the first shuffle
+    the rest co-locate. Output is one row of stage conversion counts
+    (three 1-row aggregates broadcast-crossed, no global ordering).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("users_viewed"))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("users_clicked"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("users_purchased"))))
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers active N months after first order.
+
+    first-order month per customer (one agg) joins back to orders
+    (broadcast: one row per customer) and the month offset is pure
+    date arithmetic — no window over the full fact table.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    first = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    offset = (F.year("o_orderdate") - F.year("first_dt")) * 12 + (
+        F.month("o_orderdate") - F.month("first_dt")
+    )
+    return (
+        orders.join(F.broadcast(first), "o_custkey")
+        .groupBy(
+            F.trunc("first_dt", "MM").cast("string").alias("cohort_month"),
+            offset.alias("month_offset"),
+        )
+        .agg(F.count_distinct("o_custkey").alias("customers"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "events_funnel": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS users_viewed,
+               (SELECT count(*) FROM c) AS users_clicked,
+               (SELECT count(*) FROM p) AS users_purchased
+    """,
+    "cohort_retention": """
+        WITH first AS (
+            SELECT o_custkey, min(o_orderdate) AS first_dt
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(CAST(date_trunc('month', first_dt) AS DATE) AS VARCHAR) AS cohort_month,
+               CAST((year(o_orderdate) - year(first_dt)) * 12
+                    + (month(o_orderdate) - month(first_dt)) AS INT) AS month_offset,
+               count(DISTINCT o_custkey) AS customers
+        FROM orders JOIN first USING (o_custkey)
+        GROUP BY 1, 2
+    """,
     "nation_revenue_share": """
         WITH per_nation AS (
             SELECT n_name, sum(o_totalprice) AS rev
@@ -232,4 +323,6 @@ QUERIES = {
     "event_value_percentiles_approx": event_value_percentiles_approx,
     "nation_revenue_share": nation_revenue_share,
     "customer_value_segments": customer_value_segments,
+    "events_funnel": events_funnel,
+    "cohort_retention": cohort_retention,
 }

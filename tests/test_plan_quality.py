@@ -37,6 +37,7 @@ NONEQUI_OK = {
     "wikipedia_stats",      # triangular join over tiny bucket totals (prefix sum)
     "nation_revenue_share",  # 1-row global-total broadcast
     "customer_value_segments",  # 1-row quantile-thresholds broadcast
+    "events_funnel",        # three 1-row stage counts broadcast-crossed
     "ann_bruteforce_topk",  # 1-row query-vector broadcast
     "ann_lsh_topk",
     "ann_ivf_topk",
