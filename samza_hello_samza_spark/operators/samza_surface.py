@@ -336,6 +336,26 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("word").agg(F.count("*").alias("cnt"))
 
 
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 10-minute windows every 5 minutes.
+
+    The other windowing mode next to tumbling/session — each event
+    lands in exactly window_size/slide windows (2 here), which Spark's
+    ``window()`` expands JVM-side before the aggregate; shuffle volume
+    is 2× tumbling, the inherent cost of overlap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(
+                F.window("ts", "10 minutes", "5 minutes").start
+            ).alias("window_start_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-style ranking: top-10 users by total event value."""
     ev = load_table(spark, sf_dir, "events")
@@ -446,6 +466,19 @@ ORACLES: dict[str, str] = {
                c.c_name AS company, c.c_mktsegment AS segment
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
     """,
+    "sliding_window_counts": """
+        WITH e AS (
+            SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        ),
+        w AS (
+            SELECT event_type,
+                   unnest([(sec // 300) * 300, (sec // 300) * 300 - 300]) AS ws
+            FROM e
+        )
+        SELECT ws AS window_start_epoch, event_type, count(*) AS n_events
+        FROM w
+        GROUP BY 1, 2
+    """,
     "stream_table_join_salted": """
         SELECT e.event_id, e.user_id, e.event_type,
                c.c_name AS company, c.c_mktsegment AS segment
@@ -509,6 +542,7 @@ QUERIES = {
     "tumbling_window": tumbling_window,
     "session_window": session_window,
     "stream_stream_join": stream_stream_join,
+    "sliding_window_counts": sliding_window_counts,
     "stream_table_join": stream_table_join,
     "stream_table_join_salted": stream_table_join_salted,
     "remote_table_join": remote_table_join,

@@ -69,6 +69,44 @@ def get_spark(app_name: str = "samza-hello-samza-spark", cpus: int | None = None
     return builder.getOrCreate()
 
 
+def cluster_conf(
+    executors: int = 1000, cores_per_executor: int = 4
+) -> dict[str, str]:
+    """Recommended configs for the 100 TB / ~1000-executor deployment.
+
+    The local factory above mirrors these where they apply; this dict
+    is the documented delta for a real cluster (pass to
+    ``SparkSession.builder.config(map=...)`` or spark-defaults):
+
+    - shuffle partitions start HIGH (4 per core) and AQE coalesces
+      down — undershooting means >2 GB partitions and spilled sorts;
+      AQE can only merge, never split non-skew partitions.
+    - advisory partition size bounds what AQE coalesces toward.
+    - broadcast threshold stays modest: at 1000 executors an oversized
+      broadcast is amplified 1000×; explicit `broadcast()` hints in
+      the plans cover the known dims.
+    - shuffle service + dynamic allocation let the fleet breathe
+      between stages of very different widths.
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(4 * total_cores),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * 1024 * 1024),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+        "spark.shuffle.service.enabled": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
+
+
 #: columns stored as TIMESTAMP(NANOS) in the driver parquet, per table.
 _NANOS_TS_COLUMNS = {"events": ("ts",)}
 

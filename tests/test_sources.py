@@ -110,3 +110,14 @@ def test_kafka_reader_builds_options(spark):
     (failure surface is .load(), which needs the connector jar)."""
     r = kafka_reader(spark, "broker:9092", "pageview-filter-input")
     assert r is not None
+
+
+def test_cluster_conf_scales_with_fleet():
+    from samza_hello_samza_spark.session import cluster_conf
+
+    c = cluster_conf(executors=1000, cores_per_executor=4)
+    assert c["spark.sql.adaptive.enabled"] == "true"
+    assert int(c["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]) == 16000
+    assert int(c["spark.sql.shuffle.partitions"]) == 8000
+    small = cluster_conf(executors=10, cores_per_executor=4)
+    assert int(small["spark.sql.shuffle.partitions"]) == 80
