@@ -99,7 +99,84 @@ def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_range_join(
+    fact: DataFrame,
+    val_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Range join (fact.val ∈ [lo, hi]) without a nested-loop join.
+
+    Both sides are mapped onto fixed-width buckets: the fact row to its
+    single bucket, each interval to every bucket it overlaps. The join
+    becomes an *equi*-join on bucket id (hash-partitionable at any
+    scale) and the exact range predicate filters inside the matched
+    bucket. Cost is |fact| + Σ interval_width/bucket_width join rows —
+    never |fact|×|intervals|. Each (fact, interval) pair meets in
+    exactly one bucket (the fact's), so no dedup pass is needed.
+    """
+    f = fact.withColumn("_b", F.floor(F.col(val_col) / bucket_width))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                F.floor(F.col(hi_col) / bucket_width),
+            )
+        ),
+    )
+    return (
+        f.join(iv, "_b")
+        .filter((F.col(val_col) >= F.col(lo_col)) & (F.col(val_col) <= F.col(hi_col)))
+        .drop("_b")
+    )
+
+
+VALUE_BANDS = (
+    ("low", 0.0, 50.0),
+    ("mid", 50.0, 100.0),
+    ("high", 100.0, 200.0),
+    ("xhigh", 200.0, 1e9),
+)
+
+
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined to a value-band interval table (range join).
+
+    With a literal dim-sized band table the practical plan is a
+    broadcast non-equi join (and fully static bands could even be a
+    CASE expression); when the interval table is itself big, the
+    bucketized form above is the plan that scales.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(list(VALUE_BANDS), ["band", "lo", "hi"])
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "range_join_value_bands": """
+        SELECT band,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 100.0),
+                     ('high', 100.0, 200.0), ('xhigh', 200.0, 1e9))
+             AS bands(band, lo, hi)
+          ON value >= lo AND value < hi
+        GROUP BY band
+    """,
     "asof_last_order": """
         WITH o AS (
             SELECT o_custkey, o_orderdate, max(o_orderkey) AS asof_orderkey
@@ -116,4 +193,5 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "asof_last_order": asof_last_order,
+    "range_join_value_bands": range_join_value_bands,
 }

@@ -11,6 +11,26 @@ def _ts(s):
     return dt.datetime(2020, 1, 1, 0, 0, s)
 
 
+def test_bucketed_range_join_matches_naive(spark):
+    """The bucket-equi-join plan returns exactly the naive range join."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.operators.asof import bucketed_range_join
+    from samza_hello_samza_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    intervals = spark.createDataFrame(
+        [(i, 7.0 * i, 7.0 * i + 23.0) for i in range(40)], "iv_id int, lo double, hi double"
+    )
+    fast = bucketed_range_join(ev, "value", intervals, "lo", "hi", bucket_width=10.0)
+    naive = ev.crossJoin(intervals).filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    )
+    key = lambda r: (r.event_id, r.iv_id)  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, naive.collect()))
+
+
 def test_asof_join_edge_semantics(spark):
     left = spark.createDataFrame(
         [(1, _ts(5), "e1"), (1, _ts(10), "e2"), (1, _ts(2), "e0"), (2, _ts(7), "e3")],

@@ -38,6 +38,7 @@ NONEQUI_OK = {
     "nation_revenue_share",  # 1-row global-total broadcast
     "customer_value_segments",  # 1-row quantile-thresholds broadcast
     "events_funnel",        # three 1-row stage counts broadcast-crossed
+    "range_join_value_bands",  # broadcast band-interval non-equi join
     "ann_bruteforce_topk",  # 1-row query-vector broadcast
     "ann_lsh_topk",
     "ann_ivf_topk",
