@@ -199,6 +199,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BATCH_QUERIES = 5
+BATCH_TOP_K = 5
+
+
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-5 neighbors for each of 5 query vectors at once.
+
+    The realistic serving shape — queries broadcast as one small
+    relation, the corpus is scanned ONCE for all of them, and the
+    per-query top-k is a row_number window *partitioned by query id*
+    (each query ranks independently; nothing funnels through a single
+    partition, unlike one global ORDER BY).
+    """
+    e = _embeddings(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qnorm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qnorm")), 6
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BATCH_TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (class centroids), long form.
 
@@ -227,6 +266,20 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "ann_batch_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_BATCH_QUERIES}),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(e.v, q.qv), 6) AS cosine,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                                               e.vec_id ASC) AS rn
+            FROM e, q
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cosine FROM scored WHERE rn <= {BATCH_TOP_K}
+    """,
     "embedding_centroids": f"""
         SELECT label, CAST(i AS INT) AS dim, round(avg(v[i + 1]), 6) AS val
         FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -248,5 +301,6 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_batch_topk": ann_batch_topk,
     "embedding_centroids": embedding_centroids,
 }

@@ -229,6 +229,29 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEARCH_TERMS = ("spark", "join", "window")
+
+
+def term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing ALL search terms — the inverted-index plan.
+
+    Explode words → keep only query terms (pushably selective) →
+    count distinct matched terms per doc → require |terms|. This is
+    how a conjunctive term query runs over a posting-list layout at
+    scale: per-term postings are unioned and intersected by counting,
+    never by |terms| self-joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    return (
+        words.filter(F.col("word").isin(*SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("word").alias("n_terms"))
+        .filter(F.col("n_terms") == len(SEARCH_TERMS))
+        .select("doc_id")
+    )
+
+
 TOP_BIGRAMS = 50
 
 
@@ -252,6 +275,16 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "term_search": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+        )
+        SELECT doc_id
+        FROM words
+        WHERE word IN ('spark', 'join', 'window')
+        GROUP BY doc_id
+        HAVING count(DISTINCT word) = 3
+    """,
     "curation_pipeline": f"""
         WITH base AS (
             SELECT doc_id,
@@ -413,6 +446,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "curation_pipeline": curation_pipeline,
     "sample_stratified": sample_stratified,
+    "term_search": term_search,
     "text_bigram_topk": text_bigram_topk,
     "text_readability": text_readability,
     "text_langid": text_langid,

@@ -42,6 +42,7 @@ NONEQUI_OK = {
     "ann_bruteforce_topk",  # 1-row query-vector broadcast
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_batch_topk",       # query-batch broadcast scoring
 }
 
 #: operators that declared an Arrow-batched Python stage.
