@@ -16,6 +16,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "samza_hello_samza_spark.operators.samza_surface",
     "samza_hello_samza_spark.plans.analytics",
+    "samza_hello_samza_spark.plans.analytics_ext",
     "samza_hello_samza_spark.plans.samza_sql",
     "samza_hello_samza_spark.plans.olap",
     "samza_hello_samza_spark.operators.dedup",
