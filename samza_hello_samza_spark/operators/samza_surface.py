@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.wikipedia import parse_raw_line, synthesize_raw_line
+from ..functions.hints import maybe_broadcast
 from ..session import load_table
 
 SESSION_GAP_MIN = 30  # batch analog of SessionWindowExample's 10s gap
@@ -160,7 +161,7 @@ def stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+        ev.join(maybe_broadcast(cust), ev.user_id == cust.c_custkey, "inner")
         .select(
             "event_id",
             "user_id",

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import maybe_broadcast
 from ..session import load_table
 
 
@@ -57,7 +58,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -92,9 +93,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            maybe_broadcast(cust),
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -139,7 +140,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -157,7 +158,7 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_type", "p_brand")
         .agg(
             F.count("*").alias("n_items"),
@@ -224,7 +225,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -251,8 +252,8 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -275,7 +276,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -298,7 +299,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
     clause = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -380,7 +381,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        best.join(maybe_broadcast(part), best.l_partkey == part.p_partkey)
         .select(
             "p_partkey",
             "p_brand",

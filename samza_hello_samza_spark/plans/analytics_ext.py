@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import maybe_broadcast
 from ..session import load_table
 
 
@@ -59,8 +60,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .filter(pair_ok)
         .groupBy(
             "supp_nation",
@@ -107,10 +108,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -139,8 +140,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.6
     ) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -168,7 +169,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     value = F.col("l_extendedprice") * F.col("l_quantity")
     per_part = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(value).alias("part_value"))
     )
@@ -224,7 +225,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -246,7 +247,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(0.5) * F.avg("l_quantity"), 6).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .join(thresholds, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -273,7 +274,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01"))
     )
     qualifying = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
@@ -323,7 +324,7 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)

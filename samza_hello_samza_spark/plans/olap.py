@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import maybe_broadcast
 from ..session import load_table
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -107,7 +108,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
     per_nation = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum("o_totalprice").alias("rev"))
@@ -205,7 +206,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate") - F.month("first_dt")
     )
     return (
-        orders.join(F.broadcast(first), "o_custkey")
+        orders.join(maybe_broadcast(first), "o_custkey")
         .groupBy(
             F.trunc("first_dt", "MM").cast("string").alias("cohort_month"),
             offset.alias("month_offset"),

@@ -26,16 +26,37 @@ _MODULES = (
     "samza_hello_samza_spark.operators.asof",
 )
 
+#: modules whose hard dependencies (numpy/pandas for vectorized paths)
+#: may be absent on a minimal driver image; everything else must import.
+_OPTIONAL_MODULES = frozenset(
+    {
+        "samza_hello_samza_spark.operators.similarity",
+        "samza_hello_samza_spark.operators.multimodal",
+    }
+)
+
 
 def _load() -> tuple[dict[str, QueryFn], dict[str, str]]:
     import importlib
+    import warnings
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod_name in _MODULES:
         try:
             mod = importlib.import_module(mod_name)
-        except ImportError:
+        except ImportError as exc:
+            # Only known-optional modules may shrink the surface, and
+            # never silently: the driver's query count must not drop
+            # without an explanation in stderr.
+            if mod_name not in _OPTIONAL_MODULES:
+                raise
+            warnings.warn(
+                f"optional module {mod_name} failed to import ({exc}); "
+                "its queries are not registered",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             continue
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))

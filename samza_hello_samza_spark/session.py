@@ -128,9 +128,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[col].dataType, LongType):
-            # nanos → micros by integer floor-div: identical truncation
-            # to DuckDB's TIMESTAMP_NS → TIMESTAMP read of these files.
-            df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+            # nanos → micros by true integer division (`div`): int64 nanos
+            # (~1.8e18) exceed double's 2^53 mantissa, so a float path
+            # (F.col/1000 + floor) drifts by ±1µs on ~12% of rows vs
+            # DuckDB's integer truncation of the same files.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

@@ -25,6 +25,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import maybe_broadcast
+
 
 class KVTable:
     """An upsert log + latest-wins snapshot over parquet."""
@@ -94,7 +96,7 @@ class KVTable:
         """
         snap = self.snapshot()
         joined = stream.join(
-            F.broadcast(snap), stream[stream_key] == snap[self.key_col], "left"
+            maybe_broadcast(snap), stream[stream_key] == snap[self.key_col], "left"
         )
         return joined.drop(snap[self.key_col])
 

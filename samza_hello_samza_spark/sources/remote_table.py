@@ -98,19 +98,94 @@ class CachedLookupTable:
         return spark.createDataFrame(rows, [key_col, value_col])
 
 
+#: Driver-side key-cardinality budget. 1M string keys ≈ tens of MB on
+#: the driver and a few-hundred-MB broadcast — the documented ceiling
+#: for the resolve-and-broadcast shape. Beyond it, the distinct key
+#: set no longer fits the "keys ≪ rows" premise and callers must use
+#: ``lookup_map_in_pandas`` (executor-side cached lookups) instead.
+MAX_RESOLVED_KEYS = 1_000_000
+
+
 def broadcast_lookup_join(
     stream: DataFrame,
     table: CachedLookupTable,
     key_col: str,
     value_col: str = "looked_up",
+    max_keys: int = MAX_RESOLVED_KEYS,
 ) -> DataFrame:
     """Stream ⋈ remote table, resolved once and broadcast.
 
     The distinct key set is computed from the stream (one narrow
     aggregation), resolved through the cache/rate limiter on the
     driver, and broadcast — executors never make remote calls.
+
+    Driver memory is bounded: the collect is capped at ``max_keys``
+    distinct keys (enforced with ``limit(max_keys + 1)``, so the probe
+    itself can't OOM either). Overflow raises with a pointer to the
+    unbounded-cardinality path rather than silently degrading.
     """
     spark = stream.sparkSession
-    keys = [r[0] for r in stream.select(key_col).distinct().collect()]
+    rows = stream.select(key_col).distinct().limit(max_keys + 1).collect()
+    if len(rows) > max_keys:
+        raise ValueError(
+            f"distinct {key_col!r} cardinality exceeds max_keys={max_keys}; "
+            "the resolve-and-broadcast shape assumes keys ≪ rows. Use "
+            "lookup_map_in_pandas() for unbounded key spaces."
+        )
+    keys = [r[0] for r in rows]
     lookup = table.resolve_keys(spark, keys, key_col=key_col, value_col=value_col)
     return stream.join(F.broadcast(lookup), key_col, "left")
+
+
+#: per-worker-process lookup caches, keyed by caller-supplied name.
+#: Python workers are reused across tasks, so a named cache gives
+#: repeated keys within (and across) partitions cache hits without
+#: any shuffle — the executor-side analog of Samza's CachingTable.
+_WORKER_TABLES: dict[str, CachedLookupTable] = {}
+
+
+def lookup_map_in_pandas(
+    stream: DataFrame,
+    read_fn: Callable[[object], object],
+    key_col: str,
+    value_col: str = "looked_up",
+    value_type: str = "string",
+    cache_name: str = "default",
+    ttl_seconds: float = 300.0,
+    max_entries: int = 100_000,
+    rate_limit_per_sec: float | None = None,
+) -> DataFrame:
+    """Remote-table join for *unbounded* key spaces: per-executor lookups.
+
+    The scale shape the driver-side resolve can't cover: each Python
+    worker keeps its own TTL/LRU ``CachedLookupTable`` (bounded at
+    ``max_entries``), so memory is O(cache) per worker, not O(distinct
+    keys) anywhere. ``read_fn`` must be picklable; the rate limiter
+    bounds per-worker call rate (reference: .withReadRateLimit(10),
+    RemoteTableJoinExample.java:86-120).
+
+    Arrow-batched ``mapInPandas`` — no shuffle, no row-at-a-time UDF.
+    """
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    out_schema = StructType(
+        list(stream.schema.fields)
+        + [StructField(value_col, _parse_datatype_string(value_type), True)]
+    )
+
+    def with_lookup(batches):
+        table = _WORKER_TABLES.get(cache_name)
+        if table is None:
+            table = CachedLookupTable(
+                read_fn,
+                ttl_seconds=ttl_seconds,
+                max_entries=max_entries,
+                rate_limit_per_sec=rate_limit_per_sec,
+            )
+            _WORKER_TABLES[cache_name] = table
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[value_col] = [table.get(k) for k in pdf[key_col]]
+            yield pdf
+
+    return stream.mapInPandas(with_lookup, out_schema)

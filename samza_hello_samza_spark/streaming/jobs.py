@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.hints import maybe_broadcast
 from ..functions.wikipedia import parse_raw_line, synthesize_raw_line
 
 WATERMARK = "10 minutes"
@@ -116,7 +117,7 @@ def view_click_join_job(events: DataFrame) -> DataFrame:
 def enrich_job(events: DataFrame, customer: DataFrame) -> DataFrame:
     """StreamTableJoinExample.java:95-99 — stream ⋈ broadcast static dim."""
     return events.join(
-        F.broadcast(customer), events.user_id == customer.c_custkey, "inner"
+        maybe_broadcast(customer), events.user_id == customer.c_custkey, "inner"
     ).select(
         "event_id",
         "user_id",

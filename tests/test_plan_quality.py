@@ -34,6 +34,7 @@ NONEQUI_OK = {
     "dedup_embedding",      # all-pairs cosine calibration baseline
     "dedup_ngram_jaccard",  # sf0.001 fallback plan; equi on shingle at scale
     "q22_idle_customers",   # 1-row scalar-subquery broadcast
+    "q11_important_parts",  # 1-row value-threshold scalar broadcast
     "wikipedia_stats",      # triangular join over tiny bucket totals (prefix sum)
     "nation_revenue_share",  # 1-row global-total broadcast
     "customer_value_segments",  # 1-row quantile-thresholds broadcast

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from samza_hello_samza_spark.session import load_table
@@ -55,6 +56,29 @@ def test_broadcast_lookup_join(spark):
     # distinct keys resolved once each, in spite of many rows
     n_users = ev.select("user_id").distinct().count()
     assert table.misses == n_users
+
+
+def test_broadcast_lookup_join_caps_driver_collect(spark):
+    """High key cardinality must fail loudly, not OOM the driver."""
+    ev = load_table(spark, SF_DIR, "events").select("event_id")
+    table = CachedLookupTable(lambda k: k)
+    with pytest.raises(ValueError, match="cardinality exceeds"):
+        broadcast_lookup_join(ev, table, "event_id", max_keys=10)
+    # nothing was resolved: the cap triggered before any remote read
+    assert table.misses == 0
+
+
+def test_lookup_map_in_pandas_unbounded_keys(spark):
+    """Executor-side cached lookup: correct values, no driver collect."""
+    from samza_hello_samza_spark.sources.remote_table import lookup_map_in_pandas
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    out = lookup_map_in_pandas(
+        ev, lambda uid: f"user-{uid}", "user_id", "username", cache_name="t-unbounded"
+    )
+    rows = out.collect()
+    assert len(rows) == ev.count()
+    assert all(r.username == f"user-{r.user_id}" for r in rows)
 
 
 def test_kv_table_upsert_snapshot_compact(spark, tmp_path):
