@@ -1,0 +1,222 @@
+"""Materialized ANN index layouts: probes prune files, never re-scan.
+
+Round-1 LSH/IVF computed codes at query time and filtered *after* the
+full corpus scan — right algorithm, wrong storage story for 100 TB.
+This module writes the index once and makes every probe a pruned read:
+
+- **LSH band table** (``build_lsh_index``): the corpus exploded to one
+  row per (band, code, vec_id, v), written ``partitionBy(band, code)``.
+  With 4 bands × 4-bit codes that is 64 directories; a probe reads
+  exactly the 4 (band, code) partitions matching the query's codes —
+  file-level partition pruning, ~1/16 of the data per band, and the
+  other ~94% of files are never opened. Storage is ×n_bands (vectors
+  ride along so probes need no join-back); that is the classic LSH
+  time/space trade, chosen because probe latency is the product goal.
+  For wider codes (16+ bits) partition by ``band`` and *bucket* by
+  ``code`` instead — same pruning via bucket pruning, bounded dir
+  fan-out.
+
+- **IVF index** (``build_ivf_index``): every vector coarse-quantized
+  to its nearest of ``nlist`` centroids (Arrow-batched numpy matmul),
+  written once ``partitionBy(list_id)`` with the centroid table
+  alongside. A probe reads the centroid table (nlist rows), picks the
+  ``nprobe`` nearest lists driver-side, and scans only those
+  partitions: candidate cut happens before any compute runs, storage
+  stays ×1.
+
+Indexes are content-addressed under a temp root by (layout version,
+scale-factor dir) and built at most once per process; ``_SUCCESS``
+from the Spark write is the completion marker.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..session import load_table
+
+#: bump when the on-disk layout or hash family changes.
+LAYOUT_VERSION = 1
+
+
+def _index_root() -> str:
+    return os.path.join(
+        os.environ.get("SPARK_GRAFT_INDEX_DIR", tempfile.gettempdir()),
+        f"spark_graft_ann_index_v{LAYOUT_VERSION}",
+    )
+
+
+def _tag(sf_dir: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.abspath(sf_dir).strip("/"))
+
+
+def _is_built(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH band index
+# --------------------------------------------------------------------------
+
+
+def band_codes(vec: np.ndarray, planes: np.ndarray, band_bits: int) -> list[int]:
+    """The query-side hash: per-band code of one vector, driver-side."""
+    bits = (planes @ vec) > 0
+    code = 0
+    for i, b in enumerate(bits):
+        code |= int(b) << i
+    n_bands = planes.shape[0] // band_bits
+    mask = (1 << band_bits) - 1
+    return [(code >> (i * band_bits)) & mask for i in range(n_bands)]
+
+
+def build_lsh_index(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: np.ndarray,
+    band_bits: int,
+    out_dir: str | None = None,
+) -> str:
+    """Write the (band, code, vec_id, v) table partitioned by (band, code)."""
+    out_dir = out_dir or os.path.join(_index_root(), _tag(sf_dir), "lsh")
+    if _is_built(out_dir):
+        return out_dir
+    n_planes = planes.shape[0]
+    n_bands = n_planes // band_bits
+
+    @F.pandas_udf(LongType())
+    def code_udf(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        bits = (mat @ planes.T) > 0
+        codes = np.zeros(len(emb), dtype=np.int64)
+        for i in range(n_planes):
+            codes |= bits[:, i].astype(np.int64) << i
+        return pd.Series(codes)
+
+    e = _embeddings(spark, sf_dir).withColumn("full_code", code_udf(F.col("v")))
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("full_code"), i * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("code"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    (
+        e.select("vec_id", "v", F.explode(bands).alias("bc"))
+        .select(F.col("bc.band").alias("band"), F.col("bc.code").alias("code"), "vec_id", "v")
+        .repartition("band", "code")
+        .write.mode("overwrite")
+        .partitionBy("band", "code")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def probe_lsh_index(
+    spark: SparkSession, index_dir: str, qvec: np.ndarray, planes: np.ndarray, band_bits: int
+) -> DataFrame:
+    """Candidates colliding with ``qvec`` in ≥1 band — a pruned read.
+
+    The filter is an OR over (band, code) literal pairs, which Spark
+    turns into partition pruning: only the n_bands matching
+    directories are listed and read. One vector may collide in
+    several bands → dedupe on vec_id before scoring.
+    """
+    codes = band_codes(qvec, planes, band_bits)
+    scan = spark.read.parquet(index_dir)
+    hit = None
+    for band, code in enumerate(codes):
+        cond = (F.col("band") == band) & (F.col("code") == code)
+        hit = cond if hit is None else (hit | cond)
+    return scan.filter(hit).dropDuplicates(["vec_id"]).select("vec_id", "v")
+
+
+# --------------------------------------------------------------------------
+# IVF index
+# --------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int,
+    out_dir: str | None = None,
+) -> str:
+    """Assign every vector to its nearest centroid; write by list_id.
+
+    Centroids are the first ``nlist`` vectors by vec_id (deterministic
+    seed set, bounded collect). The corpus lands partitioned by
+    ``list_id`` with the centroid table alongside at ``centroids/``.
+    """
+    out_dir = out_dir or os.path.join(_index_root(), _tag(sf_dir), "ivf")
+    corpus_dir = os.path.join(out_dir, "corpus")
+    cent_dir = os.path.join(out_dir, "centroids")
+    if _is_built(corpus_dir) and _is_built(cent_dir):
+        return out_dir
+    e = _embeddings(spark, sf_dir)
+    seed = e.filter(F.col("vec_id") < nlist).orderBy("vec_id").collect()
+    cmat = np.stack([np.asarray(r.v) for r in seed])
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @F.pandas_udf(LongType())
+    def assign(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ cnorm.T, axis=1).astype(np.int64))
+
+    (
+        e.withColumn("list_id", assign(F.col("v")))
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(corpus_dir)
+    )
+    (
+        e.filter(F.col("vec_id") < nlist)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("centroid"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(cent_dir)
+    )
+    return out_dir
+
+
+def probe_ivf_index(
+    spark: SparkSession, index_dir: str, qvec: np.ndarray, nprobe: int
+) -> DataFrame:
+    """Read only the ``nprobe`` nearest lists — partition pruning.
+
+    The centroid read is nlist rows (a dim-table read); list selection
+    happens driver-side; the corpus scan carries a ``list_id IN (...)``
+    partition filter so non-probed directories are never opened.
+    """
+    cent = sorted(
+        spark.read.parquet(os.path.join(index_dir, "centroids")).collect(),
+        key=lambda r: r.centroid_id,
+    )  # parquet row order is not contractual; list choice must be stable
+    cmat = np.stack([np.asarray(r.centroid) for r in cent])
+    ids = np.array([r.centroid_id for r in cent])
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    order = np.argsort(-(cnorm @ (qvec / np.linalg.norm(qvec))))
+    probe = [int(i) for i in ids[order[:nprobe]]]
+    corpus = spark.read.parquet(os.path.join(index_dir, "corpus"))
+    return corpus.filter(F.col("list_id").isin(probe)).select("vec_id", "v")

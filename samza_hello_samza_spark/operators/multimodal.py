@@ -5,14 +5,22 @@ Pattern for image/audio/video at 100 TB: store the payload as a
 decode/feature-extract as Arrow-batched ``mapInPandas`` so each
 Python worker sees columnar batches (never one row at a time).
 
-The container has no image/audio libraries, so the *decode* step is a
-deterministic fake (payload-derived pseudo-dimensions) behind
-``_decode_batch`` — clearly marked; swap in PIL/librosa per modality.
-The Spark-side plumbing (schema, batch shape, partitioning, UDF
-signature) is real and tested.
+The payload path is REAL for images and audio: documents are turned
+into genuine PNG (even doc_ids) and WAV (odd doc_ids) payloads whose
+pixels/samples derive from the text bytes, and ``multimodal_decode`` /
+``multimodal_resize`` parse and transform those actual formats with
+the pure-python codecs in ``functions/media.py`` (full PNG scanline
+codec, RIFF/PCM walk — no PIL/librosa needed). Payloads the parser
+doesn't recognize take a clearly-labeled deterministic fallback
+(format='raw', pseudo-dims) instead of failing the job — that is the
+remaining stub surface, along with video frame *decoding* in
+``multimodal_frame_sample`` (WAV windows are real PCM slices; there is
+no pure-python video codec) and the learned encoder behind
+``multimodal_features``.
 
 Rows-only driver check (binary+UDF is outside DuckDB SQL's surface);
-determinism is asserted in tests/.
+determinism and true-dimension parsing are asserted in tests/ against
+committed fixture files.
 """
 
 from __future__ import annotations
@@ -34,7 +42,57 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions import media
 from ..session import load_table
+
+PAYLOAD_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+)
+
+
+def _text_to_png(doc_id: int, data: bytes) -> bytes:
+    """A real PNG whose size and pixels derive from the text bytes."""
+    w = 4 + (len(data) % 13)
+    h = 4 + (doc_id % 11)
+    stride = w * 3
+    src = data if data else b"\x00"
+    rows = [
+        bytes((src * ((stride // len(src)) + 2))[y * 3 : y * 3 + stride])
+        for y in range(h)
+    ]
+    return media.png_encode(rows, w, h, channels=3)
+
+
+def _text_to_wav(doc_id: int, data: bytes) -> bytes:
+    """A real 16-bit mono WAV whose samples derive from the text bytes."""
+    rate = 8000
+    n = 200 + (len(data) % 800)
+    src = data if data else b"\x00"
+    frames = bytes((src * ((2 * n) // len(src) + 2))[: 2 * n])
+    return media.wav_encode(frames, channels=1, sample_rate=rate, bits=16)
+
+
+def _payload_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = [
+            _text_to_png(d, t) if d % 2 == 0 else _text_to_wav(d, t)
+            for d, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads})
+
+
+def media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload): real PNGs (even ids) / WAVs (odd).
+
+    Stands in for a parquet binary column of ingested media; everything
+    downstream treats the payload as opaque bytes.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.encode(F.col("text"), "utf-8").alias("text"),
+    )
+    return docs.mapInPandas(_payload_partition, PAYLOAD_SCHEMA)
+
 
 DECODED_SCHEMA = StructType(
     [
@@ -43,95 +101,105 @@ DECODED_SCHEMA = StructType(
         StructField("format", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
         StructField("checksum", LongType()),
     ]
 )
 
 
-def _decode_batch(payload: bytes) -> tuple[str, int, int]:
-    """STUB decode — deterministic fake in place of a real image lib.
-
-    Real deployments replace this with e.g. PIL.Image.open; the
-    surrounding plumbing (binary column in, typed struct out, Arrow
-    batching) is unchanged by that swap.
-    """
-    crc = zlib.crc32(payload)
-    fmt = ("png", "jpeg", "webp")[crc % 3]
-    return fmt, 16 + crc % 1024, 16 + (crc >> 10) % 1024
+def _decode_one(payload: bytes) -> media.MediaInfo:
+    try:
+        return media.parse_media(payload)
+    except media.UnknownMediaError:
+        # FALLBACK (stub surface): deterministic pseudo-dims for payloads
+        # no parser recognizes — keeps heterogenous corpora flowing.
+        crc = zlib.crc32(payload)
+        return media.MediaInfo("raw", width=16 + crc % 1024, height=16 + (crc >> 10) % 1024)
 
 
 def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        meta = [_decode_batch(p) for p in pdf["payload"]]
+        infos = [_decode_one(p) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "format": [m[0] for m in meta],
-                "width": [m[1] for m in meta],
-                "height": [m[2] for m in meta],
+                "format": [m.format for m in infos],
+                "width": pd.array([m.width for m in infos], dtype="Int32"),
+                "height": pd.array([m.height for m in infos], dtype="Int32"),
+                "channels": pd.array([m.channels for m in infos], dtype="Int32"),
+                "sample_rate": pd.array([m.sample_rate for m in infos], dtype="Int32"),
+                "duration_ms": pd.array([m.duration_ms for m in infos], dtype="Int64"),
                 "checksum": [zlib.crc32(p) for p in pdf["payload"]],
             }
         )
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload decode pipeline over mapInPandas.
+    """Binary-payload decode: real PNG/WAV header parsing per asset.
 
-    documents.text stands in for the opaque payload (utf-8 bytes);
-    with real media the payload column would come straight from
-    parquet binary. Output is one typed metadata row per asset.
+    Two chained Arrow stages (synthesize payload → decode), both
+    executor-local: payloads never shuffle, output is one typed
+    metadata row per asset.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-    )
-    return payloads.mapInPandas(_decode_partition, DECODED_SCHEMA)
+    return media_payloads(spark, sf_dir).mapInPandas(_decode_partition, DECODED_SCHEMA)
 
 
-RESIZE_BOX = 256  # fit-within target for the resize stub
+RESIZE_BOX = 16  # fit-within target for image resize / audio decimation ×2
 
 RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
+        StructField("format", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
         StructField("payload", BinaryType()),
     ]
 )
 
 
+def _resize_one(payload: bytes) -> tuple[str, bytes]:
+    try:
+        info = media.parse_media(payload)
+    except media.UnknownMediaError:
+        # FALLBACK (stub surface): proportional byte-slice for unknowns.
+        return "raw", payload[: max(1, len(payload) // 2)]
+    if info.format == "png":
+        return "png", media.png_resize_nearest(payload, RESIZE_BOX)
+    if info.format == "wav":
+        return "wav", media.wav_decimate(payload, 2)
+    return info.format, payload  # parseable but not transformable here
+
+
 def _resize_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB resize: scale fake dims to fit RESIZE_BOX (aspect kept),
-    shrink payload proportionally. Swap in PIL thumbnail for real media."""
     for pdf in batches:
-        out = {"doc_id": [], "width": [], "height": [], "payload": []}
-        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-            _, w, h = _decode_batch(p)
-            scale = min(1.0, RESIZE_BOX / max(w, h))
-            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-            keep = max(1, int(len(p) * scale))
-            out["doc_id"].append(doc_id)
-            out["width"].append(nw)
-            out["height"].append(nh)
-            out["payload"].append(bytes(p[:keep]))
-        yield pd.DataFrame(out)
+        resized = [_resize_one(p) for p in pdf["payload"]]
+        infos = [_decode_one(p) for _, p in resized]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "format": [f for f, _ in resized],
+                "width": pd.array([m.width for m in infos], dtype="Int32"),
+                "height": pd.array([m.height for m in infos], dtype="Int32"),
+                "sample_rate": pd.array([m.sample_rate for m in infos], dtype="Int32"),
+                "payload": [p for _, p in resized],
+            }
+        )
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pipeline: binary in → binary out, Arrow-batched.
 
-    The shape every media-processing stage at 100 TB takes: payloads
-    never leave the executor, output partitioning follows input (no
-    shuffle), and the Python stage is one vectorized pass per batch.
+    PNG payloads get a true nearest-neighbor resize (decode scanlines,
+    sample, re-encode); WAVs get decimation resampling. The shape every
+    media stage at 100 TB takes: payloads never leave the executor,
+    output partitioning follows input (no shuffle), one vectorized
+    Python pass per batch.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-    )
-    return payloads.mapInPandas(_resize_partition, RESIZED_SCHEMA)
+    return media_payloads(spark, sf_dir).mapInPandas(_resize_partition, RESIZED_SCHEMA)
 
 
 N_FRAMES = 4
@@ -147,30 +215,43 @@ FRAMES_SCHEMA = StructType(
 
 
 def _frame_sample_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB frame sampler: N evenly-spaced payload slices stand in for
-    decoded video frames (swap in pyav/ffmpeg). 1→N fan-out happens
-    inside the executor — mapInPandas output needn't be 1:1 with input."""
+    """Frame/window sampler: 1→N fan-out inside the executor.
+
+    WAV payloads yield REAL evenly-spaced PCM windows (re-wrapped as
+    standalone WAVs with true timestamps). Other payloads fall back to
+    byte slices — the stub surface standing in for a video decoder
+    (no pure-python codec exists; swap in pyav/ffmpeg)."""
     for pdf in batches:
         out = {"doc_id": [], "frame_idx": [], "pts_ms": [], "frame": []}
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-            dur_ms = 1000 * (1 + len(p) % 60)  # fake duration from payload
-            step = max(1, len(p) // N_FRAMES)
-            for i in range(N_FRAMES):
+            frames: list[tuple[int, bytes]] = []
+            try:
+                info = media.parse_media(bytes(p))
+            except media.UnknownMediaError:
+                info = None
+            if info and info.format == "wav" and info.duration_ms:
+                # slice the PCM into N windows with true pts
+                for i in range(N_FRAMES):
+                    pts = i * info.duration_ms // N_FRAMES
+                    frames.append((pts, media.wav_window(bytes(p), i, N_FRAMES)))
+            else:
+                dur_ms = 1000 * (1 + len(p) % 60)  # fallback fake duration
+                step = max(1, len(p) // N_FRAMES)
+                for i in range(N_FRAMES):
+                    frames.append((i * dur_ms // N_FRAMES, bytes(p[i * step : (i + 1) * step])))
+            for i, (pts, fb) in enumerate(frames):
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(i)
-                out["pts_ms"].append(i * dur_ms // N_FRAMES)
-                out["frame"].append(bytes(p[i * step : (i + 1) * step]))
+                out["pts_ms"].append(pts)
+                out["frame"].append(fb)
         yield pd.DataFrame(out)
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: one asset row fans out to N frame rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+    """Frame sampling: one asset row fans out to N frame/window rows."""
+    return media_payloads(spark, sf_dir).mapInPandas(
+        _frame_sample_partition, FRAMES_SCHEMA
     )
-    return payloads.mapInPandas(_frame_sample_partition, FRAMES_SCHEMA)
 
 
 FEATURE_DIM = 16
@@ -203,12 +284,9 @@ def _features_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction: binary payload → fixed-size float vector."""
-    docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+    return media_payloads(spark, sf_dir).mapInPandas(
+        _features_partition, FEATURES_SCHEMA
     )
-    return payloads.mapInPandas(_features_partition, FEATURES_SCHEMA)
 
 
 ORACLES: dict[str, str] = {}

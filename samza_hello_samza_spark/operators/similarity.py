@@ -4,23 +4,21 @@
   vector (vec_id 0). Oracle-checked vs DuckDB list_cosine_similarity.
   Dot products are JVM-side zip_with/aggregate folds — correctness
   baseline and small-candidate-set scorer.
-- ``ann_lsh_topk``: random-hyperplane LSH. Codes are computed by an
-  Arrow-batched pandas_udf (numpy matmul across the batch — the
-  vectorized Python path, ~100× a row-at-a-time UDF); candidate set =
-  bucket collision with the query in either 8-bit band; exact cosine
-  re-rank on candidates only. Rows-only check (LSH recall is
-  property-tested against brute force in tests/).
+- ``ann_lsh_topk``: random-hyperplane LSH over a MATERIALIZED band
+  table (``ann_index.build_lsh_index``, partitioned by (band, code));
+  the probe reads only the partitions matching the query's band codes
+  and exact-cosine re-ranks that candidate set. Rows-only check (LSH
+  recall is property-tested against brute force in tests/).
 
-- ``ann_ivf_topk``: inverted-file index — coarse-quantize every
-  vector to its nearest of NLIST centroids, probe the query's NPROBE
-  nearest lists, exact re-rank inside them. Rows-only check; recall
-  property-tested.
+- ``ann_ivf_topk``: inverted-file index — corpus coarse-quantized to
+  NLIST centroid lists and written ``partitionBy(list_id)``; probes
+  scan only the query's NPROBE nearest lists (partition pruning) and
+  re-rank inside them. Rows-only check; recall property-tested.
 
 Scale notes: brute force is a full scan per query — fine for one
-query, wrong for batch ANN; the LSH variant prunes to bucket
-collisions, and at 100 TB the band tables would be bucketed/sorted on
-(band, code) so probe queries touch only matching files. The IVF
-corpus is partitioned by list id, so probes become partition pruning.
+query as the exactness baseline, wrong as the serving path. LSH/IVF
+probes are pruned reads of a written index (pruning is plan-asserted
+in tests/test_llm_ops.py); build cost is paid once per corpus.
 """
 
 from __future__ import annotations
@@ -28,10 +26,8 @@ from __future__ import annotations
 import random
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from ..session import load_table
 
@@ -81,60 +77,54 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@F.pandas_udf(LongType())
-def _lsh_code(emb: pd.Series) -> pd.Series:
-    """Arrow-batched hyperplane codes: one numpy matmul per batch."""
-    mat = np.stack(emb.to_numpy())  # (batch, DIM)
-    bits = (mat @ PLANES.T) > 0  # (batch, N_PLANES)
-    codes = np.zeros(len(emb), dtype=np.int64)
-    for i in range(N_PLANES):
-        codes |= bits[:, i].astype(np.int64) << i
-    return pd.Series(codes)
-
-
 LSH_BAND_BITS = 4
 LSH_N_BANDS = N_PLANES // LSH_BAND_BITS  # 4 bands of 4 bits
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed cosine top-10 of vec_id 0: prune → exact re-rank.
+def _query_vector(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    row = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .collect()[0]
+    )  # 1-row collect: the query itself
+    return np.asarray(row.v)
 
-    Candidates collide with the query in any of 4 4-bit bands of the
-    16-bit hyperplane code. On near-uniform vectors this keeps ~50%
-    neighbor recall while pruning ~4× of the corpus; real clustered
-    embeddings prune far harder. Band width/count are the
-    recall-vs-cost dial.
+
+def _rerank(cand: DataFrame, qvec: np.ndarray) -> DataFrame:
+    """Exact cosine re-rank of a candidate set against a literal query.
+
+    The query vector is inlined as an array literal (it IS a constant
+    of the query), so scoring is a single pruned scan — no join at all.
     """
-    e = _embeddings(spark, sf_dir).withColumn("code", _lsh_code(F.col("v")))
-    for i in range(LSH_N_BANDS):
-        e = e.withColumn(
-            f"b{i}",
-            F.shiftrightunsigned(F.col("code"), i * LSH_BAND_BITS).bitwiseAND(
-                F.lit((1 << LSH_BAND_BITS) - 1)
-            ),
-        )
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qv"),
-        _norm(F.col("v")).alias("qnorm"),
-        *[F.col(f"b{i}").alias(f"qb{i}") for i in range(LSH_N_BANDS)],
-    )
-    collide = None
-    for i in range(LSH_N_BANDS):
-        cond = F.col(f"b{i}") == F.col(f"qb{i}")
-        collide = cond if collide is None else (collide | cond)
-    cand = (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
-        .filter(collide)
-    )
+    qv = F.array(*[F.lit(float(x)) for x in qvec])
+    qnorm = float(np.linalg.norm(qvec))
     return (
-        cand.withColumn(
-            "cosine", F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qnorm")), 6)
-        )
+        cand.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cosine", F.round(_dot(F.col("v"), qv) / (_norm(F.col("v")) * F.lit(qnorm)), 6))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
         .select("vec_id", "cosine")
     )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine top-10 of vec_id 0 over the MATERIALIZED index.
+
+    The band table (one row per (band, code, vec_id), partitioned by
+    (band, code)) is built once per corpus by ``ann_index``; the probe
+    reads exactly the 4 partitions matching the query's band codes —
+    partition pruning, not a post-scan filter. Candidates collide with
+    the query in any of 4 4-bit bands of the 16-bit hyperplane code:
+    on near-uniform vectors that keeps ~50% neighbor recall while
+    reading ~4/16 of the index; real clustered embeddings prune far
+    harder. Band width/count are the recall-vs-cost dial.
+    """
+    from . import ann_index
+
+    idx = ann_index.build_lsh_index(spark, sf_dir, PLANES, LSH_BAND_BITS)
+    qvec = _query_vector(spark, sf_dir)
+    cand = ann_index.probe_lsh_index(spark, idx, qvec, PLANES, LSH_BAND_BITS)
+    return _rerank(cand, qvec)
 
 
 IVF_NLIST = 16
@@ -142,61 +132,30 @@ IVF_NPROBE = 4
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse-quantize into lists, probe the nearest few.
+    """IVF-style ANN over the MATERIALIZED inverted-file index.
 
-    The inverted-file index in three steps:
+    Build (once per corpus, in ``ann_index``): centroids = first
+    ``IVF_NLIST`` vectors by vec_id (deterministic, bounded collect);
+    every vector assigned to its max-cosine centroid by an
+    Arrow-batched pandas_udf; corpus written ``partitionBy(list_id)``
+    with the centroid table alongside.
 
-    1. Centroids: the first ``IVF_NLIST`` vectors by ``vec_id`` — a
-       deterministic seed set, collected driver-side like a dim table
-       (bounded at NLIST rows regardless of corpus size).
-    2. Assignment: every vector goes to its max-cosine centroid via an
-       Arrow-batched pandas_udf (one normalized matmul per batch,
-       ties to the lowest centroid id).
-    3. Search: the query probes its ``IVF_NPROBE`` nearest lists only;
-       exact cosine re-rank runs on that candidate subset.
+    Probe: read the centroid table (NLIST rows), pick the query's
+    ``IVF_NPROBE`` nearest lists driver-side, scan ONLY those
+    partitions (``list_id IN (...)`` is a partition filter — the
+    candidate cut happens at file listing, before any compute), exact
+    cosine re-rank inside them.
 
-    Rows-only check (like LSH: float argmax near list boundaries isn't
+    Rows-only check (float argmax near list boundaries isn't
     bit-stable across engines); recall vs brute force is asserted in
-    tests. At 100 TB the assigned corpus is written partitioned by
-    ``list_id``, so a probe reads NPROBE/NLIST of the files — partition
-    pruning does the candidate cut before any compute runs.
+    tests, and partition pruning in the probe scan is plan-asserted.
     """
-    e = _embeddings(spark, sf_dir)
-    seed = (
-        e.filter(F.col("vec_id") < IVF_NLIST).orderBy("vec_id").collect()
-    )  # NLIST-row dim-table collect, independent of corpus size
-    cmat = np.stack([np.asarray(r.v) for r in seed])
-    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    from . import ann_index
 
-    @F.pandas_udf(LongType())
-    def _assign(emb: pd.Series) -> pd.Series:
-        mat = np.stack(emb.to_numpy())
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        return pd.Series(np.argmax(mat @ cnorm.T, axis=1).astype(np.int64))
-
-    qrow = e.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
-    qvec = np.asarray(qrow.v)
-    probe = np.argsort(-(cnorm @ (qvec / np.linalg.norm(qvec))))[
-        :IVF_NPROBE
-    ].tolist()
-
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qv"), _norm(F.col("v")).alias("qnorm")
-    )
-    cand = (
-        e.withColumn("list_id", _assign(F.col("v")))
-        .filter(F.col("list_id").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
-        .crossJoin(F.broadcast(q))
-    )
-    return (
-        cand.withColumn(
-            "cosine",
-            F.round(_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qnorm")), 6),
-        )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(TOP_K)
-        .select("vec_id", "cosine")
-    )
+    idx = ann_index.build_ivf_index(spark, sf_dir, IVF_NLIST)
+    qvec = _query_vector(spark, sf_dir)
+    cand = ann_index.probe_ivf_index(spark, idx, qvec, IVF_NPROBE)
+    return _rerank(cand, qvec)
 
 
 N_BATCH_QUERIES = 5

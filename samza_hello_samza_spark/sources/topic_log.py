@@ -1,0 +1,165 @@
+"""File-backed partitioned topic: Kafka semantics without a broker.
+
+The reference's primary transport is Kafka (every
+``src/main/config/*.properties``; JoinExample/wikipedia run on
+topics). This container has no broker and no spark-sql-kafka jar, so
+this module provides a transport with the same *contract* over
+parquet files, letting every topic→parse→window→sink topology run and
+be tested end-to-end in-container:
+
+- **partitioned append-only log**: records hash-partitioned by key
+  (``pmod(xxhash64(key), n)``, Kafka's keyed-producer guarantee: one
+  key → one partition → per-key order), offsets strictly increasing
+  per partition;
+- **consumer groups**: committed offsets per (group, partition),
+  at-least-once replay from the last commit (read again before
+  commit → same records);
+- **streaming source**: ``read_stream()`` is a real Structured
+  Streaming file source over the log directory — new produce batches
+  are discovered as they land, giving the live topology path
+  (``maxFilesPerTrigger`` = backpressure analog).
+
+On a cluster you swap ``TopicLog`` for ``connectors.kafka_reader``
+(same record schema: partition/offset/key/value/ts) — operators
+downstream are transport-agnostic. Swap is config, not code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: wire schema, mirroring kafka source output (key/value as strings
+#: here; binary on a real broker — serde.py handles either).
+RECORD_SCHEMA = (
+    "partition INT NOT NULL, offset BIGINT NOT NULL, "
+    "key STRING, value STRING, ts TIMESTAMP"
+)
+
+
+class TopicLog:
+    """One named topic rooted at ``path`` with ``n_partitions``."""
+
+    def __init__(self, spark: SparkSession, path: str, n_partitions: int = 4):
+        self.spark = spark
+        self.path = path
+        self.n_partitions = n_partitions
+        self._data_dir = os.path.join(path, "data")
+        self._meta_dir = os.path.join(path, "_meta")
+        os.makedirs(self._data_dir, exist_ok=True)
+        os.makedirs(os.path.join(self._meta_dir, "groups"), exist_ok=True)
+        self._offsets_file = os.path.join(self._meta_dir, "next_offsets.json")
+
+    # -- metadata ---------------------------------------------------------
+
+    def _next_offsets(self) -> dict[str, int]:
+        if os.path.exists(self._offsets_file):
+            with open(self._offsets_file) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        return {str(p): 0 for p in range(self.n_partitions)}
+
+    def _write_next_offsets(self, offsets: dict[str, int]) -> None:
+        tmp = self._offsets_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(offsets, f)
+        os.replace(tmp, self._offsets_file)  # atomic on POSIX
+
+    def _group_file(self, group: str) -> str:
+        return os.path.join(self._meta_dir, "groups", f"{group}.json")
+
+    def committed(self, group: str) -> dict[str, int]:
+        """Last committed (exclusive) offset per partition for a group."""
+        path = self._group_file(group)
+        if os.path.exists(path):
+            with open(path) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        return {str(p): 0 for p in range(self.n_partitions)}
+
+    def commit(self, group: str, offsets: dict[str, int]) -> None:
+        merged = self.committed(group)
+        for p, o in offsets.items():
+            merged[str(p)] = max(merged.get(str(p), 0), int(o))
+        tmp = self._group_file(group) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, self._group_file(group))
+
+    # -- produce ----------------------------------------------------------
+
+    def produce(self, df: DataFrame, key_col: str, value_col: str) -> dict[str, int]:
+        """Append one batch; returns the new end offsets per partition.
+
+        Partition = ``pmod(xxhash64(key), n)`` (stable across calls →
+        per-key ordering, Kafka's keyed guarantee). Offsets are
+        ``base + row_number within partition`` — the base comes from
+        driver-side metadata, the numbering is a distributed window
+        per partition (each partition numbers independently; no global
+        sort). One parquet file per topic-partition per batch — the
+        same file-count behavior as a Kafka segment roll.
+        """
+        from pyspark.sql import Window
+
+        base = self._next_offsets()
+        part = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(self.n_partitions)).cast("int")
+        w = Window.partitionBy("partition").orderBy(F.col("key"), F.monotonically_increasing_id())
+        base_expr = F.create_map(
+            *[x for p, o in base.items() for x in (F.lit(int(p)), F.lit(o))]
+        )
+        batch = (
+            df.select(
+                part.alias("partition"),
+                F.col(key_col).cast("string").alias("key"),
+                F.col(value_col).cast("string").alias("value"),
+            )
+            .withColumn("offset", base_expr[F.col("partition")] + F.row_number().over(w) - 1)
+            .withColumn("ts", F.lit(time.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))
+            .select("partition", "offset", "key", "value", "ts")
+        )
+        out = os.path.join(self._data_dir, f"batch-{uuid.uuid4().hex}")
+        batch.repartition("partition").write.mode("overwrite").parquet(out)
+        # advance the high-water marks from what was actually written
+        ends = (
+            self.spark.read.parquet(out)
+            .groupBy("partition")
+            .agg((F.max("offset") + 1).alias("end"))
+            .collect()
+        )
+        nxt = dict(base)
+        for r in ends:
+            nxt[str(r.partition)] = int(r.end)
+        self._write_next_offsets(nxt)
+        return nxt
+
+    # -- consume ----------------------------------------------------------
+
+    def read_all(self) -> DataFrame:
+        return self.spark.read.schema(StructType.fromDDL(RECORD_SCHEMA)).option(
+            "recursiveFileLookup", "true"
+        ).parquet(self._data_dir)
+
+    def read_batch(self, group: str) -> DataFrame:
+        """Records past the group's committed offsets (at-least-once:
+        calling again before ``commit`` returns the same records)."""
+        committed = self.committed(group)
+        floor = F.create_map(
+            *[x for p, o in committed.items() for x in (F.lit(int(p)), F.lit(o))]
+        )
+        return self.read_all().filter(F.col("offset") >= floor[F.col("partition")])
+
+    def end_offsets(self) -> dict[str, int]:
+        return self._next_offsets()
+
+    def read_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
+        """Structured Streaming source over the log — the live path."""
+        reader = self.spark.readStream.schema(StructType.fromDDL(RECORD_SCHEMA)).option(
+            "recursiveFileLookup", "true"
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.parquet(self._data_dir)

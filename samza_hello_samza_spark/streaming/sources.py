@@ -49,9 +49,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    # true integer division: int64 nanos exceed double's mantissa, a
+    # float path would drift ±1µs vs the batch loader (session.py).
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
 
 
 def customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,4 +75,27 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
             ).alias("event_type"),
             (F.col("value") % 1000).cast("double").alias("value"),
         )
+    )
+
+
+def wikipedia_live_feed(spark: SparkSession, rows_per_second: int = 500) -> DataFrame:
+    """LIVE ingest of the wikipedia feed shape: an unbounded rate source
+    emitting reference-format raw edit lines as they are generated.
+
+    The in-container analog of the reference's IRC consumer
+    (wikipedia/system/WikipediaConsumer.java): a push source producing
+    raw lines in real time, feeding the SAME parser → stats chain as
+    the replayable file path (``pipelines.parser_job`` /
+    ``stats_job``). On a cluster the rate source swaps for the
+    socket/Kafka feed; everything downstream is unchanged.
+    """
+    from ..functions.wikipedia import synthesize_raw_line
+
+    ev = rate_stream(spark, rows_per_second)
+    return ev.select(
+        "event_id",
+        "ts",
+        synthesize_raw_line(
+            F.col("event_id"), F.col("user_id"), F.col("event_type"), F.col("value")
+        ).alias("raw"),
     )

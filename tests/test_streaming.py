@@ -202,3 +202,41 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path, batch_events
     assert finals, "stateful job emitted nothing"
     for uid, cnt in batch_counts.items():
         assert finals[uid] == 2 * cnt, f"user {uid}: {finals[uid]} != 2*{cnt}"
+
+
+def test_wikipedia_live_feed_parses_in_flight(spark, tmp_path):
+    """Unbounded rate-source feed → parser → stats: the live-ingest demo
+    of the reference's IRC consumer path. A short real-time run must
+    produce parsed edits with sane fields."""
+    from samza_hello_samza_spark.streaming.pipelines import parser_job
+    from samza_hello_samza_spark.streaming.sources import wikipedia_live_feed
+
+    feed = wikipedia_live_feed(spark, rows_per_second=2000)
+    parsed = parser_job(feed)
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("live_feed_edits")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck-live"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.monotonic() + 30
+        n = 0
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("select count(*) c from live_feed_edits").collect()[0].c
+            if n >= 100:
+                break
+            time.sleep(0.5)
+        assert n >= 100, f"live feed produced only {n} parsed edits"
+        rows = spark.sql(
+            "select * from live_feed_edits where title is null or diff_bytes is null"
+        ).collect()
+        assert rows == [], "parser produced null fields on live lines"
+        sample = spark.sql("select title from live_feed_edits limit 5").collect()
+        assert all(r.title.startswith(("Page_", "Special:")) for r in sample)
+    finally:
+        q.stop()
