@@ -41,6 +41,7 @@ NONEQUI_OK = {
     "events_funnel",        # three 1-row stage counts broadcast-crossed
     "range_join_value_bands",  # broadcast band-interval non-equi join
     "ann_bruteforce_topk",  # 1-row query-vector broadcast
+    "perplexity_proxy",     # 1-row corpus-total broadcast
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_batch_topk",       # query-batch broadcast scoring
