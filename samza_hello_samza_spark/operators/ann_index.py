@@ -84,17 +84,13 @@ def band_codes(vec: np.ndarray, planes: np.ndarray, band_bits: int) -> list[int]
     return [(code >> (i * band_bits)) & mask for i in range(n_bands)]
 
 
-def build_lsh_index(
-    spark: SparkSession,
-    sf_dir: str,
-    planes: np.ndarray,
-    band_bits: int,
-    out_dir: str | None = None,
-) -> str:
-    """Write the (band, code, vec_id, v) table partitioned by (band, code)."""
-    out_dir = out_dir or os.path.join(_index_root(), _tag(sf_dir), "lsh")
-    if _is_built(out_dir):
-        return out_dir
+def band_rows(vectors: DataFrame, planes: np.ndarray, band_bits: int) -> DataFrame:
+    """(band, code, vec_id, v) rows for a batch of vectors.
+
+    Shared by the initial build and incremental appends so both paths
+    hash identically: one Arrow-batched matmul computes the full code,
+    then the per-band explode is pure column math.
+    """
     n_planes = planes.shape[0]
     n_bands = n_planes // band_bits
 
@@ -107,7 +103,7 @@ def build_lsh_index(
             codes |= bits[:, i].astype(np.int64) << i
         return pd.Series(codes)
 
-    e = _embeddings(spark, sf_dir).withColumn("full_code", code_udf(F.col("v")))
+    e = vectors.withColumn("full_code", code_udf(F.col("v")))
     mask = (1 << band_bits) - 1
     bands = F.array(
         *[
@@ -120,15 +116,55 @@ def build_lsh_index(
             for i in range(n_bands)
         ]
     )
+    return e.select("vec_id", "v", F.explode(bands).alias("bc")).select(
+        F.col("bc.band").alias("band"), F.col("bc.code").alias("code"), "vec_id", "v"
+    )
+
+
+def build_lsh_index(
+    spark: SparkSession,
+    sf_dir: str,
+    planes: np.ndarray,
+    band_bits: int,
+    out_dir: str | None = None,
+) -> str:
+    """Write the (band, code, vec_id, v) table partitioned by (band, code)."""
+    out_dir = out_dir or os.path.join(_index_root(), _tag(sf_dir), "lsh")
+    if _is_built(out_dir):
+        return out_dir
     (
-        e.select("vec_id", "v", F.explode(bands).alias("bc"))
-        .select(F.col("bc.band").alias("band"), F.col("bc.code").alias("code"), "vec_id", "v")
+        band_rows(_embeddings(spark, sf_dir), planes, band_bits)
         .repartition("band", "code")
         .write.mode("overwrite")
         .partitionBy("band", "code")
         .parquet(out_dir)
     )
     return out_dir
+
+
+def append_lsh_index(
+    index_dir: str, vectors: DataFrame, planes: np.ndarray, band_bits: int
+) -> None:
+    """Incrementally index a delta of vectors — append, never rewrite.
+
+    New band rows land as additional files inside their (band, code)
+    directories (``mode('append')`` + dynamic partitionBy): existing
+    files are untouched, probes see the new vectors on their next scan,
+    and the write cost is ∝ |delta| × n_bands, independent of index
+    size — the property that keeps a 100 TB index maintainable. The
+    small files a high-frequency feed accumulates are the job of
+    ``sources.compaction`` (idempotent per-partition rewrite), not of
+    the ingest path.
+
+    ``vectors``: (vec_id, v array<double>) — same contract as build.
+    """
+    (
+        band_rows(vectors, planes, band_bits)
+        .repartition("band", "code")
+        .write.mode("append")
+        .partitionBy("band", "code")
+        .parquet(index_dir)
+    )
 
 
 def probe_lsh_index(

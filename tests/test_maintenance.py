@@ -1,0 +1,143 @@
+"""Continuous-maintenance jobs: live LSH index upkeep + topic-fed views."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from samza_hello_samza_spark.operators import ann_index, similarity
+from samza_hello_samza_spark.sources.incremental import read_aggregate
+from samza_hello_samza_spark.sources.topic_log import TopicLog
+from samza_hello_samza_spark.streaming import maintenance
+from tests.conftest import SF_DIR
+
+NEW_VEC_ID = 999_999
+
+
+def _file_snapshot(root: str) -> dict[str, int]:
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[p] = os.path.getsize(p)
+    return out
+
+
+def _query_clone_df(spark):
+    """A brand-new vector identical to the standard query vector — it
+    must collide with the query in every band once indexed."""
+    qvec = similarity._query_vector(spark, SF_DIR)
+    return spark.createDataFrame(
+        [(NEW_VEC_ID, [float(x) for x in qvec])], "vec_id BIGINT, v ARRAY<DOUBLE>"
+    )
+
+
+def test_append_lsh_index_incremental(spark, tmp_path):
+    idx = ann_index.build_lsh_index(
+        spark, SF_DIR, similarity.PLANES, similarity.LSH_BAND_BITS, out_dir=str(tmp_path / "lsh")
+    )
+    qvec = similarity._query_vector(spark, SF_DIR)
+    before_ids = {
+        r.vec_id
+        for r in ann_index.probe_lsh_index(
+            spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+        ).collect()
+    }
+    assert NEW_VEC_ID not in before_ids
+    before_files = _file_snapshot(idx)
+
+    ann_index.append_lsh_index(
+        idx, _query_clone_df(spark), similarity.PLANES, similarity.LSH_BAND_BITS
+    )
+
+    after_ids = {
+        r.vec_id
+        for r in ann_index.probe_lsh_index(
+            spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+        ).collect()
+    }
+    assert NEW_VEC_ID in after_ids, "appended vector must be searchable"
+    assert before_ids <= after_ids, "append must not lose existing vectors"
+
+    after_files = _file_snapshot(idx)
+    for path, size in before_files.items():
+        assert after_files.get(path) == size, f"existing index file rewritten: {path}"
+    assert len(after_files) > len(before_files), "append must add files, not rewrite"
+
+
+def test_lsh_index_updater_stream(spark, tmp_path):
+    idx = ann_index.build_lsh_index(
+        spark, SF_DIR, similarity.PLANES, similarity.LSH_BAND_BITS, out_dir=str(tmp_path / "lsh")
+    )
+    delta_dir = str(tmp_path / "delta")
+    _query_clone_df(spark).write.parquet(delta_dir)
+    stream = spark.readStream.schema("vec_id BIGINT, v ARRAY<DOUBLE>").parquet(delta_dir)
+    q = maintenance.lsh_index_updater(
+        stream, idx, similarity.PLANES, similarity.LSH_BAND_BITS,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    qvec = similarity._query_vector(spark, SF_DIR)
+    ids = {
+        r.vec_id
+        for r in ann_index.probe_lsh_index(
+            spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+        ).collect()
+    }
+    assert NEW_VEC_ID in ids
+
+
+def _produce_events(spark, topic: TopicLog, rows):
+    df = spark.createDataFrame(rows, "user_id BIGINT, event_type STRING, value DOUBLE")
+    payload = df.select(
+        F.col("user_id").cast("string").alias("k"),
+        F.to_json(F.struct("user_id", "event_type", "value")).alias("v"),
+    )
+    topic.produce(payload, key_col="k", value_col="v")
+
+
+def test_maintain_view_from_topic_matches_full_recompute(spark, tmp_path):
+    topic = TopicLog(spark, str(tmp_path / "topic"), n_partitions=2)
+    state = str(tmp_path / "state")
+    group = "viewer"
+
+    _produce_events(spark, topic, [(1, "view", 10.0), (2, "click", 5.0), (1, "view", 2.5)])
+    assert maintenance.maintain_view_from_topic(spark, topic, group, state) == 3
+
+    # two more batches land; one cycle folds both deltas
+    _produce_events(spark, topic, [(1, "purchase", 100.0), (3, "view", 1.0)])
+    _produce_events(spark, topic, [(2, "view", 7.0)])
+    assert maintenance.maintain_view_from_topic(spark, topic, group, state) == 3
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in read_aggregate(spark, state).collect()
+    }
+    full = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in (
+            maintenance.parse_events_json(topic.read_all())
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == full
+
+    # drained topic → no-op cycle, state unchanged
+    assert maintenance.maintain_view_from_topic(spark, topic, group, state) == 0
+    again = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in read_aggregate(spark, state).collect()
+    }
+    assert again == got
