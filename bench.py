@@ -44,6 +44,11 @@ HEADLINE = (
     "ann_lsh_topk",
     "events_funnel",
     "cohort_retention",
+    "corpus_profile",
+    "perplexity_proxy",
+    "text_repetition",
+    "sequence_packing",
+    "events_cube",
 )
 
 

@@ -236,6 +236,39 @@ def build_ivf_index(
     return out_dir
 
 
+def append_ivf_index(spark: SparkSession, index_dir: str, vectors: DataFrame) -> None:
+    """Incrementally index a delta of vectors into the IVF layout.
+
+    New vectors are coarse-quantized against the *existing* centroid
+    table (frozen at build time — the standard IVF serving contract;
+    re-training centroids is an offline rebuild) and appended into
+    their ``list_id`` partitions as new files. Existing files are never
+    rewritten; probes see appended vectors on the next pruned read.
+    """
+    cent = sorted(
+        spark.read.parquet(os.path.join(index_dir, "centroids")).collect(),
+        key=lambda r: r.centroid_id,
+    )
+    cmat = np.stack([np.asarray(r.centroid) for r in cent])
+    ids = np.array([r.centroid_id for r in cent])
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @F.pandas_udf(LongType())
+    def assign(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(ids[np.argmax(mat @ cnorm.T, axis=1)].astype(np.int64))
+
+    (
+        vectors.select("vec_id", "v")
+        .withColumn("list_id", assign(F.col("v")))
+        .repartition("list_id")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(os.path.join(index_dir, "corpus"))
+    )
+
+
 def probe_ivf_index(
     spark: SparkSession, index_dir: str, qvec: np.ndarray, nprobe: int
 ) -> DataFrame:

@@ -73,14 +73,14 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality score: length, word shape, punctuation, stopwords."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_cols(text: F.Column) -> dict[str, F.Column]:
+    """Per-row quality expressions, shared by text_quality and the
+    fused corpus_profile so both compute byte-identical values."""
     en_stop = STOPWORDS["en"]
-    words = _words(F.col("text"))
+    words = _words(text)
     n_words = F.size(words)
-    n_chars = F.length(F.col("text"))
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"([^\w\s])"), 1))
+    n_chars = F.length(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"([^\w\s])"), 1))
     n_stop = F.size(F.filter(words, lambda w: w.isin(*en_stop)))
     avg_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
@@ -91,29 +91,51 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(punct_ratio <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
         + F.when(stop_ratio >= 0.01, F.lit(0.1)).otherwise(F.lit(0.0))
     )
-    return docs.select(
-        "doc_id",
-        n_words.cast("long").alias("n_words"),
-        F.round(avg_word_len, 6).alias("avg_word_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 2).alias("quality_score"),
+    return {
+        "n_words": n_words.cast("long"),
+        "avg_word_len": F.round(avg_word_len, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(score, 2),
+    }
+
+
+def tokencount_cols(text: F.Column) -> dict[str, F.Column]:
+    ws_tokens = F.size(_words(text))
+    bpe_tokens = F.size(F.regexp_extract_all(text, F.lit(f"({BPE_TOKEN_REGEX})"), 1))
+    return {
+        "ws_tokens": ws_tokens.cast("long"),
+        "bpe_tokens": bpe_tokens.cast("long"),
+        "chars_per_token": F.round(
+            F.when(bpe_tokens > 0, F.length(text) / bpe_tokens).otherwise(F.lit(0.0)), 6
+        ),
+    }
+
+
+def readability_cols(text: F.Column) -> dict[str, F.Column]:
+    n_words = F.greatest(F.lit(1), F.size(_words(text)))
+    n_sent = F.greatest(F.lit(1), F.regexp_count(text, F.lit(r"[.!?]+")))
+    n_syll = F.greatest(F.lit(1), F.regexp_count(F.lower(text), F.lit("[aeiouy]+")))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syll / n_words)
     )
+    return {"n_syllables": n_syll, "flesch": F.round(score, 4)}
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length, word shape, punctuation, stopwords."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
 def text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens + chars-per-token."""
     docs = load_table(spark, sf_dir, "documents")
-    ws_tokens = F.size(_words(F.col("text")))
-    bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(f"({BPE_TOKEN_REGEX})"), 1))
-    return docs.select(
-        "doc_id",
-        ws_tokens.cast("long").alias("ws_tokens"),
-        bpe_tokens.cast("long").alias("bpe_tokens"),
-        F.round(
-            F.when(bpe_tokens > 0, F.length("text") / bpe_tokens).otherwise(F.lit(0.0)), 6
-        ).alias("chars_per_token"),
-    )
+    cols = tokencount_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,21 +204,13 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     (these synthetic ones) stay defined.
     """
     docs = load_table(spark, sf_dir, "documents")
+    cols = readability_cols(F.col("text"))
     n_words = F.greatest(F.lit(1), F.size(_words(F.col("text"))))
-    n_sent = F.greatest(F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+")))
-    n_syll = F.greatest(
-        F.lit(1), F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
-    )
-    score = (
-        F.lit(206.835)
-        - F.lit(1.015) * (n_words / n_sent)
-        - F.lit(84.6) * (n_syll / n_words)
-    )
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
-        n_syll.alias("n_syllables"),
-        F.round(score, 4).alias("flesch"),
+        cols["n_syllables"].alias("n_syllables"),
+        cols["flesch"].alias("flesch"),
     )
 
 

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from ..functions.hints import maybe_broadcast
 from ..session import load_table
 from .dedup import _shingles, _words
+from .text_analysis import BPE_TOKEN_REGEX
 
 # ---------------------------------------------------------------------------
 # text_repetition
@@ -300,6 +301,150 @@ def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus_profile — multi-query fusion
+# ---------------------------------------------------------------------------
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-row document metric in ONE scan (multi-query fusion).
+
+    A real pipeline wants quality + token counts + readability for each
+    doc; running the three registered queries separately costs three
+    corpus scans. This plan reuses the same shared expression builders
+    (``text_analysis.quality_cols``/``tokencount_cols``/
+    ``readability_cols``) in a single codegen'd projection — one
+    FileScan, byte-identical values (plan-asserted in tests). At 100 TB
+    the saved scans are the dominant cost: N metrics for the price of
+    one pass.
+    """
+    from .text_analysis import quality_cols, readability_cols, tokencount_cols
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = {
+        **quality_cols(F.col("text")),
+        **tokencount_cols(F.col("text")),
+        **readability_cols(F.col("text")),
+    }
+    return docs.select("doc_id", "lang", *[c.alias(n) for n, c in cols.items()])
+
+
+# ---------------------------------------------------------------------------
+# sequence_packing
+# ---------------------------------------------------------------------------
+
+#: tokens per packed training sequence.
+SEQ_BUDGET = 256
+#: docs per prefix-sum bucket; sized so the bucket-totals relation
+#: stays broadcastable (tune upward with corpus size — 1e6-row buckets
+#: keep 10B docs at ~10k totals).
+PACK_BUCKET_DOCS = 1000
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign docs to fixed-token-budget training sequences.
+
+    Sequence building needs each doc's *global* token offset in
+    doc_id order — a prefix sum, which naively is a single-partition
+    Window (the classic 100 TB bottleneck). Here it is the two-phase
+    distributed form (as in wikipedia_stats): exclusive cumsum inside
+    doc_id-range buckets + per-bucket offsets from a triangular
+    broadcast join over the tiny bucket-totals relation. A doc's
+    sequence is where its cumulative start falls:
+    ``seq_id = floor(cum_before / budget)``.
+    """
+    from pyspark.sql import Window
+
+    from .text_analysis import tokencount_cols
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        tokencount_cols(F.col("text"))["bpe_tokens"].alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BUCKET_DOCS).alias("_bucket"),
+    )
+    in_bucket = (
+        Window.partitionBy("_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = toks.withColumn(
+        "_cum_in", F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0))
+    )
+    totals = toks.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
+    earlier = totals.select(F.col("_bucket").alias("_b2"), F.col("_total").alias("_t2"))
+    # bucket-totals is bounded by construction (corpus_size /
+    # PACK_BUCKET_DOCS rows) → forced broadcast is safe, same pattern
+    # as wikipedia_stats' running total.
+    offsets = (
+        totals.join(F.broadcast(earlier), F.col("_b2") < F.col("_bucket"), "left")
+        .groupBy("_bucket")
+        .agg(F.coalesce(F.sum("_t2"), F.lit(0)).cast("long").alias("_offset"))
+    )
+    cum_before = F.col("_cum_in") + F.col("_offset")
+    return (
+        within.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(cum_before / SEQ_BUDGET).cast("long").alias("seq_id"),
+            (cum_before % SEQ_BUDGET).cast("long").alias("offset_in_seq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics
+# ---------------------------------------------------------------------------
+
+
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus card: tokens, vocabulary, distinct bigrams, TTR.
+
+    Distinct-counts run as two independent aggregations (word explode,
+    bigram explode) whose 1-row results broadcast-join — never a
+    multi-distinct single pass, which would force one giant Expand.
+    At unbounded vocabulary the HLL variant (approx_count_distinct)
+    is the sketch path, as with events_dau_approx.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    words = tok.select(F.explode("words").alias("word"))
+    bigrams = tok.select(F.explode(_shingles(F.col("words"), k=2)).alias("bigram"))
+    w_stats = words.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("word").alias("vocab_size"),
+    )
+    b_stats = bigrams.agg(F.count_distinct("bigram").alias("distinct_bigrams"))
+    return w_stats.crossJoin(b_stats).select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("distinct_bigrams").cast("long").alias("distinct_bigrams"),
+        F.round(F.col("vocab_size") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+    )
+
+
+def token_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf check: word types bucketed by ⌊log2(frequency)⌋.
+
+    The log2 floor is computed as ``length(bin(cnt)) − 1`` — integer
+    bit-length, exact in both engines, immune to the last-ulp libm
+    drift a float ``floor(ln(cnt)/ln 2)`` has at exact powers of two.
+    Vocabulary-sized shuffle, then a ~32-row final aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(_words(F.col("text"))).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    bucket = (F.length(F.bin(F.col("cnt"))) - 1).alias("log2_freq")
+    return (
+        freq.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -406,6 +551,96 @@ ORACLES: dict[str, str] = {
                           ELSE 0.0 END, 6) AS contamination_rate
         FROM corpus c LEFT JOIN contaminated n USING (doc_id)
     """,
+    "corpus_vocab_stats": f"""
+        WITH tok AS (
+            SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+        ),
+        w AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT word) AS BIGINT) AS vocab_size
+            FROM (SELECT unnest(words) AS word FROM tok)
+        ),
+        b AS (
+            SELECT CAST(count(DISTINCT bigram) AS BIGINT) AS distinct_bigrams
+            FROM (SELECT unnest({_BIGRAMS_SQL}) AS bigram FROM tok)
+        )
+        SELECT n_tokens, vocab_size, distinct_bigrams,
+               round(vocab_size / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio
+        FROM w CROSS JOIN b
+    """,
+    "token_frequency_histogram": f"""
+        WITH freq AS (
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+            GROUP BY word
+        )
+        SELECT CAST(length(bin(cnt)) - 1 AS INT) AS log2_freq,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens
+        FROM freq
+        GROUP BY 1
+    """,
+    "corpus_profile": f"""
+        WITH tok AS (
+            SELECT doc_id, lang, text, {_WORDS_SQL} AS words FROM documents
+        ),
+        base AS (
+            SELECT doc_id, lang,
+                   len(words) AS nw,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS n_punct,
+                   len(list_filter(words,
+                       x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS n_stop,
+                   len(regexp_extract_all(text, '({BPE_TOKEN_REGEX})', 1)) AS bpe,
+                   greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent,
+                   greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS n_syll
+            FROM tok
+        ),
+        ratios AS (
+            SELECT *,
+                   CASE WHEN nw > 0 THEN n_chars / nw ELSE 0.0 END AS awl,
+                   CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+                   CASE WHEN nw > 0 THEN n_stop / nw ELSE 0.0 END AS sr,
+                   greatest(1, nw) AS rw
+            FROM base
+        )
+        SELECT doc_id, lang,
+               CAST(nw AS BIGINT) AS n_words,
+               round(awl, 6) AS avg_word_len,
+               round(pr, 6) AS punct_ratio,
+               round(sr, 6) AS stopword_ratio,
+               round(
+                   (CASE WHEN nw BETWEEN 20 AND 5000 THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN awl BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN pr <= 0.1 THEN 0.2 ELSE 0.0 END)
+                 + (CASE WHEN sr >= 0.01 THEN 0.1 ELSE 0.0 END), 2) AS quality_score,
+               CAST(nw AS BIGINT) AS ws_tokens,
+               CAST(bpe AS BIGINT) AS bpe_tokens,
+               round(CASE WHEN bpe > 0 THEN n_chars / bpe ELSE 0.0 END, 6)
+                   AS chars_per_token,
+               CAST(n_syll AS INT) AS n_syllables,
+               round(206.835 - 1.015 * (rw / CAST(n_sent AS DOUBLE))
+                             - 84.6 * (n_syll / CAST(rw AS DOUBLE)), 4) AS flesch
+        FROM ratios
+    """,
+    "sequence_packing": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '({BPE_TOKEN_REGEX})', 1)) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+               CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS offset_in_seq
+        FROM c
+    """,
     "perplexity_proxy": f"""
         WITH words AS (
             SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
@@ -423,6 +658,10 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "corpus_profile": corpus_profile,
+    "corpus_vocab_stats": corpus_vocab_stats,
+    "token_frequency_histogram": token_frequency_histogram,
+    "sequence_packing": sequence_packing,
     "text_repetition": text_repetition,
     "text_entropy": text_entropy,
     "pii_redact": pii_redact,

@@ -36,6 +36,32 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping-set levels —
+    (type, day), (type), (day), () — in a single Expand+Aggregate pass
+    (one scan, one shuffle), with grouping_id disambiguating the NULL
+    markers from real values."""
+    ev = load_table(spark, sf_dir, "events")
+    cube = (
+        ev.select("event_type", F.to_date("ts").alias("day"), "value")
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+    # NULL grouping markers → '(all)' sentinels: gid already encodes
+    # which dims are aggregated out, and sort/compare stays total.
+    return cube.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        F.coalesce(F.col("day").cast("string"), F.lit("(all)")).alias("day"),
+        "n_events",
+        "total_value",
+        "gid",
+    )
+
+
 def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type counts, wide form (explicit pivot values)."""
     ev = load_table(spark, sf_dir, "events")
@@ -297,6 +323,15 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """,
+    "events_cube": """
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(CAST(day AS VARCHAR), '(all)') AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value,
+               CAST(GROUPING(event_type, day) AS BIGINT) AS gid
+        FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+        GROUP BY CUBE (event_type, day)
+    """,
     "user_event_pivot": """
         SELECT user_id,
                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
@@ -318,6 +353,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "orders_priority_rollup": orders_priority_rollup,
+    "events_cube": events_cube,
     "user_event_pivot": user_event_pivot,
     "user_value_moving_avg": user_value_moving_avg,
     "event_value_percentiles": event_value_percentiles,

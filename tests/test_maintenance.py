@@ -94,6 +94,57 @@ def test_lsh_index_updater_stream(spark, tmp_path):
     assert NEW_VEC_ID in ids
 
 
+def test_append_ivf_index_incremental(spark, tmp_path):
+    idx = ann_index.build_ivf_index(
+        spark, SF_DIR, similarity.IVF_NLIST, out_dir=str(tmp_path / "ivf")
+    )
+    qvec = similarity._query_vector(spark, SF_DIR)
+    before = {
+        r.vec_id
+        for r in ann_index.probe_ivf_index(spark, idx, qvec, similarity.IVF_NPROBE).collect()
+    }
+    assert NEW_VEC_ID not in before
+    ann_index.append_ivf_index(spark, idx, _query_clone_df(spark))
+    after = {
+        r.vec_id
+        for r in ann_index.probe_ivf_index(spark, idx, qvec, similarity.IVF_NPROBE).collect()
+    }
+    assert NEW_VEC_ID in after, "appended vector must land in a probed list"
+    assert before <= after
+
+
+def test_compact_index_partition_preserves_probe(spark, tmp_path):
+    """Many small appends → per-partition compaction shrinks file count
+    without changing probe results (the ops path for a live index)."""
+    from samza_hello_samza_spark.sources.compaction import compact_parquet
+
+    idx = ann_index.build_lsh_index(
+        spark, SF_DIR, similarity.PLANES, similarity.LSH_BAND_BITS, out_dir=str(tmp_path / "lsh")
+    )
+    for _ in range(4):
+        ann_index.append_lsh_index(
+            idx, _query_clone_df(spark), similarity.PLANES, similarity.LSH_BAND_BITS
+        )
+    qvec = similarity._query_vector(spark, SF_DIR)
+    code0 = ann_index.band_codes(qvec, similarity.PLANES, similarity.LSH_BAND_BITS)[0]
+    part_dir = os.path.join(idx, "band=0", f"code={code0}")
+    ids_before = {
+        r.vec_id
+        for r in ann_index.probe_lsh_index(
+            spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+        ).collect()
+    }
+    n_before, n_after = compact_parquet(spark, part_dir, target_bytes=64 * 1024 * 1024)
+    assert n_after < n_before, f"compaction was a no-op: {n_before} -> {n_after}"
+    ids_after = {
+        r.vec_id
+        for r in ann_index.probe_lsh_index(
+            spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+        ).collect()
+    }
+    assert ids_after == ids_before
+
+
 def _produce_events(spark, topic: TopicLog, rows):
     df = spark.createDataFrame(rows, "user_id BIGINT, event_type STRING, value DOUBLE")
     payload = df.select(

@@ -42,6 +42,8 @@ NONEQUI_OK = {
     "range_join_value_bands",  # broadcast band-interval non-equi join
     "ann_bruteforce_topk",  # 1-row query-vector broadcast
     "perplexity_proxy",     # 1-row corpus-total broadcast
+    "sequence_packing",     # triangular join over tiny bucket totals (prefix sum)
+    "corpus_vocab_stats",   # two 1-row aggregates broadcast-crossed
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_batch_topk",       # query-batch broadcast scoring

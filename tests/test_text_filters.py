@@ -52,6 +52,27 @@ def test_contamination_benchmark_docs_excluded(spark):
         assert r.n_contaminated <= r.n_shingles
 
 
+def test_corpus_profile_is_single_scan(spark):
+    """The fused profile must read documents exactly once — that is the
+    point of multi-query fusion; three scans would be the naive plan."""
+    plan = text_filters.corpus_profile(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_sequence_packing_is_contiguous(spark):
+    """Sequences tile the corpus: offsets advance by token count in
+    doc_id order, seq_id is non-decreasing, and every offset < budget."""
+    rows = sorted(
+        text_filters.sequence_packing(spark, SF_DIR).collect(), key=lambda r: r.doc_id
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        assert r.seq_id == cum // text_filters.SEQ_BUDGET
+        assert r.offset_in_seq == cum % text_filters.SEQ_BUDGET
+        cum += r.n_tokens
+
+
 def test_perplexity_repetitive_docs_score_low(spark):
     """A doc made of corpus-frequent words must score below the corpus
     mean NLL; scores are finite and positive."""
