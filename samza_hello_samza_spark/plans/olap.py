@@ -62,6 +62,47 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: lineitem columns profiled — chosen so min/max stringification is
+#: engine-identical (bigint, string, integral-valued double, date).
+PROFILE_COLS = ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (the data-profiling pass).
+
+    One 1-row aggregation per column, unioned — each agg's scan is
+    column-pruned to exactly that column (parquet reads one column
+    chunk, not the table), and each exact count_distinct stays a
+    single-distinct aggregate, avoiding the multi-distinct Expand that
+    multiplies shuffle volume by the number of profiled columns. The
+    sketch path for unbounded columns is approx_count_distinct, as
+    with events_dau_approx.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(
+            li.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_val"),
+                F.max(c).cast("string").alias("max_val"),
+            ).select(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.coalesce(F.col("n_nulls"), F.lit(0)).cast("long").alias("n_nulls"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                "min_val",
+                "max_val",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type counts, wide form (explicit pivot values)."""
     ev = load_table(spark, sf_dir, "events")
@@ -332,6 +373,39 @@ ORACLES: dict[str, str] = {
         FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
         GROUP BY CUBE (event_type, day)
     """,
+    "table_profile": """
+        SELECT 'l_orderkey' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+               CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+               CAST(max(l_orderkey) AS VARCHAR) AS max_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT l_quantity) AS BIGINT),
+               CAST(min(l_quantity) AS VARCHAR),
+               CAST(max(l_quantity) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT l_returnflag) AS BIGINT),
+               CAST(min(l_returnflag) AS VARCHAR),
+               CAST(max(l_returnflag) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT l_shipdate) AS BIGINT),
+               CAST(min(l_shipdate) AS VARCHAR),
+               CAST(max(l_shipdate) AS VARCHAR)
+        FROM lineitem
+    """,
     "user_event_pivot": """
         SELECT user_id,
                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
@@ -354,6 +428,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "orders_priority_rollup": orders_priority_rollup,
     "events_cube": events_cube,
+    "table_profile": table_profile,
     "user_event_pivot": user_event_pivot,
     "user_value_moving_avg": user_value_moving_avg,
     "event_value_percentiles": event_value_percentiles,

@@ -183,6 +183,30 @@ def dedup_events_job(events: DataFrame) -> DataFrame:
     )
 
 
+def curation_job(docs: DataFrame) -> DataFrame:
+    """Streaming curation: quality-gate + exact-dedup as docs arrive.
+
+    The live twin of ``text_analysis.curation_pipeline``'s gate+dedup
+    stages, same declarative transform for batch and stream. Dedup
+    keys on the normalized-text hash; documents carry no event time,
+    so the seen-set is unbounded ``dropDuplicates`` here — with an
+    ingest timestamp the bounded form is
+    ``withWatermark + dropDuplicatesWithinWatermark`` exactly as
+    ``dedup_events_job`` does for events.
+    """
+    from ..operators.dedup import _normalized_text
+    from ..operators.text_analysis import CURATION_MIN_QUALITY, quality_cols
+
+    gated = docs.withColumn(
+        "quality_score", quality_cols(F.col("text"))["quality_score"]
+    ).filter(F.col("quality_score") >= CURATION_MIN_QUALITY)
+    return (
+        gated.withColumn("text_hash", F.md5(_normalized_text(F.col("text"))))
+        .dropDuplicates(["text_hash"])
+        .select("doc_id", "lang", "text_hash", "quality_score")
+    )
+
+
 def dau_approx_job(events: DataFrame) -> DataFrame:
     """Daily approximate distinct users over the stream.
 

@@ -54,6 +54,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-streaming source over the documents table — the live-ingest
+    path of the curation pipeline (docs arrive, get gated and deduped
+    continuously instead of in nightly batches)."""
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The static dim side for stream-table joins (Samza's RocksDB table)."""
     return load_table(spark, sf_dir, "customer")

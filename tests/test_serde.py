@@ -151,3 +151,68 @@ def test_avro_schema_inference_nullable_unions(spark):
     schema = serde.avro_schema_for(src.schema)
     for f in schema["fields"]:
         assert f["type"][0] == "null" or isinstance(f["type"], str)
+
+
+# -- property-based round-trip (hypothesis) ---------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _PROP_SCHEMA = {
+        "type": "record",
+        "name": "PropRec",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": "long"}},
+            {"name": "note", "type": ["null", "string"]},
+            {"name": "blob", "type": "bytes"},
+            {"name": "flag", "type": "boolean"},
+        ],
+    }
+
+    _record_st = st.fixed_dictionaries(
+        {
+            "id": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "name": st.text(max_size=40),
+            "score": st.floats(allow_nan=False, width=64),
+            "tags": st.lists(st.text(max_size=10), max_size=5),
+            "props": st.dictionaries(
+                st.text(max_size=8), st.integers(-(2**40), 2**40), max_size=5
+            ),
+            "note": st.one_of(st.none(), st.text(max_size=20)),
+            "blob": st.binary(max_size=30),
+            "flag": st.booleans(),
+        }
+    )
+
+    @given(record=_record_st)
+    @settings(max_examples=100, deadline=None)
+    def test_avro_datum_property_round_trip(record):
+        """decode∘encode is identity for arbitrary spec-typed records —
+        the wire format holds for the whole value space, not just the
+        hand-picked vectors."""
+        from samza_hello_samza_spark.functions import avro_codec
+
+        blob = avro_codec.encode_record(_PROP_SCHEMA, record)
+        assert avro_codec.decode_record(_PROP_SCHEMA, blob) == record
+
+    @given(records=st.lists(_record_st, max_size=6), deflate=st.booleans())
+    @settings(max_examples=25, deadline=None)
+    def test_avro_container_property_round_trip(records, deflate):
+        from samza_hello_samza_spark.functions import avro_codec
+
+        blob = avro_codec.write_container(
+            _PROP_SCHEMA, records, codec="deflate" if deflate else "null"
+        )
+        schema, out = avro_codec.read_container(blob)
+        assert schema == _PROP_SCHEMA
+        assert out == records

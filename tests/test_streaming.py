@@ -240,3 +240,16 @@ def test_wikipedia_live_feed_parses_in_flight(spark, tmp_path):
         assert all(r.title.startswith(("Page_", "Special:")) for r in sample)
     finally:
         q.stop()
+
+
+def test_curation_stream_matches_batch(spark):
+    """Streamed gate+dedup keeps exactly the batch survivor hash-set
+    (winning doc_id per duplicate group is arrival-order dependent, so
+    the comparison keys on text_hash, not doc_id)."""
+    docs_stream = sources.documents_stream(spark, SF_DIR)
+    got = run_stream_to_memory(jobs.curation_job(docs_stream), mode="append")
+    want = jobs.curation_job(load_table(spark, SF_DIR, "documents")).collect()
+    assert sorted(r.text_hash for r in got) == sorted(r.text_hash for r in want)
+    got_q = {r.text_hash: r.quality_score for r in got}
+    want_q = {r.text_hash: r.quality_score for r in want}
+    assert got_q == want_q
