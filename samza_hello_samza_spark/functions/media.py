@@ -101,6 +101,64 @@ def parse_gif(b: bytes) -> MediaInfo:
     return MediaInfo("gif", width=w, height=h)
 
 
+def gif_frames(b: bytes) -> list[tuple[int, bytes]]:
+    """Split an (animated) GIF into standalone single-frame GIFs.
+
+    Returns ``[(pts_ms, frame_gif_bytes), ...]`` with cumulative
+    presentation timestamps from each frame's Graphic Control
+    Extension delay. This is a pure *block-structure* walk (header /
+    extensions / image descriptors / sub-block chains) — frame
+    boundaries in GIF are delimited, so splitting needs no LZW pixel
+    decode, exactly like keyframe-splitting a video container without
+    running its codec. Each emitted frame is a valid GIF: shared
+    header + logical screen descriptor + global color table, the
+    frame's own GCE (if any), its image block, trailer.
+    """
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise UnknownMediaError("not a GIF")
+    flags = b[10]
+    gct_len = (2 << (flags & 7)) * 3 if flags & 0x80 else 0
+    head_end = 13 + gct_len
+    head = b[:head_end]
+
+    frames: list[tuple[int, bytes]] = []
+    pts_ms = 0
+    pos = head_end
+    pending_ext = b""  # extensions seen since the last image block
+    pending_delay = 0
+
+    def _sub_blocks_end(p: int) -> int:
+        while b[p] != 0:
+            p += 1 + b[p]
+        return p + 1
+
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label + sub-block chain
+            label = b[pos + 1]
+            end = _sub_blocks_end(pos + 2)
+            if label == 0xF9 and b[pos + 2] >= 4:  # Graphic Control Ext
+                delay_cs = struct.unpack_from("<H", b, pos + 4)[0]
+                pending_delay = delay_cs * 10
+            pending_ext += b[pos:end]
+            pos = end
+        elif marker == 0x2C:  # image descriptor
+            iflags = b[pos + 9]
+            lct_len = (2 << (iflags & 7)) * 3 if iflags & 0x80 else 0
+            data_start = pos + 10 + lct_len + 1  # + LZW min-code-size byte
+            end = _sub_blocks_end(data_start)
+            frames.append((pts_ms, head + pending_ext + b[pos:end] + b"\x3b"))
+            pts_ms += pending_delay
+            pending_ext = b""
+            pending_delay = 0
+            pos = end
+        else:
+            raise UnknownMediaError(f"unknown GIF block 0x{marker:02x}")
+    return frames
+
+
 def _wav_chunks(b: bytes):
     pos = 12
     while pos + 8 <= len(b):

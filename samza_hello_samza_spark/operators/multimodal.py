@@ -5,18 +5,19 @@ Pattern for image/audio/video at 100 TB: store the payload as a
 decode/feature-extract as Arrow-batched ``mapInPandas`` so each
 Python worker sees columnar batches (never one row at a time).
 
-The payload path is REAL for images and audio: documents are turned
-into genuine PNG (even doc_ids) and WAV (odd doc_ids) payloads whose
-pixels/samples derive from the text bytes, and ``multimodal_decode`` /
-``multimodal_resize`` parse and transform those actual formats with
-the pure-python codecs in ``functions/media.py`` (full PNG scanline
-codec, RIFF/PCM walk — no PIL/librosa needed). Payloads the parser
-doesn't recognize take a clearly-labeled deterministic fallback
-(format='raw', pseudo-dims) instead of failing the job — that is the
-remaining stub surface, along with video frame *decoding* in
-``multimodal_frame_sample`` (WAV windows are real PCM slices; there is
-no pure-python video codec) and the learned encoder behind
-``multimodal_features``.
+The payload path is REAL for images, audio, and (container-level)
+video: documents are turned into genuine PNG (even doc_ids) and WAV
+(odd doc_ids) payloads whose pixels/samples derive from the text
+bytes, and every stage parses/transforms the actual formats with the
+pure-python codecs in ``functions/media.py`` (full PNG scanline
+codec, RIFF/PCM walk, GIF block splitter — no PIL/librosa/ffmpeg
+needed): decode reads true dimensions, resize re-encodes pixels,
+frame-sample splits animated GIFs at container level / PCM windows /
+PNG bands with true timestamps, and features are histograms of the
+*decoded* content. The remaining fallback surface is payloads no
+parser recognizes (format='raw' pseudo-dims, byte-slice frames,
+rolling-crc features) — the seam where a native codec or learned
+encoder plugs in.
 
 Rows-only driver check (binary+UDF is outside DuckDB SQL's surface);
 determinism and true-dimension parsing are asserted in tests/ against
@@ -214,32 +215,67 @@ FRAMES_SCHEMA = StructType(
 )
 
 
-def _frame_sample_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Frame/window sampler: 1→N fan-out inside the executor.
+def _png_bands(p: bytes) -> list[tuple[int, bytes]]:
+    """Still image → N horizontal bands, each a standalone PNG (the
+    tiling analog of frame sampling; pts stays 0 — stills have no
+    timeline)."""
+    w, _h, channels, rows = media.png_decode(p)
+    n = min(N_FRAMES, len(rows))
+    bands = []
+    for i in range(n):
+        lo = i * len(rows) // n
+        hi = max(lo + 1, (i + 1) * len(rows) // n)
+        chunk = [bytes(r) for r in rows[lo:hi]]
+        bands.append((0, media.png_encode(chunk, w, len(chunk), channels=channels)))
+    return bands
 
-    WAV payloads yield REAL evenly-spaced PCM windows (re-wrapped as
-    standalone WAVs with true timestamps). Other payloads fall back to
-    byte slices — the stub surface standing in for a video decoder
-    (no pure-python codec exists; swap in pyav/ffmpeg)."""
+
+def _sample_frames(p: bytes) -> list[tuple[int, bytes]]:
+    """REAL frame/window extraction per modality:
+
+    - GIF (the video stand-in): block-split into standalone per-frame
+      GIFs with true GCE timestamps (``media.gif_frames``), evenly
+      sampled down to N_FRAMES — keyframe sampling without running the
+      pixel codec, as a container-level video splitter would.
+    - WAV: evenly-spaced PCM windows re-wrapped as standalone WAVs
+      with true pts.
+    - PNG: N horizontal bands re-encoded as standalone PNGs.
+    - Unrecognized payloads: byte slices — the remaining fallback for
+      codecs that need a native decoder (swap in pyav/ffmpeg).
+    """
+    try:
+        info = media.parse_media(p)
+    except media.UnknownMediaError:
+        info = None
+    if info and info.format == "gif":
+        all_frames = media.gif_frames(p)
+        if all_frames and len(all_frames) <= N_FRAMES:
+            return all_frames
+        if all_frames:
+            return [
+                all_frames[i * len(all_frames) // N_FRAMES] for i in range(N_FRAMES)
+            ]
+    if info and info.format == "wav" and info.duration_ms:
+        return [
+            (i * info.duration_ms // N_FRAMES, media.wav_window(p, i, N_FRAMES))
+            for i in range(N_FRAMES)
+        ]
+    if info and info.format == "png":
+        return _png_bands(p)
+    dur_ms = 1000 * (1 + len(p) % 60)  # fallback fake duration
+    step = max(1, len(p) // N_FRAMES)
+    return [
+        (i * dur_ms // N_FRAMES, bytes(p[i * step : (i + 1) * step]))
+        for i in range(N_FRAMES)
+    ]
+
+
+def _frame_sample_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame/window sampler: 1→N fan-out inside the executor."""
     for pdf in batches:
         out = {"doc_id": [], "frame_idx": [], "pts_ms": [], "frame": []}
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-            frames: list[tuple[int, bytes]] = []
-            try:
-                info = media.parse_media(bytes(p))
-            except media.UnknownMediaError:
-                info = None
-            if info and info.format == "wav" and info.duration_ms:
-                # slice the PCM into N windows with true pts
-                for i in range(N_FRAMES):
-                    pts = i * info.duration_ms // N_FRAMES
-                    frames.append((pts, media.wav_window(bytes(p), i, N_FRAMES)))
-            else:
-                dur_ms = 1000 * (1 + len(p) % 60)  # fallback fake duration
-                step = max(1, len(p) // N_FRAMES)
-                for i in range(N_FRAMES):
-                    frames.append((i * dur_ms // N_FRAMES, bytes(p[i * step : (i + 1) * step])))
-            for i, (pts, fb) in enumerate(frames):
+            for i, (pts, fb) in enumerate(_sample_frames(bytes(p))):
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(i)
                 out["pts_ms"].append(pts)
@@ -264,19 +300,48 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+def _feature_vector(p: bytes) -> list[float]:
+    """Content features from the DECODED payload, not its bytes:
+
+    - PNG: normalized FEATURE_DIM-bin histogram of decoded pixel
+      values — a real (if simple) visual descriptor: identical images
+      give identical vectors, similar images nearby ones.
+    - WAV: normalized histogram of |16-bit PCM| amplitudes — an audio
+      energy-distribution descriptor.
+    - Anything else: rolling-crc fallback, the remaining stand-in for
+      a learned encoder.
+
+    Output feeds the ANN operators (similarity.py) unchanged —
+    decode → embed → index.
+    """
+    import numpy as np
+
+    try:
+        info = media.parse_media(p)
+    except media.UnknownMediaError:
+        info = None
+    if info and info.format == "png":
+        _w, _h, _c, rows = media.png_decode(p)
+        px = np.frombuffer(b"".join(bytes(r) for r in rows), dtype=np.uint8)
+        hist = np.bincount(px >> (8 - FEATURE_DIM.bit_length() + 1), minlength=FEATURE_DIM)
+        return (hist[:FEATURE_DIM] / max(1, px.size)).astype(float).tolist()
+    if info and info.format == "wav":
+        _ch, _rate, bits, frames = media._wav_pcm(p)
+        if bits == 16:
+            samples = np.abs(np.frombuffer(frames[: len(frames) & ~1], dtype="<i2").astype(np.int32))
+            bins = np.minimum(samples * FEATURE_DIM // 32768, FEATURE_DIM - 1)
+            hist = np.bincount(bins, minlength=FEATURE_DIM)
+            return (hist / max(1, samples.size)).astype(float).tolist()
+    step = max(1, len(p) // FEATURE_DIM)
+    return [
+        (zlib.crc32(p[i * step : (i + 1) * step]) % 10_000) / 10_000.0
+        for i in range(FEATURE_DIM)
+    ]
+
+
 def _features_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB feature extractor: FEATURE_DIM floats from rolling crc32
-    (swap in a real vision/audio encoder). Output feeds the ANN
-    operators (similarity.py) unchanged — decode → embed → index."""
     for pdf in batches:
-        feats = []
-        for p in pdf["payload"]:
-            step = max(1, len(p) // FEATURE_DIM)
-            vec = [
-                (zlib.crc32(p[i * step : (i + 1) * step]) % 10_000) / 10_000.0
-                for i in range(FEATURE_DIM)
-            ]
-            feats.append(vec)
+        feats = [_feature_vector(bytes(p)) for p in pdf["payload"]]
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"].astype("int64"), "features": feats}
         )

@@ -183,3 +183,73 @@ def test_multimodal_frame_sample_wav_windows_real(spark):
     for r in rows:
         info = media.parse_media(bytes(r.frame))
         assert info.format == "wav" and info.channels == 1
+
+
+# -- GIF frame splitting + real frame sampling ------------------------------
+
+
+def _fixture(name: str) -> bytes:
+    import os
+
+    here = os.path.join(os.path.dirname(__file__), "fixtures", "media", name)
+    with open(here, "rb") as f:
+        return f.read()
+
+
+def test_gif_frames_splits_animation():
+    """The committed 3-frame animation splits into standalone GIFs with
+    true cumulative GCE timestamps (5cs, 7cs, 11cs delays)."""
+    blob = _fixture("anim_3f_11x7.gif")
+    frames = media.gif_frames(blob)
+    assert [pts for pts, _ in frames] == [0, 50, 120]
+    for _pts, fb in frames:
+        info = media.parse_gif(fb)
+        assert (info.width, info.height) == (11, 7)
+        assert len(media.gif_frames(fb)) == 1  # each emit is single-frame
+
+
+def test_gif_frames_rejects_non_gif():
+    import pytest as _pytest
+
+    with _pytest.raises(media.UnknownMediaError):
+        media.gif_frames(b"PNG no")
+
+
+def test_sample_frames_gif_png_wav():
+    from samza_hello_samza_spark.operators import multimodal
+
+    gif = _fixture("anim_3f_11x7.gif")
+    out = multimodal._sample_frames(gif)
+    assert len(out) == 3 and out[2][0] == 120
+
+    png = _fixture("gradient_8x5.png")
+    bands = multimodal._sample_frames(png)
+    assert 1 <= len(bands) <= multimodal.N_FRAMES
+    heights = []
+    for pts, fb in bands:
+        assert pts == 0
+        info = media.parse_png(fb)
+        assert info.width == 8
+        heights.append(info.height)
+    assert sum(heights) == 5  # bands tile the image exactly
+
+    wav = _fixture("square_1s_8k.wav")
+    wins = multimodal._sample_frames(wav)
+    assert len(wins) == multimodal.N_FRAMES
+    for _pts, fb in wins:
+        assert media.parse_wav(fb).format == "wav"
+
+
+def test_feature_vectors_are_content_histograms():
+    from samza_hello_samza_spark.operators import multimodal
+
+    png = _fixture("gradient_8x5.png")
+    v = multimodal._feature_vector(png)
+    assert len(v) == multimodal.FEATURE_DIM
+    assert abs(sum(v) - 1.0) < 1e-9  # normalized histogram
+    assert v == multimodal._feature_vector(png)  # deterministic
+
+    wav = _fixture("square_1s_8k.wav")
+    w = multimodal._feature_vector(wav)
+    assert abs(sum(w) - 1.0) < 1e-9
+    assert w != v
