@@ -62,6 +62,58 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_THRESHOLD = 3.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier events by per-type z-score — the monitoring pass.
+
+    Per-type mean/stddev is a 5-row pre-aggregate broadcast back onto
+    the stream (never a global window over the fact table); the z-score
+    is pure column math and the |z| filter pushes nothing upstream but
+    costs one scan + one tiny join. population stddev (stddev_pop) so
+    the oracle is engine-exact.
+    """
+    from ..functions.hints import maybe_broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(maybe_broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) >= Z_THRESHOLD)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+def revenue_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth — lag window over a years-sized
+    aggregate (the window runs on ~7 rows, not the fact table; the
+    heavy lifting is one scan + one map-side-combinable agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yearly = li.groupBy(F.year("l_shipdate").alias("yr")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr",
+        "revenue",
+        # first year: growth defined as 0.0 (NULL would make the
+        # order-insensitive compare's tuple sort ill-typed)
+        F.coalesce(
+            F.round((F.col("revenue") - prev) / prev * 100.0, 4), F.lit(0.0)
+        ).alias("growth_pct"),
+    )
+
+
 #: lineitem columns profiled — chosen so min/max stringification is
 #: engine-identical (bigint, string, integral-valued double, date).
 PROFILE_COLS = ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
@@ -373,6 +425,29 @@ ORACLES: dict[str, str] = {
         FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
         GROUP BY CUBE (event_type, day)
     """,
+    "events_anomaly_zscore": f"""
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, value,
+               round((value - mu) / sigma, 4) AS z
+        FROM events e JOIN stats USING (event_type)
+        WHERE sigma > 0
+          AND abs(round((value - mu) / sigma, 4)) >= {Z_THRESHOLD}
+    """,
+    "revenue_yearly_growth": """
+        WITH yearly AS (
+            SELECT CAST(year(l_shipdate) AS INT) AS yr,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem GROUP BY 1
+        )
+        SELECT yr, revenue,
+               coalesce(round((revenue - lag(revenue) OVER (ORDER BY yr))
+                              / lag(revenue) OVER (ORDER BY yr) * 100.0, 4),
+                        0.0) AS growth_pct
+        FROM yearly
+    """,
     "table_profile": """
         SELECT 'l_orderkey' AS col_name,
                CAST(count(*) AS BIGINT) AS n_rows,
@@ -429,6 +504,8 @@ QUERIES = {
     "orders_priority_rollup": orders_priority_rollup,
     "events_cube": events_cube,
     "table_profile": table_profile,
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "revenue_yearly_growth": revenue_yearly_growth,
     "user_event_pivot": user_event_pivot,
     "user_value_moving_avg": user_value_moving_avg,
     "event_value_percentiles": event_value_percentiles,
