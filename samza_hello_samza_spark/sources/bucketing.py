@@ -71,6 +71,50 @@ def materialize_bucketed_facts(
     return names
 
 
+def materialize_bucketed_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    base_path: str,
+    n_buckets: int = 8,
+    name: str = "bkt_documents",
+) -> str:
+    """Documents bucketed by text_hash — the dedup-at-ingest layout.
+
+    The hash is computed once at write time and the table lands
+    bucketed on it, so every later exact-dedup groupBy/join on
+    text_hash is map-side only. At 100 TB this turns each nightly
+    dedup pass from a full-corpus shuffle into a bucket-local scan —
+    the ingest shuffle is paid once, amortized over every pass.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _normalized_text
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text_hash", F.md5(_normalized_text(F.col("text")))
+    )
+    bucketize(docs, name, "text_hash", n_buckets, f"{base_path}/{name}")
+    return name
+
+
+def dedup_exact_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """dedup_exact's plan over the bucketed layout: ZERO Exchange.
+
+    Same output contract as ``operators.dedup.dedup_exact`` (doc_id,
+    canonical_doc_id, is_duplicate); the groupBy and the join both run
+    bucket-locally because the table is bucketed+sorted on text_hash.
+    """
+    from pyspark.sql import functions as F
+
+    hashed = spark.table(name).select("doc_id", "text_hash")
+    canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("canonical_doc_id"))
+    return hashed.hint("merge").join(canon, "text_hash").select(
+        "doc_id",
+        "canonical_doc_id",
+        (F.col("doc_id") != F.col("canonical_doc_id")).cast("int").alias("is_duplicate"),
+    )
+
+
 def co_located_join(spark: SparkSession, names: dict[str, str]) -> DataFrame:
     """lineitem ⋈ orders over bucketed tables.
 

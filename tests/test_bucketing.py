@@ -38,3 +38,35 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed):
     agg = li.groupBy("l_orderkey").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, f"bucketed groupBy still shuffles:\n{plan}"
+
+
+@pytest.fixture(scope="module")
+def bucketed_docs(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("doc_buckets"))
+    name = bucketing.materialize_bucketed_documents(spark, SF_DIR, base, n_buckets=8)
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_dedup_has_no_exchange(spark, bucketed_docs):
+    plan = (
+        bucketing.dedup_exact_bucketed(spark, bucketed_docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_bucketed_dedup_matches_operator(spark, bucketed_docs):
+    from samza_hello_samza_spark.operators.dedup import dedup_exact
+
+    got = sorted(
+        (r.doc_id, r.canonical_doc_id, r.is_duplicate)
+        for r in bucketing.dedup_exact_bucketed(spark, bucketed_docs).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.canonical_doc_id, r.is_duplicate)
+        for r in dedup_exact(spark, SF_DIR).collect()
+    )
+    assert got == want
