@@ -64,3 +64,43 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's runtime skew-join split is the no-code-change complement to
+    salted_join: with one hot key holding ~97% of the left side, the
+    post-execution plan must mark the sort-merge join skew-handled
+    (isSkew=true partitions) while producing exact results."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(400_000).select(
+            F.when(F.col("id") < 390_000, F.lit(0))
+            .otherwise(F.col("id") % 37)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(37).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = left.join(right, "k")
+        # collect() (not count()) so THIS DataFrame's cached
+        # QueryExecution runs and its AdaptiveSparkPlan finalizes —
+        # count() would build and execute a different plan.
+        assert len(j.collect()) == 400_000  # exact result despite the split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skewed partition:\n{plan[:2000]}"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
