@@ -358,6 +358,82 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+CHUNK_WORDS = 10
+
+
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style sub-document exact dedup: remove repeated
+    fixed-size word chunks, keeping only the corpus-first occurrence.
+
+    Whole-document dedup (dedup_exact) misses boilerplate repeated
+    *inside* otherwise-distinct documents; the standard curation fix
+    splits each document into disjoint k-word chunks, keeps one copy of
+    each distinct chunk corpus-wide (first occurrence in (doc_id,
+    chunk_pos) order), and reassembles the surviving text.
+
+    Scale design: chunks are built ARRAY-SIDE (one ``transform`` over a
+    precomputed words column — no word-level explode, no word-level
+    shuffle, no string_agg regroup), so the only explode is 1/k the
+    word count. The first-occurrence winner is ``min(struct(doc_id,
+    grp))`` grouped by the chunk's xxhash64 — an 8-byte shuffle key;
+    chunk text itself never shuffles for the winner computation, only
+    for the final per-doc reassembly, which groups by doc_id (the
+    table's natural key). At 100 TB every stage is an equi-shuffle on
+    a compact key; nothing is quadratic in corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = CHUNK_WORDS
+    words = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    chunked = words.select(
+        "doc_id",
+        F.posexplode(
+            # guard: sequence(0, -1) is DESCENDING in Spark, so an empty
+            # words array must short-circuit to an empty chunk list.
+            F.when(F.size("words") == 0, F.array().cast("array<string>")).otherwise(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("words") / k).cast("int") - 1,
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice("words", i * k + 1, k)),
+                )
+            )
+        ).alias("grp", "chunk"),
+    ).withColumn("h", F.xxhash64("chunk"))
+    winners = chunked.groupBy("h").agg(
+        F.min(F.struct("doc_id", "grp")).alias("first_at")
+    )
+    kept = (
+        chunked.join(winners, "h")
+        .filter(
+            (F.col("doc_id") == F.col("first_at.doc_id"))
+            & (F.col("grp") == F.col("first_at.grp"))
+        )
+        .select("doc_id", "grp", "chunk")
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("grp", "chunk"))),
+                lambda s: s.chunk,
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        chunked.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 _SHINGLES_SQL = """
     WITH w AS (
         SELECT doc_id,
@@ -436,6 +512,50 @@ ORACLES: dict[str, str] = {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
     """,
+    "dedup_chunk_exact": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS words
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, words,
+                   unnest(range(CAST(ceil(len(words) / {CHUNK_WORDS}.0) AS BIGINT))) AS grp
+            FROM w WHERE len(words) > 0
+        ),
+        chunks AS (
+            SELECT doc_id, grp,
+                   array_to_string(
+                       words[(grp * {CHUNK_WORDS} + 1):(grp * {CHUNK_WORDS} + {CHUNK_WORDS})],
+                       ' ') AS chunk
+            FROM idx
+        ),
+        f1 AS (SELECT chunk, min(doc_id) AS fdoc FROM chunks GROUP BY 1),
+        f2 AS (
+            SELECT c.chunk, f.fdoc, min(c.grp) AS fgrp
+            FROM chunks c JOIN f1 f ON c.chunk = f.chunk AND c.doc_id = f.fdoc
+            GROUP BY 1, 2
+        ),
+        kept AS (
+            SELECT c.doc_id, c.grp, c.chunk
+            FROM chunks c
+            JOIN f2 f ON c.chunk = f.chunk AND c.doc_id = f.fdoc AND c.grp = f.fgrp
+        ),
+        perdoc AS (
+            SELECT doc_id, string_agg(chunk, ' ' ORDER BY grp) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ),
+        allc AS (
+            SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               coalesce(p.clean_text, '') AS clean_text,
+               a.n_chunks,
+               CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept
+        FROM allc a LEFT JOIN perdoc p USING (doc_id)
+    """,
 }
 
 QUERIES = {
@@ -445,4 +565,5 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
+    "dedup_chunk_exact": dedup_chunk_exact,
 }

@@ -1,0 +1,419 @@
+"""Temporal / per-entity analytics over the events and lineitem tables.
+
+Five operators the reference's analytics surface implies but never
+spells out (hello-samza's wikipedia-stats job does windowed counts and
+running totals; these are the natural next queries a user of that job
+writes):
+
+- events_time_rollup      : hypertable-style multi-grain rollup
+                            (day → hour → minute) in ONE scan via
+                            ``rollup()`` grouping sets.
+- top_events_per_user     : per-group top-k (row_number window, k=3).
+- user_transition_counts  : event-type Markov transitions via
+                            ``lead()`` — the "what happens next"
+                            query over a keyed stream.
+- decayed_user_value      : exponentially time-decayed per-user value
+                            (recency-weighted engagement score).
+- value_histogram         : fixed-bound ``width_bucket`` histogram of
+                            lineitem prices (equal-width, engine-exact).
+
+Scale design: the rollup is a single aggregate with grouping sets —
+Spark plans one shuffle with partial aggregation per grouping set (no
+N scans for N grains). The top-k window partitions by user_id (hash
+shuffle on the group key, no global sort). Transitions shuffle once by
+user_id for the lead() window, then the pair-count agg is map-side
+partial. The decay anchor is a 1-row aggregate broadcast (never a
+global window). The histogram is pure column math + a 22-group agg.
+
+Cross-engine determinism notes (the driver hashes stringified values):
+- rollup NULL markers are coalesced to -1 sentinels in BOTH engines —
+  the compare harness sorts tuples and None breaks the sort; the
+  grouping level is also exported explicitly (``lvl``) via
+  grouping_id()/GROUPING(), whose bit order (first col = MSB) agrees
+  between Spark and DuckDB.
+- orderings that feed lead()/row_number() use (epoch-second, event_id)
+  keys: events.ts is TIMESTAMP(NANOS) in parquet and the two engines
+  truncate sub-second precision differently mid-plan, so any ordering
+  finer than seconds could disagree on ties; second + unique event_id
+  is total and engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import load_table
+
+TOP_K = 3
+DECAY_TAU_SEC = 604_800  # 7 days
+HIST_LO = 900.0
+HIST_HI = 110_000.0
+HIST_NBUCKETS = 22
+
+
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup: minute, hour, day, grand total — one scan.
+
+    The timeseries-store pattern (continuous aggregates / hypertable
+    rollups) expressed as grouping sets: ``rollup(day, hour, minute)``
+    plans ONE shuffle whose map side emits partial aggregates for every
+    grain, instead of four separate scans. Grains are epoch-bucket
+    bigints (day = sec div 86400) so the group keys are 8-byte ints,
+    not formatted strings.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    return (
+        ev.select(
+            (sec / 86400).cast("bigint").alias("day"),
+            (sec / 3600).cast("bigint").alias("hour"),
+            (sec / 60).cast("bigint").alias("minute"),
+            "value",
+        )
+        .rollup("day", "hour", "minute")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "lvl",
+            F.coalesce("day", F.lit(-1)).alias("day"),
+            F.coalesce("hour", F.lit(-1)).alias("hour"),
+            F.coalesce("minute", F.lit(-1)).alias("minute"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user — per-group top-k via row_number.
+
+    The window partitions by user_id: one hash shuffle on the group
+    key, each partition sorts only its own users' rows (no global
+    sort, no TakeOrdered over the whole table). At 100 TB this is the
+    canonical per-entity leaderboard plan; a skewed power-user key
+    would be handled by AQE skew-split since the window shuffle is a
+    plain hash exchange.
+
+    value is ordered RAW (both engines read identical double bits from
+    parquet) with event_id as total tiebreak; the emitted value is
+    rounded for stable stringification.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("user_id", "rnk", "event_id", F.round("value", 2).alias("value"))
+    )
+
+
+def user_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_type → next event_type transition counts per the user stream.
+
+    lead() over (user_id ORDER BY second, event_id): one shuffle on
+    user_id, per-partition sort, then the (prev, next) pair count is a
+    map-side-partial agg over a tiny key space. This is the Markov
+    /"next action" query a session-analytics user writes right after
+    session_window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts"), F.col("event_id")
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-user value (recency-weighted score).
+
+    weight = exp(-(t_anchor - t) / tau), tau = 7 days, anchored at the
+    corpus max event second. The anchor is a 1-row aggregate broadcast
+    (crossJoin of a 1-row frame — same audited pattern as q22's scalar
+    subquery), NOT a global window; the decay itself is pure column
+    math inside whole-stage codegen, and the per-user sum is one hash
+    agg. round(3) absorbs last-ulp libm exp() differences between the
+    JVM and DuckDB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    anchor = ev.agg(F.max(F.unix_timestamp("ts")).alias("anchor_sec"))
+    return (
+        ev.select("user_id", sec.alias("sec"), "value")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.exp(-(F.col("anchor_sec") - F.col("sec")) / F.lit(float(DECAY_TAU_SEC)))
+                ),
+                3,
+            ).alias("decayed_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of lineitem extended price (width_bucket semantics).
+
+    The bucket id is the explicit floor((x-lo)/(hi-lo)*n)+1 formula —
+    written IDENTICALLY in both engines (DuckDB lacks width_bucket),
+    so the integer bucket comes out of the same double bits and needs
+    no approx tolerance. Pure column math + a 24-group agg: the scan
+    reads ONE column and the shuffle carries ≤24 rows per map task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    step = (HIST_HI - HIST_LO) / HIST_NBUCKETS
+    raw = (
+        F.floor(
+            (F.col("l_extendedprice") - F.lit(HIST_LO))
+            / F.lit(HIST_HI - HIST_LO)
+            * F.lit(HIST_NBUCKETS)
+        )
+        + 1
+    )
+    bucket = F.least(
+        F.lit(HIST_NBUCKETS + 1).cast("bigint"),
+        F.greatest(F.lit(0).cast("bigint"), raw),
+    )
+    return (
+        li.select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .withColumn(
+            "bucket_lo",
+            F.round(F.lit(HIST_LO) + (F.col("bucket") - 1) * F.lit(step), 2),
+        )
+        .select("bucket", "bucket_lo", "n_items", "sum_price")
+    )
+
+
+ROLLING_DAYS = 7
+EQUIDEPTH_NBUCKETS = 20
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct users per day — without a range join.
+
+    The naive plan is a non-equi join (day BETWEEN d-6 AND d) — a
+    nested loop at scale. Instead each (day, user) row fans out to its
+    ≤7 anchor days via ``explode(sequence(day, day+6))``: every join
+    and aggregate is an EQUI shuffle, row growth is a fixed ×7, and
+    the per-anchor distinct count is an ordinary two-phase distinct
+    agg. Anchors that aren't real event days (the 6 days after the
+    last event) are dropped by a broadcast semi-join against the
+    distinct-day set (bounded: one row per calendar day).
+    """
+    from ..functions.hints import maybe_broadcast
+
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("bigint")
+    user_days = ev.select(day.alias("day"), "user_id").distinct()
+    days = user_days.select("day").distinct()
+    anchors = user_days.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (ROLLING_DAYS - 1))
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        anchors.join(maybe_broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+    )
+
+
+def rolling_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path for rolling_active_users: one HLL sketch per day,
+    merged over the trailing window — the 100 TB shape.
+
+    The exact plan shuffles every (day, user) pair ×7; this one
+    aggregates each day to a single ~KB HLL sketch FIRST (map-side
+    partial, tiny shuffle), fans out only the per-day sketches to
+    their anchor days, and merges ≤7 sketches per anchor with
+    hll_union_agg. Shuffle volume is O(days × sketch_bytes),
+    independent of user cardinality. rows-only: sketch estimates have
+    no DuckDB twin; accuracy vs the exact plan is pytest-asserted.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("bigint")
+    day_sketches = (
+        ev.select(day.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    days = day_sketches.select("day")
+    anchors = day_sketches.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (ROLLING_DAYS - 1))
+        ).alias("day"),
+        "sk",
+    )
+    from ..functions.hints import maybe_broadcast
+
+    return (
+        anchors.join(maybe_broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("active_users_7d")
+        )
+    )
+
+
+def price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-boundary) histogram of lineitem prices.
+
+    Boundaries are EXACT percentiles (Spark F.percentile interpolation
+    is bit-identical to DuckDB quantile_cont — verified property of
+    this repo's oracle harness), computed as ONE 1-row aggregate and
+    broadcast back; bucket assignment is array math (count of
+    boundaries strictly below the price) inside codegen. No global
+    sort, no ntile window over the fact table — the classic
+    equi-depth trap at scale is ntile(), which range-partitions the
+    whole table; this plan's only wide op is the 1-row percentile agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = [i / EQUIDEPTH_NBUCKETS for i in range(1, EQUIDEPTH_NBUCKETS)]
+    bounds = li.agg(
+        F.percentile("l_extendedprice", pcts).alias("bs")
+    )
+    px = F.col("l_extendedprice")
+    bucket = (
+        F.size(F.filter("bs", lambda b: px > b)) + 1
+    )
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+ORACLES: dict[str, str] = {
+    "events_time_rollup": """
+        SELECT GROUPING(day) * 4 + GROUPING(hour) * 2 + GROUPING(minute) AS lvl,
+               coalesce(day, -1) AS day,
+               coalesce(hour, -1) AS hour,
+               coalesce(minute, -1) AS minute,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+                   value
+            FROM events
+        )
+        GROUP BY ROLLUP(day, hour, minute)
+    """,
+    "top_events_per_user": f"""
+        SELECT user_id, rnk, event_id, round(value, 2) AS value
+        FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rnk
+            FROM events
+        )
+        WHERE rnk <= {TOP_K}
+    """,
+    "user_transition_counts": """
+        SELECT prev_type, next_type, count(*) AS n_transitions
+        FROM (
+            SELECT event_type AS prev_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                   ) AS next_type
+            FROM events
+        )
+        WHERE next_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """,
+    "decayed_user_value": f"""
+        WITH anchor AS (
+            SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS anchor_sec FROM events
+        )
+        SELECT user_id,
+               round(sum(value * exp(-(anchor_sec - CAST(floor(epoch(ts)) AS BIGINT))
+                                     / {float(DECAY_TAU_SEC)})), 3) AS decayed_value,
+               count(*) AS n_events
+        FROM events, anchor
+        GROUP BY user_id
+    """,
+    "value_histogram": f"""
+        SELECT bucket,
+               round({HIST_LO} + (bucket - 1) * {(HIST_HI - HIST_LO) / HIST_NBUCKETS}, 2) AS bucket_lo,
+               count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM (
+            SELECT least(CAST({HIST_NBUCKETS + 1} AS BIGINT),
+                         greatest(CAST(0 AS BIGINT),
+                                  CAST(floor((l_extendedprice - {HIST_LO})
+                                             / {HIST_HI - HIST_LO} * {HIST_NBUCKETS}) AS BIGINT)
+                                  + 1)) AS bucket,
+                   l_extendedprice
+            FROM lineitem
+        )
+        GROUP BY bucket
+    """,
+    "rolling_active_users": f"""
+        WITH ud AS (
+            SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                            user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM ud),
+        anchors AS (
+            SELECT ud.day + t.i AS day, user_id
+            FROM ud, (SELECT unnest(range({ROLLING_DAYS})) AS i) t
+        )
+        SELECT day, count(DISTINCT user_id) AS active_users_7d
+        FROM anchors
+        WHERE day IN (SELECT day FROM days)
+        GROUP BY day
+    """,
+    "price_equidepth_histogram": f"""
+        WITH bounds AS (
+            SELECT quantile_cont(l_extendedprice,
+                                 [{", ".join(str(i / EQUIDEPTH_NBUCKETS) for i in range(1, EQUIDEPTH_NBUCKETS))}]) AS bs
+            FROM lineitem
+        )
+        SELECT len(list_filter(bs, b -> l_extendedprice > b)) + 1 AS bucket,
+               count(*) AS n_items,
+               round(min(l_extendedprice), 2) AS lo,
+               round(max(l_extendedprice), 2) AS hi
+        FROM lineitem, bounds
+        GROUP BY 1
+    """,
+}
+
+QUERIES = {
+    "events_time_rollup": events_time_rollup,
+    "top_events_per_user": top_events_per_user,
+    "user_transition_counts": user_transition_counts,
+    "decayed_user_value": decayed_user_value,
+    "value_histogram": value_histogram,
+    "rolling_active_users": rolling_active_users,
+    "rolling_active_users_approx": rolling_active_users_approx,
+    "price_equidepth_histogram": price_equidepth_histogram,
+}

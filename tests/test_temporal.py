@@ -1,0 +1,125 @@
+"""Temporal plans hash-match their DuckDB oracles at sf0.001, plus
+semantic invariants (rollup level algebra, chunk-dedup first-keep)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from samza_hello_samza_spark.operators import dedup
+from samza_hello_samza_spark.plans import temporal
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+#: sketch-based, no exact SQL twin — accuracy asserted separately.
+NO_ORACLE = {"rolling_active_users_approx"}
+
+
+@pytest.mark.parametrize("name", sorted(set(temporal.QUERIES) - NO_ORACLE))
+def test_oracle_match(spark, duck, name):
+    assert name in temporal.ORACLES, f"{name} missing oracle"
+    assert_matches_oracle(
+        spark, duck, temporal.QUERIES[name], temporal.ORACLES[name]
+    )
+
+
+def test_chunk_dedup_oracle(spark, duck):
+    assert_matches_oracle(
+        spark,
+        duck,
+        dedup.QUERIES["dedup_chunk_exact"],
+        dedup.ORACLES["dedup_chunk_exact"],
+    )
+
+
+def test_rollup_levels_are_consistent(spark):
+    """Each rollup level must re-aggregate to the same grand total,
+    and the grand-total row (lvl=7) must count every event."""
+    df = temporal.events_time_rollup(spark, SF_DIR).cache()
+    try:
+        totals = {
+            r.lvl: r.n
+            for r in df.groupBy("lvl").agg(F.sum("n_events").alias("n")).collect()
+        }
+        # lvl 0 = (day,hour,minute), 1 = (day,hour), 3 = (day), 7 = ()
+        assert set(totals) == {0, 1, 3, 7}
+        assert len(set(totals.values())) == 1, totals
+        grand = df.filter(F.col("lvl") == 7).collect()
+        assert len(grand) == 1
+        assert grand[0].day == -1 and grand[0].minute == -1
+    finally:
+        df.unpersist()
+
+
+def test_top_events_per_user_k_and_order(spark):
+    rows = temporal.top_events_per_user(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert 1 <= len(rs) <= temporal.TOP_K
+        vals = [r.value for r in rs]
+        assert vals == sorted(vals, reverse=True), (user, vals)
+
+
+def test_rolling_hll_within_five_pct_of_exact(spark):
+    exact = {
+        r.day: r.active_users_7d
+        for r in temporal.rolling_active_users(spark, SF_DIR).collect()
+    }
+    approx = {
+        r.day: r.active_users_7d
+        for r in temporal.rolling_active_users_approx(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, n, approx[day])
+
+
+def test_equidepth_buckets_are_balanced(spark):
+    """Equi-depth means bucket populations within interpolation slack
+    of n/k, and bucket ranges must tile without overlap."""
+    rows = sorted(
+        temporal.price_equidepth_histogram(spark, SF_DIR).collect(),
+        key=lambda r: r.bucket,
+    )
+    n = sum(r.n_items for r in rows)
+    k = temporal.EQUIDEPTH_NBUCKETS
+    assert [r.bucket for r in rows] == list(range(1, k + 1))
+    for r in rows:
+        assert abs(r.n_items - n / k) <= max(3, 0.02 * n), r
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo, (a, b)
+
+
+def test_chunk_dedup_keeps_first_occurrence_only(spark):
+    """Synthetic corpus: doc 0 and doc 2 share an identical 10-word
+    chunk; only doc 0 (the first occurrence) may keep it."""
+    k = dedup.CHUNK_WORDS
+    shared = " ".join(f"w{i}" for i in range(k))
+    uniq_a = " ".join(f"a{i}" for i in range(k))
+    uniq_b = " ".join(f"b{i}" for i in range(k))
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs = spark.createDataFrame(
+            [
+                (0, f"{shared} {uniq_a}", "en", "syn", 0),
+                (1, uniq_b, "en", "syn", 0),
+                (2, f"{uniq_b} {shared}", "en", "syn", 0),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r.doc_id: r for r in dedup.dedup_chunk_exact(spark, td).collect()
+        }
+        assert out[0].clean_text == f"{shared} {uniq_a}"
+        assert out[0].n_kept == 2
+        # doc 1 owns uniq_b (first occurrence beats doc 2's copy)
+        assert out[1].clean_text == uniq_b
+        # doc 2 loses BOTH chunks → empty text, zero kept
+        assert out[2].clean_text == ""
+        assert (out[2].n_chunks, out[2].n_kept) == (2, 0)

@@ -34,6 +34,9 @@ def norm(v):
     return str(v)
 
 qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+only = set(sys.argv[1:])
+if only:
+    qs = {k: v for k, v in qs.items() if k in only}
 fails = 0
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF)
