@@ -49,6 +49,11 @@ HEADLINE = (
     "text_repetition",
     "sequence_packing",
     "events_cube",
+    "dedup_chunk_exact",
+    "events_time_rollup",
+    "rolling_active_users",
+    "rolling_active_users_approx",
+    "top_events_per_user",
 )
 
 
