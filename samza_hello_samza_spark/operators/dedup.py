@@ -375,11 +375,14 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     precomputed words column — no word-level explode, no word-level
     shuffle, no string_agg regroup), so the only explode is 1/k the
     word count. The first-occurrence winner is ``min(struct(doc_id,
-    grp))`` grouped by the chunk's xxhash64 — an 8-byte shuffle key;
-    chunk text itself never shuffles for the winner computation, only
-    for the final per-doc reassembly, which groups by doc_id (the
-    table's natural key). At 100 TB every stage is an equi-shuffle on
-    a compact key; nothing is quadratic in corpus size.
+    grp, chunk))`` grouped by the chunk's xxhash64: (doc_id, grp) is
+    unique per row, so the struct min IS the first occurrence, and the
+    winning chunk text rides along inside the aggregate — the winner
+    rows need NO join back to the exploded chunks (one shuffle on an
+    8-byte key instead of shuffle + wide re-join). The per-doc chunk
+    counts aggregate a text-free projection. At 100 TB every stage is
+    an equi-shuffle on a compact key; nothing is quadratic in corpus
+    size.
     """
     docs = load_table(spark, sf_dir, "documents")
     k = CHUNK_WORDS
@@ -400,16 +403,12 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("grp", "chunk"),
     ).withColumn("h", F.xxhash64("chunk"))
-    winners = chunked.groupBy("h").agg(
-        F.min(F.struct("doc_id", "grp")).alias("first_at")
-    )
-    kept = (
-        chunked.join(winners, "h")
-        .filter(
-            (F.col("doc_id") == F.col("first_at.doc_id"))
-            & (F.col("grp") == F.col("first_at.grp"))
-        )
-        .select("doc_id", "grp", "chunk")
+    kept = chunked.groupBy("h").agg(
+        F.min(F.struct("doc_id", "grp", "chunk")).alias("first_at")
+    ).select(
+        F.col("first_at.doc_id").alias("doc_id"),
+        F.col("first_at.grp").alias("grp"),
+        F.col("first_at.chunk").alias("chunk"),
     )
     per_doc = kept.groupBy("doc_id").agg(
         F.concat_ws(
@@ -421,16 +420,18 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    return (
-        chunked.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_chunks"))
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_chunks",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        )
+    # per-doc totals need no explode: n_chunks is array math on the
+    # words column (a second column-pruned scan, not a re-aggregation
+    # of the exploded chunks).
+    counts = words.select(
+        "doc_id",
+        F.ceil(F.size("words") / k).cast("bigint").alias("n_chunks"),
+    ).filter(F.col("n_chunks") > 0)
+    return counts.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
 
 

@@ -309,6 +309,43 @@ def price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking-window surface per nation: rank, dense_rank,
+    percent_rank, cume_dist, ntile — one partitioned window.
+
+    The window partitions by nation (25 partitions, each a bounded
+    customer set): one hash shuffle, per-partition sort, no global
+    ordering anywhere. Revenue is rounded BEFORE ranking (cross-engine
+    float noise flips winners otherwise) and ntile gets a c_custkey
+    tiebreak because ntile, unlike rank, is not tie-stable.
+    """
+    from ..functions.hints import maybe_broadcast
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(maybe_broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "revenue")
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    return rev.select(
+        "n_name",
+        "c_custkey",
+        "revenue",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "events_time_rollup": """
         SELECT GROUPING(day) * 4 + GROUPING(hour) * 2 + GROUPING(minute) AS lvl,
@@ -376,6 +413,24 @@ ORACLES: dict[str, str] = {
         )
         GROUP BY bucket
     """,
+    "customer_revenue_rank": """
+        WITH rev AS (
+            SELECT n_name, c_custkey,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, c_custkey
+        )
+        SELECT n_name, c_custkey, revenue,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS dense_rnk,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               ntile(4) OVER w AS quartile
+        FROM rev
+        WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, c_custkey)
+    """,
     "rolling_active_users": f"""
         WITH ud AS (
             SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
@@ -416,4 +471,5 @@ QUERIES = {
     "rolling_active_users": rolling_active_users,
     "rolling_active_users_approx": rolling_active_users_approx,
     "price_equidepth_histogram": price_equidepth_histogram,
+    "customer_revenue_rank": customer_revenue_rank,
 }

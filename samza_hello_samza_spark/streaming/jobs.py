@@ -258,3 +258,107 @@ def stateful_totals_job(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_GAP_SEC = 1800  # matches the batch session ops (30-min gap)
+
+SESSIONIZE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_epoch", LongType()),
+        StructField("session_end_epoch", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _update_sessions(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom gap-based sessionizer — the hand-rolled KV-store-plus-
+    timers pattern (Samza's window() callback + store) expressed as
+    applyInPandasWithState: state holds the open session, in-batch
+    gaps close sessions immediately, and an event-time timer closes
+    the trailing session once the watermark passes its gap.
+
+    Unlike session_counts_job (built-in session_window — prefer it
+    when semantics fit), a custom sessionizer can carry arbitrary
+    per-session state; this one exists to pin the pattern down with
+    cross-batch merge + timeout tests.
+    """
+    user = key[0]
+    closed: list[tuple[int, int, int]] = []
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user],
+                "session_start_epoch": [start],
+                "session_end_epoch": [last],
+                "n_events": [n],
+            }
+        )
+        return
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = None  # type: ignore[assignment]
+        n = 0
+    secs: list[int] = []
+    for pdf in pdfs:
+        secs.extend(int(s) for s in pdf["sec"])
+    for s in sorted(secs):
+        if start is None:
+            start = last = s
+            n = 1
+        elif s - last >= SESSION_GAP_SEC:
+            closed.append((start, last, n))
+            start = last = s
+            n = 1
+        else:
+            last = s
+            n += 1
+    state.update((int(start), int(last), int(n)))
+    # event-time timer: fire once the watermark passes last + gap (the
+    # max() guard keeps the timer legal when this key's last event is
+    # far behind the global watermark).
+    state.setTimeoutTimestamp(
+        max((int(last) + SESSION_GAP_SEC) * 1000, state.getCurrentWatermarkMs() + 1)
+    )
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user] * len(closed),
+                "session_start_epoch": [c[0] for c in closed],
+                "session_end_epoch": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+
+def sessionize_job(events: DataFrame) -> DataFrame:
+    """Custom stateful sessionization (gap = SESSION_GAP_SEC).
+
+    Emits each CLOSED session exactly once (append mode): sessions
+    closed by an in-batch gap emit in that batch; the trailing open
+    session emits when its event-time timer fires. State per key is
+    three longs — bounded regardless of session length.
+    """
+    ev = events.withWatermark("ts", WATERMARK).select(
+        "user_id", F.unix_timestamp("ts").alias("sec"), "ts"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        outputStructType=SESSIONIZE_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

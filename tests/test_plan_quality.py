@@ -124,3 +124,43 @@ def test_filter_pushdown_reaches_scan(spark, name, scan_filter):
     assert re.search(scan_filter, plan), (
         f"{name}: expected pushed filter /{scan_filter}/ in scan\n{plan[:2000]}"
     )
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: a selective filter on the build
+    side of a shuffle join must inject a bloom filter into the probe
+    side's scan stage — at 100 TB this skips most of the fact-table
+    read for free. Thresholds are lowered so sf0.001 qualifies; the
+    assertion is on the optimized plan's injected predicate."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.session import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # sf0.001's lineitem is far below the 10GB production default;
+        # zero the floor so the tiny test scan qualifies.
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150_000)
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:3000]
+        assert j.collect()[0]["count"] > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

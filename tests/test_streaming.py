@@ -253,3 +253,85 @@ def test_curation_stream_matches_batch(spark):
     got_q = {r.text_hash: r.quality_score for r in got}
     want_q = {r.text_hash: r.quality_score for r in want}
     assert got_q == want_q
+
+
+def test_sessionize_closed_sessions_match_batch_splits(spark, batch_events, stream_events):
+    """Single data batch: sessions closed by in-batch gaps must match
+    the batch gap-split computation, and availableNow's final
+    timer-processing batch must ALSO close every trailing session
+    whose (last + gap) timer lies at or behind the final watermark."""
+    got = _rows_set(
+        run_stream_to_memory(jobs.sessionize_job(stream_events), mode="append"),
+        ["user_id", "session_start_epoch", "session_end_epoch", "n_events"],
+    )
+    from pyspark.sql import functions as F
+
+    per_user: dict[int, list[int]] = {}
+    for r in batch_events.select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    ).collect():
+        per_user.setdefault(r.user_id, []).append(r.sec)
+    max_us = batch_events.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0].m
+    final_wm_ms = max_us // 1000 - 600_000  # 10-minute watermark delay
+    want = []
+    for user, secs in per_user.items():
+        secs.sort()
+        start = last = secs[0]
+        n = 1
+        for s in secs[1:]:
+            if s - last >= jobs.SESSION_GAP_SEC:
+                want.append((user, start, last, n))
+                start = last = s
+                n = 1
+            else:
+                last = s
+                n += 1
+        if (last + jobs.SESSION_GAP_SEC) * 1000 <= final_wm_ms:
+            want.append((user, start, last, n))  # timer-closed trailing session
+    assert got == sorted(want)
+
+
+def test_sessionize_merges_across_batches_and_times_out(spark, tmp_path):
+    """Three single-file batches: a session spanning batches 1-2 merges
+    in state and closes on batch 2's gap; a quiet user's trailing
+    session closes via the event-time timer once batch 3's data pushes
+    the watermark past its gap."""
+    from pyspark.sql import functions as F
+
+    t0 = 1_700_000_000
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    batches = [
+        [(1, t0), (1, t0 + 100), (2, t0)],      # A: user1 open, user2 open
+        [(1, t0 + 5000)],                        # B: gap closes user1's first
+        [(99, t0 + 100_000)],                    # C: watermark fires user2's timer
+    ]
+    for i, rows in enumerate(batches):
+        path = os.path.join(src, f"b{i}.parquet")
+        spark.createDataFrame(
+            [(u, s) for u, s in rows], "user_id long, sec long"
+        ).select("user_id", F.timestamp_seconds("sec").alias("ts")).coalesce(
+            1
+        ).write.parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1000 + i, 1000 + i))
+        os.utime(path, (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    got = _rows_set(
+        run_stream_to_memory(jobs.sessionize_job(stream), mode="append"),
+        ["user_id", "session_start_epoch", "session_end_epoch", "n_events"],
+    )
+    assert got == sorted(
+        [
+            (1, t0, t0 + 100, 2),          # closed by the in-batch gap in B
+            (1, t0 + 5000, t0 + 5000, 1),  # timer-closed once C's watermark passes
+            (2, t0, t0, 1),                # closed by event-time timeout in C
+            # user 99's session stays open: its timer (t0+101800) is
+            # beyond the final watermark (t0+99400).
+        ]
+    )
