@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_table
@@ -435,6 +435,46 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster.
+
+    Clustering alone doesn't curate — the pipeline must pick which
+    copy to KEEP. Standard policy: the longest document wins (most
+    content preserved), doc_id breaks ties deterministically. One row
+    per cluster: the canonical doc, the cluster size, and how many
+    duplicate docs get dropped.
+
+    The rank window partitions by cluster_id — near-dup components
+    are small by construction (bounded by MAX_BUCKET upstream), so
+    per-partition load is bounded; cluster sizes come from the same
+    joined frame (one shuffle on cluster_id serves both the window
+    and the aggregate).
+    """
+    labels = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    canon = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_chars").alias("canonical_chars"),
+        )
+    )
+    sizes = j.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    return canon.join(sizes, "cluster_id").select(
+        "cluster_id",
+        "canonical_doc_id",
+        "canonical_chars",
+        "n_docs",
+        (F.col("n_docs") - 1).alias("n_dropped"),
+    )
+
+
 _SHINGLES_SQL = """
     WITH w AS (
         SELECT doc_id,
@@ -446,6 +486,36 @@ _SHINGLES_SQL = """
                unnest(list_transform(generate_series(1, len(words) - 2),
                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
         FROM w
+    )
+"""
+
+#: shared recursive-CTE prefix: jaccard pairs → connected components,
+#: ending with a `clusters(doc_id, cluster_id)` CTE ready to extend.
+_CLUSTERS_CTE = _SHINGLES_SQL.replace("WITH", "WITH RECURSIVE", 1) + """
+    , counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN counts na ON na.doc_id = doc_a
+        JOIN counts nb ON nb.doc_id = doc_b
+        WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    clusters AS (
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
     )
 """
 
@@ -478,31 +548,29 @@ ORACLES: dict[str, str] = {
     JOIN counts nb ON nb.doc_id = doc_b
     WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
     """,
-    "dedup_clusters": _SHINGLES_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    "dedup_clusters": _CLUSTERS_CTE
     + """
-    , counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
+    SELECT doc_id, cluster_id FROM clusters
+    """,
+    "dedup_canonical": _CLUSTERS_CTE
+    + """
+    , j AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars
+        FROM clusters c JOIN documents d USING (doc_id)
     ),
-    pairs AS (
-        SELECT doc_a, doc_b FROM inter
-        JOIN counts na ON na.doc_id = doc_a
-        JOIN counts nb ON nb.doc_id = doc_b
-        WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+    ranked AS (
+        SELECT cluster_id, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM j
     ),
-    edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(id, r) AS (
-        SELECT a, a FROM edges
-        UNION
-        SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
-    )
-    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    sizes AS (SELECT cluster_id, count(*) AS n_docs FROM j GROUP BY cluster_id)
+    SELECT r.cluster_id, r.doc_id AS canonical_doc_id,
+           r.n_chars AS canonical_chars,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.n_docs - 1 AS BIGINT) AS n_dropped
+    FROM ranked r JOIN sizes s USING (cluster_id) WHERE rn = 1
     """,
     "dedup_embedding": """
         WITH e AS (
@@ -567,4 +635,5 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
     "dedup_chunk_exact": dedup_chunk_exact,
+    "dedup_canonical": dedup_canonical,
 }

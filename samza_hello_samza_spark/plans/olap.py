@@ -334,7 +334,50 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics: extract a field from the
+    JSON ``props`` column and aggregate it per event type.
+
+    Samza's JsonSerdeV2 deserializes payloads at ingest
+    (reference PageViewProfileJoin uses JSON-serialized streams);
+    the Spark-first equivalent keeps the payload as a string column
+    and extracts lazily with ``get_json_object`` — JVM-side JsonPath,
+    whole-stage codegen, no Python. The extraction sits under the
+    aggregation, so only the extracted long (not the JSON string)
+    enters the shuffle, and the output is one row per event type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "events_props_stats": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(k) AS BIGINT) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               round(avg(k), 4) AS avg_k,
+               min(k) AS min_k,
+               max(k) AS max_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        GROUP BY event_type
+    """,
     "events_funnel": """
         WITH v AS (
             SELECT user_id, min(ts) AS t1 FROM events
@@ -514,4 +557,5 @@ QUERIES = {
     "customer_value_segments": customer_value_segments,
     "events_funnel": events_funnel,
     "cohort_retention": cohort_retention,
+    "events_props_stats": events_props_stats,
 }

@@ -23,6 +23,7 @@ _MODULES = (
     "samza_hello_samza_spark.operators.dedup",
     "samza_hello_samza_spark.operators.similarity",
     "samza_hello_samza_spark.operators.text_analysis",
+    "samza_hello_samza_spark.operators.retrieval",
     "samza_hello_samza_spark.operators.text_filters",
     "samza_hello_samza_spark.operators.multimodal",
     "samza_hello_samza_spark.operators.asof",

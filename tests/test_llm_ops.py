@@ -5,13 +5,20 @@ from __future__ import annotations
 
 import pytest
 
-from samza_hello_samza_spark.operators import dedup, multimodal, similarity, text_analysis
+from samza_hello_samza_spark.operators import (
+    dedup,
+    multimodal,
+    retrieval,
+    similarity,
+    text_analysis,
+)
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 ORACLED = {
     **{n: (dedup.QUERIES[n], dedup.ORACLES[n]) for n in dedup.ORACLES},
     **{n: (similarity.QUERIES[n], similarity.ORACLES[n]) for n in similarity.ORACLES},
     **{n: (text_analysis.QUERIES[n], text_analysis.ORACLES[n]) for n in text_analysis.ORACLES},
+    **{n: (retrieval.QUERIES[n], retrieval.ORACLES[n]) for n in retrieval.ORACLES},
 }
 
 

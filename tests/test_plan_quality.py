@@ -46,6 +46,8 @@ NONEQUI_OK = {
     "price_equidepth_histogram",  # 1-row quantile-bounds broadcast
     "sequence_packing",     # triangular join over tiny bucket totals (prefix sum)
     "corpus_vocab_stats",   # two 1-row aggregates broadcast-crossed
+    "bm25_search",          # 1-row corpus-stats (N, avgdl) broadcast
+    "tfidf_top_terms",      # 1-row corpus-count broadcast
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_batch_topk",       # query-batch broadcast scoring
