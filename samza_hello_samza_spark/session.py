@@ -111,6 +111,31 @@ def cluster_conf(
 _NANOS_TS_COLUMNS = {"events": ("ts",)}
 
 
+def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Convert an int64-nanos column to a µs timestamp, if needed.
+
+    Driver testdata has shipped both encodings across rounds:
+    TIMESTAMP(NANOS) (read as long under nanosAsLong) and plain
+    TIMESTAMP(MICROS) (read as timestamp directly). Guarding on the
+    actual dtype makes every consumer — batch loader, streaming file
+    sources, tests — robust to either. The long path uses true integer
+    division (`div`): int64 nanos (~1.8e18) exceed double's 2^53
+    mantissa, so a float divide drifts ±1µs vs DuckDB's integer
+    truncation of the same files.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if isinstance(df.schema[col].dataType, LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    elif isinstance(df.schema[col].dataType, TimestampNTZType):
+        # session timezone is pinned to UTC, so this cast reinterprets
+        # the same wall-clock instant; LTZ is required by streaming
+        # watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise).
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table.
 
@@ -118,21 +143,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     full predicate pushdown + column pruning; callers filter/select
     directly on the result so Catalyst prunes at the source.
     """
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
     # Runtime-set (not only in our builder): the driver harness hands us
     # ITS session, which won't have this conf. It is a SQL conf, so
     # setting it per-session here is safe and idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLUMNS.get(name, ()):
-        if isinstance(df.schema[col].dataType, LongType):
-            # nanos → micros by true integer division (`div`): int64 nanos
-            # (~1.8e18) exceed double's 2^53 mantissa, so a float path
-            # (F.col/1000 + floor) drifts by ±1µs on ~12% of rows vs
-            # DuckDB's integer truncation of the same files.
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        df = normalize_nanos_ts(df, col)
     return df
 
 

@@ -40,6 +40,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The nanos→micros timestamp conversion matches session.load_table.
     """
+    from ..session import normalize_nanos_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # file streaming sources need a directory; pathGlobFilter narrows
@@ -49,9 +51,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # true integer division: int64 nanos exceed double's mantissa, a
-    # float path would drift ±1µs vs the batch loader (session.py).
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    return normalize_nanos_ts(stream)
 
 
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

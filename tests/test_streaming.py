@@ -15,7 +15,7 @@ import shutil
 import pytest
 
 from samza_hello_samza_spark.operators import samza_surface
-from samza_hello_samza_spark.session import load_table
+from samza_hello_samza_spark.session import load_table, normalize_nanos_ts
 from samza_hello_samza_spark.streaming import jobs, sources
 from samza_hello_samza_spark.streaming.runner import run_stream_to_memory
 from tests.conftest import SF_DIR
@@ -163,8 +163,8 @@ def test_dedup_events_drops_redelivered(spark, tmp_path, batch_events):
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
     )
+    stream = normalize_nanos_ts(stream)
     rows = run_stream_to_memory(jobs.dedup_events_job(stream), mode="append")
     ids = [r.event_id for r in rows]
     assert len(ids) == len(set(ids)), "duplicates survived"
@@ -189,8 +189,8 @@ def test_stateful_totals_accumulate_across_batches(spark, tmp_path, batch_events
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
     )
+    stream = normalize_nanos_ts(stream)
     rows = run_stream_to_memory(jobs.stateful_totals_job(stream), mode="update")
     finals = {}
     for r in rows:  # memory sink appends each update; last one wins
