@@ -269,6 +269,144 @@ def append_ivf_index(spark: SparkSession, index_dir: str, vectors: DataFrame) ->
     )
 
 
+# --------------------------------------------------------------------------
+# PQ (product quantization) index
+# --------------------------------------------------------------------------
+
+#: Lloyd iterations / sample size for the deterministic codebook fit.
+PQ_TRAIN_ROWS = 512
+PQ_TRAIN_ITERS = 5
+
+
+def _fit_codebooks(train: np.ndarray, m: int, ksub: int) -> np.ndarray:
+    """Deterministic per-subspace k-means: first-k init + fixed Lloyd
+    iterations over a bounded training sample. Returns (m, ksub, dsub)."""
+    dim = train.shape[1]
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for sub in range(m):
+        x = train[:, sub * dsub : (sub + 1) * dsub]
+        c = x[:ksub].copy()
+        for _ in range(PQ_TRAIN_ITERS):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(ksub):
+                pts = x[assign == k]
+                if len(pts):
+                    c[k] = pts.mean(axis=0)
+        books[sub] = c
+    return books
+
+
+def build_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 8,
+    ksub: int = 16,
+    out_dir: str | None = None,
+) -> str:
+    """Product-quantize the corpus: per-vector M subspace codes, no vectors.
+
+    The 100 TB memory story: a 64-dim float32 vector is 256 bytes; its
+    PQ form is M=8 one-byte codes — 32× smaller. The codes table is
+    written WITHOUT the raw vectors (columnar: vec_id + m tinyint
+    columns), so the ADC scan reads a few bytes per vector and the full
+    vectors are touched only for the final candidate re-rank.
+
+    Codebooks are fit deterministically (first-k init, fixed Lloyd
+    iterations, first ``PQ_TRAIN_ROWS`` vectors as the training sample —
+    a bounded collect like IVF's seed set) and stored alongside at
+    ``codebooks/`` as (sub, k, centroid) rows.
+    """
+    out_dir = out_dir or os.path.join(_index_root(), _tag(sf_dir), "pq")
+    codes_dir = os.path.join(out_dir, "codes")
+    books_dir = os.path.join(out_dir, "codebooks")
+    if _is_built(codes_dir) and _is_built(books_dir):
+        return out_dir
+    e = _embeddings(spark, sf_dir)
+    train_rows = e.filter(F.col("vec_id") < PQ_TRAIN_ROWS).orderBy("vec_id").collect()
+    train = np.stack([np.asarray(r.v) for r in train_rows])
+    books = _fit_codebooks(train, m, ksub)
+    dsub = train.shape[1] // m
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        codes = np.empty((len(emb), m), dtype=np.int32)
+        for sub in range(m):
+            x = mat[:, sub * dsub : (sub + 1) * dsub]
+            d2 = ((x[:, None, :] - books[sub][None, :, :]) ** 2).sum(axis=2)
+            codes[:, sub] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    coded = e.withColumn("codes", encode(F.col("v")))
+    (
+        coded.select(
+            "vec_id",
+            *[
+                F.element_at(F.col("codes"), i + 1).cast("int").alias(f"code_{i}")
+                for i in range(m)
+            ],
+        )
+        .write.mode("overwrite")
+        .parquet(codes_dir)
+    )
+    book_rows = [
+        (sub, k, [float(x) for x in books[sub][k]])
+        for sub in range(m)
+        for k in range(ksub)
+    ]
+    (
+        spark.createDataFrame(book_rows, "sub int, k int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(books_dir)
+    )
+    return out_dir
+
+
+def probe_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    qvec: np.ndarray,
+    n_candidates: int,
+) -> DataFrame:
+    """ADC scan: rank by table lookups over the codes-only table.
+
+    Asymmetric distance computation — the query is NOT quantized; its
+    dot product with every codebook centroid is precomputed driver-side
+    into M lookup tables of ``ksub`` floats, inlined as array literals.
+    The scan then scores each vector as Σ_m table_m[code_m]: M
+    ``element_at`` calls per row, whole-stage codegen, reading ONLY the
+    code columns (a few bytes/vector — the raw vectors never leave
+    disk), and the top ``n_candidates`` come back via
+    TakeOrderedAndProject. Returns (vec_id, adc_score) candidates for
+    exact re-rank by the caller.
+    """
+    books = spark.read.parquet(os.path.join(index_dir, "codebooks")).collect()
+    m = max(r.sub for r in books) + 1
+    ksub = max(r.k for r in books) + 1
+    dsub = len(books[0].centroid)
+    table = np.zeros((m, ksub))
+    for r in books:
+        table[r.sub][r.k] = float(
+            np.dot(qvec[r.sub * dsub : (r.sub + 1) * dsub], np.asarray(r.centroid))
+        )
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    score = None
+    for sub in range(m):
+        lut = F.array(*[F.lit(float(x)) for x in table[sub]])
+        term = F.element_at(lut, F.col(f"code_{sub}") + 1)
+        score = term if score is None else (score + term)
+    return (
+        codes.select("vec_id", score.alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(n_candidates)
+    )
+
+
 def probe_ivf_index(
     spark: SparkSession, index_dir: str, qvec: np.ndarray, nprobe: int
 ) -> DataFrame:

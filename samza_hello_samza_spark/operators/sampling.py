@@ -1,0 +1,350 @@
+"""Corpus sampling & mixture-control operators.
+
+The data-mixture layer of an LLM training pipeline: which documents,
+from which sources and languages, in what proportions. Every operator
+is seed-free deterministic (md5-derived uniforms, as in
+``sample_stratified``) so re-running the pipeline reselects the exact
+same subset — the property that makes downstream caches, incremental
+re-builds, and ablation comparisons valid at 100 TB.
+
+- mixture_sample        : temperature-scaled language re-weighting
+                          (the multilingual up/down-sampling pass,
+                          α = 0.5 via sqrt so both engines agree to
+                          the last bit — IEEE sqrt is correctly
+                          rounded, pow(x, 0.5) need not be)
+- weighted_sample       : exact weighted random sample without
+                          replacement (A-ES key ordering), planned as
+                          distributed top-k — TakeOrderedAndProject,
+                          never a global sort
+- domain_stats          : per-source mixture report (doc/token share,
+                          language spread) — the dashboard behind
+                          mixture decisions
+- quality_classifier    : hashed bag-of-words linear scorer
+                          (fasttext-shaped): per-row array math only,
+                          ZERO shuffle — the keep/drop decision is
+                          exact integer arithmetic in both engines
+- phrase_search         : exact-adjacency phrase match via per-row
+                          positional scan (no shuffle; the
+                          inverted-index variant for repeated queries
+                          lives in operators/retrieval.py)
+
+Scale notes (100 TB):
+- mixture rates derive from a languages-sized aggregate (≤ handful of
+  rows) crossed back as a broadcast — never a global window.
+- weighted_sample's k rows bound both memory and the final single
+  merge; the per-partition heaps do the heavy lifting.
+- quality_classifier and phrase_search read the corpus once and
+  shuffle nothing; scores ride the scan in one codegen'd projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table
+from .dedup import _words
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+#: temperature exponent α = 0.5 (sqrt): rare languages are up-weighted
+#: relative to their natural share, the standard multilingual mix knob.
+
+
+def _md5_bucket(col: F.Column, mod: int = 100) -> F.Column:
+    """First 8 hex digits of md5 → uniform integer bucket, engine-portable."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % mod
+    )
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language re-sampling (α = 0.5).
+
+    Target mixture share ∝ natural_share^α with α = 0.5, so each
+    language's keep-rate is ∝ sqrt(n)/n = 1/sqrt(n), normalized so
+    the *rarest* language keeps 100%: common languages are
+    down-sampled, expected kept counts go as sqrt(n), and the mixture
+    flattens toward uniform — the multilingual temperature-sampling
+    pass. The rate table is a languages-sized aggregate (a handful of
+    rows) crossed with its own 1-row min — both broadcast; the corpus
+    is then filtered by the deterministic md5 bucket, so the whole
+    plan is one corpus scan plus two tiny aggregates.
+
+    sqrt (not pow(·, 0.5)) because IEEE-754 sqrt is correctly rounded
+    in every engine, so the floor'd integer rates match exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    min_n = counts.agg(F.min(F.col("n_docs")).alias("min_n"))
+    rates = (
+        counts.crossJoin(F.broadcast(min_n))  # languages-sized: ≤ dozens of rows
+        .select(
+            "lang",
+            F.floor(F.lit(100) * F.sqrt(F.col("min_n") / F.col("n_docs")))
+            .cast("int")
+            .alias("rate_pct"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(_md5_bucket(F.col("doc_id")) < F.col("rate_pct"))
+        .select("doc_id", "lang", "source", "rate_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+#: sample size for the weighted draw.
+WEIGHTED_K = 100
+#: 13 hex digits = 52 uniform bits — fits double's mantissa exactly.
+_U_HEX_DIGITS = 13
+_U_DENOM = float(1 << 52)
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sample without replacement, weight = n_chars.
+
+    The Efraimidis–Spirakis A-ES scheme: each doc draws a deterministic
+    uniform u ∈ (0,1] from md5(doc_id) and gets key = ln(u)/weight;
+    the k largest keys ARE a weighted sample without replacement. The
+    k-row top-k plans as TakeOrderedAndProject (per-partition heaps +
+    single k-row merge), so the "random sample" costs one scan and
+    moves k rows — no global sort, no seed, no driver-side RNG state,
+    and any re-run or partial recompute selects the identical sample.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, _U_HEX_DIGITS), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_U_DENOM)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").alias("weight"),
+            F.round(key, 9).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+        .limit(WEIGHTED_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain_stats
+# ---------------------------------------------------------------------------
+
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture report: doc/char share, language spread.
+
+    The table a data-mixture owner actually reads before changing
+    sampling weights. One groupBy(source) over the corpus (sources are
+    a small keyspace → tiny shuffle), then corpus totals ride in as a
+    1-row broadcast — the nation_revenue_share pattern, never a global
+    window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("all_docs"),
+        F.sum("n_chars").cast("double").alias("all_chars"),
+    )
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "avg_chars",
+        F.round(F.col("n_docs") / F.col("all_docs"), 6).alias("doc_share"),
+        F.round(F.col("total_chars") / F.col("all_chars"), 6).alias("char_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier
+# ---------------------------------------------------------------------------
+
+#: hashed feature space (buckets) and the Knuth multiplicative constant
+#: deriving a fixed pseudo-random weight per bucket. The model is a
+#: stand-in for a trained fasttext-style linear scorer: the *plumbing*
+#: (hash → weight lookup → mean → sigmoid, all in one projection) is
+#: exactly what the real model needs; swap `_bucket_weight_int` for a
+#: broadcast weight array to deploy learned weights.
+N_BUCKETS = 1024
+_KNUTH = 2654435761
+_WMOD = 1997  # prime → weights cover [-1, 1) densely
+
+
+def _bucket_weight_int(word: F.Column) -> F.Column:
+    """Integer weight in [0, 1996] for a word's hash bucket — exact in
+    both engines (pure int64 arithmetic, no floats until the very end)."""
+    bucket = (
+        F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("long") % N_BUCKETS
+    )
+    return (bucket * _KNUTH) % _WMOD
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear quality scorer — zero shuffle.
+
+    fasttext-shaped inference: every word hashes into one of
+    ``N_BUCKETS`` feature buckets, each bucket carries a fixed weight,
+    the doc's raw score is the mean weight, squashed by a sigmoid.
+    The whole model runs as per-row array math (transform + aggregate
+    higher-order functions) inside the corpus scan: no explode, no
+    shuffle, no Python. The keep decision compares *integer* sums —
+    ``2·Σw_int ≥ 1997·n`` ⟺ mean centered weight ≥ 0 — so keep/drop
+    is bit-exact across engines even though the sigmoid is float.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    sum_int = F.aggregate(
+        F.transform(words, _bucket_weight_int),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    n = F.size(words)
+    raw = sum_int / (F.lit(_WMOD / 2.0) * n) - F.lit(1.0)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_words"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("quality_prob"),
+        (F.lit(2) * sum_int >= F.lit(_WMOD) * n).cast("int").alias("keep"),
+    ).filter(n > 0)
+
+
+# ---------------------------------------------------------------------------
+# phrase_search
+# ---------------------------------------------------------------------------
+
+#: the query phrase — two adjacent tokens, present in the synthetic vocab.
+PHRASE = ("table", "scan")
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-adjacency phrase match, counted per document.
+
+    For a one-off phrase query the optimal distributed plan is a
+    per-row positional scan: count positions i where
+    words[i] = 'table' ∧ words[i+1] = 'scan' via a filtered index
+    sequence — one corpus scan, zero shuffle, zero row amplification.
+    (An inverted index with positions only pays off for *repeated*
+    queries; that standing-index shape is ``operators/retrieval.py``.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    first, second = PHRASE
+    hits = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: (F.element_at(words, i) == first)
+            & (F.element_at(words, (i + 1).cast("int")) == second),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", hits.alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+ORACLES: dict[str, str] = {
+    "mixture_sample": """
+        WITH counts AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        rates AS (
+            SELECT lang,
+                   CAST(floor(100 * sqrt((SELECT CAST(min(n_docs) AS DOUBLE) FROM counts) / n_docs)) AS INT)
+                       AS rate_pct
+            FROM counts
+        )
+        SELECT d.doc_id, d.lang, d.source, r.rate_pct
+        FROM documents d JOIN rates r USING (lang)
+        WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+              < r.rate_pct
+    """,
+    "weighted_sample": f"""
+        SELECT doc_id, lang, n_chars AS weight,
+               round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, {_U_HEX_DIGITS})) AS BIGINT) + 1.0)
+                        / {_U_DENOM}) / n_chars, 9) AS sample_key
+        FROM documents
+        ORDER BY sample_key DESC, doc_id
+        LIMIT {WEIGHTED_K}
+    """,
+    "domain_stats": """
+        WITH tot AS (
+            SELECT CAST(count(*) AS DOUBLE) AS all_docs,
+                   CAST(sum(n_chars) AS DOUBLE) AS all_chars
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(count(*) / max(t.all_docs), 6) AS doc_share,
+               round(sum(n_chars) / max(t.all_chars), 6) AS char_share
+        FROM documents CROSS JOIN tot t
+        GROUP BY source
+    """,
+    "quality_classifier": f"""
+        WITH tok AS (
+            SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang, len(words) AS n,
+                   list_sum(list_transform(words,
+                       w -> (CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % {N_BUCKETS})
+                            * {_KNUTH} % {_WMOD})) AS sum_int
+            FROM tok WHERE len(words) > 0
+        )
+        SELECT doc_id, lang,
+               CAST(n AS BIGINT) AS n_words,
+               round(1.0 / (1.0 + exp(-(sum_int / ({_WMOD / 2.0} * n) - 1.0))), 6) AS quality_prob,
+               CAST(2 * sum_int >= {_WMOD} * n AS INT) AS keep
+        FROM scored
+    """,
+    "phrase_search": f"""
+        WITH tok AS (
+            SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST(len(list_filter(generate_series(1, len(words) - 1),
+                    i -> words[i] = '{PHRASE[0]}' AND words[i + 1] = '{PHRASE[1]}'))
+                    AS BIGINT) AS n_matches
+        FROM tok
+        WHERE len(list_filter(generate_series(1, len(words) - 1),
+              i -> words[i] = '{PHRASE[0]}' AND words[i + 1] = '{PHRASE[1]}')) > 0
+    """,
+}
+
+QUERIES = {
+    "mixture_sample": mixture_sample,
+    "weighted_sample": weighted_sample,
+    "domain_stats": domain_stats,
+    "quality_classifier": quality_classifier,
+    "phrase_search": phrase_search,
+}

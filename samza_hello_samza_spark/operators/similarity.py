@@ -158,6 +158,32 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank(cand, qvec)
 
 
+PQ_M = 8
+PQ_KSUB = 16
+PQ_CANDIDATES = 64
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: ADC candidate scan + exact re-rank.
+
+    The memory-bound serving path: the corpus lives as M=8 one-byte
+    codes per vector (32× smaller than float32), the probe ranks the
+    WHOLE corpus by asymmetric-distance table lookups while reading
+    only the code columns (column pruning is plan-asserted in tests),
+    and the raw vectors are touched just for the ``PQ_CANDIDATES``
+    finalists' exact-cosine re-rank — a broadcast semi-join on vec_id.
+    Rows-only check (float argmin in the encoder isn't bit-stable
+    across engines); recall vs brute force is property-tested.
+    """
+    from . import ann_index
+
+    idx = ann_index.build_pq_index(spark, sf_dir, PQ_M, PQ_KSUB)
+    qvec = _query_vector(spark, sf_dir)
+    cand_ids = ann_index.probe_pq_index(spark, idx, qvec, PQ_CANDIDATES).select("vec_id")
+    cand = _embeddings(spark, sf_dir).join(F.broadcast(cand_ids), "vec_id", "left_semi")
+    return _rerank(cand, qvec)
+
+
 N_BATCH_QUERIES = 5
 BATCH_TOP_K = 5
 
@@ -260,6 +286,7 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "ann_batch_topk": ann_batch_topk,
     "embedding_centroids": embedding_centroids,
 }

@@ -25,6 +25,7 @@ _MODULES = (
     "samza_hello_samza_spark.operators.text_analysis",
     "samza_hello_samza_spark.operators.retrieval",
     "samza_hello_samza_spark.operators.text_filters",
+    "samza_hello_samza_spark.operators.sampling",
     "samza_hello_samza_spark.operators.multimodal",
     "samza_hello_samza_spark.operators.asof",
 )

@@ -143,14 +143,23 @@ class TopicLog:
             "recursiveFileLookup", "true"
         ).parquet(self._data_dir)
 
+    def read_from(self, offsets: dict[str, int]) -> DataFrame:
+        """Records at or past explicit per-partition offsets — the seek
+        primitive; callers owning their own offset store (e.g. a
+        transactional view manifest) use this instead of group state."""
+        if not offsets:  # empty map literal is untyped (map<void,void>)
+            return self.read_all()
+        floor = F.create_map(
+            *[x for p, o in offsets.items() for x in (F.lit(int(p)), F.lit(int(o)))]
+        )
+        return self.read_all().filter(
+            F.col("offset") >= F.coalesce(floor[F.col("partition")], F.lit(0))
+        )
+
     def read_batch(self, group: str) -> DataFrame:
         """Records past the group's committed offsets (at-least-once:
         calling again before ``commit`` returns the same records)."""
-        committed = self.committed(group)
-        floor = F.create_map(
-            *[x for p, o in committed.items() for x in (F.lit(int(p)), F.lit(o))]
-        )
-        return self.read_all().filter(F.col("offset") >= floor[F.col("partition")])
+        return self.read_from(self.committed(group))
 
     def end_offsets(self) -> dict[str, int]:
         return self._next_offsets()
@@ -163,3 +172,77 @@ class TopicLog:
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         return reader.parquet(self._data_dir)
+
+    # -- compaction --------------------------------------------------------
+
+    def data_batch_dirs(self) -> list[str]:
+        return sorted(
+            os.path.join(self._data_dir, d)
+            for d in os.listdir(self._data_dir)
+            if os.path.isdir(os.path.join(self._data_dir, d))
+        )
+
+    def compact(self) -> dict[str, int]:
+        """Kafka-style log compaction: retain the latest record per key.
+
+        The KV-changelog retention contract (Samza's changelog topics
+        are compacted exactly like this): for every key only the
+        highest-offset record survives; its (partition, offset, ts) are
+        UNCHANGED, so per-key ordering, committed group offsets, and the
+        high-water marks all stay valid — consumers simply stop seeing
+        superseded updates. Null-value records are tombstones and are
+        dropped entirely (Kafka ``delete`` semantics).
+
+        Plan shape: latest-per-key is an argmax via ``row_number`` over
+        ``partitionBy(key)`` — keys hash-spread across tasks, no global
+        sort — and the rewrite coalesces each topic-partition into one
+        file (segment merge). Single-writer contract, like Kafka's log
+        cleaner: don't compact concurrently with ``produce``.
+
+        Returns {"records_before", "records_after", "files_before",
+        "files_after"} so a maintenance loop can log its effect.
+        """
+        import shutil
+
+        from pyspark.sql import Window
+
+        old_dirs = self.data_batch_dirs()
+        if not old_dirs:
+            return {"records_before": 0, "records_after": 0, "files_before": 0, "files_after": 0}
+        all_rows = self.read_all()
+        n_before = all_rows.count()
+        files_before = sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for d in old_dirs
+            for _, _, files in os.walk(d)
+        )
+        w = Window.partitionBy("key").orderBy(F.desc("offset"))
+        compacted = (
+            all_rows.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & F.col("value").isNotNull())
+            .drop("_rn")
+        )
+        out = os.path.join(self._data_dir, f"compacted-{uuid.uuid4().hex}")
+        compacted.repartition("partition").write.mode("overwrite").parquet(out)
+        n_after = self.spark.read.parquet(out).count()
+        for d in old_dirs:
+            shutil.rmtree(d)
+        files_after = sum(
+            len([f for f in files if f.endswith(".parquet")])
+            for _, _, files in os.walk(out)
+        )
+        return {
+            "records_before": int(n_before),
+            "records_after": int(n_after),
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+
+    def maybe_compact(self, min_batches: int = 8) -> dict[str, int] | None:
+        """The maintenance-loop entry: compact when enough segment dirs
+        have accumulated (the analog of Kafka's ``min.cleanable.dirty
+        .ratio`` trigger), else do nothing. Call it after every N
+        produces or from a scheduled job; idempotent and cheap to skip."""
+        if len(self.data_batch_dirs()) < min_batches:
+            return None
+        return self.compact()

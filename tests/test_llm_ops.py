@@ -211,3 +211,39 @@ def test_multimodal_features_shape(spark):
     for r in rows[:20]:
         assert len(r.features) == multimodal.FEATURE_DIM
         assert all(0.0 <= v <= 1.0 for v in r.features)
+
+
+def test_ann_pq_recall(spark):
+    """PQ(ADC)+re-rank top-k overlaps brute-force top-k. With a 64-way
+    candidate re-rank out of the whole corpus, recall should beat the
+    bucketed methods on these near-uniform vectors."""
+    brute = [r.vec_id for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect()]
+    pq = similarity.ann_pq_topk(spark, SF_DIR).collect()
+    ids = [r.vec_id for r in pq]
+    assert len(ids) == similarity.TOP_K
+    cosines = [r.cosine for r in pq]
+    assert cosines == sorted(cosines, reverse=True)
+    overlap = len(set(brute) & set(ids)) / len(brute)
+    assert overlap >= 0.3, f"PQ recall {overlap:.2f} suspiciously low"
+
+
+def test_ann_pq_deterministic(spark):
+    a = [tuple(r) for r in similarity.ann_pq_topk(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in similarity.ann_pq_topk(spark, SF_DIR).collect()]
+    assert a == b
+
+
+def test_ann_pq_adc_scan_reads_codes_only(spark):
+    """The ADC candidate scan must read the codes table (vec_id + m
+    tinyint-sized code columns), never the raw vectors — that IS the
+    PQ memory story — and must plan as distributed top-k."""
+    from samza_hello_samza_spark.operators import ann_index
+
+    idx = ann_index.build_pq_index(spark, SF_DIR, similarity.PQ_M, similarity.PQ_KSUB)
+    qvec = similarity._query_vector(spark, SF_DIR)
+    cand = ann_index.probe_pq_index(spark, idx, qvec, similarity.PQ_CANDIDATES)
+    plan = _executed_plan(cand, spark)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "embedding" not in plan and "`v`" not in plan, plan
+    for sub in range(similarity.PQ_M):
+        assert f"code_{sub}" in plan, plan

@@ -192,3 +192,88 @@ def test_maintain_view_from_topic_matches_full_recompute(spark, tmp_path):
         for r in read_aggregate(spark, state).collect()
     }
     assert again == got
+
+
+def test_txn_view_folds_two_topics_atomically(spark, tmp_path):
+    """Multi-topic view: one cycle drains both topics, the view matches
+    a full recompute over both logs, and a drained cycle is a no-op."""
+    views = TopicLog(spark, str(tmp_path / "views"), n_partitions=2)
+    clicks = TopicLog(spark, str(tmp_path / "clicks"), n_partitions=2)
+    tv = maintenance.TxnView(
+        spark, str(tmp_path / "tv"), {"views": views, "clicks": clicks}
+    )
+
+    _produce_events(spark, views, [(1, "view", 1.0), (2, "view", 1.0), (1, "view", 1.0)])
+    _produce_events(spark, clicks, [(1, "click", 0.5)])
+    assert tv.cycle() == 4
+
+    _produce_events(spark, views, [(3, "view", 1.0)])
+    _produce_events(spark, clicks, [(2, "click", 0.25), (1, "click", 0.5)])
+    assert tv.cycle() == 3
+
+    got = {
+        (r.user_id, r.topic): (r.n_events, r.total_value)
+        for r in tv.read_view().collect()
+    }
+    assert got == {
+        (1, "views"): (2, 2.0),
+        (2, "views"): (1, 1.0),
+        (3, "views"): (1, 1.0),
+        (1, "clicks"): (2, 1.0),
+        (2, "clicks"): (1, 0.25),
+    }
+    assert tv.cycle() == 0
+    assert {
+        (r.user_id, r.topic): (r.n_events, r.total_value)
+        for r in tv.read_view().collect()
+    } == got
+
+
+def test_txn_view_crash_before_commit_replays_exactly_once(spark, tmp_path):
+    """Simulated crash between the state write and the manifest swap:
+    restoring the old manifest makes the next cycle re-drain BOTH
+    topics' deltas, and the committed view ends identical — no loss,
+    no double count (exactly-once by single-swap atomicity)."""
+    import json
+    import shutil
+
+    views = TopicLog(spark, str(tmp_path / "views"), n_partitions=2)
+    clicks = TopicLog(spark, str(tmp_path / "clicks"), n_partitions=2)
+    root = str(tmp_path / "tv")
+    tv = maintenance.TxnView(spark, root, {"views": views, "clicks": clicks})
+
+    _produce_events(spark, views, [(1, "view", 1.0), (2, "view", 1.0)])
+    _produce_events(spark, clicks, [(1, "click", 0.5)])
+    assert tv.cycle() == 3
+    manifest_v1 = json.dumps(tv.manifest())
+
+    _produce_events(spark, views, [(3, "view", 1.0), (1, "view", 1.0)])
+    _produce_events(spark, clicks, [(2, "click", 0.25)])
+    assert tv.cycle() == 3
+    want = {
+        (r.user_id, r.topic): (r.n_events, r.total_value)
+        for r in tv.read_view().collect()
+    }
+
+    # crash simulation: state v2 landed but the manifest swap "didn't" —
+    # roll the manifest back and delete nothing else.
+    with open(os.path.join(root, "MANIFEST.json"), "w") as f:
+        f.write(manifest_v1)
+    # the orphaned v2 dir may exist; the maintainer must overwrite it
+    assert tv.cycle() == 3  # re-drains the same deltas from both topics
+    got = {
+        (r.user_id, r.topic): (r.n_events, r.total_value)
+        for r in tv.read_view().collect()
+    }
+    assert got == want
+
+
+def test_txn_view_gc_keeps_bounded_versions(spark, tmp_path):
+    views = TopicLog(spark, str(tmp_path / "views"), n_partitions=2)
+    tv = maintenance.TxnView(spark, str(tmp_path / "tv"), {"views": views})
+    for i in range(4):
+        _produce_events(spark, views, [(i, "view", 1.0)])
+        assert tv.cycle() == 1
+    state_root = os.path.join(str(tmp_path / "tv"), "state")
+    versions = sorted(os.listdir(state_root))
+    assert versions == ["v3", "v4"]  # KEEP_VERSIONS = 2

@@ -1,0 +1,126 @@
+"""Sampling & mixture operators: oracle parity + semantic/plan properties."""
+
+from __future__ import annotations
+
+import pytest
+
+from samza_hello_samza_spark.operators import sampling
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(sampling.ORACLES))
+def test_oracle_match(spark, duck, name):
+    assert_matches_oracle(
+        spark, duck, sampling.QUERIES[name], sampling.ORACLES[name]
+    )
+
+
+def test_mixture_flattens_toward_uniform(spark):
+    """Temperature sampling must flatten the mixture: keep-rates are
+    anti-monotone in natural share (rarer language → ≥ rate), the
+    dominant language keeps 100%, and the *expected* sample ratio
+    (n·rate) strictly shrinks vs the natural max/min ratio. (Asserting
+    on realized counts would be flaky at sf0.001 — ~70 docs per
+    language of md5-bucket noise.)"""
+    from samza_hello_samza_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    natural = {r.lang: r.cnt for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    sampled = sampling.mixture_sample(spark, SF_DIR)
+    rates = {r.lang: r.rate_pct for r in sampled.select("lang", "rate_pct").distinct().collect()}
+    assert set(rates) == set(natural)
+    for a in natural:
+        for b in natural:
+            if natural[a] > natural[b]:
+                assert rates[a] <= rates[b], (a, b, rates)
+    rarest = min(natural, key=natural.get)
+    assert rates[rarest] == 100
+    # the rarest language keeps every md5 bucket → all its docs survive
+    rare_kept = sampled.filter(sampled.lang == rarest).count()
+    assert rare_kept == natural[rarest]
+    expected = {lang: natural[lang] * rates[lang] / 100 for lang in natural}
+    nat_ratio = max(natural.values()) / min(natural.values())
+    exp_ratio = max(expected.values()) / min(expected.values())
+    assert exp_ratio < nat_ratio
+
+
+def test_mixture_is_deterministic(spark):
+    a = {r.doc_id for r in sampling.mixture_sample(spark, SF_DIR).collect()}
+    b = {r.doc_id for r in sampling.mixture_sample(spark, SF_DIR).collect()}
+    assert a == b
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """A-ES with weight = n_chars: the sampled docs' mean length must
+    exceed the corpus mean (long docs are proportionally likelier)."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample = sampling.weighted_sample(spark, SF_DIR)
+    assert sample.count() == sampling.WEIGHTED_K
+    sample_mean = sample.agg(F.avg("weight")).first()[0]
+    assert sample_mean > corpus_mean
+
+
+def test_weighted_sample_is_distributed_topk(spark):
+    """The draw must plan as TakeOrderedAndProject — per-partition heaps
+    + single k-row merge — not a global Sort."""
+    plan = (
+        sampling.weighted_sample(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_quality_classifier_no_shuffle_no_python(spark):
+    """fasttext-shaped inference rides the scan: one FileScan, zero
+    Exchange, zero BatchEvalPython."""
+    plan = (
+        sampling.quality_classifier(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_quality_classifier_keep_matches_prob(spark):
+    for r in sampling.quality_classifier(spark, SF_DIR).collect():
+        assert 0.0 <= r.quality_prob <= 1.0
+        assert r.keep == (1 if r.quality_prob >= 0.5 else 0)
+
+
+def test_phrase_search_no_shuffle(spark):
+    plan = (
+        sampling.phrase_search(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_phrase_search_finds_real_adjacency(spark):
+    """Spot-check: every reported doc really contains the adjacent pair
+    (and a doc with the words non-adjacent only is not reported)."""
+    from samza_hello_samza_spark.session import load_table
+
+    hits = {r.doc_id: r.n_matches for r in sampling.phrase_search(spark, SF_DIR).collect()}
+    assert hits
+    first, second = sampling.PHRASE
+    docs = {r.doc_id: r.text for r in load_table(spark, SF_DIR, "documents").collect()}
+    for doc_id, n in list(hits.items())[:20]:
+        words = docs[doc_id].lower().split()
+        true_n = sum(
+            1
+            for i in range(len(words) - 1)
+            if words[i] == first and words[i + 1] == second
+        )
+        assert n == true_n and n > 0

@@ -125,3 +125,63 @@ def test_json_value_round_trips_through_topic(spark, tmp_path):
     for r in rows[:20]:
         rec = json.loads(r.value)
         assert str(rec["user_id"]) == r.key
+
+
+def test_compaction_keeps_latest_per_key_with_offsets(spark, tmp_path):
+    """Log compaction: only the highest-offset record per key survives,
+    its coordinates are unchanged, high-water marks and committed group
+    offsets stay valid, and the segment file count shrinks."""
+    topic = TopicLog(spark, str(tmp_path / "tc"), n_partitions=4)
+    # 3 produce rounds over the SAME key range → every key has 3 versions
+    for rnd in range(3):
+        batch = _events(spark, 0, 200).withColumn(
+            "v", F.concat(F.lit(f"round{rnd}:"), F.col("v"))
+        )
+        topic.produce(batch, "k", "v")
+    end_before = topic.end_offsets()
+    latest = {
+        r.key: (r.partition, r.offset, r.value)
+        for r in sorted(topic.read_all().collect(), key=lambda r: r.offset)
+    }
+
+    stats = topic.compact()
+    assert stats["records_after"] < stats["records_before"]
+    assert stats["files_after"] < stats["files_before"]
+
+    rows = topic.read_all().collect()
+    assert len(rows) == len(latest)
+    for r in rows:
+        part, off, val = latest[r.key]
+        assert (r.partition, r.offset, r.value) == (part, off, val)
+        assert r.value.startswith("round2:")
+    # high-water marks unchanged: new produces continue from the same offsets
+    assert topic.end_offsets() == end_before
+    # a consumer committed at the old end sees nothing new
+    topic.commit("g1", end_before)
+    assert topic.read_batch("g1").count() == 0
+
+
+def test_maybe_compact_threshold(spark, tmp_path):
+    topic = TopicLog(spark, str(tmp_path / "tm"), n_partitions=2)
+    topic.produce(_events(spark, 0, 100), "k", "v")
+    assert topic.maybe_compact(min_batches=3) is None  # below threshold
+    topic.produce(_events(spark, 0, 100), "k", "v")
+    topic.produce(_events(spark, 0, 100), "k", "v")
+    stats = topic.maybe_compact(min_batches=3)
+    assert stats is not None and stats["records_after"] < stats["records_before"]
+    # compaction resets the dirty-segment count → immediate re-run skips
+    assert topic.maybe_compact(min_batches=3) is None
+
+
+def test_compaction_drops_tombstones(spark, tmp_path):
+    """A null-value record deletes its key (Kafka delete semantics)."""
+    topic = TopicLog(spark, str(tmp_path / "tt"), n_partitions=2)
+    topic.produce(_events(spark, 0, 50), "k", "v")
+    live = topic.read_all().select("key").distinct().collect()
+    victim = sorted(r.key for r in live)[0]
+    tomb = spark.createDataFrame([(victim, None)], "k string, v string")
+    topic.produce(tomb, "k", "v")
+    topic.compact()
+    keys = {r.key for r in topic.read_all().collect()}
+    assert victim not in keys
+    assert len(keys) == len(live) - 1
