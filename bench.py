@@ -54,6 +54,11 @@ HEADLINE = (
     "rolling_active_users",
     "rolling_active_users_approx",
     "top_events_per_user",
+    "quality_classifier",
+    "mixture_sample",
+    "heavy_hitters_cms",
+    "doc_pagerank",
+    "ann_pq_topk",
 )
 
 

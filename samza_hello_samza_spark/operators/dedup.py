@@ -475,6 +475,53 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_url() -> F.Column:
+    """Deterministic crawl-style URL per doc (the corpus carries no URL
+    column; like the PII trailer, both engines derive the same string
+    from (source, lang, doc_id) so canonicalization is oracle-checkable).
+    ``doc_id % 40`` makes distinct fetches of the same logical page."""
+    return F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("/?utm_source=feed&utm_campaign=c"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&session="),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup via canonicalization.
+
+    The first dedup pass of every web pipeline: strip scheme and
+    ``www.``, lowercase the host, drop the query string (tracking
+    params) and the trailing slash — then one groupBy(canonical) keeps
+    the earliest fetch. Canonicalization is three chained
+    ``regexp_replace`` in one codegen'd projection; the shuffle moves
+    (canonical, doc_id) — never payloads. Output: one row per
+    canonical URL with its keeper and the duplicate-fetch count.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("url", _synth_url())
+    no_scheme = F.regexp_replace(F.col("url"), r"(?i)^https?://(www\.)?", "")
+    no_query = F.regexp_replace(no_scheme, r"\?.*$", "")
+    no_slash = F.regexp_replace(no_query, r"/$", "")
+    host = F.regexp_extract(no_slash, r"^([^/]*)", 1)
+    path = F.regexp_replace(no_slash, r"^[^/]*", "")
+    canonical = F.concat(F.lower(host), path)
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        )
+    )
+
+
 _SHINGLES_SQL = """
     WITH w AS (
         SELECT doc_id,
@@ -519,7 +566,30 @@ _CLUSTERS_CTE = _SHINGLES_SQL.replace("WITH", "WITH RECURSIVE", 1) + """
     )
 """
 
+_URL_SQL = (
+    "'https://WWW.' || source || '.Example.COM/' || lang || '/page-' || "
+    "CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=feed&utm_campaign=c' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '&session=' || CAST(doc_id AS VARCHAR)"
+)
+
 ORACLES: dict[str, str] = {
+    "dedup_url": f"""
+        WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+        c AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(url,
+                       '(?i)^https?://(www\\.)?', ''),
+                       '\\?.*$', ''),
+                       '/$', '') AS stripped
+            FROM u
+        )
+        SELECT lower(regexp_extract(stripped, '^([^/]*)', 1))
+                   || regexp_replace(stripped, '^[^/]*', '') AS canonical_url,
+               min(doc_id) AS keeper_doc_id,
+               CAST(count(*) AS BIGINT) AS n_fetches
+        FROM c
+        GROUP BY 1
+    """,
     "dedup_exact": """
         WITH hashed AS (
             SELECT doc_id,
@@ -636,4 +706,5 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_chunk_exact": dedup_chunk_exact,
     "dedup_canonical": dedup_canonical,
+    "dedup_url": dedup_url,
 }

@@ -354,6 +354,122 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# learned-encoder seam
+# ---------------------------------------------------------------------------
+
+
+class HistogramEncoder:
+    """The default content-histogram encoder (what multimodal_features
+    computes) behind the pluggable interface: an encoder is anything
+    with a ``dim`` and a ``encode_batch(list[bytes]) -> (N, dim)
+    float ndarray`` — exactly the contract a real model serving stack
+    has (batch in, matrix out)."""
+
+    dim = FEATURE_DIM
+
+    def encode_batch(self, payloads: list[bytes]):
+        import numpy as np
+
+        return np.asarray([_feature_vector(p) for p in payloads], dtype=float)
+
+
+class LinearProbeEncoder:
+    """A deterministic 'learned head' over the histogram features: a
+    fixed linear layer + tanh. This is the shape a trained probe /
+    distilled projection has; real weights load the same way (a small
+    array shipped in the task closure). Exists so the seam is
+    *exercised* — tests run a non-default encoder end-to-end through
+    the identical Spark plumbing."""
+
+    def __init__(self, out_dim: int = 32, seed: int = 13):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        self.dim = out_dim
+        self._w = rng.standard_normal((FEATURE_DIM, out_dim))
+        self._b = rng.standard_normal(out_dim)
+        self._base = HistogramEncoder()
+
+    def encode_batch(self, payloads: list[bytes]):
+        import numpy as np
+
+        h = self._base.encode_batch(payloads)
+        return np.tanh(h @ self._w + self._b)
+
+
+class OnnxEncoder:
+    """ONNX-runtime encoder plug: decode payload → pixel tensor → model.
+
+    The runtime is not in this container, so construction fails loudly
+    with the deploy instruction instead of silently degrading — the
+    Spark side (below) is identical for every encoder, so on a cluster
+    image with ``onnxruntime`` this is a drop-in.
+    """
+
+    def __init__(self, model_path: str, dim: int):
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - runtime absent here
+            raise RuntimeError(
+                "OnnxEncoder needs the onnxruntime package (absent in this "
+                "container); install it on the cluster image and pass the "
+                ".onnx model path. Every other encoder works unchanged."
+            ) from exc
+        import onnxruntime as ort
+
+        self.dim = dim
+        self._sess = ort.InferenceSession(model_path)  # pragma: no cover
+
+    def encode_batch(self, payloads: list[bytes]):  # pragma: no cover
+        import numpy as np
+
+        pixels = []
+        for p in payloads:
+            try:
+                info = media.parse_media(p)
+            except media.UnknownMediaError:
+                info = None
+            if info and info.format == "png":
+                _w, _h, _c, rows = media.png_decode(p)
+                buf = np.frombuffer(b"".join(bytes(r) for r in rows), dtype=np.uint8)
+            else:
+                buf = np.frombuffer(p, dtype=np.uint8)
+            pixels.append(buf.astype(np.float32) / 255.0)
+        size = max(len(x) for x in pixels)
+        batch = np.stack([np.pad(x, (0, size - len(x))) for x in pixels])
+        (out,) = self._sess.run(None, {self._sess.get_inputs()[0].name: batch})
+        return out
+
+
+def encode_features(
+    spark: SparkSession, sf_dir: str, encoder=None
+) -> DataFrame:
+    """Run ANY encoder over the payload column — the plug point.
+
+    One ``mapInPandas`` pass: the encoder object ships in the task
+    closure (weights included — fine for probe/projection-sized
+    models; cluster-sized models would load from a path per executor
+    via a lazy singleton, same seam), each Arrow batch is encoded as
+    one matrix call, and the output schema carries the encoder's
+    ``dim``. Swapping histogram → linear probe → ONNX model changes
+    NOTHING outside the encoder argument.
+    """
+    enc = encoder or HistogramEncoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = enc.encode_batch([bytes(p) for p in pdf["payload"]])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "features": [row.astype(float).tolist() for row in mat],
+                }
+            )
+
+    return media_payloads(spark, sf_dir).mapInPandas(run, FEATURES_SCHEMA)
+
+
 ORACLES: dict[str, str] = {}
 
 QUERIES = {

@@ -26,6 +26,7 @@ from __future__ import annotations
 import random
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -223,6 +224,70 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_K = 8
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project embeddings onto their top-8 principal components.
+
+    The scalable PCA shape (what MLlib's RowMatrix does under the
+    hood): the DIM×DIM Gramian and column sums are accumulated
+    per-Arrow-batch with numpy matmuls inside ``mapInPandas`` — each
+    batch collapses to ONE row of (n, Σx, XᵀX), so the collect is
+    bounded by the number of batches, never by corpus size. The
+    64×64 covariance eigendecomposition is a driver-side numpy
+    ``eigh`` (trivial at any corpus scale — the matrix only depends
+    on DIM), and the projection is one more Arrow-batched pass with
+    the component matrix shipped as a closure constant.
+
+    Deterministic: eigh on identical covariance bits, eigenvector
+    sign fixed by making each component's largest-|coefficient| entry
+    positive. Rows-only (eigendecomposition isn't SQL-expressible);
+    variance/orthogonality/reconstruction properties are pytest-
+    asserted against a straight numpy PCA of the same table.
+    """
+    e = _embeddings(spark, sf_dir)
+
+    def partial_gram(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [len(mat)],
+                    "s": [mat.sum(axis=0).tolist()],
+                    "g": [(mat.T @ mat).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        e.select("v")
+        .mapInPandas(partial_gram, "n long, s array<double>, g array<double>")
+        .collect()
+    )  # one row per Arrow batch — bounded, not corpus-sized
+    n = sum(r.n for r in parts)
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    gram = np.sum([np.asarray(r.g).reshape(DIM, DIM) for r in parts], axis=0)
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:PCA_K]
+    comps = eigvecs[:, order]  # (DIM, K)
+    for k in range(PCA_K):  # sign convention: dominant coefficient > 0
+        j = int(np.argmax(np.abs(comps[:, k])))
+        if comps[j, k] < 0:
+            comps[:, k] = -comps[:, k]
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def project(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        proj = np.round((mat - mean) @ comps, 6)
+        return pd.Series(list(proj))
+
+    return e.select("vec_id", project(F.col("v")).alias("components"))
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (class centroids), long form.
 
@@ -289,4 +354,5 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_batch_topk": ann_batch_topk,
     "embedding_centroids": embedding_centroids,
+    "embedding_pca": embedding_pca,
 }

@@ -26,6 +26,9 @@ _MODULES = (
     "samza_hello_samza_spark.operators.retrieval",
     "samza_hello_samza_spark.operators.text_filters",
     "samza_hello_samza_spark.operators.sampling",
+    "samza_hello_samza_spark.operators.sketches",
+    "samza_hello_samza_spark.operators.graph",
+    "samza_hello_samza_spark.operators.tokenizer",
     "samza_hello_samza_spark.operators.multimodal",
     "samza_hello_samza_spark.operators.asof",
 )

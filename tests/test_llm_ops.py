@@ -247,3 +247,37 @@ def test_ann_pq_adc_scan_reads_codes_only(spark):
     assert "embedding" not in plan and "`v`" not in plan, plan
     for sub in range(similarity.PQ_M):
         assert f"code_{sub}" in plan, plan
+
+
+def test_encoder_seam_default_matches_features(spark):
+    """encode_features with the default encoder must equal the
+    multimodal_features output — the seam adds no behavior change."""
+    base = {r.doc_id: list(r.features) for r in multimodal.multimodal_features(spark, SF_DIR).collect()}
+    seam = {r.doc_id: list(r.features) for r in multimodal.encode_features(spark, SF_DIR).collect()}
+    assert seam == base
+
+
+def test_encoder_seam_runs_learned_probe(spark):
+    """A non-default (linear-probe) encoder runs through the identical
+    plumbing and matches a driver-side numpy reference computation."""
+    import numpy as np
+
+    enc = multimodal.LinearProbeEncoder(out_dim=32, seed=13)
+    got = {
+        r.doc_id: np.asarray(r.features)
+        for r in multimodal.encode_features(spark, SF_DIR, enc).collect()
+    }
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in multimodal.media_payloads(spark, SF_DIR).collect()
+    }
+    ref_enc = multimodal.LinearProbeEncoder(out_dim=32, seed=13)
+    for doc_id in list(got)[:20]:
+        want = ref_enc.encode_batch([payloads[doc_id]])[0]
+        assert got[doc_id].shape == (32,)
+        assert np.allclose(got[doc_id], want, atol=1e-6)
+
+
+def test_onnx_encoder_fails_loudly_without_runtime(spark):
+    with pytest.raises(RuntimeError, match="onnxruntime"):
+        multimodal.OnnxEncoder("/nonexistent/model.onnx", dim=8)

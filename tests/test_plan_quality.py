@@ -60,6 +60,8 @@ NONEQUI_OK = {
 ARROW_OK = {
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",        # PQ encode is an Arrow-batched numpy matmul
+    "embedding_pca",      # Gramian + projection are Arrow-batched matmuls
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",

@@ -1,0 +1,106 @@
+"""CMS heavy hitters, document PageRank, distributed PCA."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from samza_hello_samza_spark.operators import graph, similarity, sketches
+from samza_hello_samza_spark.session import load_table
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "mod,name",
+    [(sketches, "heavy_hitters_cms"), (graph, "doc_pagerank")],
+)
+def test_oracle_match(spark, duck, mod, name):
+    assert_matches_oracle(spark, duck, mod.QUERIES[name], mod.ORACLES[name])
+
+
+def test_cms_never_underestimates(spark):
+    """The count-min invariant: est ≥ exact for every reported key, and
+    at this key cardinality (~100 users in 4×256 cells) the top-k by
+    estimate overlaps the true top-k heavily."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_DIR, "events")
+    n_users = events.select("user_id").distinct().count()
+    k = min(sketches.CMS_TOP_K, n_users)
+    rows = sketches.heavy_hitters_cms(spark, SF_DIR).collect()
+    assert len(rows) == k
+    for r in rows:
+        assert r.est_count >= r.exact_count, r
+    exact_top = {
+        r.user_id
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("user_id"))
+        .limit(k)
+        .collect()
+    }
+    got = {r.user_id for r in rows}
+    assert len(got & exact_top) >= k // 2
+
+
+def test_pagerank_is_probability_distribution(spark):
+    rows = graph.doc_pagerank(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-3  # rounded ranks still ≈ sum to 1
+    assert all(r.rank > 0 for r in rows)
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    """A doc with more near-dup partners must outrank a degree-1 doc
+    attached to the same component (mass concentrates in hubs)."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, SF_DIR).select("doc_a", "doc_b")
+    deg: dict[int, int] = {}
+    for r in pairs.collect():
+        deg[r.doc_a] = deg.get(r.doc_a, 0) + 1
+        deg[r.doc_b] = deg.get(r.doc_b, 0) + 1
+    ranks = {r.doc_id: r.rank for r in graph.doc_pagerank(spark, SF_DIR).collect()}
+    max_deg_doc = max(deg, key=lambda d: (deg[d], -d))
+    min_deg_doc = min(deg, key=lambda d: (deg[d], d))
+    if deg[max_deg_doc] > deg[min_deg_doc]:
+        # ≥ because rounded ranks can tie across components of equal mass
+        assert ranks[max_deg_doc] >= ranks[min_deg_doc]
+
+
+def test_pca_matches_numpy_reference(spark):
+    """The distributed Gramian path must reproduce a straight numpy PCA
+    of the same table (same sign convention) to rounding tolerance."""
+    rows = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    mat = np.array([[float(x) for x in r.embedding] for r in rows])
+    mean = mat.mean(axis=0)
+    cov = (mat.T @ mat) / len(mat) - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][: similarity.PCA_K]
+    comps = v[:, order]
+    for k in range(similarity.PCA_K):
+        j = int(np.argmax(np.abs(comps[:, k])))
+        if comps[j, k] < 0:
+            comps[:, k] = -comps[:, k]
+    want = {i: np.round((row - mean) @ comps, 6) for i, row in zip(ids, mat)}
+
+    got = {r.vec_id: np.asarray(r.components) for r in similarity.embedding_pca(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for i in got:
+        assert np.allclose(got[i], want[i], atol=1e-4), i
+
+
+def test_pca_components_capture_variance_in_order(spark):
+    """Projected variance must be non-increasing across components (they
+    are sorted by eigenvalue) and the projection must be centered."""
+    comp = np.stack(
+        [np.asarray(r.components) for r in similarity.embedding_pca(spark, SF_DIR).collect()]
+    )
+    assert comp.shape[1] == similarity.PCA_K
+    assert np.allclose(comp.mean(axis=0), 0.0, atol=1e-3)
+    variances = comp.var(axis=0)
+    assert all(variances[i] >= variances[i + 1] - 1e-9 for i in range(len(variances) - 1))

@@ -1,0 +1,79 @@
+"""Distributed BPE training vs a pure-python reference implementation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from samza_hello_samza_spark.operators import tokenizer
+from samza_hello_samza_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def _reference_bpe(word_freq: dict[str, int], n_merges: int):
+    """Textbook BPE (Sennrich et al. 2016 alg. 1) with the same
+    deterministic tie-break as the operator."""
+    vocab = {w: [c for c in w] for w in word_freq}
+    merges = []
+    for rank in range(n_merges):
+        counts: Counter = Counter()
+        for w, syms in vocab.items():
+            f = word_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        (left, right), cnt = best
+        merges.append((rank, left, right, left + right, cnt))
+        merged = left + right
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_matches_reference(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    from samza_hello_samza_spark.operators.dedup import _words
+
+    freq = {
+        r.word: r.freq
+        for r in docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+    want = _reference_bpe(freq, tokenizer.N_MERGES)
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in sorted(
+            tokenizer.bpe_train_merges(spark, SF_DIR).collect(), key=lambda r: r.rank
+        )
+    ]
+    assert got == want
+
+
+def test_bpe_is_deterministic(spark):
+    a = [tuple(r) for r in tokenizer.bpe_train_merges(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in tokenizer.bpe_train_merges(spark, SF_DIR).collect()]
+    assert a == b
+
+
+def test_bpe_merge_counts_non_increasing_in_spirit(spark):
+    """Each merge's pair count is positive, and later merges never beat
+    the first (greedy argmax takes the global max first)."""
+    rows = sorted(
+        tokenizer.bpe_train_merges(spark, SF_DIR).collect(), key=lambda r: r.rank
+    )
+    assert rows
+    assert all(r.pair_count > 0 for r in rows)
+    assert rows[0].pair_count == max(r.pair_count for r in rows)

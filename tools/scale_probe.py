@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Empirical scaling probe: do the headline plans scale ~linearly?
+
+Builds an N×-replicated copy of the fact tables (events, documents,
+lineitem, orders, embeddings — ids offset per replica so keys stay
+unique and joins stay consistent; dims copied as-is), times a set of
+representative operators at 1× and N×, and reports the wall-time
+ratio against the data ratio. A plan whose time grows ≫ data (pair
+explosions, driver collects, single-partition windows) fails here
+long before a cluster run would.
+
+Near-dup pair operators (jaccard/minhash) are deliberately excluded:
+replicating documents N× creates N-sized duplicate cliques, so their
+pair OUTPUT grows quadratically by construction — that is a property
+of the synthetic replication, not of the plans.
+
+Usage:  python tools/scale_probe.py [REPL]      (default 4)
+Writes: SCALING.md + one JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from samza_hello_samza_spark.registry import all_queries
+from samza_hello_samza_spark.session import TABLES, get_spark, load_table
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALED_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
+
+#: representative plans: scans, shuffled aggs, joins, windows,
+#: prefix sums, sketches, classifier, exact dedup, iterative pagerank
+#: is excluded (its input is the pair table — see module docstring).
+PROBE_OPS = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "groupby_count",
+    "tumbling_window",
+    "session_window",
+    "wikipedia_stats",
+    "wordcount",
+    "dedup_exact",
+    "dedup_url",
+    "text_quality",
+    "quality_classifier",
+    "heavy_hitters_cms",
+    "mixture_sample",
+    "corpus_profile",
+    "sequence_packing",
+    "events_time_rollup",
+    "top_events_per_user",
+)
+
+#: per-table (id columns to offset, row-count column for stride).
+_FACT_OFFSETS = {
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey",),
+}
+
+
+def build_scaled(spark, repl: int) -> str:
+    out_dir = os.path.join(SCALED_ROOT, f"x{repl}")
+    marker = os.path.join(out_dir, "_BUILT")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    # one shared stride keeps orders.o_orderkey and lineitem.l_orderkey
+    # consistent so join fan-out is preserved exactly.
+    strides: dict[str, int] = {}
+    for name in TABLES:
+        df = load_table(spark, BASE_SF_DIR, name)
+        for col in _FACT_OFFSETS.get(name, ()):
+            key = "orderkey" if col.endswith("orderkey") else col
+            if key not in strides:
+                strides[key] = int(df.agg(F.max(col)).first()[0]) + 1
+    for name in TABLES:
+        df = load_table(spark, BASE_SF_DIR, name)
+        offsets = _FACT_OFFSETS.get(name)
+        if offsets:
+            parts = []
+            for r in range(repl):
+                part = df
+                for col in offsets:
+                    key = "orderkey" if col.endswith("orderkey") else col
+                    part = part.withColumn(
+                        col, (F.col(col) + F.lit(r * strides[key])).cast("long")
+                    )
+                parts.append(part)
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.unionByName(p)
+        else:
+            scaled = df
+        scaled.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    with open(marker, "w") as f:
+        f.write(str(repl))
+    return out_dir
+
+
+def time_ops(spark, queries, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in PROBE_OPS:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    repl = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    scaled_dir = build_scaled(spark, repl)
+    # warmup both dirs (codegen + file listing, uncounted)
+    queries["groupby_count"](spark, BASE_SF_DIR).write.mode("overwrite").format("noop").save()
+    queries["groupby_count"](spark, scaled_dir).write.mode("overwrite").format("noop").save()
+
+    base = time_ops(spark, queries, BASE_SF_DIR)
+    scaled = time_ops(spark, queries, scaled_dir)
+
+    rows = []
+    for name in base:
+        ratio = round(scaled[name] / base[name], 2) if base[name] > 0 else None
+        rows.append((name, base[name], scaled[name], ratio))
+
+    lines = [
+        "# SCALING — measured wall-time growth vs data growth",
+        "",
+        f"Fact tables replicated **{repl}×** (ids offset per replica; joins",
+        f"preserved), dims unchanged; run on local[{spark.sparkContext.defaultParallelism}]",
+        f"at base `{BASE_SF_DIR}`. A plan is scale-safe when its time ratio",
+        f"stays at or below the {repl}× data ratio (sub-linear = fixed",
+        "overheads amortizing; super-linear = pair blowup / driver",
+        "funnel / non-scalable shuffle — the probe exists to catch these).",
+        "",
+        f"| operator | t(1×) s | t({repl}×) s | ratio |",
+        "| --- | --- | --- | --- |",
+    ]
+    for name, b, s, r in sorted(rows, key=lambda x: -(x[3] or 0)):
+        lines.append(f"| {name} | {b:.3f} | {s:.3f} | {r}× |")
+    worst = max((r for *_x, r in rows if r is not None), default=0)
+    lines += [
+        "",
+        f"Worst ratio this run: **{worst}×** against a {repl}× data increase.",
+        "",
+        "Near-dup pair ops (jaccard/minhash/simhash/pagerank) are excluded:",
+        "N×-replicating documents creates N-sized duplicate cliques, so",
+        "their pair output grows quadratically by construction — an",
+        "artifact of the synthetic replication, not of the band-join plans.",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_time_ratio",
+                "repl": repl,
+                "worst_ratio": worst,
+                "base_sec": base,
+                "scaled_sec": scaled,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
