@@ -74,6 +74,7 @@ def main() -> None:
     # steady-state probe (pruned index read), not the one-time build.
     queries["groupby_count"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     queries["ann_lsh_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    queries["ann_pq_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
