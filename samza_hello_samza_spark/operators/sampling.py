@@ -261,6 +261,52 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# curriculum_assign
+# ---------------------------------------------------------------------------
+
+#: curriculum stages, easiest→hardest, split at quality-score quartiles.
+N_STAGES = 4
+
+
+def curriculum_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign docs to curriculum stages by quality-score quartile.
+
+    Curriculum ordering sorted globally is the anti-pattern (one giant
+    ORDER BY); staging only needs each doc's quantile BUCKET, so the
+    plan is: one tiny percentile aggregate (1 row, exact quartile
+    thresholds) broadcast back over the corpus scan — the
+    customer_value_segments shape. Stage 0 = lowest-quality quartile
+    (train last or drop), stage 3 = best. Threshold comparisons use
+    the rounded score so both engines bucket identically.
+    """
+    from .text_analysis import quality_cols
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_cols(F.col("text"))["quality_score"], 2).alias("q"),
+    )
+    # exact interpolated percentiles: engine-identical arithmetic (the
+    # event_value_percentiles pairing with DuckDB quantile_cont);
+    # sketch variant (percentile_approx) is the unbounded-cardinality
+    # path, as with event_value_percentiles_approx.
+    cuts = scored.agg(
+        *[
+            F.percentile("q", i / N_STAGES).alias(f"p{i}")
+            for i in range(1, N_STAGES)
+        ]
+    )
+    stage = F.lit(0)
+    for i in range(1, N_STAGES):
+        stage = F.when(F.col("q") > F.col(f"p{i}"), i).otherwise(stage)
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        F.col("q").alias("quality_score"),
+        stage.cast("int").alias("stage"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -327,6 +373,33 @@ ORACLES: dict[str, str] = {
                CAST(2 * sum_int >= {_WMOD} * n AS INT) AS keep
         FROM scored
     """,
+    "curriculum_assign": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   round(
+                       (CASE WHEN nw BETWEEN 20 AND 5000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN nw > 0 THEN n_chars / nw ELSE 0.0 END) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN nw > 0 THEN n_stop / nw ELSE 0.0 END) >= 0.01 THEN 0.1 ELSE 0.0 END), 2) AS q
+            FROM (
+                SELECT doc_id,
+                       len({_WORDS_SQL}) AS nw,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS n_punct,
+                       len(list_filter({_WORDS_SQL},
+                           x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS n_stop
+                FROM documents
+            )
+        ),
+        cuts AS (
+            SELECT {', '.join(f'quantile_cont(q, {i}/{N_STAGES}.0) AS p{i}' for i in range(1, N_STAGES))}
+            FROM scored
+        )
+        SELECT doc_id, q AS quality_score,
+               CAST({' '.join(f'CASE WHEN q > p{i} THEN {i} ELSE' for i in range(N_STAGES - 1, 0, -1))} 0
+                    {'END ' * (N_STAGES - 1)} AS INT) AS stage
+        FROM scored CROSS JOIN cuts
+    """,
     "phrase_search": f"""
         WITH tok AS (
             SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents
@@ -342,6 +415,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "curriculum_assign": curriculum_assign,
     "mixture_sample": mixture_sample,
     "weighted_sample": weighted_sample,
     "domain_stats": domain_stats,

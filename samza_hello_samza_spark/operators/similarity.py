@@ -224,6 +224,61 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: same near-dup threshold as dedup_embedding — this operator is its
+#: cluster-scoped scale path.
+SEM_TAU = 0.45
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the MATERIALIZED IVF layout.
+
+    ``dedup_embedding`` is the all-pairs calibration baseline; this is
+    the scale path (the SemDeDup recipe — Abbas et al. 2023, public):
+    coarse-cluster the corpus (the IVF index already stores it
+    ``partitionBy(list_id)``), then compare pairs ONLY within a
+    cluster — the join is an equi-join on ``list_id``, so pair cost is
+    Σ|list|², never corpus². A vector is dropped when some lower-id
+    vector in its list has cosine ≥ τ; its ``keeper`` is the smallest
+    such id (chain semantics like dedup_exact's canonical — a keeper
+    may itself be dropped in favor of an even lower id).
+
+    Rows-only (float cosine near τ isn't bit-stable across engines);
+    the drop-implies-similar-keeper property and the baseline-subset
+    relation are pytest-asserted.
+    """
+    from . import ann_index
+
+    idx = ann_index.build_ivf_index(spark, sf_dir, IVF_NLIST)
+    import os
+
+    corpus = spark.read.parquet(os.path.join(idx, "corpus")).select(
+        "list_id", "vec_id", "v", _norm(F.col("v")).alias("norm")
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6))
+        .filter(F.col("cosine") >= SEM_TAU)
+    )
+    return (
+        pairs.groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(
+            F.min(F.col("a.vec_id")).alias("keeper_vec_id"),
+            F.count(F.lit(1)).cast("long").alias("n_similar"),
+        )
+    )
+
+
 PCA_K = 8
 
 
@@ -355,4 +410,5 @@ QUERIES = {
     "ann_batch_topk": ann_batch_topk,
     "embedding_centroids": embedding_centroids,
     "embedding_pca": embedding_pca,
+    "dedup_semantic": dedup_semantic,
 }

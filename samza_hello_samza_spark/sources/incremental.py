@@ -74,3 +74,53 @@ def read_aggregate(spark: SparkSession, state_path: str) -> DataFrame:
         F.round("sum_value", 2).alias("total_value"),
         F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental DISTINCT counts — mergeable HLL sketch state
+# ---------------------------------------------------------------------------
+#
+# count-distinct is the aggregate that does NOT merge as a plain
+# number (yesterday's 100 distinct + today's 80 distinct ≠ any
+# combinable value) — the textbook reason incremental view systems
+# carry sketches. Spark ships Apache DataSketches HLL natively:
+# ``hll_sketch_agg`` produces a BINARY sketch column that
+# ``hll_union_agg`` merges associatively, so distinct-count state
+# folds exactly like sums — cost ∝ delta, error ~1% at lgK=12.
+
+
+def update_distinct_sketch(
+    spark: SparkSession,
+    state_path: str,
+    delta: DataFrame,
+    keys: list[str] = ["user_id"],
+    distinct_col: str = "event_type",
+    lgk: int = 12,
+) -> None:
+    """Fold a delta's per-key HLL sketches into the stored sketch state."""
+    new_state = delta.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(distinct_col).cast("string"), F.lit(lgk)).alias("sketch")
+    )
+    if os.path.exists(state_path):
+        old = spark.read.parquet(state_path)
+        new_state = (
+            old.unionByName(new_state)
+            .groupBy(*keys)
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+    tmp = state_path.rstrip("/") + ".staging"
+    new_state.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(state_path):
+        import shutil
+
+        shutil.rmtree(state_path)
+    os.rename(tmp, state_path)
+
+
+def read_distinct_estimate(spark: SparkSession, state_path: str) -> DataFrame:
+    """Finalize sketch state into per-key distinct-count estimates."""
+    state = spark.read.parquet(state_path)
+    return state.select(
+        *[c for c in state.columns if c != "sketch"],
+        F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+    )

@@ -74,6 +74,93 @@ def parse_events_json(batch: DataFrame) -> DataFrame:
     ).select("e.user_id", "e.event_type", "e.value")
 
 
+def cms_updater(
+    stream: DataFrame, state_path: str, key_col: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Maintain a count-min sketch from a stream — mergeable-sketch state.
+
+    CMS cells are counters, so the sketch folds exactly like the
+    incremental aggregates: each micro-batch contributes its (row,
+    bucket, cnt) partials (bounded at D×W rows per batch no matter the
+    batch size — map-side combine does it) and the state merge is a
+    union + sum. The stored sketch answers heavy-hitter / frequency
+    queries over the WHOLE stream history in O(D×W) space — the
+    unbounded-key-space answer the exact groupBy can't give.
+    """
+    from ..operators.sketches import CMS_D, _cms_bucket
+
+    def _fold(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(row).alias("row"),
+                    _cms_bucket(F.col(key_col), row).alias("bucket"),
+                )
+                for row in range(CMS_D)
+            ]
+        )
+        partial = (
+            batch.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        spark = batch.sparkSession
+        import os
+
+        if os.path.exists(state_path):
+            partial = (
+                spark.read.parquet(state_path)
+                .unionByName(partial)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        tmp = state_path.rstrip("/") + ".staging"
+        partial.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        os.rename(tmp, state_path)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def cms_estimate(spark: SparkSession, state_path: str, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-estimate stream-lifetime frequencies from the stored sketch.
+
+    ``keys``: a DataFrame with ``key_col``. The sketch is sketch-sized
+    by construction → broadcast; estimate = min over the D cells."""
+    from ..operators.sketches import CMS_D, _cms_bucket
+
+    cells = spark.read.parquet(state_path)
+    cand = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(row).alias("row"),
+                        _cms_bucket(F.col(key_col), row).alias("bucket"),
+                    )
+                    for row in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.row", "p.bucket")
+    return (
+        cand.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )
+
+
 class TxnView:
     """Multi-topic transactionally-maintained view: exactly-once folds.
 

@@ -281,3 +281,24 @@ def test_encoder_seam_runs_learned_probe(spark):
 def test_onnx_encoder_fails_loudly_without_runtime(spark):
     with pytest.raises(RuntimeError, match="onnxruntime"):
         multimodal.OnnxEncoder("/nonexistent/model.onnx", dim=8)
+
+
+def test_dedup_semantic_drops_have_similar_keepers(spark):
+    """Every dropped vector must really be >= tau-similar to its keeper
+    (same IVF list, lower id), and the drop set must be a subset of the
+    all-pairs baseline's higher-id endpoints."""
+    import numpy as np
+
+    sem = {r.vec_id: (r.keeper_vec_id, r.n_similar) for r in similarity.dedup_semantic(spark, SF_DIR).collect()}
+    assert sem, "semantic dedup found nothing at tau=0.45"
+    vecs = {
+        r.vec_id: np.asarray(r.v)
+        for r in similarity._embeddings(spark, SF_DIR).collect()
+    }
+    for dropped, (keeper, n) in sem.items():
+        assert keeper < dropped and n >= 1
+        a, b = vecs[keeper], vecs[dropped]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= similarity.SEM_TAU - 1e-6, (dropped, keeper, cos)
+    baseline_higher = {r.vec_b for r in dedup.dedup_embedding(spark, SF_DIR).collect()}
+    assert set(sem).issubset(baseline_higher)

@@ -277,3 +277,64 @@ def test_txn_view_gc_keeps_bounded_versions(spark, tmp_path):
     state_root = os.path.join(str(tmp_path / "tv"), "state")
     versions = sorted(os.listdir(state_root))
     assert versions == ["v3", "v4"]  # KEEP_VERSIONS = 2
+
+
+def test_cms_updater_stream_matches_batch_sketch(spark, tmp_path):
+    """Two micro-batches folded into the sketch state must estimate
+    every user at >= its true total count (CMS invariant over the
+    whole stream), and exactly equal the batch-built sketch."""
+    import shutil
+
+    from samza_hello_samza_spark.operators import sketches
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = os.path.join(SF_DIR, "events.parquet")
+    shutil.copy(base, os.path.join(src, "b1.parquet"))
+    shutil.copy(base, os.path.join(src, "b2.parquet"))
+
+    schema = spark.read.parquet(base).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    state = str(tmp_path / "cms_state")
+    q = maintenance.cms_updater(stream, state, "user_id", str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    events = spark.read.parquet(base)
+    users = events.select("user_id").distinct()
+    est = {
+        r.user_id: r.est_count
+        for r in maintenance.cms_estimate(spark, state, users, "user_id").collect()
+    }
+    exact = {
+        r.user_id: r.cnt
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for uid, cnt in exact.items():
+        assert est[uid] >= 2 * cnt, (uid, est[uid], cnt)  # stream saw the file twice
+
+    # state equals a batch-built sketch of the doubled stream
+    batch_cells = {}
+    doubled = events.unionByName(events)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(row).alias("row"),
+                sketches._cms_bucket(F.col("user_id"), row).alias("bucket"),
+            )
+            for row in range(sketches.CMS_D)
+        ]
+    )
+    for r in (
+        doubled.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ):
+        batch_cells[(r.row, r.bucket)] = r.cnt
+    stream_cells = {
+        (r.row, r.bucket): r.cnt for r in spark.read.parquet(state).collect()
+    }
+    assert stream_cells == batch_cells

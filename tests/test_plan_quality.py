@@ -54,6 +54,7 @@ NONEQUI_OK = {
     "ann_pq_topk",          # 1-row query re-rank over ADC candidates
     "mixture_sample",       # 1-row min-count broadcast into the rate table
     "domain_stats",         # 1-row corpus-totals broadcast
+    "curriculum_assign",    # 1-row quantile-thresholds broadcast
 }
 
 #: operators that declared an Arrow-batched Python stage.
