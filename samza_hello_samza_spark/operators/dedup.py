@@ -475,6 +475,54 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fuzzy-dedup knobs: compare the first 64 chars of normalized text,
+#: call pairs duplicates at edit distance ≤ 12.
+FUZZY_PREFIX = 64
+FUZZY_MAX_DIST = 12
+
+
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs with q-gram blocking.
+
+    The record-linkage classic: candidate pairs come from a shared
+    3-word shingle (the same bounded equi-join as the jaccard pass —
+    never all-pairs), then the expensive O(n·m) ``levenshtein`` runs
+    only on the surviving candidates' fixed-length normalized
+    prefixes. Blocking is recall-lossy by design (a pair sharing NO
+    shingle is never compared) — the standard trade; at 100 TB the
+    unblocked alternative simply doesn't exist. Both engines implement
+    unit-cost Wagner-Fischer, so the distances — and the pair set —
+    match exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(spark, sf_dir, k=3)
+    cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    prefixes = docs.select(
+        "doc_id",
+        F.substring(_normalized_text(F.col("text")), 1, FUZZY_PREFIX).alias("p"),
+    )
+    pa = prefixes.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    pb = prefixes.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("edit_distance", F.levenshtein(F.col("pa"), F.col("pb")))
+        .filter(F.col("edit_distance") <= FUZZY_MAX_DIST)
+        .select("doc_a", "doc_b", F.col("edit_distance").cast("long").alias("edit_distance"))
+    )
+
+
 def _synth_url() -> F.Column:
     """Deterministic crawl-style URL per doc (the corpus carries no URL
     column; like the PII trailer, both engines derive the same string
@@ -573,6 +621,24 @@ _URL_SQL = (
 )
 
 ORACLES: dict[str, str] = {
+    "dedup_fuzzy": _SHINGLES_SQL
+    + f"""
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    prefixes AS (
+        SELECT doc_id,
+               substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, {FUZZY_PREFIX}) AS p
+        FROM documents
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_distance
+    FROM cand c
+    JOIN prefixes pa ON pa.doc_id = c.doc_a
+    JOIN prefixes pb ON pb.doc_id = c.doc_b
+    WHERE levenshtein(pa.p, pb.p) <= {FUZZY_MAX_DIST}
+    """,
     "dedup_url": f"""
         WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
         c AS (
@@ -707,4 +773,5 @@ QUERIES = {
     "dedup_chunk_exact": dedup_chunk_exact,
     "dedup_canonical": dedup_canonical,
     "dedup_url": dedup_url,
+    "dedup_fuzzy": dedup_fuzzy,
 }

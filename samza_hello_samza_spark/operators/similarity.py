@@ -343,6 +343,57 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", project(F.col("v")).alias("components"))
 
 
+N_ANCHORS = 5
+HARD_NEG_K = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives per anchor: most-similar OTHER-label vectors.
+
+    The contrastive-training data op: for each anchor, the negatives
+    that matter are the ones the current embedding space finds most
+    similar despite carrying a different label. Plan shape is
+    ann_batch_topk's — anchors (with labels) broadcast, ONE corpus
+    scan scores all of them, per-anchor top-k via a window partitioned
+    by anchor — plus the label-mismatch predicate pushed into the
+    scored stream before ranking. At serving scale the same query runs
+    against the IVF/PQ index instead of the raw corpus; this is the
+    exact-scoring definition the index variants are measured against.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors = e.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qnorm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qnorm")), 6
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HARD_NEG_K)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            "cosine",
+        )
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (class centroids), long form.
 
@@ -391,6 +442,24 @@ ORACLES: dict[str, str] = {
              generate_series(0, {DIM - 1}) AS t(i)
         GROUP BY label, i
     """,
+    "hard_negative_mining": f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        a AS (
+            SELECT vec_id AS anchor_id, label AS anchor_label, v AS qv
+            FROM e WHERE vec_id < {N_ANCHORS}
+        ),
+        scored AS (
+            SELECT a.anchor_id, e.vec_id, e.label,
+                   round(list_cosine_similarity(e.v, a.qv), 6) AS cosine,
+                   row_number() OVER (PARTITION BY a.anchor_id
+                                      ORDER BY round(list_cosine_similarity(e.v, a.qv), 6) DESC,
+                                               e.vec_id ASC) AS rn
+            FROM e, a
+            WHERE e.label <> a.anchor_label
+        )
+        SELECT anchor_id, vec_id AS negative_id, label AS negative_label, cosine
+        FROM scored WHERE rn <= {HARD_NEG_K}
+    """,
     "ann_bruteforce_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
@@ -411,4 +480,5 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "embedding_pca": embedding_pca,
     "dedup_semantic": dedup_semantic,
+    "hard_negative_mining": hard_negative_mining,
 }

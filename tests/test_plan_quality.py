@@ -51,6 +51,7 @@ NONEQUI_OK = {
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_batch_topk",       # query-batch broadcast scoring
+    "hard_negative_mining",  # anchor-batch broadcast scoring
     "ann_pq_topk",          # 1-row query re-rank over ADC candidates
     "mixture_sample",       # 1-row min-count broadcast into the rate table
     "domain_stats",         # 1-row corpus-totals broadcast

@@ -104,3 +104,20 @@ def test_pca_components_capture_variance_in_order(spark):
     assert np.allclose(comp.mean(axis=0), 0.0, atol=1e-3)
     variances = comp.var(axis=0)
     assert all(variances[i] >= variances[i + 1] - 1e-9 for i in range(len(variances) - 1))
+
+
+def test_hard_negatives_are_cross_label_and_ranked(spark):
+    rows = similarity.hard_negative_mining(spark, SF_DIR).collect()
+    assert rows
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_DIR, "embeddings").select("vec_id", "label").collect()
+    }
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        assert labels[r.anchor_id] != r.negative_label
+        assert labels[r.negative_id] == r.negative_label
+        by_anchor.setdefault(r.anchor_id, []).append(r.cosine)
+    for anchor, cosines in by_anchor.items():
+        assert len(cosines) == similarity.HARD_NEG_K
+        assert cosines == sorted(cosines, reverse=True)

@@ -185,3 +185,67 @@ def test_compaction_drops_tombstones(spark, tmp_path):
     keys = {r.key for r in topic.read_all().collect()}
     assert victim not in keys
     assert len(keys) == len(live) - 1
+
+
+# -- property-based compaction invariants (hypothesis) -----------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _batches_st = st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),          # key
+                st.one_of(st.none(), st.text(max_size=8)),      # value / tombstone
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @given(batches=_batches_st)
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_compaction_equals_model(spark, tmp_path_factory, batches):
+        """For ARBITRARY keyed batches (overlapping keys, tombstones):
+        compact() must leave exactly the model's latest-non-null record
+        per key, with original (partition, offset) coordinates."""
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="hyptopic", dir=str(tmp_path_factory.getbasetemp()))
+        topic = TopicLog(spark, root, n_partitions=3)
+        for batch in batches:
+            df = spark.createDataFrame(
+                [(str(k), v) for k, v in batch], "k string, v string"
+            )
+            topic.produce(df, "k", "v")
+
+        # model: last write per key wins, in produced offset order
+        pre = sorted(topic.read_all().collect(), key=lambda r: (r.partition, r.offset))
+        latest = {}
+        for r in pre:
+            latest[r.key] = r
+        want = {
+            k: (r.partition, r.offset, r.value)
+            for k, r in latest.items()
+            if r.value is not None
+        }
+        end_before = topic.end_offsets()
+
+        topic.compact()
+        got = {
+            r.key: (r.partition, r.offset, r.value) for r in topic.read_all().collect()
+        }
+        assert got == want
+        assert topic.end_offsets() == end_before
