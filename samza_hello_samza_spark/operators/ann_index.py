@@ -270,6 +270,90 @@ def append_ivf_index(spark: SparkSession, index_dir: str, vectors: DataFrame) ->
 
 
 # --------------------------------------------------------------------------
+# snapshot-isolated index versioning (Iceberg-style file manifest)
+# --------------------------------------------------------------------------
+#
+# Raw directory listing races with appends: a probe that lists while a
+# multi-file append is landing sees SOME of the new files — a torn
+# read. The warehouse answer (what Iceberg/Delta do) is a file
+# manifest: readers resolve the file set from a versioned MANIFEST
+# swapped atomically (os.replace), so every probe sees a consistent
+# snapshot — all of an append or none of it — and writers never block
+# readers. Same commit design as streaming.maintenance.TxnView.
+
+
+def _index_manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "MANIFEST.json")
+
+
+def _list_parquet_files(index_dir: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(index_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def read_index_manifest(index_dir: str) -> dict:
+    import json
+
+    path = _index_manifest_path(index_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"version": 0, "files": []}
+
+
+def commit_index_snapshot(index_dir: str) -> dict:
+    """Publish every data file currently on disk as the next snapshot.
+
+    Called by the builder after the initial write and by appenders
+    after their files land: the listing-to-manifest step is the COMMIT;
+    files written but not yet committed are invisible to manifest
+    readers. Returns the new manifest.
+    """
+    import json
+
+    man = read_index_manifest(index_dir)
+    man = {"version": man["version"] + 1, "files": _list_parquet_files(index_dir)}
+    tmp = _index_manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _index_manifest_path(index_dir))  # the atomic commit
+    return man
+
+
+def snapshot_scan(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Read the index AT ITS COMMITTED SNAPSHOT — uncommitted appended
+    files are excluded. ``basePath`` keeps the (band, code)/(list_id)
+    partition columns parsed from the file paths, so partition pruning
+    on the manifest's file subset works exactly as on a raw read."""
+    man = read_index_manifest(index_dir)
+    if not man["files"]:
+        raise FileNotFoundError(f"no committed snapshot in {index_dir}")
+    return spark.read.option("basePath", index_dir).parquet(*man["files"])
+
+
+def probe_lsh_snapshot(
+    spark: SparkSession,
+    index_dir: str,
+    qvec: np.ndarray,
+    planes: np.ndarray,
+    band_bits: int,
+) -> DataFrame:
+    """``probe_lsh_index`` against the committed snapshot: identical
+    pruned (band, code) read, torn-append-proof."""
+    codes = band_codes(qvec, planes, band_bits)
+    scan = snapshot_scan(spark, index_dir)
+    hit = None
+    for band, code in enumerate(codes):
+        cond = (F.col("band") == band) & (F.col("code") == code)
+        hit = cond if hit is None else (hit | cond)
+    return scan.filter(hit).dropDuplicates(["vec_id"]).select("vec_id", "v")
+
+
+# --------------------------------------------------------------------------
 # PQ (product quantization) index
 # --------------------------------------------------------------------------
 

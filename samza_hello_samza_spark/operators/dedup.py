@@ -496,16 +496,12 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(spark, sf_dir, k=3)
+    # single-pass bucket expansion (as in minhash): the shingle pipeline
+    # is computed ONCE, not re-derived per self-join side; pairs are
+    # ordered (ids array-sorted) so doc_a < doc_b by construction.
     cand = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        _bucket_pairs(sh, ["shingle"], "doc_id")
+        .select(F.col("p.pa").alias("doc_a"), F.col("p.pb").alias("doc_b"))
         .distinct()
     )
     prefixes = docs.select(

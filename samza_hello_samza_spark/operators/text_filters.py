@@ -392,6 +392,63 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sequence_packing_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language training-sequence assignment (grouped packing).
+
+    Multilingual training packs sequences WITHIN a language (mixing
+    languages inside one context window wastes it), so the prefix sum
+    restarts per lang: the same two-phase distributed form as
+    ``sequence_packing`` with every stage keyed by (lang, bucket) —
+    in-bucket window partitioned by both, bucket totals per lang,
+    triangular offset join constrained to the same lang. Nothing
+    funnels through one partition; each language packs independently
+    and in parallel.
+    """
+    from pyspark.sql import Window
+
+    from .text_analysis import tokencount_cols
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        tokencount_cols(F.col("text"))["bpe_tokens"].alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BUCKET_DOCS).alias("_bucket"),
+    )
+    in_bucket = (
+        Window.partitionBy("lang", "_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = toks.withColumn(
+        "_cum_in", F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0))
+    )
+    totals = toks.groupBy("lang", "_bucket").agg(F.sum("n_tokens").alias("_total"))
+    earlier = totals.select(
+        F.col("lang").alias("_l2"), F.col("_bucket").alias("_b2"), F.col("_total").alias("_t2")
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(earlier),
+            (F.col("_l2") == F.col("lang")) & (F.col("_b2") < F.col("_bucket")),
+            "left",
+        )
+        .groupBy("lang", "_bucket")
+        .agg(F.coalesce(F.sum("_t2"), F.lit(0)).cast("long").alias("_offset"))
+    )
+    cum_before = F.col("_cum_in") + F.col("_offset")
+    return (
+        within.join(F.broadcast(offsets), ["lang", "_bucket"])
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(cum_before / SEQ_BUDGET).cast("long").alias("seq_id"),
+            (cum_before % SEQ_BUDGET).cast("long").alias("offset_in_seq"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus statistics
 # ---------------------------------------------------------------------------
@@ -623,6 +680,24 @@ ORACLES: dict[str, str] = {
                              - 84.6 * (n_syll / CAST(rw AS DOUBLE)), 4) AS flesch
         FROM ratios
     """,
+    "sequence_packing_grouped": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, '({BPE_TOKEN_REGEX})', 1)) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+               CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS offset_in_seq
+        FROM c
+    """,
     "sequence_packing": f"""
         WITH t AS (
             SELECT doc_id,
@@ -662,6 +737,7 @@ QUERIES = {
     "corpus_vocab_stats": corpus_vocab_stats,
     "token_frequency_histogram": token_frequency_histogram,
     "sequence_packing": sequence_packing,
+    "sequence_packing_grouped": sequence_packing_grouped,
     "text_repetition": text_repetition,
     "text_entropy": text_entropy,
     "pii_redact": pii_redact,

@@ -347,6 +347,31 @@ def customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "purchase_attribution": """
+        WITH base AS (
+            SELECT user_id, event_id, event_type,
+                   round(value, 2) AS value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                   CASE WHEN event_type = 'view' THEN event_id END AS view_id,
+                   CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END AS view_sec
+            FROM events
+        ),
+        attributed AS (
+            SELECT *,
+                   last_value(view_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_view_id,
+                   last_value(view_sec IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_view_sec
+            FROM base
+        )
+        SELECT event_id AS purchase_id, user_id, value,
+               CAST(coalesce(attr_view_id, -1) AS BIGINT) AS attr_view_id,
+               CAST(coalesce(sec - attr_view_sec, -1) AS BIGINT) AS latency_s
+        FROM attributed
+        WHERE event_type = 'purchase'
+    """,
     "events_time_rollup": """
         SELECT GROUPING(day) * 4 + GROUPING(hour) * 2 + GROUPING(minute) AS lvl,
                coalesce(day, -1) AS day,
@@ -462,8 +487,57 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding 'view' event.
+
+    The marketing-analytics classic, and a distinct window shape from
+    the as-of JOIN (asof_last_order): here both sides live in ONE
+    stream, so the plan is a single shuffle on user_id and a
+    ``last(ignorenulls=True)`` over a strictly-preceding row frame —
+    the view's id/ts ride forward as nulls-except-on-views columns,
+    and every purchase row reads the latest non-null. No join, no row
+    amplification, one sort per user partition. Ordering is the
+    module's (epoch-second, event_id) total key, engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        sec.alias("sec"),
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+        F.when(F.col("event_type") == "view", sec).alias("view_sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn("attr_view_id", F.last("view_id", ignorenulls=True).over(w))
+        .withColumn("attr_view_sec", F.last("view_sec", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "value",
+            # -1 sentinel for "no preceding view" (module convention:
+            # NULLs break the compare harness's sort AND pandas turns
+            # nullable BIGINT into float64 on the oracle side).
+            F.coalesce("attr_view_id", F.lit(-1)).cast("long").alias("attr_view_id"),
+            F.coalesce(
+                (F.col("sec") - F.col("attr_view_sec")).cast("long"), F.lit(-1)
+            ).alias("latency_s"),
+        )
+    )
+
+
 QUERIES = {
     "events_time_rollup": events_time_rollup,
+    "purchase_attribution": purchase_attribution,
     "top_events_per_user": top_events_per_user,
     "user_transition_counts": user_transition_counts,
     "decayed_user_value": decayed_user_value,

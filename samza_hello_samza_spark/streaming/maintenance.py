@@ -74,6 +74,68 @@ def parse_events_json(batch: DataFrame) -> DataFrame:
     ).select("e.user_id", "e.event_type", "e.value")
 
 
+def ann_serving_job(
+    query_stream: DataFrame,
+    index_dir: str,
+    planes: np.ndarray,
+    band_bits: int,
+    out_dir: str,
+    checkpoint_dir: str,
+    top_k: int = 10,
+) -> StreamingQuery:
+    """Serve ANN queries from a stream against the committed index snapshot.
+
+    The query side of the live-index story: ``lsh_index_updater``
+    appends vectors, ``commit_index_snapshot`` publishes them, and this
+    job answers a stream of (query_id, v) rows — each micro-batch
+    resolves the CURRENT committed snapshot (manifest read per batch:
+    queries never see a torn append), probes the pruned (band, code)
+    partitions per query, exact-cosine re-ranks, and appends
+    (query_id, vec_id, cosine, rank) results to a parquet sink.
+    Per-batch driver work is one manifest read + per-query band-code
+    hashes — query vectors are micro-batch-sized by definition.
+    """
+    from ..operators.ann_index import probe_lsh_snapshot
+
+    def _serve(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        queries = batch.select("query_id", "v").collect()  # micro-batch-sized
+        for q in queries:
+            qvec = np.asarray(q.v)
+            qnorm = float(np.linalg.norm(qvec))
+            cand = probe_lsh_snapshot(spark, index_dir, qvec, planes, band_bits)
+            qv = F.array(*[F.lit(float(x)) for x in qvec])
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), qv, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            norm = F.sqrt(
+                F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+            )
+            (
+                cand.withColumn("cosine", F.round(dot / (norm * F.lit(qnorm)), 6))
+                .orderBy(F.desc("cosine"), F.asc("vec_id"))
+                .limit(top_k)
+                .select(
+                    F.lit(int(q.query_id)).alias("query_id"),
+                    "vec_id",
+                    "cosine",
+                )
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+    return (
+        query_stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def cms_updater(
     stream: DataFrame, state_path: str, key_col: str, checkpoint_dir: str
 ) -> StreamingQuery:

@@ -338,3 +338,118 @@ def test_cms_updater_stream_matches_batch_sketch(spark, tmp_path):
         (r.row, r.bucket): r.cnt for r in spark.read.parquet(state).collect()
     }
     assert stream_cells == batch_cells
+
+
+def test_index_snapshot_isolates_uncommitted_appends(spark, tmp_path):
+    """Manifest readers must see all of an append or none of it: a probe
+    after files land but BEFORE the manifest commit returns the old
+    snapshot; after commit it sees the new vector in every band."""
+    idx = str(tmp_path / "lsh_versioned")
+    ann_index.build_lsh_index(
+        spark, SF_DIR, similarity.PLANES, similarity.LSH_BAND_BITS, out_dir=idx
+    )
+    man1 = ann_index.commit_index_snapshot(idx)
+    assert man1["version"] == 1 and man1["files"]
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+    before = {
+        r.vec_id
+        for r in ann_index.probe_lsh_snapshot(
+            spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+        ).collect()
+    }
+    assert NEW_VEC_ID not in before
+
+    # append lands on disk — snapshot readers must NOT see it yet
+    ann_index.append_lsh_index(
+        idx, _query_clone_df(spark), similarity.PLANES, similarity.LSH_BAND_BITS
+    )
+    assert len(ann_index._list_parquet_files(idx)) > len(man1["files"])
+    mid = {
+        r.vec_id
+        for r in ann_index.probe_lsh_snapshot(
+            spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+        ).collect()
+    }
+    assert mid == before, "torn read: probe saw uncommitted append files"
+
+    man2 = ann_index.commit_index_snapshot(idx)
+    assert man2["version"] == 2
+    after = {
+        r.vec_id
+        for r in ann_index.probe_lsh_snapshot(
+            spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+        ).collect()
+    }
+    assert after == before | {NEW_VEC_ID}
+
+
+def test_snapshot_scan_still_prunes_partitions(spark, tmp_path):
+    """Reading the manifest's file list with basePath must preserve the
+    (band, code) partition columns so the probe stays a pruned read."""
+    idx = str(tmp_path / "lsh_pruned")
+    ann_index.build_lsh_index(
+        spark, SF_DIR, similarity.PLANES, similarity.LSH_BAND_BITS, out_dir=idx
+    )
+    ann_index.commit_index_snapshot(idx)
+    scan = ann_index.snapshot_scan(spark, idx)
+    assert {"band", "code"}.issubset(set(scan.columns))
+    qvec = similarity._query_vector(spark, SF_DIR)
+    cand = ann_index.probe_lsh_snapshot(
+        spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # partition filters reach the scan (pruned read, not post-filter)
+    assert "PartitionFilters: []" not in plan, plan
+
+
+def test_ann_serving_job_matches_batch_probe(spark, tmp_path):
+    """Streamed queries must return exactly what a batch snapshot probe
+    + exact re-rank returns for the same vectors."""
+    idx = str(tmp_path / "lsh_serve")
+    ann_index.build_lsh_index(
+        spark, SF_DIR, similarity.PLANES, similarity.LSH_BAND_BITS, out_dir=idx
+    )
+    ann_index.commit_index_snapshot(idx)
+
+    emb = similarity._embeddings(spark, SF_DIR)
+    qdf = (
+        emb.filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), "v")
+    )
+    qdir = str(tmp_path / "queries")
+    qdf.write.parquet(qdir)
+    stream = spark.readStream.schema("query_id BIGINT, v ARRAY<DOUBLE>").parquet(qdir)
+    out = str(tmp_path / "results")
+    q = maintenance.ann_serving_job(
+        stream, idx, similarity.PLANES, similarity.LSH_BAND_BITS,
+        out, str(tmp_path / "ck"), top_k=5,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got: dict[int, list] = {}
+    for r in sorted(
+        spark.read.parquet(out).collect(), key=lambda r: (r.query_id, -r.cosine, r.vec_id)
+    ):
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+
+    import numpy as np
+
+    for qrow in qdf.collect():
+        qvec = np.asarray(qrow.v)
+        cand = ann_index.probe_lsh_snapshot(
+            spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+        ).collect()
+        qnorm = np.linalg.norm(qvec)
+        scored = sorted(
+            (
+                (r.vec_id, round(float(np.asarray(r.v) @ qvec / (np.linalg.norm(r.v) * qnorm)), 6))
+                for r in cand
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert got[qrow.query_id] == scored, qrow.query_id
