@@ -362,7 +362,74 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: min retail price, max size.
+
+    The skyline/"best trade-offs" query — no point on the frontier is
+    beaten on BOTH dimensions by any other. In 2-D the frontier is a
+    running-max scan over (price asc, size desc) — but a GLOBAL
+    ordered window is the single-partition anti-pattern, so this is
+    the two-phase distributed form (the wikipedia_stats prefix-sum
+    pattern): price-range buckets each compute their local running
+    max in parallel, the per-bucket maxima (a buckets-sized relation)
+    triangular-broadcast-join into per-bucket "best size in any
+    earlier bucket" offsets, and a point survives iff its size beats
+    BOTH its in-bucket predecessor max and its earlier-buckets max.
+    Exact duplicates collapse first (groupBy) so equal points don't
+    knock each other out. No stage sees more than one bucket's rows
+    in one sort.
+    """
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy(
+        F.round("p_retailprice", 2).alias("price"), F.col("p_size").alias("size")
+    ).agg(F.min("p_partkey").alias("witness_partkey"))
+    # ~100-wide price bands; tune with the price domain (bucket count
+    # only needs to be ≫ cores and ≪ rows).
+    pts = pts.withColumn("_bucket", F.floor(F.col("price") / 100))
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.asc("price"), F.desc("size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = pts.withColumn("max_in_before", F.max("size").over(w_in))
+    bucket_max = pts.groupBy("_bucket").agg(F.max("size").alias("_bmax"))
+    earlier = bucket_max.select(
+        F.col("_bucket").alias("_b2"), F.col("_bmax").alias("_m2")
+    )
+    offsets = (
+        bucket_max.join(F.broadcast(earlier), F.col("_b2") < F.col("_bucket"), "left")
+        .groupBy("_bucket")
+        .agg(F.max("_m2").alias("earlier_max"))
+    )
+    best_before = F.greatest(
+        F.coalesce(F.col("max_in_before"), F.lit(-(2**31))),
+        F.coalesce(F.col("earlier_max"), F.lit(-(2**31))),
+    )
+    return (
+        within.join(F.broadcast(offsets), "_bucket")
+        .filter(F.col("size") > best_before)
+        .select("price", "size", "witness_partkey")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "parts_skyline": """
+        WITH pts AS (
+            SELECT round(p_retailprice, 2) AS price, p_size AS size,
+                   min(p_partkey) AS witness_partkey
+            FROM part GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *,
+                   max(size) OVER (ORDER BY price ASC, size DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS max_size_before
+            FROM pts
+        )
+        SELECT price, size, witness_partkey
+        FROM ranked
+        WHERE max_size_before IS NULL OR size > max_size_before
+    """,
     "events_props_stats": """
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_events,
@@ -558,4 +625,5 @@ QUERIES = {
     "events_funnel": events_funnel,
     "cohort_retention": cohort_retention,
     "events_props_stats": events_props_stats,
+    "parts_skyline": parts_skyline,
 }

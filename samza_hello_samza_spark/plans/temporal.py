@@ -347,6 +347,77 @@ def customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "user_state_scd2": """
+        WITH base AS (
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+            FROM events
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        ),
+        numbered AS (
+            SELECT *,
+                   sum(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS period
+            FROM flagged
+        ),
+        periods AS (
+            SELECT user_id, period,
+                   min(event_type) AS state,
+                   min(sec) AS valid_from
+            FROM numbered GROUP BY user_id, period
+        )
+        SELECT user_id,
+               CAST(period AS BIGINT) AS period,
+               state,
+               CAST(valid_from AS BIGINT) AS valid_from,
+               CAST(coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, period), -1) AS BIGINT) AS valid_to
+        FROM periods
+    """,
+    "events_gapfill": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                   round(sum(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        spine AS (
+            SELECT t.event_type, d.day
+            FROM (SELECT DISTINCT event_type FROM daily) t,
+                 (SELECT unnest(generate_series(lo, hi)) AS day FROM span) d
+        ),
+        filled AS (
+            SELECT s.event_type, s.day, daily.v
+            FROM spine s LEFT JOIN daily USING (event_type, day)
+        ),
+        carried AS (
+            SELECT *,
+                   last_value(v IGNORE NULLS) OVER back AS prev_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER back AS prev_d,
+                   first_value(v IGNORE NULLS) OVER fwd AS next_v,
+                   first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER fwd AS next_d
+            FROM filled
+            WINDOW back AS (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   fwd AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, day,
+               CAST(v IS NOT NULL AS INT) AS observed,
+               round(coalesce(v,
+                   CASE WHEN prev_d IS NULL THEN next_v
+                        WHEN next_d IS NULL THEN prev_v
+                        ELSE prev_v + (next_v - prev_v) * (day - prev_d) / (next_d - prev_d)
+                   END), 6) AS value
+        FROM carried
+    """,
     "purchase_attribution": """
         WITH base AS (
             SELECT user_id, event_id, event_type,
@@ -535,9 +606,108 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build: each user's event_type as validity periods.
+
+    The dbt-snapshot / slowly-changing-dimension shape: collapse the
+    keyed event stream into (user, state, valid_from, valid_to) rows,
+    one per run of consecutive equal states. Plan: ONE shuffle on
+    user_id feeds all three window passes (change flag via lag, period
+    id via running sum of flags, valid_to via lead of the period
+    start) — Catalyst plans them over a single sort. Open periods get
+    the -1 sentinel (engine-comparable; NULL would go float in the
+    oracle's pandas frame).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    base = ev.select("user_id", "event_type", sec.alias("sec"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = base.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn("period", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    periods = flagged.groupBy("user_id", "period").agg(
+        # all rows in a period share one state by construction; min()
+        # (not first()) keeps the agg order-insensitive anyway.
+        F.min("event_type").alias("state"),
+        F.min("sec").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "period")
+    return periods.select(
+        "user_id",
+        F.col("period").cast("long").alias("period"),
+        "state",
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.coalesce(F.lead("valid_from").over(w2), F.lit(-1))
+        .cast("long")
+        .alias("valid_to"),
+    )
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily value series with linear interpolation.
+
+    The TimescaleDB ``time_bucket_gapfill`` + ``interpolate`` op: the
+    per-(type, day) aggregate is densified to EVERY day in the
+    corpus span (day spine = sequence-explode of a 1-row min/max
+    broadcast crossed with the distinct types — never a corpus-sized
+    generator), then missing days interpolate between the carried
+    previous and next real points (last/first ignore-nulls over
+    directional frames; one shuffle on event_type for all four window
+    columns). Edges extrapolate flat (coalesce to the one real
+    neighbor).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("bigint")
+    daily = ev.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("v")
+    )
+    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(span)).select(
+        "event_type", F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    filled = spine.join(daily, ["event_type", "day"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_d = F.last(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_d = F.first(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(fwd)
+    interp = prev_v + (next_v - prev_v) * (F.col("day") - prev_d) / (next_d - prev_d)
+    return filled.select(
+        "event_type",
+        "day",
+        F.col("v").isNotNull().cast("int").alias("observed"),
+        F.round(
+            F.coalesce(
+                F.col("v"),
+                F.when(prev_d.isNull(), next_v)
+                .when(next_d.isNull(), prev_v)
+                .otherwise(interp),
+            ),
+            6,
+        ).alias("value"),
+    )
+
+
 QUERIES = {
     "events_time_rollup": events_time_rollup,
     "purchase_attribution": purchase_attribution,
+    "user_state_scd2": user_state_scd2,
+    "events_gapfill": events_gapfill,
     "top_events_per_user": top_events_per_user,
     "user_transition_counts": user_transition_counts,
     "decayed_user_value": decayed_user_value,

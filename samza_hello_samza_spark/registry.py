@@ -39,6 +39,8 @@ _OPTIONAL_MODULES = frozenset(
     {
         "samza_hello_samza_spark.operators.similarity",
         "samza_hello_samza_spark.operators.multimodal",
+        # module-level pandas import (merge UDF); optional like the others
+        "samza_hello_samza_spark.operators.tokenizer",
     }
 )
 

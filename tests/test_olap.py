@@ -53,3 +53,31 @@ def test_percentile_approx_within_rank_window(spark):
             got = getattr(a, f"p{n}")
             lo, hi = getattr(b, f"lo{n}"), getattr(b, f"hi{n}")
             assert lo <= got <= hi, (et, p, lo, got, hi)
+
+
+def test_skyline_is_exact_pareto_frontier(spark):
+    """Frontier vs brute-force O(n^2) domination check at sf0.001: every
+    returned point is non-dominated, every non-dominated point is
+    returned."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.plans.olap import parts_skyline
+    from samza_hello_samza_spark.session import load_table
+
+    part = load_table(spark, SF_DIR, "part")
+    pts = {
+        (float(r.price), int(r.size))
+        for r in part.groupBy(
+            F.round("p_retailprice", 2).alias("price"), F.col("p_size").alias("size")
+        ).count().collect()
+    }
+
+    def dominated(p):
+        return any(
+            q != p and q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in pts
+        )
+
+    want = {p for p in pts if not dominated(p)}
+    got = {(float(r.price), int(r.size)) for r in parts_skyline(spark, SF_DIR).collect()}
+    assert got == want

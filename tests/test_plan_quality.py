@@ -56,6 +56,8 @@ NONEQUI_OK = {
     "mixture_sample",       # 1-row min-count broadcast into the rate table
     "domain_stats",         # 1-row corpus-totals broadcast
     "curriculum_assign",    # 1-row quantile-thresholds broadcast
+    "events_gapfill",       # 1-row day-span broadcast into the spine
+    "parts_skyline",        # triangular join over tiny bucket maxima (prefix max)
 }
 
 #: operators that declared an Arrow-batched Python stage.

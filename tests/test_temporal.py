@@ -123,3 +123,44 @@ def test_chunk_dedup_keeps_first_occurrence_only(spark):
         # doc 2 loses BOTH chunks → empty text, zero kept
         assert out[2].clean_text == ""
         assert (out[2].n_chunks, out[2].n_kept) == (2, 0)
+
+
+def test_gapfill_interpolates_missing_days(spark, tmp_path):
+    """Remove two interior days for one type; the spine must restore
+    them with observed=0 and linearly interpolated values."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.plans.temporal import events_gapfill
+    from samza_hello_samza_spark.session import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("bigint")
+    days = sorted(r.day for r in ev.select(day.alias("day")).distinct().collect())
+    gap_days = days[3:5]
+    victim = "view"
+    pruned = ev.filter(
+        ~(day.isin([int(d) for d in gap_days]) & (F.col("event_type") == victim))
+    )
+    gap_dir = str(tmp_path / "gapped")
+    os.makedirs(gap_dir)
+    pruned.write.parquet(os.path.join(gap_dir, "events.parquet"))
+
+    out = {
+        (r.event_type, r.day): (r.observed, r.value)
+        for r in events_gapfill(spark, gap_dir).collect()
+    }
+    # full spine restored
+    for d in days:
+        assert (victim, d) in out
+    # removed days are interpolated between the surviving neighbors
+    lo, hi = days[2], days[5]
+    lo_v, hi_v = out[(victim, lo)][1], out[(victim, hi)][1]
+    for d in gap_days:
+        observed, value = out[(victim, d)]
+        assert observed == 0
+        want = lo_v + (hi_v - lo_v) * (d - lo) / (hi - lo)
+        assert abs(value - want) < 1e-4, (d, value, want)
+    # untouched type is fully observed
+    assert all(obs == 1 for (t, _d), (obs, _v) in out.items() if t != victim)
