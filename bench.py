@@ -59,6 +59,8 @@ HEADLINE = (
     "heavy_hitters_cms",
     "doc_pagerank",
     "ann_pq_topk",
+    "purchase_attribution",
+    "user_state_scd2",
 )
 
 

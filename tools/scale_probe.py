@@ -57,6 +57,9 @@ PROBE_OPS = (
     "sequence_packing",
     "events_time_rollup",
     "top_events_per_user",
+    "purchase_attribution",
+    "user_state_scd2",
+    "parts_skyline",
 )
 
 #: per-table (id columns to offset, row-count column for stride).
