@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -361,4 +362,71 @@ def sessionize_job(events: DataFrame) -> DataFrame:
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+SCD2_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("state", StringType()),
+        StructField("valid_from", LongType()),
+        StructField("valid_to", LongType()),
+    ]
+)
+
+_SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_state", StringType()),
+        StructField("cur_from", LongType()),
+    ]
+)
+
+
+def _update_scd2(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Live SCD2 maintenance: per-user state is ONLY the open period
+    (state, valid_from) — two fields regardless of history length.
+    Each state change closes the previous period at the change event's
+    second (identical to the batch builder's lead(valid_from)
+    semantics), so closed periods stream out exactly once and the open
+    period always lives in the store, like Samza's keyed profile
+    table."""
+    user = key[0]
+    if state.exists:
+        cur_state, cur_from = state.get
+    else:
+        cur_state, cur_from = None, None
+    rows = []
+    for pdf in pdfs:
+        for _idx, r in pdf.sort_values(["sec", "event_id"]).iterrows():
+            sec, etype = int(r["sec"]), str(r["event_type"])
+            if cur_state is None:
+                cur_state, cur_from = etype, sec
+            elif etype != cur_state:
+                rows.append((user, cur_state, cur_from, sec))
+                cur_state, cur_from = etype, sec
+    state.update((cur_state, cur_from))
+    if rows:
+        yield pd.DataFrame(
+            rows, columns=["user_id", "state", "valid_from", "valid_to"]
+        )
+
+
+def scd2_job(events: DataFrame) -> DataFrame:
+    """Streaming twin of plans.temporal.user_state_scd2: closed validity
+    periods stream out as they happen; the open period per user is the
+    (bounded) state."""
+    ev = events.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _update_scd2,
+        outputStructType=SCD2_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

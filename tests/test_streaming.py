@@ -335,3 +335,50 @@ def test_sessionize_merges_across_batches_and_times_out(spark, tmp_path):
             # beyond the final watermark (t0+99400).
         ]
     )
+
+
+def test_scd2_stream_matches_batch_closed_periods(spark, tmp_path, batch_events):
+    """Two time-ordered micro-batches through the streaming SCD2
+    maintainer must emit exactly the batch builder's CLOSED periods
+    (valid_to != -1); the open period stays in state."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.plans.temporal import user_state_scd2
+
+    # split by time into two files so batch order == event order
+    mid = batch_events.agg(
+        F.expr("percentile(unix_timestamp(ts), 0.5)")
+    ).first()[0]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = batch_events.filter(F.unix_timestamp("ts") <= mid)
+    b2 = batch_events.filter(F.unix_timestamp("ts") > mid)
+    b1.coalesce(1).write.parquet(os.path.join(src, "a_first.parquet"))
+    b2.coalesce(1).write.parquet(os.path.join(src, "b_second.parquet"))
+    # file source orders batches by modification time: pin it
+    for i, d in enumerate(sorted(os.listdir(src))):
+        p = os.path.join(src, d)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+        os.utime(p, (1000 + i, 1000 + i))
+
+    schema = batch_events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    rows = run_stream_to_memory(jobs.scd2_job(stream), mode="append")
+    got = {(r.user_id, r.state, r.valid_from, r.valid_to) for r in rows}
+
+    # batch reference over the SAME events (written whole to a tmp dir)
+    ref_dir = str(tmp_path / "ref")
+    os.makedirs(ref_dir)
+    batch_events.write.parquet(os.path.join(ref_dir, "events.parquet"))
+    want = {
+        (r.user_id, r.state, r.valid_from, r.valid_to)
+        for r in user_state_scd2(spark, ref_dir).collect()
+        if r.valid_to != -1
+    }
+    assert got == want
