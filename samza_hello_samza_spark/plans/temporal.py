@@ -347,6 +347,14 @@ def customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "events_heatmap": """
+        SELECT CAST(((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS BIGINT) AS dow,
+               CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS BIGINT) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
     "user_state_scd2": """
         WITH base AS (
             SELECT user_id, event_type,
@@ -703,11 +711,41 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage heatmap: activity by (day-of-week, hour-of-day) cell.
+
+    The ops-dashboard staple. Day-of-week comes from pure epoch
+    integer math — ``(days_since_epoch + 4) % 7`` (1970-01-01 was a
+    Thursday; 0=Sunday) — because the engines' calendar dow functions
+    disagree on numbering (Spark 1=Sunday, DuckDB 0=Sunday) while
+    integer arithmetic is identical everywhere. One scan, 168-cell
+    aggregate, map-side partials do all the work.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    dow = ((sec / 86400).cast("bigint") + 4) % 7
+    hour = (sec % 86400 / 3600).cast("bigint")
+    return (
+        ev.groupBy(dow.alias("dow"), hour.alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hour").cast("long").alias("hour"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value",
+        )
+    )
+
+
 QUERIES = {
     "events_time_rollup": events_time_rollup,
     "purchase_attribution": purchase_attribution,
     "user_state_scd2": user_state_scd2,
     "events_gapfill": events_gapfill,
+    "events_heatmap": events_heatmap,
     "top_events_per_user": top_events_per_user,
     "user_transition_counts": user_transition_counts,
     "decayed_user_value": decayed_user_value,
