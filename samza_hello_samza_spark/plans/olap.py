@@ -412,7 +412,103 @@ def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quartile scores.
+
+    The CRM classic. Per-customer metrics are one orders aggregate;
+    the anchor date and the three quartile-threshold sets are both
+    1-row broadcasts (exact interpolated percentiles — the
+    engine-stable pairing with quantile_cont); scoring is pure column
+    math. Segment key is 'RFM' digit-concat, 4=best on every axis
+    (recent, frequent, high-spend). No window anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    rfm = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff("anchor", "last_order").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+    )
+    cuts = rfm.agg(
+        *[
+            F.percentile("recency_days", q).alias(f"r{i}")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ],
+        *[
+            F.percentile("frequency", q).alias(f"f{i}")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ],
+        *[
+            F.percentile("monetary", q).alias(f"m{i}")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ],
+    )
+
+    def score(col: str, prefix: str, invert: bool) -> F.Column:
+        # quartile score 1..4; recency inverts (smaller = better = 4)
+        s = F.lit(1)
+        for i in (1, 2, 3):
+            s = F.when(F.col(col) > F.col(f"{prefix}{i}"), i + 1).otherwise(s)
+        return (F.lit(5) - s) if invert else s
+
+    return rfm.crossJoin(F.broadcast(cuts)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days", "r", invert=True).cast("int").alias("r_score"),
+        score("frequency", "f", invert=False).cast("int").alias("f_score"),
+        score("monetary", "m", invert=False).cast("int").alias("m_score"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "customer_rfm_segments": """
+        WITH per_cust AS (
+            SELECT o_custkey AS custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY 1
+        ),
+        anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+        rfm AS (
+            SELECT custkey,
+                   CAST(date_diff('day', last_order, anchor) AS BIGINT) AS recency_days,
+                   CAST(frequency AS BIGINT) AS frequency,
+                   monetary
+            FROM per_cust CROSS JOIN anchor
+        ),
+        cuts AS (
+            SELECT quantile_cont(recency_days, 0.25) AS r1,
+                   quantile_cont(recency_days, 0.5)  AS r2,
+                   quantile_cont(recency_days, 0.75) AS r3,
+                   quantile_cont(frequency, 0.25) AS f1,
+                   quantile_cont(frequency, 0.5)  AS f2,
+                   quantile_cont(frequency, 0.75) AS f3,
+                   quantile_cont(monetary, 0.25) AS m1,
+                   quantile_cont(monetary, 0.5)  AS m2,
+                   quantile_cont(monetary, 0.75) AS m3
+            FROM rfm
+        )
+        SELECT custkey, recency_days, frequency, monetary,
+               CAST(5 - (CASE WHEN recency_days > r3 THEN 4
+                              WHEN recency_days > r2 THEN 3
+                              WHEN recency_days > r1 THEN 2 ELSE 1 END) AS INT) AS r_score,
+               CAST(CASE WHEN frequency > f3 THEN 4
+                         WHEN frequency > f2 THEN 3
+                         WHEN frequency > f1 THEN 2 ELSE 1 END AS INT) AS f_score,
+               CAST(CASE WHEN monetary > m3 THEN 4
+                         WHEN monetary > m2 THEN 3
+                         WHEN monetary > m1 THEN 2 ELSE 1 END AS INT) AS m_score
+        FROM rfm CROSS JOIN cuts
+    """,
     "parts_skyline": """
         WITH pts AS (
             SELECT round(p_retailprice, 2) AS price, p_size AS size,
@@ -626,4 +722,5 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "events_props_stats": events_props_stats,
     "parts_skyline": parts_skyline,
+    "customer_rfm_segments": customer_rfm_segments,
 }

@@ -347,6 +347,23 @@ def customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "events_autocorrelation": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                   round(sum(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT d.event_type, d.v, n.v AS v_next
+            FROM daily d JOIN daily n
+              ON n.event_type = d.event_type AND n.day = d.day + 1
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               coalesce(round(corr(v, v_next), 4), -2.0) AS lag1_corr
+        FROM pairs GROUP BY event_type
+    """,
     "events_heatmap": """
         SELECT CAST(((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS BIGINT) AS dow,
                CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS BIGINT) AS hour,
@@ -740,8 +757,37 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily value series, per event type.
+
+    Time-series diagnostics (is today's volume predicted by
+    yesterday's?): the corpus collapses to a (type, day) aggregate
+    first — everything after runs on days-sized data — then each day
+    equi-joins its successor (day+1 join key, no window needed) and a
+    per-type Pearson ``corr`` aggregate finishes. Types without enough
+    pairs surface with NULL→-2 sentinel (corr ∈ [-1,1], so -2 is
+    unambiguous).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("bigint")
+    daily = ev.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("v")
+    )
+    nxt = daily.select(
+        "event_type",
+        (F.col("day") - 1).alias("day"),
+        F.col("v").alias("v_next"),
+    )
+    pairs = daily.join(nxt, ["event_type", "day"])
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(F.round(F.corr("v", "v_next"), 4), F.lit(-2.0)).alias("lag1_corr"),
+    )
+
+
 QUERIES = {
     "events_time_rollup": events_time_rollup,
+    "events_autocorrelation": events_autocorrelation,
     "purchase_attribution": purchase_attribution,
     "user_state_scd2": user_state_scd2,
     "events_gapfill": events_gapfill,

@@ -58,6 +58,7 @@ NONEQUI_OK = {
     "curriculum_assign",    # 1-row quantile-thresholds broadcast
     "events_gapfill",       # 1-row day-span broadcast into the spine
     "parts_skyline",        # triangular join over tiny bucket maxima (prefix max)
+    "customer_rfm_segments",  # 1-row anchor + quartile-cuts broadcasts
 }
 
 #: operators that declared an Arrow-batched Python stage.
