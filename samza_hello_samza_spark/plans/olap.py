@@ -468,7 +468,91 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BASKET_TOP_K = 25
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: top part pairs co-occurring in an order.
+
+    The frequent-itemset primitive. A lineitem self-join on orderkey
+    would re-derive the scan per side; instead each order's (small,
+    bounded — TPC-H ≤7 lines) part set collapses to one row via
+    collect_set, pairs expand IN-ROW from the sorted array (the
+    dedup._bucket_pairs trick), and one groupBy counts supports. The
+    shuffle carries (partkey, partkey) longs only; top-k is
+    TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_expr = """
+        explode(flatten(transform(sequence(0, size(parts) - 2), i ->
+            transform(sequence(i + 1, size(parts) - 1), j ->
+                struct(parts[i] AS pa, parts[j] AS pb)))))
+    """
+    return (
+        baskets.filter(F.size("parts") > 1)
+        .select(F.expr(pair_expr).alias("p"))
+        .groupBy(F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
+    )
+
+
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfilment latency: order-date → ship-date stats.
+
+    Ops-view: each lineitem's lag from its order's placement to its
+    ship date (integer date diff — engine-exact) plus the return rate,
+    grouped by supplier. The orderdate rides in on the orderkey
+    equi-join (fact-fact, both sides pre-hashed on the key; bucketed
+    layouts make it shuffle-free); map-side partials carry four
+    numbers per supplier.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    j = li.join(orders, "l_orderkey")
+    lag = F.datediff("l_shipdate", "o_orderdate")
+    returned = (F.col("l_returnflag") == "R").cast("int")
+    return j.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.avg(lag), 4).alias("avg_ship_lag_days"),
+        F.max(lag).cast("long").alias("max_ship_lag_days"),
+        F.round(F.avg(returned), 6).alias("return_rate"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "basket_part_pairs": f"""
+        WITH baskets AS (
+            SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        pairs AS (
+            SELECT unnest(flatten(list_transform(generate_series(1, len(parts) - 1), i ->
+                       list_transform(generate_series(i + 1, len(parts)), j ->
+                           {{'pa': parts[i], 'pb': parts[j]}})))) AS p
+            FROM baskets WHERE len(parts) > 1
+        )
+        SELECT p.pa AS part_a, p.pb AS part_b, CAST(count(*) AS BIGINT) AS n_orders
+        FROM pairs
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        LIMIT {BASKET_TOP_K}
+    """,
+    "supplier_lead_time": """
+        SELECT l_suppkey AS suppkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_ship_lag_days,
+               CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_ship_lag_days,
+               round(avg(CAST(l_returnflag = 'R' AS INT)), 6) AS return_rate
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1
+    """,
     "customer_rfm_segments": """
         WITH per_cust AS (
             SELECT o_custkey AS custkey,
@@ -723,4 +807,6 @@ QUERIES = {
     "events_props_stats": events_props_stats,
     "parts_skyline": parts_skyline,
     "customer_rfm_segments": customer_rfm_segments,
+    "basket_part_pairs": basket_part_pairs,
+    "supplier_lead_time": supplier_lead_time,
 }
