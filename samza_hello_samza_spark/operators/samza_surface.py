@@ -120,6 +120,38 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain conversion analytics over the same sessionization.
+
+    The question session analytics exists to answer: which sessions
+    convert (contain a purchase) and how much do they spend? Same
+    gap-based sessionization as ``session_window`` (identical break
+    rule → identical session ids), then the per-session rollup adds
+    conditional aggregates — converted flag, purchases, session value.
+    One user_id shuffle feeds both the window and the groupBy; no
+    second exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    with_breaks = ev.withColumn(
+        "is_break",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user))
+            >= F.lit(gap_us)
+        ).cast("int"),
+    ).withColumn("session_id", F.coalesce(F.sum("is_break").over(by_user), F.lit(0)))
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    return with_breaks.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(is_purchase).cast("long").alias("n_purchases"),
+        F.max(is_purchase).cast("int").alias("converted"),
+        F.round(F.sum(F.when(is_purchase == 1, F.col("value")).otherwise(0.0)), 2).alias(
+            "purchase_value"
+        ),
+    )
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JoinExample.java:86-105 — views ⋈ clicks within a 3-minute window.
 
@@ -453,6 +485,25 @@ ORACLES: dict[str, str] = {
                count(*) AS views
         FROM sessions GROUP BY user_id, session_id
     """,
+    "session_conversion": """
+        WITH breaks AS (
+            SELECT user_id, ts, event_type, value,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS is_break
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, event_type, value,
+                   CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM breaks
+        )
+        SELECT user_id, session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(event_type = 'purchase' AS INT)) AS BIGINT) AS n_purchases,
+               CAST(max(CAST(event_type = 'purchase' AS INT)) AS INT) AS converted,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+        FROM sessions GROUP BY user_id, session_id
+    """,
     "stream_stream_join": """
         SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
                CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts_epoch,
@@ -542,6 +593,7 @@ QUERIES = {
     "groupby_count": groupby_count,
     "tumbling_window": tumbling_window,
     "session_window": session_window,
+    "session_conversion": session_conversion,
     "stream_stream_join": stream_stream_join,
     "sliding_window_counts": sliding_window_counts,
     "stream_table_join": stream_table_join,
