@@ -453,3 +453,82 @@ def test_ann_serving_job_matches_batch_probe(spark, tmp_path):
             key=lambda t: (-t[1], t[0]),
         )[:5]
         assert got[qrow.query_id] == scored, qrow.query_id
+
+
+# -- property-based exactly-once invariant (hypothesis) ----------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    # an action: ('a'|'b', rows) = produce to that topic; 'cycle';
+    # 'crash' = roll the manifest back to its pre-latest-cycle value
+    # (simulating dying between the state write and the swap).
+    _rows_st = st.lists(
+        st.tuples(st.integers(0, 4), st.sampled_from(["view", "click"])),
+        min_size=1,
+        max_size=3,
+    )
+    _action_st = st.one_of(
+        st.tuples(st.just("produce_a"), _rows_st),
+        st.tuples(st.just("produce_b"), _rows_st),
+        st.tuples(st.just("cycle"), st.none()),
+        st.tuples(st.just("crash"), st.none()),
+    )
+
+    @given(actions=st.lists(_action_st, min_size=2, max_size=7))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_txn_view_exactly_once_under_arbitrary_crashes(
+        spark, tmp_path_factory, actions
+    ):
+        """For ANY interleaving of produces, cycles, and crash-rollbacks,
+        a final cycle must leave the view equal to a full recompute of
+        both topic logs — nothing lost, nothing double-counted."""
+        import json
+        import os
+        import tempfile
+
+        root = tempfile.mkdtemp(
+            prefix="hyptxn", dir=str(tmp_path_factory.getbasetemp())
+        )
+        ta = TopicLog(spark, os.path.join(root, "a"), n_partitions=2)
+        tb = TopicLog(spark, os.path.join(root, "b"), n_partitions=2)
+        tv = maintenance.TxnView(
+            spark, os.path.join(root, "tv"), {"a": ta, "b": tb}
+        )
+        manifest_path = os.path.join(root, "tv", "MANIFEST.json")
+        prev_manifest = json.dumps(tv.manifest())
+        produced: list[tuple[str, int, str]] = []
+
+        for kind, payload in actions:
+            if kind == "produce_a" or kind == "produce_b":
+                topic = ta if kind == "produce_a" else tb
+                name = "a" if kind == "produce_a" else "b"
+                _produce_events(
+                    spark, topic, [(uid, et, 1.0) for uid, et in payload]
+                )
+                produced.extend((name, uid, et) for uid, et in payload)
+            elif kind == "cycle":
+                prev_manifest = json.dumps(tv.manifest())
+                tv.cycle()
+            else:  # crash: undo the latest manifest swap, keep all files
+                with open(manifest_path, "w") as f:
+                    f.write(prev_manifest)
+
+        tv.cycle()  # recovery cycle drains whatever the manifest says is unread
+        got = {
+            (r.topic, r.user_id): r.n_events for r in tv.read_view().collect()
+        }
+        want: dict[tuple[str, int], int] = {}
+        for name, uid, _et in produced:
+            want[(name, uid)] = want.get((name, uid), 0) + 1
+        assert got == want
