@@ -526,7 +526,111 @@ def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full supplier-nation × customer-nation revenue matrix.
+
+    TPC-H Q7 restricted to one nation pair; the analytics user's next
+    ask is the whole flow matrix. Dims (nation twice, supplier,
+    customer) ride in as size-gated broadcasts; the one real shuffle
+    is lineitem⋈orders on orderkey; the final aggregate has
+    n_nations² groups. Revenue terms are cast to DECIMAL(18,4)
+    before the sum: the per-term double math is bit-identical across
+    engines, and decimal addition is order-independent — so the
+    aggregate is exact regardless of partitioning (a plain double sum
+    drifts across the round(2) boundary on some summation orders).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_nat = maybe_broadcast(
+        supplier.join(
+            nation.select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            "s_nationkey",
+        ).select("s_suppkey", "supp_nation")
+    )
+    cust_nat = maybe_broadcast(
+        customer.join(
+            nation.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("cust_nation"),
+            ),
+            "c_nationkey",
+        ).select("c_custkey", "cust_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
+        .join(cust_nat, orders.o_custkey == cust_nat.c_custkey)
+    )
+    term = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return j.groupBy("supp_nation", "cust_nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.sum(term).cast("double"), 2).alias("revenue"),
+    )
+
+
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifecycle: days between consecutive orders.
+
+    Per-customer lag() over order dates (one custkey shuffle), then
+    per-customer mean/min/max of the integer day gaps. Single-order
+    customers drop out (no interval). Engine-exact date arithmetic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .withColumn("gap_days", F.datediff("o_orderdate", "prev_date"))
+    )
+    return gaps.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "nation_trade_flow": """
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        GROUP BY 1, 2
+    """,
+    "repeat_purchase_interval": """
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                    ORDER BY o_orderdate, o_orderkey),
+                             o_orderdate) AS gap_days
+            FROM orders
+        )
+        SELECT o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               round(avg(gap_days), 4) AS avg_gap_days,
+               CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+               CAST(max(gap_days) AS BIGINT) AS max_gap_days
+        FROM gaps
+        WHERE gap_days IS NOT NULL
+        GROUP BY 1
+    """,
     "basket_part_pairs": f"""
         WITH baskets AS (
             SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
@@ -809,4 +913,6 @@ QUERIES = {
     "customer_rfm_segments": customer_rfm_segments,
     "basket_part_pairs": basket_part_pairs,
     "supplier_lead_time": supplier_lead_time,
+    "nation_trade_flow": nation_trade_flow,
+    "repeat_purchase_interval": repeat_purchase_interval,
 }
