@@ -50,6 +50,7 @@ DECAY_TAU_SEC = 604_800  # 7 days
 HIST_LO = 900.0
 HIST_HI = 110_000.0
 HIST_NBUCKETS = 22
+PARETO_NBUCKETS = 10
 
 
 def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,6 +582,53 @@ ORACLES: dict[str, str] = {
         FROM lineitem, bounds
         GROUP BY 1
     """,
+    "orders_open_backlog": """
+        WITH spans AS (
+            SELECT CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS open_day,
+                   c.close_day
+            FROM orders o
+            JOIN (SELECT l_orderkey,
+                         max(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400) AS close_day
+                  FROM lineitem GROUP BY l_orderkey) c
+              ON c.l_orderkey = o.o_orderkey
+        ),
+        deltas AS (
+            SELECT day,
+                   CAST(sum(opened) AS BIGINT) AS opened,
+                   CAST(sum(closed) AS BIGINT) AS closed
+            FROM (
+                SELECT open_day AS day, 1 AS opened, 0 AS closed FROM spans
+                UNION ALL
+                SELECT close_day + 1 AS day, 0 AS opened, 1 AS closed FROM spans
+            )
+            GROUP BY day
+        )
+        SELECT day, opened, closed,
+               CAST(sum(opened - closed) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS open_orders
+        FROM deltas
+    """,
+    "customer_pareto_curve": f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS rev
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_custkey
+        ),
+        cuts AS (
+            SELECT quantile_cont(rev, [{", ".join(str(i / PARETO_NBUCKETS) for i in range(1, PARETO_NBUCKETS))}]) AS cs
+            FROM rev
+        ),
+        total AS (SELECT sum(CAST(rev AS DECIMAL(18,2))) AS total_rev FROM rev)
+        SELECT len(list_filter(cs, c -> rev > c)) + 1 AS decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE), 2) AS decile_rev,
+               round(CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DOUBLE)
+                     / CAST(any_value(total_rev) AS DOUBLE), 6) AS rev_share
+        FROM rev, cuts, total
+        GROUP BY 1
+    """,
 }
 
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,6 +833,123 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: how many orders are in flight each day.
+
+    The interval-concurrency query (ops dashboards, WIP accounting):
+    an order opens at o_orderdate and closes when its last lineitem
+    ships. Instead of joining every order span against a day spine
+    (O(days × orders) row amplification), each span emits exactly TWO
+    delta rows in-row — (+1 open, -1 close+1) via an array inline, no
+    second scan of the join — which collapse to a days-sized
+    (opened, closed) aggregate; the running prefix sum over that
+    aggregate is the backlog. The only window runs over the days-sized
+    frame (thousands of rows at any corpus size — days don't grow with
+    data volume), never the fact table.
+
+    Scale: one orderkey equi-join (bucketing co-locates it, see
+    sources/bucketing.py), one tiny groupBy, all-integer outputs (no
+    cross-engine float hazard).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    open_day = (F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    close = li.groupBy("l_orderkey").agg(
+        F.max((F.unix_timestamp("l_shipdate") / 86400).cast("bigint")).alias("close_day")
+    )
+    spans = (
+        orders.select("o_orderkey", open_day.alias("open_day"))
+        .join(close, F.col("o_orderkey") == close["l_orderkey"])
+        .select("open_day", "close_day")
+    )
+    deltas = (
+        spans.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("open_day").alias("day"),
+                        F.lit(1).alias("opened"),
+                        F.lit(0).alias("closed"),
+                    ),
+                    F.struct(
+                        (F.col("close_day") + 1).alias("day"),
+                        F.lit(0).alias("opened"),
+                        F.lit(1).alias("closed"),
+                    ),
+                )
+            ).alias("d")
+        )
+        .select("d.*")
+        .groupBy("day")
+        .agg(
+            F.sum("opened").cast("long").alias("opened"),
+            F.sum("closed").cast("long").alias("closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "day",
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed")).over(w).cast("long").alias("open_orders"),
+    )
+
+
+def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile (Lorenz / 80-20 curve).
+
+    Which slice of the customer base carries the revenue? Per-customer
+    revenue is bucketed by exact decile cut points — a 1-row
+    ``percentile`` broadcast, never a global ntile sort — then each
+    decile reports its customer count and revenue share against a
+    1-row total broadcast.
+
+    Cross-engine float hardening (SURVEY §5): per-customer revenue
+    sums DECIMAL(18,4)-cast terms (order-independent addition), lands
+    on a rounded DOUBLE both engines derive identically; the decile
+    sums re-cast that rounded value to DECIMAL(18,2) so the share
+    ratio divides two exact decimals.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    term = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(term).cast("double"), 2).alias("rev"))
+    )
+    qs = [i / PARETO_NBUCKETS for i in range(1, PARETO_NBUCKETS)]
+    cuts = rev.agg(F.percentile("rev", F.lit(qs)).alias("cuts"))
+    total = rev.agg(F.sum(F.col("rev").cast("decimal(18,2)")).alias("total_rev"))
+    bucketed = (
+        rev.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(total))
+        .select(
+            (
+                F.aggregate(
+                    "cuts",
+                    F.lit(0),
+                    lambda acc, c: acc + F.when(F.col("rev") > c, 1).otherwise(0),
+                )
+                + 1
+            ).alias("decile"),
+            "rev",
+            "total_rev",
+        )
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum(F.col("rev").cast("decimal(18,2)")).cast("double"), 2).alias("decile_rev"),
+        F.round(
+            (
+                F.sum(F.col("rev").cast("decimal(18,2)")).cast("double")
+                / F.first("total_rev").cast("double")
+            ),
+            6,
+        ).alias("rev_share"),
+    )
+
+
 QUERIES = {
     "events_time_rollup": events_time_rollup,
     "events_autocorrelation": events_autocorrelation,
@@ -800,4 +965,6 @@ QUERIES = {
     "rolling_active_users_approx": rolling_active_users_approx,
     "price_equidepth_histogram": price_equidepth_histogram,
     "customer_revenue_rank": customer_revenue_rank,
+    "orders_open_backlog": orders_open_backlog,
+    "customer_pareto_curve": customer_pareto_curve,
 }

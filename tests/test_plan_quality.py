@@ -59,6 +59,7 @@ NONEQUI_OK = {
     "events_gapfill",       # 1-row day-span broadcast into the spine
     "parts_skyline",        # triangular join over tiny bucket maxima (prefix max)
     "customer_rfm_segments",  # 1-row anchor + quartile-cuts broadcasts
+    "customer_pareto_curve",  # 1-row decile-cuts + total-rev broadcasts
 }
 
 #: operators that declared an Arrow-batched Python stage.

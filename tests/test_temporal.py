@@ -125,6 +125,40 @@ def test_chunk_dedup_keeps_first_occurrence_only(spark):
         assert (out[2].n_chunks, out[2].n_kept) == (2, 0)
 
 
+def test_backlog_conserves_and_never_goes_negative(spark):
+    """The running backlog is a conservation law: at every day it
+    equals cumulative opens minus cumulative closes, never dips below
+    zero, and drains to zero after the last close."""
+    rows = sorted(
+        temporal.orders_open_backlog(spark, SF_DIR).collect(),
+        key=lambda r: r.day,
+    )
+    running = 0
+    for r in rows:
+        running += r.opened - r.closed
+        assert r.open_orders == running, r
+        assert running >= 0, r
+    assert rows[-1].open_orders == 0
+    assert sum(r.opened for r in rows) == sum(r.closed for r in rows)
+
+
+def test_pareto_deciles_partition_and_shares_sum_to_one(spark):
+    """Deciles must cover every revenue-bearing customer exactly once,
+    shares must sum to ~1, and revenue must concentrate: the top
+    decile's share strictly exceeds the bottom decile's."""
+    rows = sorted(
+        temporal.customer_pareto_curve(spark, SF_DIR).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, temporal.PARETO_NBUCKETS + 1))
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-4
+    n = sum(r.n_customers for r in rows)
+    for r in rows:
+        # equi-depth within interpolation slack
+        assert abs(r.n_customers - n / temporal.PARETO_NBUCKETS) <= max(3, 0.02 * n), r
+    assert rows[-1].rev_share > rows[0].rev_share
+
+
 def test_gapfill_interpolates_missing_days(spark, tmp_path):
     """Remove two interior days for one type; the spine must restore
     them with observed=0 and linearly interpolated values."""
