@@ -51,6 +51,10 @@ HIST_LO = 900.0
 HIST_HI = 110_000.0
 HIST_NBUCKETS = 22
 PARETO_NBUCKETS = 10
+# 4 h: the widest hop deadline at which the synthetic corpus still
+# DISCRIMINATES — 1 h yields zero completions, 1 week collapses every
+# user to stage 3; 4 h populates all reached stages.
+FUNNEL_WINDOW_S = 14_400
 
 
 def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,6 +633,48 @@ ORACLES: dict[str, str] = {
         FROM rev, cuts, total
         GROUP BY 1
     """,
+    "events_window_funnel": f"""
+        WITH base AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                   CASE WHEN event_type = 'view'
+                        THEN CAST(floor(epoch(ts)) AS BIGINT) END AS view_sec
+            FROM events
+        ),
+        v AS (
+            SELECT *, last_value(view_sec IGNORE NULLS) OVER w AS last_view
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        q AS (
+            SELECT *,
+                   CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+                             AND sec - last_view <= {FUNNEL_WINDOW_S}
+                        THEN sec END AS qclick_sec
+            FROM v
+        ),
+        q2 AS (
+            SELECT *, last_value(qclick_sec IGNORE NULLS) OVER w AS last_qclick
+            FROM q
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        staged AS (
+            SELECT user_id,
+                   max(CASE
+                       WHEN event_type = 'purchase' AND last_qclick IS NOT NULL
+                            AND sec - last_qclick <= {FUNNEL_WINDOW_S} THEN 3
+                       WHEN event_type = 'click' AND last_view IS NOT NULL
+                            AND sec - last_view <= {FUNNEL_WINDOW_S} THEN 2
+                       WHEN event_type = 'view' THEN 1
+                       ELSE 0 END) AS stage
+            FROM q2 GROUP BY user_id
+        )
+        SELECT CAST(stage AS BIGINT) AS stage,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM staged GROUP BY stage
+    """,
 }
 
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,6 +941,66 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (ClickHouse ``windowFunnel`` shape):
+    view → click within FUNNEL_WINDOW_S of the latest view → purchase
+    within FUNNEL_WINDOW_S of the latest qualifying click; per-user
+    max stage, then a stage histogram.
+
+    Unlike ``events_funnel`` (first-times, no deadline), each hop here
+    must land within FUNNEL_WINDOW_S of its predecessor, and the
+    predecessor is the *most recent* qualifying event — the
+    last-touch rule. Plan: ONE shuffle on user_id feeds both chained
+    window passes (``last(ignorenulls)`` over strictly-preceding rows;
+    the second window reuses the first's sort), then two tiny
+    aggregates. No joins, no row amplification; deadline math is pure
+    integer seconds — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        sec.alias("sec"),
+        F.when(F.col("event_type") == "view", sec).alias("view_sec"),
+    )
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_view = base.withColumn(
+        "last_view", F.last("view_sec", ignorenulls=True).over(prev)
+    )
+    qual_click = (
+        (F.col("event_type") == "click")
+        & F.col("last_view").isNotNull()
+        & (F.col("sec") - F.col("last_view") <= FUNNEL_WINDOW_S)
+    )
+    with_q = with_view.withColumn(
+        "qclick_sec", F.when(qual_click, F.col("sec"))
+    ).withColumn("last_qclick", F.last("qclick_sec", ignorenulls=True).over(prev))
+    complete = (
+        (F.col("event_type") == "purchase")
+        & F.col("last_qclick").isNotNull()
+        & (F.col("sec") - F.col("last_qclick") <= FUNNEL_WINDOW_S)
+    )
+    stage = (
+        F.when(complete, 3)
+        .when(qual_click, 2)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+    )
+    return (
+        with_q.groupBy("user_id")
+        .agg(F.max(stage).alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.col("stage").cast("long").alias("stage"), "n_users")
+    )
+
+
 def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration by customer decile (Lorenz / 80-20 curve).
 
@@ -967,4 +1073,5 @@ QUERIES = {
     "customer_revenue_rank": customer_revenue_rank,
     "orders_open_backlog": orders_open_backlog,
     "customer_pareto_curve": customer_pareto_curve,
+    "events_window_funnel": events_window_funnel,
 }

@@ -159,6 +159,50 @@ def test_pareto_deciles_partition_and_shares_sum_to_one(spark):
     assert rows[-1].rev_share > rows[0].rev_share
 
 
+def test_window_funnel_deadline_semantics(spark, tmp_path):
+    """Synthetic 3-user corpus pins the hop rules: complete-in-time →
+    stage 3; click past the deadline never qualifies (so a later
+    purchase can't complete either) → stage 1; and the click deadline
+    measures from the LATEST view (last-touch), so a stale first view
+    is rescued by a fresh second one → stage 2."""
+    import os
+
+    T = temporal.FUNNEL_WINDOW_S
+    rows = [
+        # user 100: view → click (+10s) → purchase (+20s): stage 3
+        (1, 100, "view", 1000),
+        (2, 100, "click", 1000 + 10),
+        (3, 100, "purchase", 1000 + 20),
+        # user 200: click one second PAST the deadline — unqualified,
+        # and the prompt purchase after it must NOT complete: stage 1
+        (4, 200, "view", 1000),
+        (5, 200, "click", 1000 + T + 1),
+        (6, 200, "purchase", 1000 + T + 2),
+        # user 300: stale first view, but a SECOND view rescues the
+        # click (deadline from the latest view); no purchase: stage 2
+        (7, 300, "view", 1000),
+        (8, 300, "view", 1000 + T + 500),
+        (9, 300, "click", 1000 + T + 600),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, sec long"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_seconds("sec").alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    d = str(tmp_path / "funnel")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    hist = {
+        r.stage: r.n_users
+        for r in temporal.events_window_funnel(spark, d).collect()
+    }
+    assert hist == {3: 1, 2: 1, 1: 1}, hist
+
+
 def test_gapfill_interpolates_missing_days(spark, tmp_path):
     """Remove two interior days for one type; the spine must restore
     them with observed=0 and linearly interpolated values."""
