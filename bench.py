@@ -61,6 +61,9 @@ HEADLINE = (
     "ann_pq_topk",
     "purchase_attribution",
     "user_state_scd2",
+    "orders_open_backlog",
+    "customer_pareto_curve",
+    "events_window_funnel",
 )
 
 

@@ -60,6 +60,9 @@ PROBE_OPS = (
     "purchase_attribution",
     "user_state_scd2",
     "parts_skyline",
+    "orders_open_backlog",
+    "customer_pareto_curve",
+    "events_window_funnel",
 )
 
 #: per-table (id columns to offset, row-count column for stride).
