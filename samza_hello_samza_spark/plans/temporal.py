@@ -675,6 +675,26 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_users
         FROM staged GROUP BY stage
     """,
+    "priority_fulfillment_sla": """
+        WITH ship AS (
+            SELECT l_orderkey,
+                   min(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400) AS ship_day
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        lat AS (
+            SELECT o_orderpriority,
+                   ship_day - (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS lat_days
+            FROM orders JOIN ship ON l_orderkey = o_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(avg(lat_days), 4) AS avg_days,
+               round(quantile_cont(lat_days, 0.5), 6) AS p50_days,
+               round(quantile_cont(lat_days, 0.9), 6) AS p90_days,
+               CAST(max(lat_days) AS BIGINT) AS max_days
+        FROM lat
+        GROUP BY o_orderpriority
+    """,
 }
 
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1001,6 +1021,44 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment SLA report: placement → FIRST shipment latency
+    distribution (count, mean, p50, p90, max days) per order priority.
+
+    The ops-SLA twin of q4's existence check: latency is an integer
+    day diff (engine-exact), aggregated per priority — 5 bounded
+    groups. Plan: min-shipdate pre-agg on lineitem (map-side partial),
+    one orderkey equi-join (Catalyst/AQE picks the strategy — no
+    forced hint), then a 5-group agg. Exact percentiles buffer each
+    group, the correctness baseline; at 100 TB swap
+    ``F.percentile_approx`` (mergeable KLL sketch) exactly as
+    event_value_percentiles_approx does.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min((F.unix_timestamp("l_shipdate") / 86400).cast("bigint")).alias("ship_day")
+    )
+    lat = (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.unix_timestamp("o_orderdate") / 86400).cast("bigint").alias("order_day"),
+        )
+        .join(first_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderpriority", (F.col("ship_day") - F.col("order_day")).alias("lat_days")
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.avg("lat_days"), 4).alias("avg_days"),
+        F.round(F.percentile("lat_days", 0.5), 6).alias("p50_days"),
+        F.round(F.percentile("lat_days", 0.9), 6).alias("p90_days"),
+        F.max("lat_days").cast("long").alias("max_days"),
+    )
+
+
 def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration by customer decile (Lorenz / 80-20 curve).
 
@@ -1074,4 +1132,5 @@ QUERIES = {
     "orders_open_backlog": orders_open_backlog,
     "customer_pareto_curve": customer_pareto_curve,
     "events_window_funnel": events_window_funnel,
+    "priority_fulfillment_sla": priority_fulfillment_sla,
 }
