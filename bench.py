@@ -64,6 +64,7 @@ HEADLINE = (
     "orders_open_backlog",
     "customer_pareto_curve",
     "events_window_funnel",
+    "priority_fulfillment_sla",
 )
 
 

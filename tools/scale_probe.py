@@ -63,6 +63,7 @@ PROBE_OPS = (
     "orders_open_backlog",
     "customer_pareto_curve",
     "events_window_funnel",
+    "priority_fulfillment_sla",
 )
 
 #: per-table (id columns to offset, row-count column for stride).
