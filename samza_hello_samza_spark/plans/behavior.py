@@ -1,0 +1,284 @@
+"""Behavioral / product-analytics operators over events and orders.
+
+The reference's cookbook stops at sessionization and windowed counts
+(SessionWindowExample.java, WikipediaApplication.java); these are the
+next four queries every product-analytics user of that pipeline
+writes:
+
+- session_paths          : top navigation paths — the ordered
+                           event-type sequence of each session
+                           (GA-style "behavior flow"), counted and
+                           ranked corpus-wide.
+- nation_month_rank      : full ranking-window suite (rank /
+                           percent_rank / cume_dist / ntile) over
+                           per-nation monthly revenue.
+- orders_seasonality     : month-of-year seasonality index — each
+                           calendar month's revenue vs the uniform
+                           1/12 share.
+- funnel_time_to_convert : latency distribution from first view to
+                           first purchase (the "how long does
+                           conversion take" follow-up to
+                           events_funnel).
+
+Scale design:
+- session_paths reuses the exact session break rule of
+  ``session_window`` (micros, ``>= gap`` half-open) so session ids
+  agree across operators. ONE hash shuffle on user_id feeds the
+  break window, the per-session rank window (partition keys
+  (user_id, session_id) are clustered by the user_id exchange — no
+  second shuffle), and the session groupBy. Events beyond the first
+  ``PATH_LEN`` per session are dropped BEFORE ``collect_list``, so
+  state per group is bounded at PATH_LEN rows even for a runaway bot
+  session. The final path count is a map-side-partial aggregate and
+  the top-k compiles to TakeOrderedAndProject.
+- nation_month_rank windows over a nations × months aggregate
+  (bounded: 25 × ~84 rows) — the window input is dimension-sized, the
+  fact table is reduced by a partial-agg shuffle first. Revenue is
+  summed as DECIMAL(18,4) (order-independent) so rank ties are
+  engine-exact under any partitioning.
+- orders_seasonality is a 12-group aggregate crossed with its own
+  1-row total (broadcast); no window, no second scan of orders.
+- funnel_time_to_convert is one user_id shuffle (conditional min
+  aggregates), then a single-row global percentile aggregate over the
+  per-user deltas. The exact ``percentile`` is the correctness
+  baseline; at an unbounded user count the same plan runs with
+  ``percentile_approx`` (KLL sketch) — the proven pattern of
+  event_value_percentiles_approx.
+
+Cross-engine determinism: ordering keys are (unix_micros(ts),
+event_id) — integer micros are identical in both engines (see
+session.normalize_nanos_ts) and event_id makes the order total.
+Revenue sums are DECIMAL(18,4)-hardened per SURVEY §4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hints import maybe_broadcast
+from ..session import load_table
+
+SESSION_GAP_MIN = 30
+PATH_LEN = 5
+TOP_PATHS = 20
+RANK_NTILES = 4
+
+
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events + session_id under session_window's exact break rule."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    return ev.withColumn(
+        "is_break",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user))
+            >= F.lit(gap_us)
+        ).cast("int"),
+    ).withColumn("session_id", F.coalesce(F.sum("is_break").over(by_user), F.lit(0)))
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session navigation paths (first 5 event types, in order).
+
+    Reference seam: SessionWindowExample.java:66-74 sessionizes;
+    this answers the question those sessions exist for — what do
+    users *do* inside one? Row_number (bounded to PATH_LEN) runs on
+    the same user_id exchange as the break window; collect_list then
+    holds at most PATH_LEN structs per session, sorted in-array for
+    deterministic order regardless of shuffle arrival.
+    """
+    sess = _sessionized(spark, sf_dir)
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    first_n = sess.withColumn("rn", F.row_number().over(w_sess)).filter(
+        F.col("rn") <= PATH_LEN
+    )
+    per_session = first_n.groupBy("user_id", "session_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rn").alias("rn"), F.col("event_type").alias("et")))
+        ).alias("evs")
+    )
+    return (
+        per_session.select(
+            F.array_join(F.transform("evs", lambda x: x.et), ">").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(TOP_PATHS)
+    )
+
+
+def nation_month_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window suite over per-nation monthly order revenue.
+
+    rank / percent_rank / cume_dist / ntile(4) within each nation,
+    months ordered by revenue. The window input is the
+    nations × months aggregate (bounded), never the fact table; the
+    total order (decimal revenue desc, ym) makes every rank function
+    engine-exact, ties included.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("rev"), "ym")
+    return rev.select(
+        "n_name",
+        "ym",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.rank().over(w).alias("rnk"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(RANK_NTILES).over(w).alias("quartile"),
+    )
+
+
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index of order revenue.
+
+    12 groups; the index is each month's revenue against the uniform
+    1/12 share (index > 1 = hot month). The denominator is the same
+    aggregate re-summed as a 1-row broadcast — no window, no second
+    scan (Spark reuses the shuffle output via exchange reuse).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+    )
+    total = monthly.agg(F.sum("rev").alias("total_rev"))
+    return monthly.crossJoin(maybe_broadcast(total)).select(
+        "month",
+        "n_orders",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.lit(12) * F.col("rev").cast("double") / F.col("total_rev").cast("double"),
+            4,
+        ).alias("seasonality_index"),
+    )
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view → first-purchase latency distribution (one row).
+
+    Conditional min aggregates per user (one shuffle), then exact
+    p50/p90 over the converted users' deltas. A user converts if
+    their first purchase is at-or-after their first view. Deltas are
+    integer micros → seconds as double (exact in IEEE, both engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("fp"),
+    )
+    delta = F.when(
+        F.col("fp") >= F.col("fv"), (F.col("fp") - F.col("fv")) / 1_000_000.0
+    )
+    return per_user.agg(
+        F.count("fv").alias("n_viewers"),
+        F.count(delta).alias("n_converted"),
+        F.round(F.percentile(delta, 0.5), 3).alias("p50_sec"),
+        F.round(F.percentile(delta, 0.9), 3).alias("p90_sec"),
+        F.round(F.avg(delta), 3).alias("avg_sec"),
+    )
+
+
+_SESSION_CTE = """
+        WITH breaks AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS is_break
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                   CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM breaks
+        )
+"""
+
+ORACLES: dict[str, str] = {
+    "session_paths": _SESSION_CTE
+    + """
+        , paths AS (
+            SELECT user_id, session_id,
+                   array_to_string(list_slice(list(event_type ORDER BY us, event_id), 1, 5), '>') AS path
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 20
+    """,
+    "nation_month_rank": """
+        WITH rev AS (
+            SELECT n_name,
+                   CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+                   sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT n_name, ym,
+               round(CAST(rev AS DOUBLE), 2) AS revenue,
+               CAST(rank() OVER w AS INT) AS rnk,
+               round(percent_rank() OVER w, 4) AS pct_rank,
+               round(cume_dist() OVER w, 4) AS cume,
+               CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM rev
+        WINDOW w AS (PARTITION BY n_name ORDER BY rev DESC, ym)
+    """,
+    "orders_seasonality": """
+        WITH monthly AS (
+            SELECT month(o_orderdate) AS month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+            FROM orders GROUP BY 1
+        ), total AS (SELECT sum(rev) AS total_rev FROM monthly)
+        SELECT CAST(month AS INT) AS month, n_orders,
+               round(CAST(rev AS DOUBLE), 2) AS revenue,
+               round(12 * CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 4) AS seasonality_index
+        FROM monthly, total
+    """,
+    "funnel_time_to_convert": """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+                   min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+            FROM events GROUP BY user_id
+        ), deltas AS (
+            SELECT fv,
+                   CASE WHEN fp >= fv THEN (fp - fv) / 1000000.0 END AS delta
+            FROM per_user
+        )
+        SELECT CAST(count(fv) AS BIGINT) AS n_viewers,
+               CAST(count(delta) AS BIGINT) AS n_converted,
+               round(quantile_cont(delta, 0.5), 3) AS p50_sec,
+               round(quantile_cont(delta, 0.9), 3) AS p90_sec,
+               round(avg(delta), 3) AS avg_sec
+        FROM deltas
+    """,
+}
+
+QUERIES = {
+    "session_paths": session_paths,
+    "nation_month_rank": nation_month_rank,
+    "orders_seasonality": orders_seasonality,
+    "funnel_time_to_convert": funnel_time_to_convert,
+}

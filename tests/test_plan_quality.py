@@ -60,6 +60,7 @@ NONEQUI_OK = {
     "parts_skyline",        # triangular join over tiny bucket maxima (prefix max)
     "customer_rfm_segments",  # 1-row anchor + quartile-cuts broadcasts
     "customer_pareto_curve",  # 1-row decile-cuts + total-rev broadcasts
+    "orders_seasonality",   # 1-row total-revenue broadcast
 }
 
 #: operators that declared an Arrow-batched Python stage.
