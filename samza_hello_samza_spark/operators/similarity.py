@@ -421,7 +421,133 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", F.col("dim").cast("int").alias("dim"), "val")
 
 
+OUTLIER_PCT = 0.99
+KNN_K = 3
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-distance outliers (embedding QA pass).
+
+    The corpus-hygiene question before training on embeddings: which
+    vectors sit far from their own class centroid (mislabeled /
+    corrupted rows)? Plan: per-label centroid via DIM independent
+    avg() aggregates (embedding_centroids' shape — labels are a
+    bounded keyspace, the shuffle moves 64 doubles per label), the
+    centroid relation broadcast back onto the corpus scan, distance
+    as a JVM-side zip_with/aggregate fold, then each label's exact
+    p99 distance (bounded groups; ``percentile_approx`` is the
+    unbounded-label path) broadcast again for the flag.
+
+    Cross-engine: centroid components and distances are rounded to 6
+    decimals before any comparison; the DuckDB oracle folds the same
+    squared terms in the same index order (list_transform +
+    list_sum), so threshold comparisons see identical doubles.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = (
+        e.groupBy("label")
+        .agg(
+            *[
+                F.round(F.avg(F.col("v").getItem(i)), 6).alias(f"c{i}")
+                for i in range(DIM)
+            ]
+        )
+        .select("label", F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = e.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", F.round(F.sqrt(d2), 6).alias("dist")
+    )
+    thr = dists.groupBy("label").agg(
+        F.round(F.percentile("dist", OUTLIER_PCT), 6).alias("thr")
+    )
+    return dists.join(F.broadcast(thr), "label").select(
+        "vec_id",
+        "label",
+        "dist",
+        (F.col("dist") > F.col("thr")).cast("int").alias("is_outlier"),
+    )
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph (k=3) over the materialized IVF layout.
+
+    The graph every graph-ANN serving structure (HNSW/NSG) and
+    SemDeDup-style curation starts from. All-pairs is corpus² —
+    instead, neighbors are searched ONLY within each vector's IVF
+    list (equi-join on ``list_id``, Σ|list|² pair cost like
+    dedup_semantic), then per-vector top-k via a window partitioned
+    by the source vector. Recall vs brute force is pytest-asserted;
+    rows-only for the driver (float cosine ranking isn't bit-stable
+    across engines).
+    """
+    from . import ann_index
+
+    idx = ann_index.build_ivf_index(spark, sf_dir, IVF_NLIST)
+    import os
+
+    corpus = spark.read.parquet(os.path.join(idx, "corpus")).select(
+        "list_id", "vec_id", "v", _norm(F.col("v")).alias("norm")
+    )
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.list_id") == F.col("b.list_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("vec_id", F.col("rn").alias("rank"), "neighbor_id", "cosine")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "embedding_outliers": f"""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        cent AS (
+            SELECT label, list(round(cavg, 6) ORDER BY i) AS c
+            FROM (
+                SELECT label, i, avg(v[i + 1]) AS cavg
+                FROM v, generate_series(0, {DIM - 1}) AS t(i)
+                GROUP BY label, i
+            ) GROUP BY label
+        ),
+        dists AS (
+            SELECT vec_id, v.label,
+                   round(sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                         i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i])))), 6) AS dist
+            FROM v JOIN cent c ON v.label = c.label
+        ),
+        thr AS (
+            SELECT label, round(quantile_cont(dist, {OUTLIER_PCT}), 6) AS thr
+            FROM dists GROUP BY label
+        )
+        SELECT vec_id, d.label, dist,
+               CAST(dist > thr AS INT) AS is_outlier
+        FROM dists d JOIN thr ON d.label = thr.label
+    """,
     "ann_batch_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_BATCH_QUERIES}),
@@ -481,4 +607,6 @@ QUERIES = {
     "embedding_pca": embedding_pca,
     "dedup_semantic": dedup_semantic,
     "hard_negative_mining": hard_negative_mining,
+    "embedding_outliers": embedding_outliers,
+    "knn_graph": knn_graph,
 }

@@ -302,3 +302,48 @@ def test_dedup_semantic_drops_have_similar_keepers(spark):
         assert cos >= similarity.SEM_TAU - 1e-6, (dropped, keeper, cos)
     baseline_higher = {r.vec_b for r in dedup.dedup_embedding(spark, SF_DIR).collect()}
     assert set(sem).issubset(baseline_higher)
+
+
+def test_knn_graph_properties_and_recall(spark):
+    """Every vector gets ≤ K ranked neighbors in cosine-desc order;
+    list-blocked neighbors must overlap the true (brute-force) top-K
+    for sampled vectors — same-list vectors are the near ones by
+    construction of the IVF assignment."""
+    import numpy as np
+
+    rows = similarity.knn_graph(spark, SF_DIR).collect()
+    by_vec: dict[int, list] = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    assert len(by_vec) > 100
+    for vid, nbrs in by_vec.items():
+        nbrs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in nbrs] == list(range(1, len(nbrs) + 1))
+        cosines = [r.cosine for r in nbrs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert vid not in {r.neighbor_id for r in nbrs}
+
+    vecs = {
+        r.vec_id: np.asarray(r.v)
+        for r in similarity._embeddings(spark, SF_DIR).collect()
+    }
+    hits = total = 0
+    for vid in sorted(by_vec)[:20]:
+        q = vecs[vid]
+        sims = {
+            o: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for o, v in vecs.items()
+            if o != vid
+        }
+        true_top = {o for o, _ in sorted(sims.items(), key=lambda kv: -kv[1])[: similarity.KNN_K]}
+        got = {r.neighbor_id for r in by_vec[vid]}
+        hits += len(true_top & got)
+        total += similarity.KNN_K
+    assert hits / total >= 0.3, f"knn_graph recall {hits}/{total}"
+
+
+def test_embedding_outlier_rate_bounded(spark):
+    """p99 threshold ⇒ ~1% outliers per label (≤ 5% with ties/rounding)."""
+    rows = similarity.embedding_outliers(spark, SF_DIR).collect()
+    n_out = sum(r.is_outlier for r in rows)
+    assert 0 < n_out <= max(1, len(rows) * 0.05)
