@@ -62,3 +62,37 @@ def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_BROADCAST_BUDGET) ->
     if size is not None and size <= max_bytes:
         return F.broadcast(df)
     return df
+
+
+def maybe_broadcast_counted(
+    df: DataFrame,
+    max_bytes: int = DEFAULT_BROADCAST_BUDGET,
+    probe_rows: int = 1_000_000,
+    est_row_bytes: int = 256,
+) -> DataFrame:
+    """Cost-based escalation of ``maybe_broadcast``: when Catalyst has
+    NO usable estimate (aggregates and joins propagate Long.MaxValue-ish
+    sentinels), measure instead of guessing.
+
+    The probe is ``df.limit(probe_rows + 1).count()`` — a bounded job
+    that early-terminates the scan after ``probe_rows + 1`` rows, so
+    an over-budget frame costs one short partial scan, never a full
+    materialization. If the observed count stays under the row budget
+    implied by ``max_bytes / est_row_bytes``, the frame is provably
+    small RIGHT NOW (runtime truth, the same signal AQE uses from
+    shuffle stats) and gets the hint; otherwise strategy is left to
+    the planner + AQE.
+
+    Use on derived frames that are *usually* dimension-sized but whose
+    bound isn't structural — e.g. a filtered dim, a distinct-key set.
+    Structurally bounded frames (1-row aggregates, nation) should keep
+    using ``maybe_broadcast``/``F.broadcast`` — no probe job needed.
+    """
+    size = plan_size_bytes(df)
+    if size is not None:
+        return F.broadcast(df) if size <= max_bytes else df
+    row_budget = min(probe_rows, max(1, max_bytes // est_row_bytes))
+    observed = df.limit(row_budget + 1).count()
+    if observed <= row_budget:
+        return F.broadcast(df)
+    return df

@@ -182,7 +182,9 @@ class TopicLog:
             if os.path.isdir(os.path.join(self._data_dir, d))
         )
 
-    def compact(self) -> dict[str, int]:
+    def compact(
+        self, sort_runs: bool = False, parquet_block_bytes: int | None = None
+    ) -> dict[str, int]:
         """Kafka-style log compaction: retain the latest record per key.
 
         The KV-changelog retention contract (Samza's changelog topics
@@ -223,7 +225,20 @@ class TopicLog:
             .drop("_rn")
         )
         out = os.path.join(self._data_dir, f"compacted-{uuid.uuid4().hex}")
-        compacted.repartition("partition").write.mode("overwrite").parquet(out)
+        writer = compacted.repartition("partition")
+        if sort_runs:
+            # LSM-style sorted run: key-sorted within each topic
+            # partition with bounded parquet row groups, so a later
+            # ``lookup()``'s key predicate prunes on row-group min/max
+            # stats — a changelog point-restore touches O(row-group)
+            # data instead of the whole run. Sorting rides the same
+            # repartition exchange (sort is per-partition, no extra
+            # shuffle / no global range partitioning).
+            writer = writer.sortWithinPartitions("partition", "key")
+        write = writer.write.mode("overwrite")
+        if parquet_block_bytes:
+            write = write.option("parquet.block.size", parquet_block_bytes)
+        write.parquet(out)
         n_after = self.spark.read.parquet(out).count()
         for d in old_dirs:
             shutil.rmtree(d)
@@ -237,6 +252,30 @@ class TopicLog:
             "files_before": files_before,
             "files_after": files_after,
         }
+
+    def compact_sorted(self, parquet_block_bytes: int = 8 << 20) -> dict[str, int]:
+        """``compact()`` with the read-optimized sorted-run layout."""
+        return self.compact(sort_runs=True, parquet_block_bytes=parquet_block_bytes)
+
+    def lookup(self, keys: list[str]) -> DataFrame:
+        """Latest surviving value for each requested key (point reads —
+        Samza's KeyValueStore ``get`` over the changelog).
+
+        The ``key IN`` predicate pushes down to the parquet scan; over
+        a ``compact_sorted()`` run it prunes whole row groups via
+        min/max stats (pytest measures the scan's numOutputRows), so a
+        point read touches O(row groups hit), not the run. Correct on
+        an uncompacted log too — the latest-wins window then does the
+        de-duplication the compactor hasn't yet."""
+        from pyspark.sql import Window
+
+        rows = self.read_all().filter(F.col("key").isin([str(k) for k in keys]))
+        w = Window.partitionBy("key").orderBy(F.desc("offset"))
+        return (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & F.col("value").isNotNull())
+            .drop("_rn")
+        )
 
     def maybe_compact(self, min_batches: int = 8) -> dict[str, int] | None:
         """The maintenance-loop entry: compact when enough segment dirs

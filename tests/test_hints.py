@@ -37,3 +37,38 @@ def test_unknown_size_is_declined(spark):
     # budget 0 — the contract is "decline unless provably small".
     df = spark.range(10).toDF("id")
     assert maybe_broadcast(df, max_bytes=0) is df
+
+
+def test_counted_probe_broadcasts_provably_small_derived_frame(spark):
+    """A groupBy output has no usable Catalyst estimate; the bounded
+    runtime probe measures it small and attaches the hint."""
+    from samza_hello_samza_spark.functions.hints import maybe_broadcast_counted
+
+    dim = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hinted = maybe_broadcast_counted(dim)
+    plan = (
+        load_table(spark, SF_DIR, "orders")
+        .join(hinted, "o_orderpriority")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_counted_probe_declines_when_over_row_budget(spark):
+    from samza_hello_samza_spark.functions.hints import maybe_broadcast_counted
+
+    big = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # row budget implied by max_bytes/est_row_bytes = 4 rows — the
+    # probe must observe 5 and decline.
+    out = maybe_broadcast_counted(big, max_bytes=1024, est_row_bytes=256)
+    assert out is big

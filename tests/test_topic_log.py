@@ -249,3 +249,82 @@ if _HYP:
         }
         assert got == want
         assert topic.end_offsets() == end_before
+
+
+def test_sorted_compaction_semantics_and_lookup(spark, tmp_path):
+    """compact_sorted keeps exactly the latest non-tombstone per key
+    (same contract as compact), files are key-sorted within topic
+    partition, and lookup() returns the latest values pre- AND
+    post-compaction."""
+    from pyspark.sql import functions as F
+
+    log = TopicLog(spark, str(tmp_path / "t"), n_partitions=2)
+    df1 = spark.createDataFrame(
+        [(f"k{i}", f"v{i}.a") for i in range(50)], "k string, v string"
+    )
+    df2 = spark.createDataFrame(
+        [(f"k{i}", f"v{i}.b") for i in range(0, 50, 2)]
+        + [("k1", None)],  # tombstone
+        "k string, v string",
+    )
+    log.produce(df1, "k", "v")
+    log.produce(df2, "k", "v")
+
+    expected = {f"k{i}": (f"v{i}.b" if i % 2 == 0 else f"v{i}.a") for i in range(50)}
+    del expected["k1"]
+
+    # lookup on the UNcompacted log already resolves latest-wins
+    got_pre = {r.key: r.value for r in log.lookup(["k0", "k1", "k3"]).collect()}
+    assert got_pre == {"k0": "v0.b", "k3": "v3.a"}
+
+    stats = log.compact_sorted(parquet_block_bytes=1 << 20)
+    assert stats["records_after"] == len(expected)
+    got = {r.key: r.value for r in log.read_all().collect()}
+    assert got == expected
+
+    # runs are key-sorted within each topic partition file
+    import pyarrow.parquet as pq
+
+    for d, _, files in __import__("os").walk(log._data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                t = pq.read_table(
+                    __import__("os").path.join(d, f), columns=["partition", "key"]
+                )
+                runs: dict[int, list[str]] = {}
+                for p, k in zip(
+                    t.column("partition").to_pylist(), t.column("key").to_pylist()
+                ):
+                    runs.setdefault(p, []).append(k)
+                for p, ks in runs.items():  # sorted per topic-partition run
+                    assert ks == sorted(ks), (f, p)
+    # lookup after compaction
+    got_post = {r.key: r.value for r in log.lookup(["k0", "k1", "k3"]).collect()}
+    assert got_post == {"k0": "v0.b", "k3": "v3.a"}
+
+
+def test_sorted_run_lookup_prunes_row_groups(spark, tmp_path):
+    """Over a sorted run with bounded row groups, a point-key scan must
+    emit far fewer rows than the run (row-group min/max pruning)."""
+    from pyspark.sql import functions as F
+
+    log = TopicLog(spark, str(tmp_path / "t"), n_partitions=1)
+    n = 40_000
+    df = spark.range(n).select(
+        F.format_string("k%07d", F.col("id")).alias("k"),
+        F.col("id").cast("string").alias("v"),
+    )
+    log.produce(df, "k", "v")
+    log.compact(sort_runs=True, parquet_block_bytes=64 * 1024)
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        probe = log.read_all().filter(F.col("key") == "k0020000")
+        assert probe.count() == 1
+        probe.collect()
+        leaf = probe._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        rows_read = leaf.metrics().get("numOutputRows").get().value()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert rows_read < n / 4, f"scan emitted {rows_read} of {n} rows — no pruning"
