@@ -117,10 +117,135 @@ _PAGERANK_SQL = (
     """
 )
 
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles + global clustering coefficient of the near-dup graph.
+
+    The standard distributed algorithm (degree-ordered wedge join):
+    1. undirected degree per node;
+    2. orient every edge from the LOWER (degree, id) endpoint to the
+       higher — each undirected edge appears exactly once, and a hub
+       of degree d contributes O(d_out²) wedges with d_out bounded by
+       ~√|E| instead of d (the skew killer: without orientation a
+       celebrity node explodes the wedge join);
+    3. wedges = oriented ⋈ oriented on the middle node; a wedge
+       (u→v, u→w) closes iff oriented edge (v→w) exists — left-semi
+       equi-join, counted once per triangle.
+
+    Output is one row of integers (+ the clustering coefficient
+    3·T / Σ deg·(deg−1)/2, rounded): fully oracle-checked, the DuckDB
+    SQL runs the identical orientation so counts match exactly.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    both = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        both.join(deg.alias("da"), "src")
+        .join(
+            deg.alias("db").select(
+                F.col("src").alias("dst"), F.col("deg").alias("deg_dst")
+            ),
+            "dst",
+        )
+        .filter(
+            (F.col("deg") < F.col("deg_dst"))
+            | ((F.col("deg") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+        .localCheckpoint()  # oriented edges: reused by 3 join inputs
+    )
+    w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w2 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "u").filter(F.col("v") < F.col("w"))
+    # closing edges canonicalized by id so the wedge-closure test is a
+    # pure EQUI semi-join on (v, w) — no nested-loop anywhere.
+    closing = e.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    n_tri = tri.count()
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges"),
+    ).collect()[0]
+    n_edges = e.count()
+    coeff = 3.0 * n_tri / stats.n_wedges if stats.n_wedges else 0.0
+    return spark.createDataFrame(
+        [
+            (
+                int(stats.n_nodes),
+                int(n_edges),
+                int(n_tri),
+                int(stats.n_wedges),
+                round(coeff, 6),
+            )
+        ],
+        "n_nodes long, n_edges long, n_triangles long, n_wedges long, clustering_coeff double",
+    )
+
+
+_TRIANGLES_SQL = (
+    _SHINGLES_SQL
+    + """
+    , counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN counts na ON na.doc_id = doc_a
+        JOIN counts nb ON nb.doc_id = doc_b
+        WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+    ),
+    both_dirs AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM both_dirs GROUP BY src),
+    oriented AS (
+        SELECT b.src, b.dst
+        FROM both_dirs b
+        JOIN deg da ON da.src = b.src
+        JOIN deg db ON db.src = b.dst
+        WHERE da.deg < db.deg OR (da.deg = db.deg AND b.src < b.dst)
+    ),
+    wedges AS (
+        SELECT a.dst AS v, b.dst AS w
+        FROM oriented a JOIN oriented b ON a.src = b.src
+        WHERE a.dst < b.dst
+    ),
+    closing AS (
+        SELECT least(src, dst) AS v, greatest(src, dst) AS w FROM oriented
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM wedges wg
+        WHERE EXISTS (
+            SELECT 1 FROM closing c WHERE c.v = wg.v AND c.w = wg.w
+        )
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM oriented) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           (SELECT CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) FROM deg) AS n_wedges,
+           round(3.0 * n_triangles /
+                 (SELECT sum(deg * (deg - 1)) / 2 FROM deg), 6) AS clustering_coeff
+    FROM tri
+    """
+)
+
+
 ORACLES: dict[str, str] = {
     "doc_pagerank": _PAGERANK_SQL,
+    "triangle_count": _TRIANGLES_SQL,
 }
 
 QUERIES = {
     "doc_pagerank": doc_pagerank,
+    "triangle_count": triangle_count,
 }

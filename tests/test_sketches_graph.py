@@ -121,3 +121,35 @@ def test_hard_negatives_are_cross_label_and_ranked(spark):
     for anchor, cosines in by_anchor.items():
         assert len(cosines) == similarity.HARD_NEG_K
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_triangle_count_oracle(spark, duck):
+    from samza_hello_samza_spark.operators import graph
+
+    assert_matches_oracle(
+        spark, duck, graph.QUERIES["triangle_count"], graph.ORACLES["triangle_count"]
+    )
+
+
+def test_triangle_count_matches_networkx_style_bruteforce(spark):
+    """Triangles recomputed driver-side from the raw pair list."""
+    from itertools import combinations
+
+    from samza_hello_samza_spark.operators import graph
+    from samza_hello_samza_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, SF_DIR).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_tri = sum(
+        1
+        for node, nbrs in adj.items()
+        for v, w in combinations(sorted(nbrs), 2)
+        if node < v and w in adj[v]
+    )
+    r = graph.triangle_count(spark, SF_DIR).collect()[0]
+    assert r.n_triangles == n_tri
+    assert r.n_edges == len(pairs)
+    assert r.n_nodes == len(adj)

@@ -1,0 +1,80 @@
+"""Statistical plans hash-match their DuckDB oracles + invariants."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from samza_hello_samza_spark.plans import stats
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(stats.QUERIES))
+def test_oracle_match(spark, duck, name):
+    assert name in stats.ORACLES, f"{name} missing oracle"
+    assert_matches_oracle(spark, duck, stats.QUERIES[name], stats.ORACLES[name])
+
+
+def test_order_size_distribution_accounts_for_every_order(spark):
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.session import load_table
+
+    rows = stats.order_size_distribution(spark, SF_DIR).collect()
+    n_orders = sum(r.n_orders for r in rows)
+    n_lines = sum(r.n_lines * r.n_orders for r in rows)
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert n_orders == li.select("l_orderkey").distinct().count()
+    assert n_lines == li.count()
+
+
+def test_hhi_bounds(spark):
+    """1/n_suppliers ≤ HHI ≤ 1, and top_share² ≤ HHI."""
+    for r in stats.supplier_concentration_hhi(spark, SF_DIR).collect():
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-6, r
+        assert r.top_share * r.top_share <= r.hhi + 1e-6, r
+
+
+def test_entropy_bounds(spark):
+    """0 ≤ H ≤ ln(n_types); single-type users have exactly H = 0."""
+    for r in stats.user_event_entropy(spark, SF_DIR).collect():
+        assert -1e-9 <= r.entropy <= math.log(r.n_types) + 1e-6, r
+        if r.n_types == 1:
+            assert r.entropy == 0.0, r
+
+
+def test_regression_reconstructs_series_mean(spark):
+    """Least squares passes through (x̄, ȳ): slope·x̄ + intercept ≈ ȳ."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.functions.hints import maybe_broadcast
+    from samza_hello_samza_spark.session import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    monthly = (
+        orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
+            ).alias("y")
+        )
+    )
+    means = {
+        r.n_name: (r.xb, r.yb)
+        for r in monthly.groupBy("n_name")
+        .agg(F.avg("x").alias("xb"), F.avg("y").alias("yb"))
+        .collect()
+    }
+    for r in stats.revenue_trend_regression(spark, SF_DIR).collect():
+        xb, yb = means[r.n_name]
+        assert abs(r.slope * xb + r.intercept - yb) / abs(yb) < 0.01, r
