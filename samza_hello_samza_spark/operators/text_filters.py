@@ -269,6 +269,35 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the heuristic quality gate and the LM signal agree?
+
+    The pipeline-QA composition: join the per-doc heuristic
+    ``quality_score`` (text_analysis) with the unigram-LM ``avg_nll``
+    (perplexity_proxy) and report their correlation plus the mean NLL
+    on each side of the 0.5 quality cut. A strongly positive
+    correlation would mean the cheap gate keeps exactly the documents
+    the LM finds surprising — the calibration check run before
+    trusting either filter at corpus scale. One row out; the join is
+    doc_id ⋈ doc_id (both sides already reduced per doc).
+    """
+    from .text_analysis import text_quality
+
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    p = perplexity_proxy(spark, sf_dir).select("doc_id", "avg_nll")
+    j = q.join(p, "doc_id")
+    low = F.when(F.col("quality_score") < 0.5, F.col("avg_nll"))
+    high = F.when(F.col("quality_score") >= 0.5, F.col("avg_nll"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.corr("quality_score", "avg_nll"), 4).alias("corr_quality_nll"),
+        # -999 sentinel: an empty side of the cut must stringify the
+        # same in both engines (Spark NULL vs DuckDB NaN otherwise).
+        F.coalesce(F.round(F.avg(low), 4), F.lit(-999.0)).alias("avg_nll_lowq"),
+        F.coalesce(F.round(F.avg(high), 4), F.lit(-999.0)).alias("avg_nll_highq"),
+    )
+
+
 def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram-LM mean negative log-likelihood per document.
 
@@ -716,6 +745,42 @@ ORACLES: dict[str, str] = {
                CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS offset_in_seq
         FROM c
     """,
+    "corpus_quality_calibration": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({_WORDS_SQL}) AS n_words,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS n_punct,
+                   len(list_filter({_WORDS_SQL},
+                       x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS n_stop
+            FROM documents
+        ),
+        quality AS (
+            SELECT doc_id,
+                   round(
+                       (CASE WHEN n_words BETWEEN 20 AND 5000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0.0 END) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END) >= 0.01 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+            FROM base
+        ),
+        words AS (
+            SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+        ),
+        freq AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        ppl AS (
+            SELECT w.doc_id,
+                   round(ln(max(t.total)) - avg(ln(f.cnt)), 4) AS avg_nll
+            FROM words w JOIN freq f USING (word) CROSS JOIN tot t
+            GROUP BY w.doc_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               round(corr(quality_score, avg_nll), 4) AS corr_quality_nll,
+               coalesce(round(avg(avg_nll) FILTER (WHERE quality_score < 0.5), 4), -999.0) AS avg_nll_lowq,
+               coalesce(round(avg(avg_nll) FILTER (WHERE quality_score >= 0.5), 4), -999.0) AS avg_nll_highq
+        FROM quality JOIN ppl USING (doc_id)
+    """,
     "perplexity_proxy": f"""
         WITH words AS (
             SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
@@ -743,4 +808,5 @@ QUERIES = {
     "pii_redact": pii_redact,
     "text_contamination": text_contamination,
     "perplexity_proxy": perplexity_proxy,
+    "corpus_quality_calibration": corpus_quality_calibration,
 }

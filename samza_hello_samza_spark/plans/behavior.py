@@ -198,6 +198,107 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per cohort customer, by cohort age.
+
+    The revenue companion to ``cohort_retention``: customers cohort on
+    their first-order month; each (cohort, months-since) cell carries
+    that month's revenue and the running cumulative LTV per cohort
+    customer. One fact shuffle on o_custkey feeds both the first-order
+    aggregate and the join back; the cumulative window runs over the
+    bounded cohorts × ages grid (never the fact table), and cohort
+    sizes are a months-sized broadcast. DECIMAL(18,4) sums make the
+    running totals order-independent (engine-exact).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    o = orders.select(
+        "o_custkey", ym.alias("ym"), F.col("o_totalprice").cast("decimal(18,4)").alias("price")
+    )
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
+    grid = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort", (F.col("ym") - F.col("cohort")).alias("age"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("price").alias("rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.withColumn("cum_rev", F.sum("rev").over(w))
+        .join(maybe_broadcast(sizes), "cohort")
+        # the per-customer average is integer cent-arithmetic end to
+        # end: scale-4 decimal → exact bigint, truncating integer
+        # division, /10⁴ back to double. round(double, 2) here would
+        # hit .XX5 halfway doubles that the two engines round apart
+        # (SURVEY §4); integer division cannot.
+        .withColumn("c4", (F.col("cum_rev") * 10000).cast("bigint"))
+        .select(
+            "cohort",
+            "age",
+            "n_active",
+            # same hazard for the cell revenue: round in the DECIMAL
+            # domain (exact digits) before going to double.
+            F.col("rev").cast("decimal(18,2)").cast("double").alias("revenue"),
+            (F.expr("c4 DIV n_customers") / F.lit(10000.0)).alias(
+                "cum_ltv_per_customer"
+            ),
+        )
+    )
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap between event-type audiences (the segment
+    Venn-diagram query).
+
+    Distinct (user, type) pairs reduce the stream once; the pair
+    intersection is a self equi-join on user_id with amplification
+    bounded by types-per-user² (≤ |types|² = tiny), and the per-type
+    audience sizes are a types-sized broadcast. All counts are
+    integers; only the final Jaccard ratio is floating (rounded,
+    identical division in both engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(maybe_broadcast(sa), "type_a")
+        .join(maybe_broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
 _SESSION_CTE = """
         WITH breaks AS (
             SELECT user_id, ts, event_id, event_type,
@@ -256,6 +357,51 @@ ORACLES: dict[str, str] = {
                round(12 * CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 4) AS seasonality_index
         FROM monthly, total
     """,
+    "cohort_ltv_curve": """
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+                   CAST(o_totalprice AS DECIMAL(18,4)) AS price
+            FROM orders
+        ),
+        fst AS (SELECT o_custkey, min(ym) AS cohort FROM o GROUP BY 1),
+        sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers FROM fst GROUP BY 1),
+        grid AS (
+            SELECT cohort, ym - cohort AS age,
+                   CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+                   sum(price) AS rev
+            FROM o JOIN fst USING (o_custkey)
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT cohort, age, n_active, rev,
+                   sum(rev) OVER (PARTITION BY cohort ORDER BY age
+                                  ROWS UNBOUNDED PRECEDING) AS cum_rev
+            FROM grid
+        )
+        SELECT cohort, age, n_active,
+               CAST(CAST(rev AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+               CAST(CAST(cum_rev * 10000 AS BIGINT) // n_customers AS DOUBLE) / 10000.0
+                   AS cum_ltv_per_customer
+        FROM cum JOIN sizes USING (cohort)
+    """,
+    "audience_overlap": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b,
+               sa.n AS n_a, sb.n AS n_b, n_both,
+               round(n_both / (sa.n + sb.n - n_both), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.event_type = type_a
+        JOIN sizes sb ON sb.event_type = type_b
+    """,
     "funnel_time_to_convert": """
         WITH per_user AS (
             SELECT user_id,
@@ -277,6 +423,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "cohort_ltv_curve": cohort_ltv_curve,
+    "audience_overlap": audience_overlap,
     "session_paths": session_paths,
     "nation_month_rank": nation_month_rank,
     "orders_seasonality": orders_seasonality,

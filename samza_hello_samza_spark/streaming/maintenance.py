@@ -66,6 +66,50 @@ def lsh_index_updater(
     )
 
 
+def mv_refresh_job(
+    events_stream: DataFrame, mv_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Keep the continuous-aggregate MV (``plans/matview``) current
+    from a live events stream — the streaming twin of ``refresh_mv``.
+
+    Each micro-batch is folded into the MV at delta cost (grain
+    aggregate + partition-pruned merge + dynamic overwrite of touched
+    days). ``refresh_mv`` is a MERGE, not an overwrite, so replayed
+    batches must not fold twice: an applied-batch marker file
+    (written after the merge lands) makes redelivery a no-op — the
+    idempotent-consumer shape. The marker is per (checkpoint, batch
+    id), so a restarted query resumes exactly where the Spark
+    checkpoint says. The remaining crash window (merge finished,
+    marker not yet written) is the same one every non-transactional
+    sink has; the manifest-swap upgrade that closes it completely is
+    ``TxnView`` — use that when folding multiple sources atomically.
+    """
+    import os
+
+    marker_dir = os.path.join(checkpoint_dir, "_applied")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker) or batch.isEmpty():
+            return
+        from ..plans.matview import build_mv, refresh_mv
+
+        if os.path.exists(os.path.join(mv_dir, "_SUCCESS")):
+            refresh_mv(batch.sparkSession, mv_dir, batch)
+        else:
+            build_mv(batch.sparkSession, batch, mv_dir)
+        with open(marker, "w") as fh:
+            fh.write("applied")
+
+    return (
+        events_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def parse_events_json(batch: DataFrame) -> DataFrame:
     """Topic value (JSON) → typed events columns, the serde-in step."""
     schema = "user_id BIGINT, event_type STRING, value DOUBLE"
