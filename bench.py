@@ -65,6 +65,12 @@ HEADLINE = (
     "customer_pareto_curve",
     "events_window_funnel",
     "priority_fulfillment_sla",
+    "session_paths",
+    "trigram_lm",
+    "cohort_ltv_curve",
+    "triangle_count",
+    "mv_event_type_stats",
+    "user_event_entropy",
 )
 
 
@@ -81,6 +87,9 @@ def main() -> None:
     queries["groupby_count"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     queries["ann_lsh_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     queries["ann_pq_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # builds the continuous-aggregate MV if absent: the timed run then
+    # measures MV *serving* (the steady state), like the ANN probes.
+    queries["mv_event_type_stats"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -62,6 +62,7 @@ NONEQUI_OK = {
     "customer_rfm_segments",  # 1-row anchor + quartile-cuts broadcasts
     "customer_pareto_curve",  # 1-row decile-cuts + total-rev broadcasts
     "orders_seasonality",   # 1-row total-revenue broadcast
+    "data_quality_report",  # 1-row check aggregates broadcast-crossed
 }
 
 #: operators that declared an Arrow-batched Python stage.
