@@ -351,7 +351,166 @@ def customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAP_THRESHOLD_S = 3600
+REDELIVERY_WINDOW_US = 600 * 1_000_000  # 10 min
+
+
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-``time_weight``-style per-user value average.
+
+    Irregularly-sampled series must weight each observation by how
+    long it was "current": TWA = Σ value·Δt / Σ Δt with Δt the
+    integer seconds until the user's next event (the last observation
+    carries no weight — LOCF semantics). One user_id shuffle feeds
+    the lead() window and the aggregate. Exactness: Δt is integer
+    seconds, value·Δt is a DECIMAL(18,4)·bigint product — the
+    weighted sum is order-independent; only the final ratio is
+    floating (identical operands both engines). Also reports the
+    longest silence and the count of gaps over an hour (the uptime /
+    monitoring companion).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    with_dt = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        F.expr(
+            "(lead(unix_micros(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY unix_micros(ts), event_id) "
+            "- unix_micros(ts)) DIV 1000000"
+        ).alias("dt_s"),
+    )
+    agg = with_dt.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("dt_s").alias("span_s"),
+        F.sum(F.col("v") * F.col("dt_s")).alias("wv"),
+        F.max("dt_s").alias("max_gap_s"),
+        F.sum(F.when(F.col("dt_s") > GAP_THRESHOLD_S, 1).otherwise(0)).alias(
+            "n_long_gaps"
+        ),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.coalesce("span_s", F.lit(-1)).cast("long").alias("span_s"),
+        F.coalesce(
+            F.round(F.col("wv").cast("double") / F.col("span_s"), 6), F.lit(-1.0)
+        ).alias("time_weighted_avg"),
+        F.coalesce("max_gap_s", F.lit(-1)).cast("long").alias("max_gap_s"),
+        F.col("n_long_gaps").cast("long").alias("n_long_gaps"),
+    )
+
+
+def redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``dropDuplicatesWithinWatermark`` — WITH an oracle.
+
+    At-least-once transports redeliver: rows with identical content
+    key (user_id, event_type, value) arriving in a burst are one
+    logical event. A burst is a chain whose consecutive arrivals are
+    < 10 min apart (the same break rule as sessionization, keyed by
+    content); the FIRST arrival survives, later ones count as
+    redeliveries. One shuffle on the content key; the streaming twin
+    (streaming/jobs.py redelivery_dedup_job) holds the same chain
+    head in watermark-expiring state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = ["user_id", "event_type", "value"]
+    w = Window.partitionBy(*key).orderBy(F.unix_micros("ts"), "event_id")
+    chains = ev.withColumn(
+        "is_new_burst",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            >= F.lit(REDELIVERY_WINDOW_US)
+        )
+        .cast("int"),
+    ).withColumn(
+        "burst", F.coalesce(F.sum("is_new_burst").over(w), F.lit(0))
+    )
+    w_burst = Window.partitionBy("user_id", "event_type", "value", "burst").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    numbered = chains.withColumn("rn", F.row_number().over(w_burst))
+    return (
+        numbered.groupBy(
+            "user_id", "event_type", F.round("value", 6).alias("value"), "burst"
+        )
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("event_id"))).alias("kept_event_id"),
+            F.count(F.lit(1)).alias("n_deliveries"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("burst").cast("long").alias("burst"),
+            "kept_event_id",
+            (F.col("n_deliveries") - 1).cast("long").alias("n_redeliveries"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "time_weighted_value": """
+        WITH with_dt AS (
+            SELECT user_id,
+                   CAST(value AS DECIMAL(18,4)) AS v,
+                   (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    - epoch_us(ts)) // 1000000 AS dt_s
+            FROM events
+        ),
+        agg AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   sum(dt_s) AS span_s,
+                   sum(v * dt_s) AS wv,
+                   max(dt_s) AS max_gap_s,
+                   CAST(sum(CASE WHEN dt_s > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_gaps
+            FROM with_dt GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST(coalesce(span_s, -1) AS BIGINT) AS span_s,
+               coalesce(round(CAST(wv AS DOUBLE) / span_s, 6), -1.0) AS time_weighted_avg,
+               CAST(coalesce(max_gap_s, -1) AS BIGINT) AS max_gap_s,
+               n_long_gaps
+        FROM agg
+    """,
+    "redelivery_dedup": """
+        WITH base AS (
+            SELECT user_id, event_type, value,
+                   epoch_us(ts) AS us, event_id
+            FROM events
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN us - lag(us) OVER w >= 600000000 THEN 1 ELSE 0 END AS is_new_burst
+            FROM base
+            WINDOW w AS (PARTITION BY user_id, event_type, value ORDER BY us, event_id)
+        ),
+        chains AS (
+            SELECT *,
+                   CAST(sum(is_new_burst) OVER (PARTITION BY user_id, event_type, value
+                                                ORDER BY us, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst
+            FROM flagged
+        )
+        , numbered AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id, event_type, value, burst
+                                      ORDER BY us, event_id) AS rn
+            FROM chains
+        )
+        SELECT user_id, event_type,
+               round(value, 6) AS value,
+               burst,
+               min(CASE WHEN rn = 1 THEN event_id END) AS kept_event_id,
+               CAST(count(*) - 1 AS BIGINT) AS n_redeliveries
+        FROM numbered
+        GROUP BY user_id, event_type, round(value, 6), burst
+    """,
+}
+
+
+ORACLES.update({
     "events_autocorrelation": """
         WITH daily AS (
             SELECT event_type,
@@ -695,7 +854,7 @@ ORACLES: dict[str, str] = {
         FROM lat
         GROUP BY o_orderpriority
     """,
-}
+})
 
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase credits the user's most
@@ -1133,4 +1292,6 @@ QUERIES = {
     "customer_pareto_curve": customer_pareto_curve,
     "events_window_funnel": events_window_funnel,
     "priority_fulfillment_sla": priority_fulfillment_sla,
+    "time_weighted_value": time_weighted_value,
+    "redelivery_dedup": redelivery_dedup,
 }

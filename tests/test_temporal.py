@@ -242,3 +242,72 @@ def test_gapfill_interpolates_missing_days(spark, tmp_path):
         assert abs(value - want) < 1e-4, (d, value, want)
     # untouched type is fully observed
     assert all(obs == 1 for (t, _d), (obs, _v) in out.items() if t != victim)
+
+
+def test_redelivery_dedup_collapses_injected_bursts(spark, tmp_path):
+    """Inject duplicate deliveries (same content key, seconds apart) —
+    each burst must collapse to ONE kept event (the earliest) with the
+    right redelivery count; a copy far outside the window starts a new
+    burst."""
+    from samza_hello_samza_spark.session import TABLES, load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    one = ev.orderBy("event_id").limit(1)
+    dup1 = one.withColumn("event_id", F.col("event_id") + 10_000_000).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 5 SECONDS")
+    )
+    dup2 = one.withColumn("event_id", F.col("event_id") + 20_000_000).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 9 MINUTES")
+    )
+    late = one.withColumn("event_id", F.col("event_id") + 30_000_000).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 2 DAYS")
+    )
+    bad_dir = str(tmp_path / "dup_sf")
+    import os
+    import shutil
+
+    os.makedirs(bad_dir)
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", f"{bad_dir}/{t}.parquet")
+    ev.unionByName(dup1).unionByName(dup2).unionByName(late).coalesce(1).write.parquet(
+        f"{bad_dir}/events.parquet"
+    )
+
+    orig = one.collect()[0]
+    rows = [
+        r
+        for r in temporal.redelivery_dedup(spark, bad_dir).collect()
+        if r.user_id == orig.user_id and abs(r.value - orig.value) < 1e-6
+        and r.event_type == orig.event_type
+    ]
+    bursts = {r.burst: r for r in rows}
+    assert len(bursts) == 2  # original chain + the 2-day-late copy
+    first = bursts[min(bursts)]
+    assert first.kept_event_id == orig.event_id
+    # chain: original + dup at +5s + dup at +9min (within 10min of dup1)
+    assert first.n_redeliveries == 2
+    assert bursts[max(bursts)].n_redeliveries == 0
+
+
+def test_time_weighted_value_hand_check(spark):
+    """Recompute one user's TWA driver-side from raw events."""
+    from samza_hello_samza_spark.session import load_table
+
+    got = {r.user_id: r for r in temporal.time_weighted_value(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    uid = next(iter(sorted(got)))
+    rows = sorted(
+        ev.filter(F.col("user_id") == uid)
+        .select(F.unix_micros("ts").alias("us"), "event_id", "value")
+        .collect(),
+        key=lambda r: (r.us, r.event_id),
+    )
+    dts = [(b.us - a.us) // 1_000_000 for a, b in zip(rows, rows[1:])]
+    span = sum(dts)
+    twa = sum(round(a.value, 4) * dt for a, dt in zip(rows, dts)) / span
+    r = got[uid]
+    assert r.n_events == len(rows)
+    assert r.span_s == span
+    assert abs(r.time_weighted_avg - twa) < 1e-3
+    assert r.max_gap_s == max(dts)
