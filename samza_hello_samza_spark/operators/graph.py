@@ -135,7 +135,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     3·T / Σ deg·(deg−1)/2, rounded): fully oracle-checked, the DuckDB
     SQL runs the identical orientation so counts match exactly.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the pair table ONCE: deg and the oriented edges both
+    # derive from it, and the jaccard shingle join is the expensive
+    # part — without the checkpoint it would execute twice.
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
     both = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )

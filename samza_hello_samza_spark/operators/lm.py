@@ -46,9 +46,11 @@ def trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (count desc, trigram asc — total order).
     """
     docs = load_table(spark, sf_dir, "documents")
-    tri = docs.select(
-        F.explode(_shingles(_words(F.col("text")), 3)).alias("tg")
-    )
+    # materialize the words array as its own projection FIRST: inlining
+    # _words into the shingle lambda re-tokenizes the doc once per
+    # element access (the 19s→3s minhash lesson — see verify notes).
+    words = docs.select(_words(F.col("text")).alias("words"))
+    tri = words.select(F.explode(_shingles(F.col("words"), 3)).alias("tg"))
     tri_counts = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("cnt"))
     with_ctx = tri_counts.select(
         "tg",

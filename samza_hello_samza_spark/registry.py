@@ -24,6 +24,7 @@ _MODULES = (
     "samza_hello_samza_spark.plans.matview",
     "samza_hello_samza_spark.plans.stats",
     "samza_hello_samza_spark.plans.quality_checks",
+    "samza_hello_samza_spark.plans.mining",
     "samza_hello_samza_spark.operators.dedup",
     "samza_hello_samza_spark.operators.similarity",
     "samza_hello_samza_spark.operators.text_analysis",

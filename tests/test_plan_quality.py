@@ -63,6 +63,7 @@ NONEQUI_OK = {
     "customer_pareto_curve",  # 1-row decile-cuts + total-rev broadcasts
     "orders_seasonality",   # 1-row total-revenue broadcast
     "data_quality_report",  # 1-row check aggregates broadcast-crossed
+    "basket_pmi",           # 1-row basket-total broadcast
 }
 
 #: operators that declared an Arrow-batched Python stage.

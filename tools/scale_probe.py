@@ -64,6 +64,20 @@ PROBE_OPS = (
     "customer_pareto_curve",
     "events_window_funnel",
     "priority_fulfillment_sla",
+    "session_paths",
+    "cohort_ltv_curve",
+    "user_event_entropy",
+    "time_weighted_value",
+    "redelivery_dedup",
+    "order_size_distribution",
+    "winsorize_values",
+    "group_capped_sample",
+    "data_quality_report",
+    "audience_overlap",
+    "trigram_lm",
+    # mv_event_type_stats is excluded: its MV build-once cache keys on
+    # the sf_dir, so 1× (warm) vs N× (cold build) ratios would compare
+    # serving against building.
 )
 
 #: per-table (id columns to offset, row-count column for stride).
