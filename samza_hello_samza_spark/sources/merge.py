@@ -1,0 +1,142 @@
+"""MERGE INTO for parquet tables — the lakehouse upsert primitive.
+
+Delta/Iceberg's ``MERGE INTO target USING source ON key`` expressed
+with stock Spark: the target lives hash-bucketed on its key
+(``bucket = pmod(xxhash64(key), N)`` — the same routing rule as
+``topic_log``), so a merge
+
+1. buckets the source rows (delta-sized, no shuffle of the target),
+2. reads ONLY the target partitions whose bucket appears in the
+   source (partition pruning at file listing — a small delta touches
+   few buckets; an idle bucket's files are never opened),
+3. resolves matches with ONE full-outer equi-join per key:
+   - matched + delete condition        → row dropped
+   - matched                           → source columns win (update)
+   - source-only                       → insert
+   - target-only                       → carried unchanged
+4. rewrites only the touched buckets via dynamic partition overwrite
+   — untouched bucket files are bit-identical afterwards
+   (pytest-asserted), which is what bounds merge cost by
+   O(delta + touched buckets), never O(table).
+
+Semantics follow SQL MERGE with source-wins update; the source must
+be key-unique (asserted) — the standard MERGE cardinality rule.
+Crash model: dynamic overwrite is atomic per partition directory but
+not across buckets; the multi-source transactional upgrade is
+``maintenance.TxnView``'s manifest swap (same trade-off as
+``mv_refresh_job``, documented there).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 32
+
+
+class MergeTable:
+    """A hash-bucketed parquet table with MERGE INTO support."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        n_buckets: int = DEFAULT_BUCKETS,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+
+    def _bucket(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(F.col(self.key_col).cast("string")), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def write_full(self, df: DataFrame) -> None:
+        (
+            df.withColumn("_bucket", self._bucket())
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).drop("_bucket")
+
+    def merge(self, source: DataFrame, delete_cond: F.Column | None = None) -> dict:
+        """SQL-MERGE the source into the table; returns audit counts.
+
+        ``delete_cond`` is evaluated against the SOURCE row of a
+        matched pair ("when matched and <cond> then delete") — qualify
+        columns with the ``s.`` alias, e.g. ``F.col("s.status") ==
+        "closed"``.
+        """
+        key = self.key_col
+        n_src = source.count()
+        n_src_keys = source.select(key).distinct().count()
+        assert n_src == n_src_keys, (
+            f"MERGE source must be key-unique: {n_src} rows, {n_src_keys} keys"
+        )
+        src = source.withColumn("_bucket", self._bucket()).localCheckpoint()
+        touched = sorted(r._bucket for r in src.select("_bucket").distinct().collect())
+        if not touched:
+            return {"inserted": 0, "updated": 0, "deleted": 0, "buckets": []}
+
+        target = self.spark.read.parquet(self.path).filter(
+            F.col("_bucket").isin(touched)
+        )
+        t = target.alias("t")
+        s = src.alias("s")
+        joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+        matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+        deleting = (
+            matched & delete_cond if delete_cond is not None else F.lit(False)
+        )
+        cols = [c for c in self.read().columns]
+        merged = joined.filter(~deleting).select(
+            *[
+                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                for c in cols
+            ],
+            F.coalesce(F.col("s._bucket"), F.col("t._bucket")).alias("_bucket"),
+        )
+        # break the lineage to the files being replaced: Spark refuses
+        # (correctly) to overwrite a path its own plan still reads.
+        # The checkpoint holds touched-bucket rows only — the bound the
+        # whole design exists to provide.
+        merged = merged.localCheckpoint()
+        counts = joined.agg(
+            F.sum((matched & ~deleting).cast("long")).alias("updated"),
+            F.sum(deleting.cast("long")).alias("deleted"),
+            F.sum((F.col(f"t.{key}").isNull()).cast("long")).alias("inserted"),
+        ).collect()[0]
+        (
+            merged.repartition("_bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(self.path)
+        )
+        return {
+            "inserted": int(counts.inserted or 0),
+            "updated": int(counts.updated or 0),
+            "deleted": int(counts.deleted or 0),
+            "buckets": touched,
+        }
+
+    def bucket_files(self) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for entry in os.listdir(self.path):
+            if entry.startswith("_bucket="):
+                b = int(entry.split("=")[1])
+                d = os.path.join(self.path, entry)
+                out[b] = sorted(
+                    f for f in os.listdir(d) if f.endswith(".parquet")
+                )
+        return out

@@ -1,0 +1,107 @@
+"""MERGE INTO: model equivalence, delete clause, bucket-pruned rewrite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from samza_hello_samza_spark.sources.merge import MergeTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"), "k", n_buckets=8)
+    base = spark.createDataFrame(
+        [(i, f"v{i}", "open") for i in range(200)], "k long, v string, status string"
+    )
+    t.write_full(base)
+    return t
+
+
+def test_merge_matches_model(spark, table):
+    """Upserts + deletes against a driver-side dict model."""
+    model = {i: (f"v{i}", "open") for i in range(200)}
+    src = spark.createDataFrame(
+        # updates 0..49, inserts 500..519, closes (deletes) 100..109
+        [(i, f"NEW{i}", "open") for i in range(50)]
+        + [(i, f"v{i}", "closed") for i in range(100, 110)]
+        + [(i, f"ins{i}", "open") for i in range(500, 520)],
+        "k long, v string, status string",
+    )
+    stats = table.merge(src, delete_cond=F.col("s.status") == "closed")
+    for i in range(50):
+        model[i] = (f"NEW{i}", "open")
+    for i in range(100, 110):
+        del model[i]
+    for i in range(500, 520):
+        model[i] = (f"ins{i}", "open")
+
+    got = {r.k: (r.v, r.status) for r in table.read().collect()}
+    assert got == model
+    assert stats["inserted"] == 20
+    assert stats["updated"] == 50
+    assert stats["deleted"] == 10
+
+
+def test_merge_is_idempotent_for_pure_updates(spark, table):
+    src = spark.createDataFrame([(1, "X", "open")], "k long, v string, status string")
+    table.merge(src)
+    before = {r.k: r.v for r in table.read().collect()}
+    table.merge(src)
+    after = {r.k: r.v for r in table.read().collect()}
+    assert before == after
+
+
+def test_merge_rejects_duplicate_source_keys(spark, table):
+    dup = spark.createDataFrame(
+        [(1, "a", "open"), (1, "b", "open")], "k long, v string, status string"
+    )
+    with pytest.raises(AssertionError, match="key-unique"):
+        table.merge(dup)
+
+
+def test_untouched_buckets_not_rewritten(spark, table):
+    """A one-key merge must rewrite only that key's bucket directory —
+    every other bucket's files stay byte-identical."""
+    import hashlib
+    import os
+
+    def digest(files_by_bucket):
+        out = {}
+        for b, files in files_by_bucket.items():
+            h = hashlib.md5()
+            for f in files:
+                h.update(
+                    open(os.path.join(table.path, f"_bucket={b}", f), "rb").read()
+                )
+            out[b] = (tuple(files), h.hexdigest())
+        return out
+
+    before = digest(table.bucket_files())
+    src = spark.createDataFrame([(7, "ONLY", "open")], "k long, v string, status string")
+    stats = table.merge(src)
+    assert len(stats["buckets"]) == 1
+    touched = stats["buckets"][0]
+    after = digest(table.bucket_files())
+    assert set(before) == set(after)
+    for b in before:
+        if b == touched:
+            assert before[b] != after[b]
+        else:
+            assert before[b] == after[b], f"bucket {b} rewritten needlessly"
+    assert {r.v for r in table.read().filter(F.col("k") == 7).collect()} == {"ONLY"}
+
+
+def test_merge_read_prunes_to_touched_buckets(spark, table):
+    """The target read inside merge() carries a partition filter on the
+    touched buckets."""
+    src = spark.createDataFrame([(7, "x", "open")], "k long, v string, status string")
+    b = src.select(
+        F.pmod(F.xxhash64(F.col("k").cast("string")), F.lit(table.n_buckets)).cast("int").alias("b")
+    ).collect()[0].b
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    pruned = spark.read.parquet(table.path).filter(F.col("_bucket").isin([b]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(rf"PartitionFilters: \[[^\]]*_bucket#\d+ = {b}", plan), plan[:1200]
