@@ -269,6 +269,87 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+COVERAGE_KS = (10, 100, 1000)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative corpus coverage of the top-k vocabulary (Zipf check).
+
+    "How much of the corpus do the 10 / 100 / 1000 most frequent
+    words cover?" — the tokenizer-budget question. The top-1000
+    vocabulary rows come from a DISTRIBUTED top-k
+    (TakeOrderedAndProject, never a vocab-wide global sort); ranking
+    within those 1000 rows is a bounded single-partition window; the
+    corpus total is a 1-row broadcast. Order (freq desc, word) is
+    total, so ties are engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = vocab.agg(F.sum("freq").alias("total"))
+    top = vocab.orderBy(F.desc("freq"), "word").limit(max(COVERAGE_KS))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.orderBy(F.desc("freq"), "word"))
+    ranked = top.withColumn("rn", rn)
+    per_k = None
+    for k in COVERAGE_KS:
+        row = ranked.agg(
+            F.lit(k).alias("k"),
+            F.sum(F.when(F.col("rn") <= k, F.col("freq")).otherwise(0)).alias(
+                "covered_tokens"
+            ),
+        )
+        per_k = row if per_k is None else per_k.unionByName(row)
+    return per_k.crossJoin(maybe_broadcast(total)).select(
+        "k",
+        F.col("covered_tokens").cast("long").alias("covered_tokens"),
+        F.col("total").cast("long").alias("total_tokens"),
+        F.round(F.col("covered_tokens") / F.col("total"), 6).alias("coverage"),
+    )
+
+
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: share of its distinct bigrams that occur
+    NOWHERE else in the corpus (df = 1).
+
+    The memorization/uniqueness signal: boilerplate-heavy docs score
+    near 0, genuinely novel text near 1. Per-row ``array_distinct``
+    bounds the explode to distinct (doc, bigram) rows; the bigram
+    document-frequency table joins back on the bigram (equi-join,
+    vocabulary-sized build side under AQE).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # words materialized as its own projection — inlining _words into
+    # the shingle lambda re-tokenizes per element access (trigram_lm's
+    # 14s→4s lesson).
+    tok = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    bg = tok.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(F.col("words"), 2))).alias("bigram"),
+    )
+    # materialize once: the df-table and the per-doc join share it
+    bg = bg.localCheckpoint()
+    df_tbl = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        bg.join(df_tbl, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+            F.round(F.col("n_unique") / F.col("n_bigrams"), 6).alias("novelty"),
+        )
+    )
+
+
 def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Do the heuristic quality gate and the LM signal agree?
 
@@ -781,6 +862,45 @@ ORACLES: dict[str, str] = {
                coalesce(round(avg(avg_nll) FILTER (WHERE quality_score >= 0.5), 4), -999.0) AS avg_nll_highq
         FROM quality JOIN ppl USING (doc_id)
     """,
+    "vocab_coverage": f"""
+        WITH words AS (
+            SELECT unnest({_WORDS_SQL}) AS word FROM documents
+        ),
+        vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY word),
+        total AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM vocab),
+        top AS (
+            SELECT word, freq,
+                   CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rn
+            FROM (SELECT * FROM vocab ORDER BY freq DESC, word LIMIT 1000)
+        ),
+        per_k AS (
+            SELECT k, CAST(sum(CASE WHEN rn <= k THEN freq ELSE 0 END) AS BIGINT) AS covered_tokens
+            FROM top, (SELECT unnest([10, 100, 1000]) AS k)
+            GROUP BY k
+        )
+        SELECT CAST(k AS INT) AS k, covered_tokens,
+               total AS total_tokens,
+               round(CAST(covered_tokens AS DOUBLE) / total, 6) AS coverage
+        FROM per_k, total
+    """,
+    "text_novelty": f"""
+        WITH w AS (
+            SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+        ),
+        bg AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(words) - 1),
+                          i -> words[i] || ' ' || words[i+1])) AS bigram
+            FROM w
+        ),
+        df_tbl AS (SELECT bigram, CAST(count(*) AS BIGINT) AS df FROM bg GROUP BY bigram)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CAST(df = 1 AS INT)) AS BIGINT) AS n_unique,
+               round(sum(CAST(df = 1 AS INT)) / CAST(count(*) AS DOUBLE), 6) AS novelty
+        FROM bg JOIN df_tbl USING (bigram)
+        GROUP BY doc_id
+    """,
     "perplexity_proxy": f"""
         WITH words AS (
             SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
@@ -809,4 +929,6 @@ QUERIES = {
     "text_contamination": text_contamination,
     "perplexity_proxy": perplexity_proxy,
     "corpus_quality_calibration": corpus_quality_calibration,
+    "vocab_coverage": vocab_coverage,
+    "text_novelty": text_novelty,
 }

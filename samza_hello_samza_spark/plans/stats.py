@@ -140,7 +140,197 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / variance / skewness per event type from raw power sums.
+
+    Built from Σx, Σx², Σx³ with the explicit population formulas —
+    NOT the engines' skewness() builtins, whose sample-vs-population
+    conventions differ between Spark and DuckDB. Both engines sum the
+    same doubles and apply the same algebra; outputs are rounded
+    (power-sum ulp drift is ~1e-15 relative).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    skew = (
+        F.col("s3") / F.col("n") - 3 * mean * var - mean * mean * mean
+    ) / F.pow(var, 1.5)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 4).alias("mean"),
+        F.round(var, 3).alias("variance"),
+        F.round(skew, 3).alias("skewness"),
+    )
+
+
+def orders_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index (variance/mean) of daily order counts.
+
+    The Poisson-ness check of the arrival process (index ≈ 1 ⇒
+    Poisson; ≫1 ⇒ bursty). Daily counts are integers, so the power
+    sums are EXACT and every engine computes identical doubles — no
+    rounding hazard at all. Two-level aggregate, days-sized window
+    input.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        (F.unix_timestamp("o_orderdate") / 86400).cast("bigint").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days")
+    var = F.col("s2") / F.col("n_days") - mean * mean
+    return agg.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(mean, 4).alias("mean_daily_orders"),
+        F.round(var, 4).alias("var_daily_orders"),
+        F.round(var / mean, 4).alias("dispersion_index"),
+    )
+
+
+def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-quartile migration between the two halves of the
+    order history (the churn/upgrade transition matrix).
+
+    The time split is the midpoint of the observed month range (1-row
+    broadcast); per-period customer revenue is DECIMAL-hardened; the
+    quartile cuts are per-period exact percentiles (1-row broadcast,
+    the customer_value_segments pattern); the matrix is a full-outer
+    join of the two period assignments (customers absent from a
+    period land in the 'none' row/column). All counts integer-exact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    o = orders.select(
+        "o_custkey",
+        ym.alias("ym"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+    span = o.agg(
+        ((F.min("ym") + F.max("ym")) / 2).cast("bigint").alias("mid")
+    )
+    tagged = o.crossJoin(maybe_broadcast(span)).withColumn(
+        "period", F.when(F.col("ym") < F.col("mid"), 1).otherwise(2)
+    )
+    per_cust = tagged.groupBy("o_custkey", "period").agg(
+        F.round(F.sum("price").cast("double"), 2).alias("rev")
+    )
+    cuts = per_cust.groupBy("period").agg(
+        F.round(F.percentile("rev", 0.25), 6).alias("q1"),
+        F.round(F.percentile("rev", 0.5), 6).alias("q2"),
+        F.round(F.percentile("rev", 0.75), 6).alias("q3"),
+    )
+    seg = (
+        F.when(F.col("rev") <= F.col("q1"), "low")
+        .when(F.col("rev") <= F.col("q2"), "mid")
+        .when(F.col("rev") <= F.col("q3"), "high")
+        .otherwise("top")
+    )
+    assigned = per_cust.join(maybe_broadcast(cuts), "period").select(
+        "o_custkey", "period", seg.alias("seg")
+    )
+    p1 = assigned.filter(F.col("period") == 1).select(
+        "o_custkey", F.col("seg").alias("seg_from")
+    )
+    p2 = assigned.filter(F.col("period") == 2).select(
+        "o_custkey", F.col("seg").alias("seg_to")
+    )
+    return (
+        p1.join(p2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("seg_from", F.lit("none")).alias("seg_from"),
+            F.coalesce("seg_to", F.lit("none")).alias("seg_to"),
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "value_moments": """
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(value) AS s1,
+                   sum(value * value) AS s2,
+                   sum(value * value * value) AS s3
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(s1 / n, 4) AS mean,
+               round(s2 / n - (s1/n) * (s1/n), 3) AS variance,
+               round((s3 / n - 3 * (s1/n) * (s2/n - (s1/n)*(s1/n)) - (s1/n)*(s1/n)*(s1/n))
+                     / pow(s2/n - (s1/n)*(s1/n), 1.5), 3) AS skewness
+        FROM agg
+    """,
+    "orders_dispersion": """
+        WITH daily AS (
+            SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+                   count(*) AS c
+            FROM orders GROUP BY 1
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_days,
+                   sum(c) AS s1, sum(c * c) AS s2
+            FROM daily
+        )
+        SELECT n_days,
+               round(CAST(s1 AS DOUBLE) / n_days, 4) AS mean_daily_orders,
+               round(CAST(s2 AS DOUBLE) / n_days
+                     - (CAST(s1 AS DOUBLE)/n_days) * (CAST(s1 AS DOUBLE)/n_days), 4) AS var_daily_orders,
+               round((CAST(s2 AS DOUBLE) / n_days
+                     - (CAST(s1 AS DOUBLE)/n_days) * (CAST(s1 AS DOUBLE)/n_days))
+                     / (CAST(s1 AS DOUBLE)/n_days), 4) AS dispersion_index
+        FROM agg
+    """,
+    "segment_migration": """
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+                   CAST(o_totalprice AS DECIMAL(18,4)) AS price
+            FROM orders
+        ),
+        span AS (SELECT CAST((min(ym) + max(ym)) / 2 AS BIGINT) AS mid FROM o),
+        per_cust AS (
+            SELECT o_custkey,
+                   CASE WHEN ym < (SELECT mid FROM span) THEN 1 ELSE 2 END AS period,
+                   round(CAST(sum(price) AS DOUBLE), 2) AS rev
+            FROM o GROUP BY 1, 2
+        ),
+        cuts AS (
+            SELECT period,
+                   round(quantile_cont(rev, 0.25), 6) AS q1,
+                   round(quantile_cont(rev, 0.5), 6) AS q2,
+                   round(quantile_cont(rev, 0.75), 6) AS q3
+            FROM per_cust GROUP BY period
+        ),
+        assigned AS (
+            SELECT o_custkey, p.period,
+                   CASE WHEN rev <= q1 THEN 'low'
+                        WHEN rev <= q2 THEN 'mid'
+                        WHEN rev <= q3 THEN 'high'
+                        ELSE 'top' END AS seg
+            FROM per_cust p JOIN cuts c ON p.period = c.period
+        ),
+        p1 AS (SELECT o_custkey, seg AS seg_from FROM assigned WHERE period = 1),
+        p2 AS (SELECT o_custkey, seg AS seg_to FROM assigned WHERE period = 2)
+        SELECT coalesce(seg_from, 'none') AS seg_from,
+               coalesce(seg_to, 'none') AS seg_to,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM p1 FULL OUTER JOIN p2 USING (o_custkey)
+        GROUP BY 1, 2
+    """,
     "revenue_trend_regression": """
         WITH monthly AS (
             SELECT n_name,
@@ -199,6 +389,9 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "value_moments": value_moments,
+    "orders_dispersion": orders_dispersion,
+    "segment_migration": segment_migration,
     "revenue_trend_regression": revenue_trend_regression,
     "order_size_distribution": order_size_distribution,
     "supplier_concentration_hhi": supplier_concentration_hhi,

@@ -64,6 +64,8 @@ NONEQUI_OK = {
     "orders_seasonality",   # 1-row total-revenue broadcast
     "data_quality_report",  # 1-row check aggregates broadcast-crossed
     "basket_pmi",           # 1-row basket-total broadcast
+    "vocab_coverage",       # 1-row corpus-total broadcast
+    "segment_migration",    # 1-row time-midpoint broadcast
 }
 
 #: operators that declared an Arrow-batched Python stage.

@@ -78,3 +78,40 @@ def test_regression_reconstructs_series_mean(spark):
     for r in stats.revenue_trend_regression(spark, SF_DIR).collect():
         xb, yb = means[r.n_name]
         assert abs(r.slope * xb + r.intercept - yb) / abs(yb) < 0.01, r
+
+
+def test_moments_agree_with_numpy(spark):
+    import numpy as np
+
+    from samza_hello_samza_spark.session import load_table
+
+    vals = {}
+    for r in load_table(spark, SF_DIR, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for r in stats.value_moments(spark, SF_DIR).collect():
+        x = np.asarray(vals[r.event_type])
+        assert abs(r.mean - x.mean()) < 1e-3
+        assert abs(r.variance - x.var()) < 1e-1
+        skew = ((x - x.mean()) ** 3).mean() / x.var() ** 1.5
+        assert abs(r.skewness - skew) < 1e-2
+
+
+def test_dispersion_index_positive(spark):
+    r = stats.orders_dispersion(spark, SF_DIR).collect()[0]
+    assert r.n_days > 0 and r.mean_daily_orders > 0
+    assert r.dispersion_index >= 0
+
+
+def test_segment_migration_partitions_customers(spark):
+    """Every customer appears in exactly one matrix cell; totals add up."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.session import load_table
+
+    rows = stats.segment_migration(spark, SF_DIR).collect()
+    n_total = sum(r.n_customers for r in rows)
+    n_cust = (
+        load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert n_total == n_cust
+    assert all(r.seg_from != "none" or r.seg_to != "none" for r in rows)

@@ -82,3 +82,40 @@ def test_perplexity_repetitive_docs_score_low(spark):
     assert all(s > 0 and math.isfinite(s) for s in scores)
     # the distribution must have real spread (rare-word docs exist)
     assert max(scores) > min(scores)
+
+
+def test_vocab_coverage_monotone(spark):
+    from samza_hello_samza_spark.operators import text_filters as tf
+
+    rows = {r.k: r for r in tf.vocab_coverage(spark, SF_DIR).collect()}
+    assert list(sorted(rows)) == [10, 100, 1000]
+    assert rows[10].coverage <= rows[100].coverage <= rows[1000].coverage <= 1.0
+    assert rows[10].covered_tokens > 0
+    assert len({r.total_tokens for r in rows.values()}) == 1
+
+
+def test_novelty_bounds_and_duplicate_doc_zero(spark, tmp_path):
+    from samza_hello_samza_spark.operators import text_filters as tf
+
+    rows = {r.doc_id: r for r in tf.text_novelty(spark, SF_DIR).collect()}
+    for r in rows.values():
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.n_unique <= r.n_bigrams
+    # synthetic corpus: doc 2 duplicates doc 1 -> both novelty 0;
+    # doc 3 is disjoint -> novelty 1
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "s", 22),
+            (2, "alpha beta gamma delta", "en", "s", 22),
+            (3, "omega psi chi phi", "en", "s", 17),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "novelty_sf")
+    import os
+
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    tiny = {r.doc_id: r.novelty for r in tf.text_novelty(spark, d).collect()}
+    assert tiny[1] == 0.0 and tiny[2] == 0.0
+    assert tiny[3] == 1.0
