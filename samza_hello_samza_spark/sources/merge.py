@@ -95,9 +95,16 @@ class MergeTable:
         s = src.alias("s")
         joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
         matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
-        deleting = (
-            matched & delete_cond if delete_cond is not None else F.lit(False)
+        # a delete-marked source row must never INSERT either (the
+        # "WHEN NOT MATCHED AND cond THEN skip" clause): without it, a
+        # REPLAYED tombstone would re-insert the row it once deleted —
+        # with it, applying a CDC batch is fully idempotent.
+        marked = (
+            F.col(f"s.{key}").isNotNull() & F.coalesce(delete_cond, F.lit(False))
+            if delete_cond is not None
+            else F.lit(False)
         )
+        deleting = marked
         cols = [c for c in self.read().columns]
         merged = joined.filter(~deleting).select(
             *[
@@ -113,8 +120,10 @@ class MergeTable:
         merged = merged.localCheckpoint()
         counts = joined.agg(
             F.sum((matched & ~deleting).cast("long")).alias("updated"),
-            F.sum(deleting.cast("long")).alias("deleted"),
-            F.sum((F.col(f"t.{key}").isNull()).cast("long")).alias("inserted"),
+            F.sum((matched & deleting).cast("long")).alias("deleted"),
+            F.sum(
+                (F.col(f"t.{key}").isNull() & ~deleting).cast("long")
+            ).alias("inserted"),
         ).collect()[0]
         (
             merged.repartition("_bucket")

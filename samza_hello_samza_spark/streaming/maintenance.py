@@ -110,6 +110,50 @@ def mv_refresh_job(
     )
 
 
+def cdc_apply_job(
+    topic, table, checkpoint_dir: str, max_files_per_trigger: int | None = 1
+) -> StreamingQuery:
+    """Continuously apply a keyed changelog topic to a ``MergeTable``.
+
+    The Debezium/Kafka-Connect sink pattern over this repo's own
+    primitives: the ``TopicLog`` carries upserts (value = new row) and
+    deletes (value NULL — Kafka tombstones); each micro-batch is
+    compacted to its latest record per key (same argmax as
+    ``topic_log.compact``) and MERGEd into the bucketed table —
+    partition-pruned read, touched-bucket-only rewrite.
+
+    Exactly-once WITHOUT marker files: applying a CDC batch is
+    idempotent by construction — upserts set absolute values and
+    tombstones never re-insert (``MergeTable.merge``'s
+    not-matched-and-delete skip clause) — so at-least-once redelivery
+    converges to the same table.
+    """
+    from pyspark.sql import Window
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        w = Window.partitionBy("key").orderBy(F.desc("offset"))
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("key").alias(table.key_col),
+                F.col("value").alias("v"),
+                F.col("value").isNull().cast("int").alias("_tombstone"),
+            )
+        )
+        table.merge(latest, delete_cond=F.col("s._tombstone") == 1)
+
+    return (
+        topic.read_stream(max_files_per_trigger=max_files_per_trigger)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def parse_events_json(batch: DataFrame) -> DataFrame:
     """Topic value (JSON) → typed events columns, the serde-in step."""
     schema = "user_id BIGINT, event_type STRING, value DOUBLE"

@@ -105,3 +105,59 @@ def test_merge_read_prunes_to_touched_buckets(spark, table):
     import re
 
     assert re.search(rf"PartitionFilters: \[[^\]]*_bucket#\d+ = {b}", plan), plan[:1200]
+
+
+def test_cdc_apply_job_end_to_end(spark, tmp_path):
+    """Changelog topic → MergeTable: upserts land, tombstones delete,
+    and replaying the WHOLE topic from offset 0 (fresh checkpoint)
+    leaves the table unchanged — CDC apply is idempotent."""
+    from samza_hello_samza_spark.sources.topic_log import TopicLog
+    from samza_hello_samza_spark.streaming import maintenance
+
+    table = MergeTable(spark, str(tmp_path / "tbl"), "k", n_buckets=4)
+    table.write_full(
+        spark.createDataFrame([(f"k{i}", f"init{i}") for i in range(20)], "k string, v string")
+    )
+    topic = TopicLog(spark, str(tmp_path / "topic"), n_partitions=2)
+    topic.produce(
+        spark.createDataFrame(
+            [(f"k{i}", f"upd{i}") for i in range(5)]  # updates
+            + [("k100", "new100"), ("k101", "new101")],  # inserts
+            "k string, v string",
+        ),
+        "k",
+        "v",
+    )
+    topic.produce(
+        spark.createDataFrame(
+            [("k3", None), ("k100", None), ("k0", "upd0.final")],
+            "k string, v string",
+        ),
+        "k",
+        "v",
+    )
+
+    q = maintenance.cdc_apply_job(topic, table, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    model = {f"k{i}": f"init{i}" for i in range(20)}
+    for i in range(5):
+        model[f"k{i}"] = f"upd{i}"
+    model["k101"] = "new101"
+    model["k0"] = "upd0.final"
+    del model["k3"]  # tombstoned; k100 inserted then tombstoned
+
+    got = {r.k: r.v for r in table.read().select("k", "v").collect()}
+    assert got == model
+
+    # full replay on a fresh checkpoint: nothing may change
+    q2 = maintenance.cdc_apply_job(topic, table, str(tmp_path / "ckpt2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = {r.k: r.v for r in table.read().select("k", "v").collect()}
+    assert again == model
