@@ -566,6 +566,25 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution (the dedup audit summary).
+
+    "How much duplication is there, and in what shape?" — the
+    histogram of connected-component sizes over the jaccard-pair
+    graph: one row per cluster size with the cluster count and total
+    docs tied up in clusters of that size. Reuses ``dedup_clusters``
+    (iterative min-label; only the converged labels reach this
+    aggregate) and is integer-exact end to end; the oracle extends
+    the same recursive-CTE clustering.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )
+
 _SHINGLES_SQL = """
     WITH w AS (
         SELECT doc_id,
@@ -680,6 +699,17 @@ ORACLES: dict[str, str] = {
     JOIN counts nb ON nb.doc_id = doc_b
     WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
     """,
+    "dedup_cluster_sizes": _CLUSTERS_CTE
+    + """
+    , sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
     "dedup_clusters": _CLUSTERS_CTE
     + """
     SELECT doc_id, cluster_id FROM clusters
@@ -766,6 +796,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_chunk_exact": dedup_chunk_exact,
     "dedup_canonical": dedup_canonical,
     "dedup_url": dedup_url,

@@ -257,7 +257,117 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford.
+
+    The forensic-accounting screen: naturally-occurring monetary
+    amounts follow P(d) = log10(1 + 1/d); a synthetic or manipulated
+    ledger deviates. Digit extraction is the explicit
+    floor(p / 10^floor(log10 p)) formula evaluated identically in
+    both engines; counts are integers and only the shares/expected
+    columns are floating (rounded).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    digit = F.floor(p / F.pow(F.lit(10.0), F.floor(F.log10(p)))).cast("int")
+    counts = (
+        orders.filter(p > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = F.log10(1 + 1 / F.col("digit").cast("double"))
+    share = F.col("n") / F.col("total")
+    return counts.crossJoin(maybe_broadcast(total)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("benford_expected"),
+        F.round(share - expected, 6).alias("deviation"),
+    )
+
+
+MAD_K = 3.0 * 1.4826  # 3σ-equivalent under normality
+
+
+def price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) price-outlier report per part type.
+
+    Mean/stddev outlier rules break under the very outliers they hunt;
+    the robust pair is the median and the median absolute deviation.
+    Two chained exact-percentile aggregates over the bounded p_type
+    keyspace (median broadcast back, then MAD of |x − med|), then one
+    conditional count of rows beyond 3σ-equivalent (k = 3·1.4826·MAD).
+    ``percentile_approx`` replaces both percentile passes at an
+    unbounded group count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    priced = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_type", F.col("l_extendedprice").alias("x")
+    )
+    med = priced.groupBy("p_type").agg(
+        F.round(F.percentile("x", 0.5), 6).alias("med")
+    )
+    with_med = priced.join(maybe_broadcast(med), "p_type")
+    mad = with_med.groupBy("p_type").agg(
+        F.round(F.percentile(F.abs(F.col("x") - F.col("med")), 0.5), 6).alias("mad"),
+        F.first("med").alias("med"),
+    )
+    return (
+        priced.join(maybe_broadcast(mad), "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("median_price"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (F.abs(F.col("x") - F.col("med")) > F.lit(MAD_K) * F.col("mad"))
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "benford_deviation": """
+        WITH counts AS (
+            SELECT CAST(floor(o_totalprice / pow(10.0, floor(log10(o_totalprice)))) AS INT) AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders WHERE o_totalprice > 0
+            GROUP BY 1
+        ),
+        total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / total, 6) AS share,
+               round(log10(1 + 1.0 / digit), 6) AS benford_expected,
+               round(CAST(n AS DOUBLE) / total - log10(1 + 1.0 / digit), 6) AS deviation
+        FROM counts, total
+    """,
+    "price_mad_outliers": f"""
+        WITH priced AS (
+            SELECT p_type, l_extendedprice AS x
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        med AS (
+            SELECT p_type, round(quantile_cont(x, 0.5), 6) AS med
+            FROM priced GROUP BY p_type
+        ),
+        mad AS (
+            SELECT p.p_type, round(quantile_cont(abs(x - med), 0.5), 6) AS mad,
+                   min(med) AS med
+            FROM priced p JOIN med USING (p_type)
+            GROUP BY p.p_type
+        )
+        SELECT p.p_type,
+               CAST(count(*) AS BIGINT) AS n,
+               min(m.med) AS median_price,
+               min(m.mad) AS mad,
+               CAST(sum(CAST(abs(x - m.med) > {MAD_K} * m.mad AS INT)) AS BIGINT) AS n_outliers
+        FROM priced p JOIN mad m USING (p_type)
+        GROUP BY p.p_type
+    """,
     "value_moments": """
         WITH agg AS (
             SELECT event_type,
@@ -389,6 +499,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "benford_deviation": benford_deviation,
+    "price_mad_outliers": price_mad_outliers,
     "value_moments": value_moments,
     "orders_dispersion": orders_dispersion,
     "segment_migration": segment_migration,

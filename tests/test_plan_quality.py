@@ -66,6 +66,7 @@ NONEQUI_OK = {
     "basket_pmi",           # 1-row basket-total broadcast
     "vocab_coverage",       # 1-row corpus-total broadcast
     "segment_migration",    # 1-row time-midpoint broadcast
+    "benford_deviation",    # 1-row digit-total broadcast
 }
 
 #: operators that declared an Arrow-batched Python stage.

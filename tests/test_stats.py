@@ -115,3 +115,42 @@ def test_segment_migration_partitions_customers(spark):
     )
     assert n_total == n_cust
     assert all(r.seg_from != "none" or r.seg_to != "none" for r in rows)
+
+
+def test_benford_shares_sum_to_one(spark):
+    rows = stats.benford_deviation(spark, SF_DIR).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_expected for r in rows) - 1.0) < 1e-3
+
+
+def test_mad_outliers_robust_to_injection(spark, tmp_path):
+    """Planting one absurd price must not move the median/MAD much but
+    must raise that type's outlier count."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.session import TABLES, load_table
+
+    before = {r.p_type: r for r in stats.price_mad_outliers(spark, SF_DIR).collect()}
+    bad_dir = str(tmp_path / "mad_sf")
+    import os
+
+    os.makedirs(bad_dir)
+    for t in TABLES:
+        if t != "lineitem":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", f"{bad_dir}/{t}.parquet")
+    li = load_table(spark, SF_DIR, "lineitem")
+    spiked = li.unionByName(
+        li.limit(1).withColumn("l_extendedprice", F.lit(1e9))
+    )
+    spiked.coalesce(1).write.parquet(f"{bad_dir}/lineitem.parquet")
+    target_type = load_table(spark, SF_DIR, "part").join(
+        li.limit(1), F.col("p_partkey") == F.col("l_partkey")
+    ).collect()[0].p_type
+
+    after = {r.p_type: r for r in stats.price_mad_outliers(spark, bad_dir).collect()}
+    b, a = before[target_type], after[target_type]
+    assert a.n_outliers == b.n_outliers + 1
+    assert abs(a.median_price - b.median_price) / b.median_price < 0.01

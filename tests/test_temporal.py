@@ -311,3 +311,14 @@ def test_time_weighted_value_hand_check(spark):
     assert r.span_s == span
     assert abs(r.time_weighted_avg - twa) < 1e-3
     assert r.max_gap_s == max(dts)
+
+
+def test_cluster_size_histogram_consistent(spark):
+    """Σ(n_docs) over the histogram equals the clustered-doc count."""
+    from samza_hello_samza_spark.operators import dedup as dd
+
+    hist = dd.dedup_cluster_sizes(spark, SF_DIR).collect()
+    n_docs_hist = sum(r.n_docs for r in hist)
+    n_docs_direct = dd.dedup_clusters(spark, SF_DIR).count()
+    assert n_docs_hist == n_docs_direct
+    assert all(r.cluster_size >= 2 for r in hist)  # singletons aren't clusters
