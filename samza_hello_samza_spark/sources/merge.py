@@ -88,9 +88,14 @@ class MergeTable:
         if not touched:
             return {"inserted": 0, "updated": 0, "deleted": 0, "buckets": []}
 
-        target = self.spark.read.parquet(self.path).filter(
-            F.col("_bucket").isin(touched)
-        )
+        # a brand-new (or emptied) table has no parquet files to infer
+        # a schema from — bootstrap: the first merge's source DEFINES
+        # the table schema and every source row is an insert.
+        try:
+            full = self.spark.read.parquet(self.path)
+        except Exception:
+            full = src.filter(F.lit(False))
+        target = full.filter(F.col("_bucket").isin(touched))
         t = target.alias("t")
         s = src.alias("s")
         joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
@@ -105,7 +110,7 @@ class MergeTable:
             else F.lit(False)
         )
         deleting = marked
-        cols = [c for c in self.read().columns]
+        cols = [c for c in full.columns if c != "_bucket"]
         merged = joined.filter(~deleting).select(
             *[
                 F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)

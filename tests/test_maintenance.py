@@ -532,3 +532,50 @@ if _HYP:
         for name, uid, _et in produced:
             want[(name, uid)] = want.get((name, uid), 0) + 1
         assert got == want
+
+
+def test_windowed_topk_stream_matches_batch(spark, tmp_path):
+    """Streamed leaderboard state == batch-computed per-window top-3."""
+    from pyspark.sql import Window, functions as F
+
+    from samza_hello_samza_spark.session import load_table
+    from samza_hello_samza_spark.sources.merge import MergeTable
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+
+    table = MergeTable(spark, str(tmp_path / "state"), "k", n_buckets=8)
+    table.write_full(
+        spark.createDataFrame(
+            [], "k string, window_start long, user_id long, cnt long"
+        )
+    )
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = maintenance.windowed_topk_job(
+        stream, table, str(tmp_path / "ckpt"), watermark=None
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.window_start, r.rank): (r.user_id, r.cnt)
+        for r in maintenance.windowed_topk_snapshot(spark, table, k=3).collect()
+    }
+    w = Window.partitionBy("ws").orderBy(F.desc("cnt"), F.asc("user_id"))
+    expect = {
+        (r.ws, r.rn): (r.user_id, r.cnt)
+        for r in events.groupBy(
+            F.unix_timestamp(F.window("ts", "5 minutes").start).alias("ws"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert got == expect
