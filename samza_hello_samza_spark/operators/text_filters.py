@@ -269,6 +269,57 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+BOILERPLATE_DF = 3  # a sentence in ≥3 docs is boilerplate
+_SENT_SPLIT = r"[.!?]+"
+
+
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-sentence detection per document.
+
+    The line-dedup step of C4 (Raffel et al. 2020): sentences that
+    recur across many documents (nav text, disclaimers, templates)
+    are boilerplate. Sentences come from one regex split (identical
+    pattern both engines), per-doc DISTINCT in-row; the corpus
+    document-frequency table joins back on the sentence hash, and
+    each doc reports how much of it is boilerplate (df ≥ 3). The
+    removal rewrite itself is the same join with a filter — the
+    report is the auditable half.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sent_arr = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(F.lower(F.col("text")), _SENT_SPLIT),
+                lambda s: F.trim(s),
+            ),
+            lambda s: s != "",
+        )
+    )
+    sents = docs.select("doc_id", F.explode(sent_arr).alias("sent")).select(
+        "doc_id", F.md5("sent").alias("h")
+    )
+    sents = sents.localCheckpoint()  # df-table and per-doc join share it
+    df_tbl = sents.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sents.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum((F.col("df") >= BOILERPLATE_DF).cast("long")).alias(
+                "n_boilerplate"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_sentences").cast("long").alias("n_sentences"),
+            F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+            F.round(F.col("n_boilerplate") / F.col("n_sentences"), 4).alias(
+                "boilerplate_share"
+            ),
+        )
+    )
+
+
 COVERAGE_KS = (10, 100, 1000)
 
 
@@ -862,6 +913,26 @@ ORACLES: dict[str, str] = {
                coalesce(round(avg(avg_nll) FILTER (WHERE quality_score >= 0.5), 4), -999.0) AS avg_nll_highq
         FROM quality JOIN ppl USING (doc_id)
     """,
+    "boilerplate_lines": """
+        WITH sents AS (
+            SELECT DISTINCT doc_id,
+                   md5(s) AS h
+            FROM (
+                SELECT doc_id,
+                       unnest(list_filter(list_transform(
+                           string_split_regex(lower(text), '[.!?]+'),
+                           x -> trim(x)), x -> x <> '')) AS s
+                FROM documents
+            )
+        ),
+        df_tbl AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM sents GROUP BY h)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_sentences,
+               CAST(sum(CAST(df >= 3 AS INT)) AS BIGINT) AS n_boilerplate,
+               round(sum(CAST(df >= 3 AS INT)) / CAST(count(*) AS DOUBLE), 4) AS boilerplate_share
+        FROM sents JOIN df_tbl USING (h)
+        GROUP BY doc_id
+    """,
     "vocab_coverage": f"""
         WITH words AS (
             SELECT unnest({_WORDS_SQL}) AS word FROM documents
@@ -930,5 +1001,6 @@ QUERIES = {
     "perplexity_proxy": perplexity_proxy,
     "corpus_quality_calibration": corpus_quality_calibration,
     "vocab_coverage": vocab_coverage,
+    "boilerplate_lines": boilerplate_lines,
     "text_novelty": text_novelty,
 }

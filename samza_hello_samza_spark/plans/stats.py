@@ -27,7 +27,7 @@ engines (two-sum entropy form proven by text_entropy).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hints import maybe_broadcast
@@ -330,7 +330,135 @@ def price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: order-priority mix vs year.
+
+    "Did the priority mix shift over time?" — the contingency-table
+    test as pure aggregates: cell counts (year × priority), marginals
+    joined back (both bounded relations, broadcast), χ² = Σ(o−e)²/e.
+    Counts are integers so every expected value is computed from
+    identical doubles; only the final statistic is rounded.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.col("o_orderpriority").alias("pr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_tot = cells.groupBy("yr").agg(F.sum("n").alias("rn"))
+    col_tot = cells.groupBy("pr").agg(F.sum("n").alias("cn"))
+    total = cells.agg(F.sum("n").alias("t"))
+    e = F.col("rn").cast("double") * F.col("cn") / F.col("t")
+    contrib = (F.col("n") - e) * (F.col("n") - e) / e
+    joined = (
+        cells.join(maybe_broadcast(row_tot), "yr")
+        .join(maybe_broadcast(col_tot), "pr")
+        .crossJoin(maybe_broadcast(total))
+    )
+    return joined.agg(
+        F.sum("n").cast("long").alias("n_orders"),
+        F.round(F.sum(contrib), 4).alias("chi2"),
+        (
+            (F.countDistinct("yr") - 1) * (F.countDistinct("pr") - 1)
+        ).cast("long").alias("dof"),
+    )
+
+
+def daily_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan of the daily value series per type.
+
+    cusum_k = Σ_{i≤k}(v_i − v̄); the day with max |cusum| is the level
+    shift candidate. The daily series is DECIMAL(18,2)-exact, so the
+    prefix sums (window over BOUNDED days-per-type partitions) and
+    the deviation math are identical doubles in both engines; argmax
+    uses (|cusum| desc, day) — a total order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,2)").alias("v"))
+    totals = daily.groupBy("event_type").agg(
+        F.sum("v").alias("tv"), F.count(F.lit(1)).alias("nd")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_prefix = daily.withColumn("prefix", F.sum("v").over(w)).withColumn(
+        "k", F.count(F.lit(1)).over(w)
+    )
+    cusum = (
+        with_prefix.join(maybe_broadcast(totals), "event_type")
+        .withColumn(
+            "cusum",
+            F.col("prefix").cast("double")
+            - F.col("k") * (F.col("tv").cast("double") / F.col("nd")),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "day"
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.round("cusum", 3).alias("cusum"),
+            F.col("nd").cast("long").alias("n_days"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "priority_mix_chi2": """
+        WITH cells AS (
+            SELECT year(o_orderdate) AS yr, o_orderpriority AS pr,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        rt AS (SELECT yr, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY yr),
+        ct AS (SELECT pr, CAST(sum(n) AS BIGINT) AS cn FROM cells GROUP BY pr),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells)
+        SELECT CAST(sum(n) AS BIGINT) AS n_orders,
+               round(sum((n - CAST(rn AS DOUBLE) * cn / t.t)
+                         * (n - CAST(rn AS DOUBLE) * cn / t.t)
+                         / (CAST(rn AS DOUBLE) * cn / t.t)), 4) AS chi2,
+               CAST((count(DISTINCT cells.yr) - 1) * (count(DISTINCT cells.pr) - 1) AS BIGINT) AS dof
+        FROM cells JOIN rt USING (yr) JOIN ct USING (pr) CROSS JOIN t
+    """,
+    "daily_cusum_changepoint": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT event_type, sum(v) AS tv, CAST(count(*) AS BIGINT) AS nd
+            FROM daily GROUP BY event_type
+        ),
+        pre AS (
+            SELECT d.event_type, day,
+                   sum(v) OVER (PARTITION BY d.event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS prefix,
+                   CAST(count(*) OVER (PARTITION BY d.event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k,
+                   tv, nd
+            FROM daily d JOIN totals USING (event_type)
+        ),
+        cus AS (
+            SELECT event_type, day,
+                   CAST(prefix AS DOUBLE) - k * (CAST(tv AS DOUBLE) / nd) AS cusum,
+                   nd,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY abs(CAST(prefix AS DOUBLE) - k * (CAST(tv AS DOUBLE) / nd)) DESC, day) AS rn
+            FROM pre
+        )
+        SELECT event_type, day AS change_day,
+               round(cusum, 3) AS cusum, nd AS n_days
+        FROM cus WHERE rn = 1
+    """,
     "benford_deviation": """
         WITH counts AS (
             SELECT CAST(floor(o_totalprice / pow(10.0, floor(log10(o_totalprice)))) AS INT) AS digit,
@@ -499,6 +627,8 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "priority_mix_chi2": priority_mix_chi2,
+    "daily_cusum_changepoint": daily_cusum_changepoint,
     "benford_deviation": benford_deviation,
     "price_mad_outliers": price_mad_outliers,
     "value_moments": value_moments,

@@ -67,6 +67,7 @@ NONEQUI_OK = {
     "vocab_coverage",       # 1-row corpus-total broadcast
     "segment_migration",    # 1-row time-midpoint broadcast
     "benford_deviation",    # 1-row digit-total broadcast
+    "priority_mix_chi2",    # 1-row grand-total broadcast
 }
 
 #: operators that declared an Arrow-batched Python stage.

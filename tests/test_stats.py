@@ -154,3 +154,41 @@ def test_mad_outliers_robust_to_injection(spark, tmp_path):
     b, a = before[target_type], after[target_type]
     assert a.n_outliers == b.n_outliers + 1
     assert abs(a.median_price - b.median_price) / b.median_price < 0.01
+
+
+def test_chi2_nonnegative_and_dof(spark):
+    r = stats.priority_mix_chi2(spark, SF_DIR).collect()[0]
+    assert r.chi2 >= 0
+    assert r.dof >= 1
+    assert r.n_orders > 0
+
+
+def test_cusum_detects_injected_level_shift(spark, tmp_path):
+    """Doubling every value after a chosen day must move the detected
+    change point to (or near) that day for every event type."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.session import TABLES, load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("bigint")
+    days = sorted(r.d for r in ev.select(day.alias("d")).distinct().collect())
+    shift_day = days[len(days) // 2]
+    shifted = ev.withColumn(
+        "value", F.when(day >= shift_day, F.col("value") * 10).otherwise(F.col("value"))
+    )
+    bad_dir = str(tmp_path / "cusum_sf")
+    import os
+
+    os.makedirs(bad_dir)
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", f"{bad_dir}/{t}.parquet")
+    shifted.coalesce(1).write.parquet(f"{bad_dir}/events.parquet")
+
+    idx = {d: i for i, d in enumerate(days)}
+    for r in stats.daily_cusum_changepoint(spark, bad_dir).collect():
+        # CUSUM's |max| sits AT the boundary day (±2 days tolerance)
+        assert abs(idx[r.change_day] - idx[shift_day]) <= 2, r

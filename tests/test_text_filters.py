@@ -119,3 +119,27 @@ def test_novelty_bounds_and_duplicate_doc_zero(spark, tmp_path):
     tiny = {r.doc_id: r.novelty for r in tf.text_novelty(spark, d).collect()}
     assert tiny[1] == 0.0 and tiny[2] == 0.0
     assert tiny[3] == 1.0
+
+
+def test_boilerplate_detects_planted_template(spark, tmp_path):
+    from samza_hello_samza_spark.operators import text_filters as tf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "subscribe to our newsletter. unique thought one.", "en", "s", 48),
+            (2, "subscribe to our newsletter. another idea here.", "en", "s", 47),
+            (3, "subscribe to our newsletter. third musing now.", "en", "s", 46),
+            (4, "completely original text! nothing shared at all?", "en", "s", 48),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import os
+
+    d = str(tmp_path / "bp_sf")
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in tf.boilerplate_lines(spark, d).collect()}
+    for i in (1, 2, 3):
+        assert got[i].n_boilerplate == 1 and got[i].n_sentences == 2, got[i]
+        assert got[i].boilerplate_share == 0.5
+    assert got[4].n_boilerplate == 0
