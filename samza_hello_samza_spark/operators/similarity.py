@@ -421,6 +421,29 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", F.col("dim").cast("int").alias("dim"), "val")
 
 
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm distribution per label (embedding QA companion).
+
+    Un-normalized or collapsed embedding batches show up as norm
+    outlier groups before anything else does. The norm is the JVM
+    index-ordered fold (identical order to the oracle's
+    list_transform + list_sum), rounded BEFORE the per-label stats so
+    both engines aggregate identical doubles; exact percentiles over
+    the bounded label keyspace.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norms = e.select("label", F.round(_norm(F.col("v")), 6).alias("nrm"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("nrm"), 4).alias("mean_norm"),
+        F.round(F.percentile("nrm", 0.5), 6).alias("p50_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
 OUTLIER_PCT = 0.99
 KNN_K = 3
 
@@ -522,6 +545,21 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "embedding_norm_stats": f"""
+        WITH norms AS (
+            SELECT label,
+                   round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> x * x))), 6) AS nrm
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(nrm), 4) AS mean_norm,
+               round(quantile_cont(nrm, 0.5), 6) AS p50_norm,
+               round(min(nrm), 6) AS min_norm,
+               round(max(nrm), 6) AS max_norm
+        FROM norms GROUP BY label
+    """,
     "embedding_outliers": f"""
         WITH v AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -608,5 +646,6 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "hard_negative_mining": hard_negative_mining,
     "embedding_outliers": embedding_outliers,
+    "embedding_norm_stats": embedding_norm_stats,
     "knn_graph": knn_graph,
 }

@@ -73,6 +73,28 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword language-ID vs ground truth.
+
+    The evaluation op for text_langid: (truth, predicted) counts plus
+    each cell's share of its truth row. Reuses the exact prediction
+    plan; the matrix is languages² rows, and the row share is a window
+    over that bounded matrix.
+    """
+    pred = text_langid(spark, sf_dir)
+    matrix = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return matrix.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias("row_share"),
+        (F.col("lang") == F.col("pred_lang")).cast("int").alias("correct"),
+    )
+
+
 def quality_cols(text: F.Column) -> dict[str, F.Column]:
     """Per-row quality expressions, shared by text_quality and the
     fused corpus_profile so both compute byte-identical values."""
@@ -382,6 +404,34 @@ ORACLES: dict[str, str] = {
         ORDER BY n DESC, bigram ASC
         LIMIT {TOP_BIGRAMS}
     """,
+    "langid_confusion": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, sw.lang AS cand_lang, count(*) AS votes
+            FROM words JOIN {_stopword_values_sql()} ON words.word = sw.word
+            GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT doc_id, cand_lang, votes,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY votes DESC, cand_lang ASC) AS rn
+            FROM votes
+        ),
+        pred AS (
+            SELECT d.lang, coalesce(b.cand_lang, 'und') AS pred_lang
+            FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        ),
+        matrix AS (
+            SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY 1, 2
+        )
+        SELECT lang, pred_lang, n_docs,
+               round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 4) AS row_share,
+               CAST(lang = pred_lang AS INT) AS correct
+        FROM matrix
+    """,
     "text_langid": f"""
         WITH words AS (
             SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
@@ -464,6 +514,7 @@ QUERIES = {
     "text_bigram_topk": text_bigram_topk,
     "text_readability": text_readability,
     "text_langid": text_langid,
+    "langid_confusion": langid_confusion,
     "text_quality": text_quality,
     "text_tokencount": text_tokencount,
     "text_fingerprint": text_fingerprint,

@@ -269,6 +269,33 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents bucketed by ⌊log2(n_chars)⌋ with per-bucket word stats.
+
+    The corpus-card length distribution: geometric buckets via the
+    integer-exact ``length(bin(x)) − 1`` trick (no libm log), word
+    counts from one tokenize pass, per-bucket share against a 1-row
+    total broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.length(F.bin(F.col("n_chars"))) - 1).alias("log2_chars")
+    per_bucket = (
+        docs.select(bucket, F.size(_words(F.col("text"))).alias("n_words"))
+        .groupBy("log2_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+        )
+    )
+    total = per_bucket.agg(F.sum("n_docs").alias("t"))
+    return per_bucket.crossJoin(maybe_broadcast(total)).select(
+        F.col("log2_chars").cast("int").alias("log2_chars"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_words",
+        F.round(F.col("n_docs") / F.col("t"), 4).alias("doc_share"),
+    )
+
+
 BOILERPLATE_DF = 3  # a sentence in ≥3 docs is boilerplate
 _SENT_SPLIT = r"[.!?]+"
 
@@ -913,6 +940,18 @@ ORACLES: dict[str, str] = {
                coalesce(round(avg(avg_nll) FILTER (WHERE quality_score >= 0.5), 4), -999.0) AS avg_nll_highq
         FROM quality JOIN ppl USING (doc_id)
     """,
+    "doc_length_histogram": f"""
+        WITH per_bucket AS (
+            SELECT CAST(length(bin(n_chars)) - 1 AS INT) AS log2_chars,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS n_words
+            FROM documents GROUP BY 1
+        ),
+        total AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM per_bucket)
+        SELECT log2_chars, n_docs, n_words,
+               round(CAST(n_docs AS DOUBLE) / t, 4) AS doc_share
+        FROM per_bucket, total
+    """,
     "boilerplate_lines": """
         WITH sents AS (
             SELECT DISTINCT doc_id,
@@ -1002,5 +1041,6 @@ QUERIES = {
     "corpus_quality_calibration": corpus_quality_calibration,
     "vocab_coverage": vocab_coverage,
     "boilerplate_lines": boilerplate_lines,
+    "doc_length_histogram": doc_length_histogram,
     "text_novelty": text_novelty,
 }

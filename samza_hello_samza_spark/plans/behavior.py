@@ -198,6 +198,34 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_recency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users and value-at-risk bucketed by days since last activity.
+
+    The churn-risk curve every retention team pulls: per-user last
+    activity + lifetime value (one user_id shuffle), anchored at the
+    corpus max day (1-row broadcast — never a global window), rolled
+    up per inactivity-days bucket with the LTV that bucket puts at
+    risk. DECIMAL LTV; day math all-integer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,2)").alias("ltv"),
+    )
+    anchor = ev.agg(F.max(day).alias("max_day"))
+    return (
+        per_user.crossJoin(maybe_broadcast(anchor))
+        .groupBy((F.col("max_day") - F.col("last_day")).cast("long").alias("days_inactive"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("ltv").cast("decimal(18,2)").cast("double").alias("value_at_risk"),
+        )
+    )
+
+
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative lifetime value per cohort customer, by cohort age.
 
@@ -357,6 +385,24 @@ ORACLES: dict[str, str] = {
                round(12 * CAST(rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 4) AS seasonality_index
         FROM monthly, total
     """,
+    "user_recency_buckets": """
+        WITH per_user AS (
+            SELECT user_id,
+                   max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS ltv
+            FROM events GROUP BY user_id
+        ),
+        anchor AS (
+            SELECT max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS max_day FROM events
+        )
+        SELECT CAST(max_day - last_day AS BIGINT) AS days_inactive,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(CAST(sum(ltv) AS DECIMAL(18,2)) AS DOUBLE) AS value_at_risk
+        FROM per_user, anchor
+        GROUP BY 1
+    """,
     "cohort_ltv_curve": """
         WITH o AS (
             SELECT o_custkey,
@@ -423,6 +469,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "user_recency_buckets": user_recency_buckets,
     "cohort_ltv_curve": cohort_ltv_curve,
     "audience_overlap": audience_overlap,
     "session_paths": session_paths,

@@ -73,3 +73,14 @@ def test_time_to_convert_bounds(spark):
     assert r.n_converted <= r.n_viewers
     if r.n_converted:
         assert 0 <= r.p50_sec <= r.p90_sec
+
+
+def test_recency_buckets_cover_all_users(spark):
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.session import load_table
+
+    rows = behavior.user_recency_buckets(spark, SF_DIR).collect()
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert all(r.days_inactive >= 0 and r.value_at_risk >= 0 for r in rows)

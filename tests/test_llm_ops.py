@@ -347,3 +347,37 @@ def test_embedding_outlier_rate_bounded(spark):
     rows = similarity.embedding_outliers(spark, SF_DIR).collect()
     n_out = sum(r.is_outlier for r in rows)
     assert 0 < n_out <= max(1, len(rows) * 0.05)
+
+
+def test_langid_confusion_consistency(spark):
+    """Matrix row sums equal per-language doc counts; row shares sum
+    to 1; overall accuracy matches text_langid's per-doc output."""
+    from samza_hello_samza_spark.operators import text_analysis as ta
+    from samza_hello_samza_spark.session import load_table
+
+    rows = ta.langid_confusion(spark, SF_DIR).collect()
+    per_lang: dict[str, int] = {}
+    share: dict[str, float] = {}
+    correct = 0
+    for r in rows:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + r.n_docs
+        share[r.lang] = share.get(r.lang, 0.0) + r.row_share
+        if r.correct:
+            correct += r.n_docs
+    truth = {
+        r.lang: r.n
+        for r in load_table(spark, SF_DIR, "documents").groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_lang == truth
+    for lang, s in share.items():
+        assert abs(s - 1.0) < 1e-3, (lang, s)
+    pred = ta.text_langid(spark, SF_DIR).collect()
+    assert correct == sum(1 for p in pred if p.lang == p.pred_lang)
+
+
+def test_embedding_norm_stats_bounds(spark):
+    from samza_hello_samza_spark.operators import similarity
+
+    for r in similarity.embedding_norm_stats(spark, SF_DIR).collect():
+        assert 0 < r.min_norm <= r.p50_norm <= r.max_norm
+        assert r.min_norm <= r.mean_norm <= r.max_norm

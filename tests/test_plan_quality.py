@@ -68,6 +68,8 @@ NONEQUI_OK = {
     "segment_migration",    # 1-row time-midpoint broadcast
     "benford_deviation",    # 1-row digit-total broadcast
     "priority_mix_chi2",    # 1-row grand-total broadcast
+    "doc_length_histogram",  # 1-row doc-total broadcast
+    "user_recency_buckets",  # 1-row max-day anchor broadcast
 }
 
 #: operators that declared an Arrow-batched Python stage.

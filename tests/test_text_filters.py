@@ -143,3 +143,13 @@ def test_boilerplate_detects_planted_template(spark, tmp_path):
         assert got[i].n_boilerplate == 1 and got[i].n_sentences == 2, got[i]
         assert got[i].boilerplate_share == 0.5
     assert got[4].n_boilerplate == 0
+
+
+def test_doc_length_histogram_accounts_for_all_docs(spark):
+    from samza_hello_samza_spark.operators import text_filters as tf
+    from samza_hello_samza_spark.session import load_table
+
+    rows = tf.doc_length_histogram(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-3
