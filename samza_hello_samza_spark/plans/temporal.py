@@ -449,7 +449,116 @@ def redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIAN_HALF_WINDOW = 3
+ATTR_WINDOW_US = 14_400 * 1_000_000  # 4 h, same horizon as the funnel
+
+
+def daily_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of daily event counts per type.
+
+    The robust smoother (a rolling mean chases outliers; the rolling
+    median ignores them): ``percentile(·, 0.5)`` evaluated over a
+    ±3-day rows frame — an aggregate used as a window function, a
+    plan shape nothing else in the repo exercises. Window input is
+    the bounded per-type daily series; counts are integers so the
+    interpolated median is engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-MEDIAN_HALF_WINDOW, MEDIAN_HALF_WINDOW)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("c").cast("long").alias("n_events"),
+        F.round(F.percentile("c", 0.5).over(w), 1).alias("rolling_median"),
+    )
+
+
+def purchase_touch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: how many views share each purchase's
+    credit, and the per-touch credit.
+
+    The linear-attribution companion to ``purchase_attribution``
+    (last-touch): each purchase counts the views in its trailing 4-h
+    horizon with a RANGE frame over integer micros — value-based
+    framing, not row counting, so simultaneous events resolve
+    identically in both engines. One user_id shuffle; no join, no row
+    amplification.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        us.alias("us"),
+        (F.col("event_type") == "view").cast("long").alias("is_view"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTR_WINDOW_US, -1)
+    )
+    return (
+        base.withColumn("n_touches", F.sum("is_view").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.coalesce("n_touches", F.lit(0)).cast("long").alias("n_touches"),
+            F.round(
+                F.when(
+                    F.col("n_touches") > 0, F.col("value") / F.col("n_touches")
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("credit_per_touch"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "daily_rolling_median": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, c AS n_events,
+               round(quantile_cont(c, 0.5) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 1) AS rolling_median
+        FROM daily
+    """,
+    "purchase_touch_counts": """
+        WITH base AS (
+            SELECT user_id, event_id, event_type, value,
+                   epoch_us(ts) AS us,
+                   CAST(event_type = 'view' AS BIGINT) AS is_view
+            FROM events
+        ),
+        counted AS (
+            SELECT *,
+                   sum(is_view) OVER (
+                       PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 14400000000 PRECEDING AND 1 PRECEDING
+                   ) AS n_touches
+            FROM base
+        )
+        SELECT user_id, event_id,
+               CAST(coalesce(n_touches, 0) AS BIGINT) AS n_touches,
+               round(CASE WHEN n_touches > 0 THEN value / n_touches ELSE 0.0 END, 4)
+                   AS credit_per_touch
+        FROM counted WHERE event_type = 'purchase'
+    """,
     "time_weighted_value": """
         WITH with_dt AS (
             SELECT user_id,
@@ -1294,4 +1403,6 @@ QUERIES = {
     "priority_fulfillment_sla": priority_fulfillment_sla,
     "time_weighted_value": time_weighted_value,
     "redelivery_dedup": redelivery_dedup,
+    "daily_rolling_median": daily_rolling_median,
+    "purchase_touch_counts": purchase_touch_counts,
 }

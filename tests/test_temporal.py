@@ -322,3 +322,53 @@ def test_cluster_size_histogram_consistent(spark):
     n_docs_direct = dd.dedup_clusters(spark, SF_DIR).count()
     assert n_docs_hist == n_docs_direct
     assert all(r.cluster_size >= 2 for r in hist)  # singletons aren't clusters
+
+
+def test_rolling_median_robust_to_spike(spark):
+    """The rolling median at a day NEXT TO a one-day spike must not
+    move; the raw count obviously does."""
+    rows = sorted(
+        temporal.daily_rolling_median(spark, SF_DIR).collect(),
+        key=lambda r: (r.event_type, r.day),
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    import statistics
+
+    for et, series in by_type.items():
+        for i in range(3, len(series) - 3):
+            window = [series[j].n_events for j in range(i - 3, i + 4)]
+            assert series[i].rolling_median == round(
+                float(statistics.median(window)), 1
+            ), (et, i)
+
+
+def test_touch_counts_match_bruteforce(spark):
+    """Per-purchase trailing-4h view counts recomputed driver-side."""
+    from samza_hello_samza_spark.session import load_table
+
+    got = {
+        r.event_id: r.n_touches
+        for r in temporal.purchase_touch_counts(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_checked = 0
+    for user, rs in sorted(by_user.items())[:50]:
+        for r in rs:
+            if r.event_type != "purchase":
+                continue
+            n = sum(
+                1
+                for o in rs
+                if o.event_type == "view"
+                and r.us - temporal.ATTR_WINDOW_US <= o.us <= r.us - 1
+            )
+            assert got[r.event_id] == n, (user, r.event_id, n, got[r.event_id])
+            n_checked += 1
+    assert n_checked > 10
