@@ -18,12 +18,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Anchored variant of the reference regex (WikipediaParser.java:47).
-# The reference's `(.*)\s(.*)` groups rely on backtracking; with
-# space-free flag/url/user fields (which the IRC feed guarantees) the
-# unambiguous \S* form below matches identical strings and behaves
-# identically under both Java regex (Spark) and RE2 (DuckDB oracle).
-WIKI_EDIT_REGEX = r"\[\[([^\]]*)\]\] (\S*) (\S*) \* (\S*) \* \(\+?(-?\d+)\) (.*)"
+# Variant of the reference regex (WikipediaParser.java:47), verified
+# group-for-group identical on every parseable line of the reference's
+# real committed IRC feeds (tests/fixtures/wikipedia/, 986 lines —
+# tests/test_wikipedia_functions.py): title is greedy `(.*)` (titles
+# may contain `]`; backtracking lands on the same `]]` the reference
+# picks), flags/url stay `\S*` (the feed guarantees them space-free),
+# and the USER group is `(.*)` — real users like "Sam Sailor" contain
+# spaces, which a `\S*` user group silently rejects. Greedy-capture
+# semantics agree between Java regex (Spark) and RE2 (DuckDB oracle)
+# for this pattern.
+WIKI_EDIT_REGEX = r"\[\[(.*)\]\] (\S*) (\S*) \* (.*) \* \(\+?(-?\d+)\) (.*)"
 
 
 def synthesize_raw_line(event_id: Column, user_id: Column, event_type: Column, value: Column) -> Column:
@@ -67,19 +72,27 @@ def parse_raw_line(raw: Column) -> dict[str, Column]:
     values are identical on matching lines).
     """
     sep = "\x01"
-    rec = F.split(
+    rec0 = F.split(
         F.regexp_replace(raw, WIKI_EDIT_REGEX, sep.join(f"${g}" for g in range(1, 7))),
         sep,
     )
-    title = F.element_at(rec, 1)
-    flags = F.element_at(rec, 2)
+    # An unparseable line (the reference logs-and-drops it,
+    # WikipediaParser.java:39) passes through regexp_replace unchanged
+    # → a 1-element array: gate every field on the 6-field shape so
+    # malformed feed lines yield NULLs (and `matched` false) instead of
+    # leaking the raw line into `title` or throwing under ANSI.
+    matched = F.size(rec0) == 6
+    rec = F.when(matched, rec0)
+    title = F.try_element_at(rec, F.lit(1))
+    flags = F.try_element_at(rec, F.lit(2))
     return {
+        "matched": matched,
         "title": title,
         "unparsed_flags": flags,
-        "diff_url": F.element_at(rec, 3),
-        "user": F.element_at(rec, 4),
-        "diff_bytes": F.element_at(rec, 5).cast("long"),
-        "summary": F.element_at(rec, 6),
+        "diff_url": F.try_element_at(rec, F.lit(3)),
+        "user": F.try_element_at(rec, F.lit(4)),
+        "diff_bytes": F.try_element_at(rec, F.lit(5)).cast("long"),
+        "summary": F.try_element_at(rec, F.lit(6)),
         # Derived flags, WikipediaParser.java:60-66.
         "is_minor": flags.contains("M"),
         "is_new": flags.contains("N"),

@@ -72,13 +72,36 @@ def _shingles(words: F.Column, k: int = 3) -> F.Column:
     )
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+#: document-frequency cap for the shingle universe: a shingle shared
+#: by more than this many docs is boilerplate ("all rights reserved"),
+#: and joining on it would emit ~df² pair rows — the one join in the
+#: near-dup family whose cost is data-dependent. Dropping hot shingles
+#: BEFORE the pair join (standard in every production near-dup
+#: pipeline; same idea as the minhash MAX_BUCKET cap below) bounds the
+#: join at Σ min(df, cap)² while leaving the Jaccard semantics over
+#: the informative shingle universe. Mirrored in _SHINGLES_SQL so both
+#: engines agree even when the cap triggers.
+SHINGLE_MAX_DF = 1000
+
+
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, k: int = 3, max_df: int = SHINGLE_MAX_DF
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tokenized = docs.select("doc_id", _words(F.col("text")).alias("words"))
-    return (
-        tokenized.select("doc_id", F.explode(_shingles(F.col("words"), k)).alias("shingle"))
-        .distinct()
+    sh = tokenized.select(
+        "doc_id", F.explode(_shingles(F.col("words"), k)).alias("shingle")
+    ).distinct()
+    # hot-shingle set is tiny in absolute terms (≤ |shingle rows|/cap,
+    # realistically a handful of boilerplate strings) — the anti-join
+    # is left unhinted so AQE broadcasts it from runtime shuffle stats.
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
     )
+    return sh.join(hot, "shingle", "left_anti")
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
@@ -151,8 +174,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-word-shingle Jaccard ≥ 0.5 (overlap join).
 
-    The pair join is on the shingle key — cost is Σ df², bounded
-    because long shingles are rare; never a cross join.
+    The pair join is on the shingle key — cost is Σ df², bounded at
+    Σ min(df, SHINGLE_MAX_DF)² by the boilerplate df cap inside
+    ``_doc_shingles`` (both the intersection AND the per-doc counts
+    use the capped universe, so Jaccard stays an honest ratio over
+    the informative shingles); never a cross join.
     """
     sh = _doc_shingles(spark, sf_dir, k=3)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
@@ -585,17 +611,25 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
     )
 
-_SHINGLES_SQL = """
+_SHINGLES_SQL = f"""
     WITH w AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
         FROM documents
     ),
-    sh AS (
+    sh_all AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(generate_series(1, len(words) - 2),
                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
         FROM w
+    ),
+    -- mirror of the Spark-side SHINGLE_MAX_DF boilerplate cap
+    sh AS (
+        SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM sh_all)
+        WHERE df <= {SHINGLE_MAX_DF}
     )
 """
 

@@ -422,7 +422,7 @@ _WIKI_RAW_SQL = """
     )
 """
 
-_WIKI_REGEX = r"\[\[([^\]]*)\]\] (\S*) (\S*) \* (\S*) \* \(\+?(-?\d+)\) (.*)"
+_WIKI_REGEX = r"\[\[(.*)\]\] (\S*) (\S*) \* (.*) \* \(\+?(-?\d+)\) (.*)"
 
 _WIKI_PARSED_SQL = f"""
     SELECT event_id,

@@ -58,11 +58,14 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
         bad(F.col("o_totalprice") <= 0).alias("bad_price"),
+        bad(F.col("o_custkey").isNull()).alias("null_fk_cust"),
     )
     li_agg = li.agg(
         F.count(F.lit(1)).alias("n"),
         bad(F.col("l_quantity") <= 0).alias("bad_qty"),
         bad((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("bad_disc"),
+        bad(F.col("l_orderkey").isNull()).alias("null_fk_order"),
+        bad(F.col("l_partkey").isNull()).alias("null_fk_part"),
     )
     p_agg = part.agg(
         F.count(F.lit(1)).alias("n"),
@@ -99,8 +102,8 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     report = (
-        rows(o_agg, [("pk_unique", "orders", "dup_pk"), ("totalprice_positive", "orders", "bad_price")])
-        .unionByName(rows(li_agg, [("quantity_positive", "lineitem", "bad_qty"), ("discount_in_range", "lineitem", "bad_disc")]))
+        rows(o_agg, [("pk_unique", "orders", "dup_pk"), ("totalprice_positive", "orders", "bad_price"), ("custkey_not_null", "orders", "null_fk_cust")])
+        .unionByName(rows(li_agg, [("quantity_positive", "lineitem", "bad_qty"), ("discount_in_range", "lineitem", "bad_disc"), ("orderkey_not_null", "lineitem", "null_fk_order"), ("partkey_not_null", "lineitem", "null_fk_part")]))
         .unionByName(rows(p_agg, [("pk_unique", "part", "dup_pk")]))
         .unionByName(rows(e_agg, [("user_id_not_null", "events", "null_user")]))
         .unionByName(rows(d_agg, [("text_not_empty", "documents", "empty_text")]))
@@ -118,13 +121,16 @@ ORACLES: dict[str, str] = {
         WITH o AS (
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_pk,
-                   CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price
+                   CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_fk_cust
             FROM orders
         ),
         l AS (
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
-                   CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+                   CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+                   CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_fk_order,
+                   CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_fk_part
             FROM lineitem
         ),
         p AS (
@@ -142,23 +148,29 @@ ORACLES: dict[str, str] = {
                    CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text
             FROM documents
         ),
+        -- NOT EXISTS (not NOT IN) mirrors Spark's left-anti join
+        -- exactly: a NULL FK matches nothing and IS counted as an
+        -- orphan, where NOT IN's three-valued logic would drop it.
         ri_oc AS (
-            SELECT CAST(count(*) AS BIGINT) AS orphans FROM orders
-            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            SELECT CAST(count(*) AS BIGINT) AS orphans FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
         ),
         ri_lo AS (
-            SELECT CAST(count(*) AS BIGINT) AS orphans FROM lineitem
-            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            SELECT CAST(count(*) AS BIGINT) AS orphans FROM lineitem li
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)
         ),
         ri_lp AS (
-            SELECT CAST(count(*) AS BIGINT) AS orphans FROM lineitem
-            WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+            SELECT CAST(count(*) AS BIGINT) AS orphans FROM lineitem li
+            WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = li.l_partkey)
         )
         , u AS (
             SELECT 'pk_unique' AS "check", 'orders' AS tbl, dup_pk AS n_bad, n AS n_total FROM o
             UNION ALL SELECT 'totalprice_positive', 'orders', bad_price, n FROM o
+            UNION ALL SELECT 'custkey_not_null', 'orders', null_fk_cust, n FROM o
             UNION ALL SELECT 'quantity_positive', 'lineitem', bad_qty, n FROM l
             UNION ALL SELECT 'discount_in_range', 'lineitem', bad_disc, n FROM l
+            UNION ALL SELECT 'orderkey_not_null', 'lineitem', null_fk_order, n FROM l
+            UNION ALL SELECT 'partkey_not_null', 'lineitem', null_fk_part, n FROM l
             UNION ALL SELECT 'pk_unique', 'part', dup_pk, n FROM p
             UNION ALL SELECT 'user_id_not_null', 'events', null_user, n FROM e
             UNION ALL SELECT 'text_not_empty', 'documents', empty_text, n FROM d

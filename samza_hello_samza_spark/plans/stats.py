@@ -55,9 +55,12 @@ def revenue_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2
-            ).alias("y")
+            # Decimal-domain rounding (see segment_migration) so the
+            # regression inputs are bit-identical across engines.
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("y")
         )
     )
     return monthly.groupBy("n_name").agg(
@@ -217,14 +220,19 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ym.alias("ym"),
         F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
     )
-    span = o.agg(
-        ((F.min("ym") + F.max("ym")) / 2).cast("bigint").alias("mid")
+    # Integer floor division in BOTH engines: a double midpoint would
+    # truncate here but round half-to-even in DuckDB's CAST, shifting
+    # the split month whenever min+max is odd.
+    span = o.agg(F.min("ym").alias("mn"), F.max("ym").alias("mx")).select(
+        F.expr("(mn + mx) DIV 2").alias("mid")
     )
     tagged = o.crossJoin(maybe_broadcast(span)).withColumn(
         "period", F.when(F.col("ym") < F.col("mid"), 1).otherwise(2)
     )
     per_cust = tagged.groupBy("o_custkey", "period").agg(
-        F.round(F.sum("price").cast("double"), 2).alias("rev")
+        # Round in the DECIMAL domain (HALF_UP in both engines) before
+        # the double cast — double-domain round() diverges on .XX50.
+        F.sum("price").cast("decimal(18,2)").cast("double").alias("rev")
     )
     cuts = per_cust.groupBy("period").agg(
         F.round(F.percentile("rev", 0.25), 6).alias("q1"),
@@ -539,11 +547,11 @@ ORACLES: dict[str, str] = {
                    CAST(o_totalprice AS DECIMAL(18,4)) AS price
             FROM orders
         ),
-        span AS (SELECT CAST((min(ym) + max(ym)) / 2 AS BIGINT) AS mid FROM o),
+        span AS (SELECT (min(ym) + max(ym)) // 2 AS mid FROM o),
         per_cust AS (
             SELECT o_custkey,
                    CASE WHEN ym < (SELECT mid FROM span) THEN 1 ELSE 2 END AS period,
-                   round(CAST(sum(price) AS DOUBLE), 2) AS rev
+                   CAST(CAST(sum(price) AS DECIMAL(18,2)) AS DOUBLE) AS rev
             FROM o GROUP BY 1, 2
         ),
         cuts AS (
@@ -573,7 +581,7 @@ ORACLES: dict[str, str] = {
         WITH monthly AS (
             SELECT n_name,
                    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
-                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS y
+                   CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS DOUBLE) AS y
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey

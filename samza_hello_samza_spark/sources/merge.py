@@ -19,8 +19,10 @@ with stock Spark: the target lives hash-bucketed on its key
    (pytest-asserted), which is what bounds merge cost by
    O(delta + touched buckets), never O(table).
 
-Semantics follow SQL MERGE with source-wins update; the source must
-be key-unique (asserted) — the standard MERGE cardinality rule.
+Semantics follow SQL MERGE with source-wins update (the whole source
+row replaces the target row on a match, NULLs included); the source
+must be key-unique with non-null keys (validated, ValueError) — the
+standard MERGE cardinality rule.
 Crash model: dynamic overwrite is atomic per partition directory but
 not across buckets; the multi-source transactional upgrade is
 ``maintenance.TxnView``'s manifest swap (same trade-off as
@@ -78,11 +80,20 @@ class MergeTable:
         "closed"``.
         """
         key = self.key_col
-        n_src = source.count()
-        n_src_keys = source.select(key).distinct().count()
-        assert n_src == n_src_keys, (
-            f"MERGE source must be key-unique: {n_src} rows, {n_src_keys} keys"
-        )
+        # one aggregate job validates both cardinality rules: key-unique
+        # AND no NULL keys (count_distinct ignores NULLs, so either
+        # defect makes the two counts diverge). ValueError, not assert —
+        # `python -O` strips asserts and a duplicate-key source would
+        # silently row-multiply through the full-outer join.
+        chk = source.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key)).alias("k"),
+        ).collect()[0]
+        if chk.n != chk.k:
+            raise ValueError(
+                f"MERGE source must be key-unique with non-null keys: "
+                f"{chk.n} rows, {chk.k} distinct non-null keys"
+            )
         src = source.withColumn("_bucket", self._bucket()).localCheckpoint()
         touched = sorted(r._bucket for r in src.select("_bucket").distinct().collect())
         if not touched:
@@ -111,9 +122,16 @@ class MergeTable:
         )
         deleting = marked
         cols = [c for c in full.columns if c != "_bucket"]
+        # SQL-MERGE update semantics: the WHOLE source row wins on a
+        # match — branch per row on the source key, never per-column
+        # coalesce (which would silently resurrect the stale target
+        # value whenever an update sets a column to NULL).
+        src_row = F.col(f"s.{key}").isNotNull()
         merged = joined.filter(~deleting).select(
             *[
-                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                F.when(src_row, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
                 for c in cols
             ],
             F.coalesce(F.col("s._bucket"), F.col("t._bucket")).alias("_bucket"),

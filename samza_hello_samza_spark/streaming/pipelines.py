@@ -37,9 +37,15 @@ def feed_job(events: DataFrame) -> DataFrame:
 
 
 def parser_job(raw: DataFrame) -> DataFrame:
-    """Stage 2 (WikipediaParserStreamTask): raw → structured edits."""
+    """Stage 2 (WikipediaParserStreamTask): raw → structured edits.
+
+    Unparseable lines are dropped, mirroring the reference's
+    log-and-skip (WikipediaParser.java:39) — the real IRC feeds carry
+    malformed lines and a NULL ``raw`` (bad JSON) must not poison the
+    downstream stats.
+    """
     p = parse_raw_line(F.col("raw"))
-    return raw.select(
+    return raw.filter(F.col("raw").isNotNull() & p["matched"]).select(
         "event_id",
         "ts",
         p["title"].alias("title"),

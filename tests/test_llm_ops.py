@@ -381,3 +381,56 @@ def test_embedding_norm_stats_bounds(spark):
     for r in similarity.embedding_norm_stats(spark, SF_DIR).collect():
         assert 0 < r.min_norm <= r.p50_norm <= r.max_norm
         assert r.min_norm <= r.mean_norm <= r.max_norm
+
+
+def test_shingle_df_cap_bounds_pair_join(spark, tmp_path):
+    """Planted boilerplate: a shingle shared by > SHINGLE_MAX_DF docs
+    (the "all rights reserved" failure mode) must be dropped from the
+    pair-join universe in BOTH engines — the join input stays bounded
+    (max shingle df <= cap) and the surviving near-dup pairs agree
+    exactly between Spark and the DuckDB oracle."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    cap = dedup.SHINGLE_MAX_DF
+    n_boiler = cap + 13
+    rows = [
+        (i, f"alpha beta gamma tok{i}a tok{i}b tok{i}c") for i in range(n_boiler)
+    ]
+    # three true near-dups that ALSO carry the boilerplate shingle: the
+    # cap must not hide them — their pair survives via informative
+    # shingles, with jaccard computed over the capped universe (4/4).
+    rows += [(2000 + j, "alpha beta gamma red green blue yellow") for j in range(3)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sf_dir = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(pdf), f"{sf_dir}/documents.parquet")
+
+    # 1. boundedness: no surviving shingle exceeds the cap, and the
+    #    boilerplate shingle is gone entirely.
+    sh = dedup._doc_shingles(spark, sf_dir)
+    max_df = sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert max_df <= cap
+    assert sh.filter(F.col("shingle") == "alpha beta gamma").count() == 0
+
+    # 2. engine parity on the capped semantics.
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert got == {(2000, 2001): 1.0, (2000, 2002): 1.0, (2001, 2002): 1.0}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oracle = {
+        (int(a), int(b)): j
+        for a, b, j in con.execute(
+            dedup.ORACLES["dedup_ngram_jaccard"]
+        ).fetchall()
+    }
+    con.close()
+    assert oracle == got

@@ -56,8 +56,25 @@ def test_merge_rejects_duplicate_source_keys(spark, table):
     dup = spark.createDataFrame(
         [(1, "a", "open"), (1, "b", "open")], "k long, v string, status string"
     )
-    with pytest.raises(AssertionError, match="key-unique"):
+    with pytest.raises(ValueError, match="key-unique"):
         table.merge(dup)
+
+
+def test_merge_rejects_null_source_keys(spark, table):
+    src = spark.createDataFrame(
+        [(None, "a", "open"), (2, "b", "open")], "k long, v string, status string"
+    )
+    with pytest.raises(ValueError, match="key-unique"):
+        table.merge(src)
+
+
+def test_merge_update_can_set_column_to_null(spark, table):
+    """SQL-MERGE source-wins: a matched source row with a NULL column
+    must null the target column, not resurrect the stale value."""
+    src = spark.createDataFrame([(7, None, "open")], "k long, v string, status string")
+    table.merge(src)
+    row = {r.k: (r.v, r.status) for r in table.read().collect()}[7]
+    assert row == (None, "open")
 
 
 def test_untouched_buckets_not_rewritten(spark, table):

@@ -17,7 +17,7 @@ def test_oracle_match(spark, duck):
 
 def test_clean_testdata_passes_all_checks(spark):
     rows = quality_checks.data_quality_report(spark, SF_DIR).collect()
-    assert len(rows) == 10
+    assert len(rows) == 13
     for r in rows:
         assert r.passed == 1 and r.n_bad == 0, r
         assert r.n_total > 0, r

@@ -153,3 +153,57 @@ def test_triangle_count_matches_networkx_style_bruteforce(spark):
     assert r.n_triangles == n_tri
     assert r.n_edges == len(pairs)
     assert r.n_nodes == len(adj)
+
+
+def test_pairs_cached_commit_is_atomic_first_writer_wins(spark, tmp_path, monkeypatch):
+    """The edge-table cache is corpus state published through a
+    first-writer-wins manifest: a losing concurrent builder must NOT
+    replace (or double-publish into) the committed snapshot, and must
+    read the winner's edges. Readers resolve files only through the
+    manifest, so a half-written build dir is never visible."""
+    import json
+    import os
+
+    from samza_hello_samza_spark.operators import ann_index
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    e1 = sorted(
+        (r.doc_a, r.doc_b) for r in graph._pairs_cached(spark, SF_DIR).collect()
+    )
+    root = os.path.join(
+        str(tmp_path), "samza_spark_edges", SF_DIR.strip("/").replace("/", "_")
+    )
+    manifest = os.path.join(root, "MANIFEST.json")
+    with open(manifest) as f:
+        man1 = json.load(f)
+    assert man1["files"], "first build must commit a snapshot"
+
+    # a second call with the committed manifest present must not rebuild
+    graph._pairs_cached(spark, SF_DIR)
+    assert len([d for d in os.listdir(root) if d.startswith("build-")]) == 1
+
+    # simulate the losing side of the race: this caller's entry check
+    # sees "no snapshot" (as if it started before the winner committed),
+    # builds, then loses the os.link commit.
+    real = ann_index.read_index_manifest
+    calls = {"n": 0}
+
+    def stale_first_read(d):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return {"version": 0, "files": []}
+        return real(d)
+
+    monkeypatch.setattr(ann_index, "read_index_manifest", stale_first_read)
+    e2 = sorted(
+        (r.doc_a, r.doc_b) for r in graph._pairs_cached(spark, SF_DIR).collect()
+    )
+    with open(manifest) as f:
+        man2 = json.load(f)
+    assert man2 == man1, "loser overwrote the committed snapshot"
+    assert e2 == e1, "loser did not read the winner's edges"
+    # both builds landed on disk, but the snapshot references only one
+    builds = [d for d in os.listdir(root) if d.startswith("build-")]
+    assert len(builds) == 2
+    build_dirs = {os.path.dirname(f) for f in man2["files"]}
+    assert len(build_dirs) == 1
