@@ -1,7 +1,12 @@
 """Simulate the driver harness: plain SparkSession (driver's own configs,
 NOT our session factory), entry() smoke, then per-query DuckDB oracle compare
-at sf0.01 — row count + schema + order-insensitive value hash."""
-import hashlib, math, sys
+at sf0.01 — row count + schema + order-insensitive value hash.
+
+Usage: driver_sim.py [--json OUT.json] [KEY ...]
+  --json writes the per-key results as a committed artifact
+  (CORRECTNESS_LOCAL_rN.json) so full-surface evidence is durable,
+  not a private run. With no KEY args, every registered query runs."""
+import hashlib, json as _json, math, sys
 import duckdb
 from pyspark.sql import SparkSession
 
@@ -34,10 +39,16 @@ def norm(v):
     return str(v)
 
 qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
-only = set(sys.argv[1:])
+argv = sys.argv[1:]
+json_out = None
+if argv and argv[0] == "--json":
+    json_out = argv[1]
+    argv = argv[2:]
+only = set(argv)
 if only:
     qs = {k: v for k, v in qs.items() if k in only}
 fails = 0
+results = {}
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF)
     cols = sorted(sdf.columns)
@@ -47,7 +58,9 @@ for name, fn in sorted(qs.items()):
         ddf = con.execute(os_[name]).df()
         dcols = sorted(ddf.columns.tolist())
         if dcols != cols:
-            print(f"FAIL {name}: schema spark={cols} duck={dcols}"); fails += 1; continue
+            print(f"FAIL {name}: schema spark={cols} duck={dcols}"); fails += 1
+            results[name] = {"status": "fail_schema", "rows": len(srows)}
+            continue
         drows = sorted("|".join(norm(v) for v in row) for row in ddf[cols].itertuples(index=False, name=None))
         dhash = hashlib.sha256("\n".join(drows).encode()).hexdigest()[:12]
         status = "OK  " if (shash == dhash and len(srows) == len(drows)) else "FAIL"
@@ -55,9 +68,21 @@ for name, fn in sorted(qs.items()):
             fails += 1
             diff = [(a,b) for a,b in zip(srows,drows) if a!=b][:2]
             print(f"FAIL {name}: rows {len(srows)}/{len(drows)} hash {shash}/{dhash} first_diff={diff}")
+            results[name] = {"status": "fail_values", "rows": len(srows),
+                             "oracle_rows": len(drows)}
         else:
             print(f"{status} {name}: rows={len(srows)} hash={shash}")
+            results[name] = {"status": "ok", "rows": len(srows), "hash": shash}
     else:
         print(f"ROWS {name}: rows={len(srows)} (no oracle)")
-print("RESULT:", "FAIL" if fails else "ALL-MATCH", f"({len(qs)} queries)")
+        results[name] = {"status": "rows_only", "rows": len(srows), "hash": shash}
+verdict = "FAIL" if fails else "ALL-MATCH"
+print("RESULT:", verdict, f"({len(qs)} queries)")
+if json_out:
+    n_ok = sum(1 for r in results.values() if r["status"] == "ok")
+    n_rows = sum(1 for r in results.values() if r["status"] == "rows_only")
+    with open(json_out, "w") as f:
+        _json.dump({"result": verdict, "sf_dir": SF, "n_queries": len(qs),
+                    "n_oracle_match": n_ok, "n_rows_only": n_rows,
+                    "n_fail": fails, "queries": results}, f, indent=1, sort_keys=True)
 sys.exit(1 if fails else 0)

@@ -80,6 +80,178 @@ PROBE_OPS = (
     # serving against building.
 )
 
+#: join/agg/window headliners probed under planted key skew — the ops
+#: whose shuffles hash on user_id / orderkey and would feel a hot key.
+SKEW_OPS = (
+    "stream_table_join",
+    "stream_table_join_salted",
+    "groupby_count",
+    "session_window",
+    "tumbling_window",
+    "top_events_per_user",
+    "top_users_by_value",
+    "user_event_entropy",
+    "user_value_moving_avg",
+    "time_weighted_value",
+    "purchase_attribution",
+    "events_window_funnel",
+    "session_paths",
+    "redelivery_dedup",
+    "order_size_distribution",
+    "q18_large_volume",
+)
+
+SKEW_BEGIN = "<!-- SKEW:BEGIN -->"
+SKEW_END = "<!-- SKEW:END -->"
+
+
+def build_skewed(spark, frac: float) -> tuple[str, str]:
+    """Two same-size Spark-written copies of the warehouse: a UNIFORM
+    control (straight rewrite) and a SKEWED twin where ``frac`` of
+    events rows are re-keyed to ONE user_id and ``frac`` of lineitem
+    rows to ONE orderkey (deterministic pmod selection). Row counts
+    and physical layout are identical — only the key distribution
+    moves — so t(skew)/t(control) isolates how the plans behave when
+    one shuffle key carries ~frac of the data (the AQE-skew-split /
+    salted-join story on real skew). Timing against the driver's
+    original parquet would instead measure its different file layout
+    (measured ~1.3× slower scans), swamping the skew signal."""
+    ctl_dir = os.path.join(SCALED_ROOT, "skew_control")
+    out_dir = os.path.join(SCALED_ROOT, f"skew{int(frac * 100)}")
+    marker = os.path.join(out_dir, "_BUILT")
+    if os.path.exists(marker) and os.path.exists(
+        os.path.join(ctl_dir, "_BUILT")
+    ):
+        return ctl_dir, out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(ctl_dir, exist_ok=True)
+    mod = int(round(1.0 / frac))
+    for name in TABLES:
+        load_table(spark, BASE_SF_DIR, name).write.mode("overwrite").parquet(
+            os.path.join(ctl_dir, f"{name}.parquet")
+        )
+    with open(os.path.join(ctl_dir, "_BUILT"), "w") as f:
+        f.write("control")
+    for name in TABLES:
+        df = load_table(spark, BASE_SF_DIR, name)
+        if name == "events":
+            hot = df.agg(F.min("user_id")).first()[0]
+            df = df.withColumn(
+                "user_id",
+                F.when(
+                    F.pmod(F.col("event_id"), F.lit(mod)) == 0, F.lit(hot)
+                ).otherwise(F.col("user_id")),
+            )
+        elif name == "lineitem":
+            hot = df.agg(F.min("l_orderkey")).first()[0]
+            df = df.withColumn(
+                "l_orderkey",
+                F.when(
+                    F.pmod(
+                        F.xxhash64("l_orderkey", "l_linenumber"), F.lit(mod)
+                    )
+                    == 0,
+                    F.lit(hot),
+                ).otherwise(F.col("l_orderkey")),
+            )
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    with open(marker, "w") as f:
+        f.write(str(frac))
+    return ctl_dir, out_dir
+
+
+def _scaling_md_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+
+
+def _read_skew_block() -> str:
+    try:
+        text = open(_scaling_md_path()).read()
+    except FileNotFoundError:
+        return ""
+    if SKEW_BEGIN in text and SKEW_END in text:
+        return text[text.index(SKEW_BEGIN) : text.index(SKEW_END) + len(SKEW_END)]
+    return ""
+
+
+def run_skew_probe(spark, queries, frac: float) -> None:
+    ctl_dir, skew_dir = build_skewed(spark, frac)
+    queries["groupby_count"](spark, ctl_dir).write.mode("overwrite").format("noop").save()
+    queries["groupby_count"](spark, skew_dir).write.mode("overwrite").format("noop").save()
+    base = {}
+    skew = {}
+    for name in SKEW_OPS:
+        fn = queries[name]
+        # uncounted codegen warmup: the first execution of a query
+        # compiles its generated code (~100 ms); without this the
+        # control side always pays it and every ratio reads ~0.7×.
+        fn(spark, ctl_dir).write.mode("overwrite").format("noop").save()
+        t0 = time.perf_counter()
+        fn(spark, ctl_dir).write.mode("overwrite").format("noop").save()
+        base[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fn(spark, skew_dir).write.mode("overwrite").format("noop").save()
+        skew[name] = round(time.perf_counter() - t0, 3)
+    rows = [
+        (n, base[n], skew[n], round(skew[n] / base[n], 2) if base[n] > 0 else None)
+        for n in SKEW_OPS
+    ]
+    worst = max((r for *_x, r in rows if r is not None), default=0)
+    lines = [
+        SKEW_BEGIN,
+        "",
+        "## Skewed-key probe (same data size, hot-key distribution)",
+        "",
+        f"{int(frac * 100)}% of events rows re-keyed to ONE user_id and",
+        f"{int(frac * 100)}% of lineitem rows to ONE orderkey (row counts",
+        "unchanged; both sides are Spark-written copies with identical",
+        "physical layout, so file-format effects cancel). Ratio =",
+        "t(skewed) / t(uniform control) on identical volume: ≈1× means",
+        "the plan absorbs a hot key (AQE skew-split on shuffle joins,",
+        "partial aggregation on groupBys); a blowup here is what a",
+        "salted rewrite (operators/skew.py) exists to fix.",
+        "",
+        "| operator | t(uniform) s | t(skewed) s | ratio |",
+        "| --- | --- | --- | --- |",
+    ]
+    for name, b, s, r in sorted(rows, key=lambda x: -(x[3] or 0)):
+        lines.append(f"| {name} | {b:.3f} | {s:.3f} | {r}× |")
+    lines += [
+        "",
+        f"Worst skew ratio this run: **{worst}×** at a {int(frac*100)}%-hot key.",
+        "",
+        SKEW_END,
+    ]
+    path = _scaling_md_path()
+    try:
+        text = open(path).read()
+    except FileNotFoundError:
+        text = "# SCALING\n"
+    if SKEW_BEGIN in text and SKEW_END in text:
+        text = (
+            text[: text.index(SKEW_BEGIN)]
+            + "\n".join(lines)
+            + text[text.index(SKEW_END) + len(SKEW_END) :]
+        )
+    else:
+        text = text.rstrip() + "\n\n" + "\n".join(lines) + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+    print(
+        json.dumps(
+            {
+                "metric": "skew_probe_time_ratio",
+                "hot_frac": frac,
+                "worst_ratio": worst,
+                "uniform_sec": base,
+                "skewed_sec": skew,
+            }
+        )
+    )
+
+
 #: per-table (id columns to offset, row-count column for stride).
 _FACT_OFFSETS = {
     "events": ("event_id",),
@@ -142,10 +314,16 @@ def time_ops(spark, queries, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    repl = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+
+    if len(sys.argv) > 1 and sys.argv[1] == "skew":
+        frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.2
+        run_skew_probe(spark, queries, frac)
+        return
+
+    repl = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 
     scaled_dir = build_scaled(spark, repl)
     # warmup both dirs (codegen + file listing, uncounted)
@@ -185,8 +363,11 @@ def main() -> None:
         "their pair output grows quadratically by construction — an",
         "artifact of the synthetic replication, not of the band-join plans.",
     ]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
+    skew_block = _read_skew_block()  # keep an existing skew section
+    with open(_scaling_md_path(), "w") as f:
         f.write("\n".join(lines) + "\n")
+        if skew_block:
+            f.write("\n" + skew_block + "\n")
 
     print(
         json.dumps(
