@@ -544,6 +544,82 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 5 fixed iterations) over the embedding
+    corpus — the topic-clustering / data-mixing primitive.
+
+    Scale shape: centroids are the ONLY driver-side state (k×DIM
+    doubles, bounded) — each iteration is one corpus pass that scores
+    all k squared distances as JVM fold expressions, takes argmin via
+    ``array_position(d, array_min(d))`` (deterministic first-index
+    tie-break), and re-aggregates centroids as DIM independent avg()
+    columns (the ``embedding_centroids`` no-explode shape). No
+    all-pairs join, no per-row Python.
+
+    Determinism: init = the k vectors with smallest ``xxhash64(vec_id)``
+    (seeded by nothing but the corpus), centroids rounded to 6 dp and
+    distances to 9 dp each round so float noise can't flip an argmin.
+    Rows-only for the driver (iterative; numpy replica is
+    pytest-asserted — tests/test_llm_ops.py).
+
+    Output: (vec_id, cluster_id, dist) — dist is the vector's
+    distance to its final centroid.
+    """
+    e = _embeddings(spark, sf_dir).select("vec_id", "v")
+    init = (
+        e.orderBy(F.xxhash64(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(KMEANS_K)
+        .collect()
+    )
+    cents = [[round(float(x), 6) for x in r.v] for r in init]
+
+    def dist_cols(cs):
+        return F.array(
+            *[
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    9,
+                )
+                for c in cs
+            ]
+        )
+
+    for _ in range(KMEANS_ITERS):
+        d = dist_cols(cents)
+        assigned = e.withColumn(
+            "cluster_id",
+            (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+        )
+        rows = (
+            assigned.groupBy("cluster_id")
+            .agg(*[F.avg(F.col("v").getItem(i)).alias(f"c{i}") for i in range(DIM)])
+            .collect()
+        )
+        new_cents = list(cents)  # empty clusters keep their centroid
+        for r in rows:
+            new_cents[r.cluster_id] = [round(float(r[f"c{i}"]), 6) for i in range(DIM)]
+        cents = new_cents
+
+    d = dist_cols(cents)
+    return e.select(
+        "vec_id",
+        (F.array_position(d, F.array_min(d)) - 1).cast("int").alias("cluster_id"),
+        F.round(F.sqrt(F.array_min(d)), 6).alias("dist"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "embedding_norm_stats": f"""
         WITH norms AS (
@@ -648,4 +724,5 @@ QUERIES = {
     "embedding_outliers": embedding_outliers,
     "embedding_norm_stats": embedding_norm_stats,
     "knn_graph": knn_graph,
+    "embedding_kmeans": embedding_kmeans,
 }

@@ -689,6 +689,47 @@ def token_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STEP = 48  # stride → 16-token overlap between adjacent chunks
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token chunks, 16 overlap)
+    — the RAG/pretraining segmentation primitive upstream of packing
+    and chunk-level dedup.
+
+    In-row expansion: chunk index comes from ``sequence(0, n_chunks-1)``
+    exploded per doc and each chunk is a ``slice`` of the materialized
+    token array — no join, no shuffle before the (narrow) output.
+    Rows ship (doc_id, chunk_id, n_tokens, md5) — the HASH of the
+    chunk text, never the text itself, so at 100 TB the chunk table is
+    rows × ~50 bytes and feeds chunk-level dedup directly (the same
+    keep-hashes-move-nothing shape as dedup_exact).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", _words(F.col("text")).alias("words")).filter(
+        F.size("words") > 0
+    )
+    n = F.size("words")
+    n_chunks = F.when(n <= CHUNK_SIZE, F.lit(1)).otherwise(
+        F.ceil((n - CHUNK_SIZE) / F.lit(float(CHUNK_STEP))).cast("long") + 1
+    )
+    chunked = tok.select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("words"), (F.col("chunk_id") * CHUNK_STEP + 1).cast("int"), CHUNK_SIZE
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
@@ -713,6 +754,28 @@ _CONTACT_SQL = (
 )
 
 ORACLES: dict[str, str] = {
+    "doc_chunks": f"""
+        WITH tok AS (
+            SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, words, len(words) AS n,
+                   CASE WHEN len(words) <= {CHUNK_SIZE} THEN 1
+                        ELSE CAST(ceil((len(words) - {CHUNK_SIZE}) / {float(CHUNK_STEP)}) AS BIGINT) + 1
+                   END AS n_chunks
+            FROM tok WHERE len(words) > 0
+        ),
+        expanded AS (
+            SELECT doc_id, words,
+                   unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+            FROM sized
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS INT) AS chunk_id,
+               CAST(len(words[chunk_id * {CHUNK_STEP} + 1 : chunk_id * {CHUNK_STEP} + {CHUNK_SIZE}]) AS BIGINT) AS n_tokens,
+               md5(array_to_string(words[chunk_id * {CHUNK_STEP} + 1 : chunk_id * {CHUNK_STEP} + {CHUNK_SIZE}], ' ')) AS chunk_hash
+        FROM expanded
+    """,
     "text_repetition": f"""
         WITH tok AS (
             SELECT doc_id, {_WORDS_SQL} AS words FROM documents
@@ -1043,4 +1106,5 @@ QUERIES = {
     "boilerplate_lines": boilerplate_lines,
     "doc_length_histogram": doc_length_histogram,
     "text_novelty": text_novelty,
+    "doc_chunks": doc_chunks,
 }

@@ -434,3 +434,51 @@ def test_shingle_df_cap_bounds_pair_join(spark, tmp_path):
     }
     con.close()
     assert oracle == got
+
+
+def test_embedding_kmeans_matches_numpy_replica(spark):
+    """Lloyd's with the same deterministic init, rounding discipline,
+    and iteration count must produce identical assignments in a plain
+    numpy replica — and clusters must be non-degenerate."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from samza_hello_samza_spark.session import load_table
+
+    got = {
+        r.vec_id: (r.cluster_id, r.dist)
+        for r in similarity.embedding_kmeans(spark, SF_DIR).collect()
+    }
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = e.withColumn(
+        "h", F.xxhash64(F.col("vec_id").cast("string"))
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.v for r in rows], dtype=np.float64)
+    order = sorted(range(len(rows)), key=lambda i: (rows[i].h, rows[i].vec_id))
+    cents = np.round(V[order[: similarity.KMEANS_K]], 6)
+
+    for _ in range(similarity.KMEANS_ITERS):
+        d = np.round(
+            ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 9
+        )
+        assign = d.argmin(axis=1)  # first-index tie-break, same as Spark
+        new_cents = cents.copy()
+        for c in range(similarity.KMEANS_K):
+            members = V[assign == c]
+            if len(members):
+                new_cents[c] = np.round(members.mean(axis=0), 6)
+        cents = new_cents
+    d = np.round(((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 9)
+    assign = d.argmin(axis=1)
+    dist = np.round(np.sqrt(d.min(axis=1)), 6)
+
+    want = {int(i): (int(a), float(x)) for i, a, x in zip(ids, assign, dist)}
+    assert got == want
+    sizes = {}
+    for c, _x in got.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert len(sizes) >= 2  # non-degenerate clustering
