@@ -75,6 +75,8 @@ HEADLINE = (
     "data_quality_report",
     "text_novelty",
     "boilerplate_lines",
+    "basket_rules",
+    "contamination_bloom",
 )
 
 #: Excluded from the sf1 (10×-replicated) tier: replication creates

@@ -307,6 +307,61 @@ def curriculum_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# export_shards
+# ---------------------------------------------------------------------------
+
+#: training-export shard count — in production the dataloader's world
+#: size (files per epoch shuffle unit); here small enough to eyeball.
+N_SHARDS = 32
+
+
+def export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard assignment audit: balance report per shard.
+
+    The last step of a curation pipeline is writing the corpus as N
+    shuffled, size-balanced shards for the dataloader. Assignment is
+    the deterministic md5 bucket (documents land uniformly and
+    independently of input order — a hash shuffle, not a global sort),
+    and the writer is simply ``df.write.partitionBy("shard_id")`` (or
+    ``repartition(N, "shard_id")`` for one file per shard). This key
+    is the audit that must accompany that export: per-shard doc/char
+    counts, language spread, and each shard's deviation from the ideal
+    1/N share — the skew check that tells you whether any dataloader
+    rank starves. One hash aggregation over a two-column projection;
+    the 1-row corpus total is a broadcast (nation_revenue_share shape).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_shard = (
+        docs.select(
+            _md5_bucket(F.col("doc_id"), N_SHARDS).alias("shard_id"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        per_shard.crossJoin(F.broadcast(total))
+        .select(
+            "shard_id",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+            F.round(
+                F.col("n_docs") * F.lit(N_SHARDS) / F.col("n_total") - 1.0, 6
+            ).alias("dev_from_ideal"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -414,8 +469,28 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["export_shards"] = f"""
+    WITH assigned AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {N_SHARDS} AS shard_id,
+               lang, n_chars
+        FROM documents
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(count(*) / CAST(n_total AS DOUBLE), 6) AS share,
+           round(count(*) * {N_SHARDS} / CAST(n_total AS DOUBLE) - 1.0, 6) AS dev_from_ideal
+    FROM assigned CROSS JOIN total
+    GROUP BY shard_id, n_total
+    ORDER BY shard_id
+"""
+
 QUERIES = {
     "curriculum_assign": curriculum_assign,
+    "export_shards": export_shards,
     "mixture_sample": mixture_sample,
     "weighted_sample": weighted_sample,
     "domain_stats": domain_stats,

@@ -265,6 +265,121 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# contamination_bloom
+# ---------------------------------------------------------------------------
+
+#: Bloom sizing: ≥16 bits per benchmark shingle (fp ≈ 0.2% at k=3),
+#: rounded to a power of two so idx%m and idx%64 compose; bounded so
+#: the broadcast literal stays ≤ 512 KiB even for a huge eval suite.
+BLOOM_MIN_BITS = 1 << 16
+BLOOM_MAX_BITS = 1 << 22
+BLOOM_K = 3  # three independent 32-bit slices of the md5 hex
+
+
+def _bloom_member_sql(n_bits: int) -> str:
+    """SQL predicate: md5-hex column ``h`` hits all k bloom positions.
+
+    Each hash function is an 8-hex-digit slice of the md5 the shingle
+    already carries — zero extra hashing, and the Python build side
+    (``int(h[8j:8j+8], 16)``) computes the identical index. Pure JVM
+    codegen: conv/shiftright/element_at on the broadcast ``bloom_bits``
+    long-array literal, no Python in the per-row path.
+    """
+    terms = []
+    for j in range(BLOOM_K):
+        idx = f"(CAST(conv(substring(h, {1 + 8 * j}, 8), 16, 10) AS BIGINT) % {n_bits})"
+        terms.append(
+            f"((shiftright(element_at(bloom_bits, CAST(shiftright({idx}, 6) AS INT) + 1),"
+            f" CAST({idx} & 63 AS INT)) & 1) = 1)"
+        )
+    return " AND ".join(terms)
+
+
+def build_bloom(hashes: list[str]) -> tuple[list[int], int]:
+    """Bloom bits (signed-int64 words, ready for ``F.lit``) + size.
+
+    Sized at ≥16 bits/element (fp ≈ 0.2% at k=3) between BLOOM_MIN_BITS
+    and BLOOM_MAX_BITS; each element sets BLOOM_K bits addressed by
+    8-hex-digit slices of its md5 — the exact arithmetic
+    ``_bloom_member_sql`` evaluates JVM-side, so membership has no
+    false negatives by construction. Shared by the batch
+    ``contamination_bloom`` and the streaming decontamination screen.
+    """
+    n_bits = BLOOM_MIN_BITS
+    while n_bits < BLOOM_MAX_BITS and n_bits < 16 * max(len(hashes), 1):
+        n_bits *= 2
+    bits = [0] * (n_bits // 64)
+    for h in hashes:
+        for j in range(BLOOM_K):
+            idx = int(h[8 * j : 8 * j + 8], 16) % n_bits
+            bits[idx // 64] |= 1 << (idx % 64)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in bits]
+    return signed, n_bits
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_contamination`` through a broadcast-Bloom prefilter — the
+    100 TB decontamination path, still END-TO-END EXACT.
+
+    At scale the corpus side explodes to ~10¹¹ (doc, shingle) rows and
+    every one of them would probe the benchmark hash relation. Here a
+    Bloom filter over the benchmark shingle hashes (eval suites are
+    bounded, so the collect is bounded — same discipline as the k-means
+    centroids) is shipped as a long-array literal and evaluated in
+    whole-stage codegen; only the ~0.2% of probes that hit the filter
+    reach the exact left-semi confirm join, which removes the false
+    positives. No false negatives are possible (same md5 slices on both
+    sides), so the output is bit-identical to ``text_contamination`` —
+    this key shares its oracle. This is Spark's own runtime bloom-join
+    pruning made explicit and deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    shingled = tok.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(_shingles(F.col("words"), k=SHINGLE_K), F.md5)
+        ).alias("sh"),
+    )
+    corpus = shingled.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
+    bench_sh = (
+        shingled.filter(F.col("doc_id") % BENCHMARK_MOD == 0)
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+    )
+    bench_sh = bench_sh.localCheckpoint()  # bloom build + confirm join share it
+    hashes = [r["h"] for r in bench_sh.collect()]  # bounded: eval-suite-sized
+    signed, n_bits = build_bloom(hashes)
+    exploded = corpus.select("doc_id", F.explode("sh").alias("h"))
+    survivors = (
+        exploded.withColumn("bloom_bits", F.lit(signed))
+        .filter(F.expr(_bloom_member_sql(n_bits)))
+        .drop("bloom_bits")
+    )
+    contaminated = (
+        survivors.join(maybe_broadcast(bench_sh), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = corpus.select("doc_id", F.size("sh").alias("n_shingles"))
+    return (
+        totals.join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # perplexity_proxy
 # ---------------------------------------------------------------------------
 
@@ -1090,6 +1205,10 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# the bloom prefilter is exact end-to-end (confirm join removes FPs,
+# same-hash construction forbids FNs) — it shares the exact oracle.
+ORACLES["contamination_bloom"] = ORACLES["text_contamination"]
+
 QUERIES = {
     "corpus_profile": corpus_profile,
     "corpus_vocab_stats": corpus_vocab_stats,
@@ -1100,6 +1219,7 @@ QUERIES = {
     "text_entropy": text_entropy,
     "pii_redact": pii_redact,
     "text_contamination": text_contamination,
+    "contamination_bloom": contamination_bloom,
     "perplexity_proxy": perplexity_proxy,
     "corpus_quality_calibration": corpus_quality_calibration,
     "vocab_coverage": vocab_coverage,

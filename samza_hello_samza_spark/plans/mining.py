@@ -37,6 +37,8 @@ PMI_TOP_K = 30
 WINSOR_LO = 0.01
 WINSOR_HI = 0.99
 SAMPLE_PER_GROUP = 50
+RULE_MIN_SUPPORT = 3
+RULE_TOP_K = 40
 
 _PAIR_EXPR = """
     explode(flatten(transform(sequence(0, size(parts) - 2), i ->
@@ -95,6 +97,69 @@ def basket_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_ab"), "part_a", "part_b")
         .limit(PMI_TOP_K)
+    )
+
+
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules A→B with support / confidence / lift.
+
+    The classic market-basket output ``basket_pmi`` stops short of:
+    every supported unordered pair is expanded to BOTH directions
+    (confidence is asymmetric — P(B|A) ≠ P(A|B)), scored with
+    confidence = n_ab/n_a and lift = n_ab·N/(n_a·n_b). Same scale
+    shape as the PMI plan: in-row pair expansion (no lineitem
+    self-join), parts-sized item counts joined back under a size-gated
+    broadcast, 1-row basket total. Selection and ordering use only the
+    integer support with key tiebreaks; confidence/lift are rounded
+    through decimal(18,6) so both engines take the same HALF_UP path
+    on knife-edge ratios (1/128-style exact binary halves).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    baskets = baskets.localCheckpoint()  # pairs + item counts + total share one derivation
+    pairs = (
+        baskets.filter(F.size("parts") > 1)
+        .select(F.expr(_PAIR_EXPR).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= RULE_MIN_SUPPORT)
+    )
+    # both rule directions from each unordered pair
+    directed = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab"
+        )
+    )
+    items = baskets.select(F.explode("parts").alias("part")).groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    ia = items.select(F.col("part").alias("antecedent"), F.col("n_item").alias("n_a"))
+    ib = items.select(F.col("part").alias("consequent"), F.col("n_item").alias("n_b"))
+    total = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    dec6 = lambda c: c.cast("decimal(18,6)").cast("double")  # noqa: E731
+    return (
+        directed.join(maybe_broadcast(ia), "antecedent")
+        .join(maybe_broadcast(ib), "consequent")
+        .crossJoin(maybe_broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_a",
+            "n_b",
+            dec6(F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            dec6(
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), "antecedent", "consequent")
+        .limit(RULE_TOP_K)
     )
 
 
@@ -188,6 +253,49 @@ ORACLES: dict[str, str] = {
         ORDER BY n_ab DESC, part_a, part_b
         LIMIT {PMI_TOP_K}
     """,
+    "basket_rules": f"""
+        WITH baskets AS (
+            SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        expanded AS (
+            SELECT unnest(flatten(list_transform(generate_series(1, len(parts) - 1),
+                   i -> list_transform(generate_series(i + 1, len(parts)),
+                        j -> [parts[i], parts[j]])))) AS pair
+            FROM baskets
+        ),
+        pairs AS (
+            SELECT pair[1] AS pa, pair[2] AS pb,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM expanded
+            GROUP BY 1, 2
+            HAVING count(*) >= {RULE_MIN_SUPPORT}
+        ),
+        directed AS (
+            SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+            UNION ALL
+            SELECT pb AS antecedent, pa AS consequent, n_ab FROM pairs
+        ),
+        items AS (
+            SELECT part, CAST(count(*) AS BIGINT) AS n_item
+            FROM (SELECT unnest(parts) AS part FROM baskets)
+            GROUP BY part
+        ),
+        total AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM baskets)
+        SELECT antecedent, consequent, n_ab,
+               ia.n_item AS n_a, ib.n_item AS n_b,
+               CAST(CAST(CAST(n_ab AS DOUBLE) / ia.n_item
+                         AS DECIMAL(18,6)) AS DOUBLE) AS confidence,
+               CAST(CAST(CAST(n_ab AS DOUBLE) * n_baskets
+                         / (CAST(ia.n_item AS DOUBLE) * ib.n_item)
+                         AS DECIMAL(18,6)) AS DOUBLE) AS lift
+        FROM directed
+        JOIN items ia ON ia.part = antecedent
+        JOIN items ib ON ib.part = consequent
+        CROSS JOIN total
+        ORDER BY n_ab DESC, antecedent, consequent
+        LIMIT {RULE_TOP_K}
+    """,
     "winsorize_values": f"""
         WITH thr AS (
             SELECT event_type,
@@ -221,6 +329,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "basket_pmi": basket_pmi,
+    "basket_rules": basket_rules,
     "winsorize_values": winsorize_values,
     "group_capped_sample": group_capped_sample,
 }

@@ -208,6 +208,50 @@ def curation_job(docs: DataFrame) -> DataFrame:
     )
 
 
+def decontamination_job(
+    docs: DataFrame, bloom_bits: list[int], n_bits: int
+) -> DataFrame:
+    """Streaming decontamination screen: per-doc benchmark-overlap count
+    against a broadcast Bloom filter, zero state, zero shuffle.
+
+    The live twin of ``text_filters.contamination_bloom``'s prefilter
+    stage, shaped the way a production pipeline actually deploys it:
+    the benchmark bloom (built once from the bounded eval suite via
+    ``text_filters.build_bloom``) rides along as a plan constant, each
+    arriving doc counts its shingles that hit the filter IN-ROW
+    (``size(filter(sh, h -> member(h)))`` — a JVM higher-order
+    function, no explode, no aggregation, no watermark needed), and
+    docs with any hit are routed to quarantine for the exact batch
+    confirm join. Bloom semantics are a SUPERSET screen: ``clean``
+    rows are guaranteed contamination-free (no false negatives by
+    construction); flagged counts are upper bounds pending the exact
+    pass — the honest streaming trade, since an exact per-shingle
+    stream-static semi-join would shuffle every doc's shingles.
+    """
+    from ..operators.dedup import _shingles, _words
+    from ..operators.text_filters import SHINGLE_K, _bloom_member_sql
+
+    member = _bloom_member_sql(n_bits)
+    shingled = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(_shingles(_words(F.col("text")), k=SHINGLE_K), F.md5)
+        ).alias("sh"),
+    )
+    return (
+        shingled.withColumn("bloom_bits", F.lit(bloom_bits))
+        .withColumn("n_flagged", F.expr(f"size(filter(sh, h -> {member}))"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("sh").alias("n_shingles"),
+            F.col("n_flagged").cast("long").alias("n_flagged"),
+            (F.col("n_flagged") == 0).alias("clean"),
+        )
+    )
+
+
 def dau_approx_job(events: DataFrame) -> DataFrame:
     """Daily approximate distinct users over the stream.
 

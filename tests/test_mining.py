@@ -55,3 +55,20 @@ def test_group_capped_sample_caps_and_determinism(spark):
     for lang, n in per_lang.items():
         assert n <= mining.SAMPLE_PER_GROUP, (lang, n)
     assert len(set((r.lang, r.rn) for r in a)) == len(a)  # rn unique per lang
+
+
+def test_basket_rules_directional_consistency(spark):
+    """Every rule's mirror shares n_ab; confidence uses the antecedent."""
+    rows = mining.basket_rules(spark, SF_DIR).collect()
+    assert rows
+    by_pair = {(r.antecedent, r.consequent): r for r in rows}
+    for r in rows:
+        assert r.n_ab >= mining.RULE_MIN_SUPPORT
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert 0 < r.confidence <= 1.0
+        assert r.lift > 0
+        assert abs(r.confidence - round(r.n_ab / r.n_a, 6)) < 2e-6, r
+        mirror = by_pair.get((r.consequent, r.antecedent))
+        if mirror is not None:  # both directions survived the top-k cut
+            assert mirror.n_ab == r.n_ab
+            assert (mirror.n_a, mirror.n_b) == (r.n_b, r.n_a)

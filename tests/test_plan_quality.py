@@ -55,6 +55,8 @@ NONEQUI_OK = {
     "hard_negative_mining",  # anchor-batch broadcast scoring
     "ann_pq_topk",          # 1-row query re-rank over ADC candidates
     "mixture_sample",       # 1-row min-count broadcast into the rate table
+    "basket_rules",         # 1-row basket-total broadcast (basket_pmi shape)
+    "export_shards",        # 1-row corpus-total broadcast (share report)
     "domain_stats",         # 1-row corpus-totals broadcast
     "curriculum_assign",    # 1-row quantile-thresholds broadcast
     "events_gapfill",       # 1-row day-span broadcast into the spine

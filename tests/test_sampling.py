@@ -124,3 +124,24 @@ def test_phrase_search_finds_real_adjacency(spark):
             if words[i] == first and words[i + 1] == second
         )
         assert n == true_n and n > 0
+
+
+def test_export_shards_partition_of_corpus(spark):
+    """Shards partition the corpus; shares sum to 1; no empty shard."""
+    from samza_hello_samza_spark.operators import sampling
+    from samza_hello_samza_spark.session import load_table
+
+    rows = sampling.export_shards(spark, SF_DIR).collect()
+    assert len(rows) == sampling.N_SHARDS
+    docs = load_table(spark, SF_DIR, "documents")
+    n_total = docs.count()
+    assert sum(r.n_docs for r in rows) == n_total
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    # uniform hash balance: per-shard count is ~Binomial(n, 1/N), so
+    # deviation sd ≈ sqrt(N/n); allow 5σ (test SF has ~16 docs/shard,
+    # where ±60% is ordinary Poisson noise — at 100 TB this bound is
+    # a fraction of a percent).
+    bound = 5.0 * (sampling.N_SHARDS / n_total) ** 0.5
+    for r in rows:
+        assert r.n_docs > 0, f"empty shard {r.shard_id}"
+        assert abs(r.dev_from_ideal) < bound, (r, bound)

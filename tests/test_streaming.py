@@ -382,3 +382,54 @@ def test_scd2_stream_matches_batch_closed_periods(spark, tmp_path, batch_events)
         if r.valid_to != -1
     }
     assert got == want
+
+
+def test_decontamination_stream_screen(spark):
+    """Streamed bloom screen: no false negatives vs the exact batch
+    contamination op, stream ≡ batch for the same transform, and
+    `clean` docs are certified contamination-free."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.operators import text_filters as tf
+    from samza_hello_samza_spark.operators.dedup import _shingles, _words
+
+    # benchmark bloom from the bounded eval-suite shingle set
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") % tf.BENCHMARK_MOD == 0)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        _shingles(_words(F.col("text")), k=tf.SHINGLE_K), F.md5
+                    )
+                )
+            ).alias("h")
+        )
+        .distinct()
+    )
+    bits, n_bits = tf.build_bloom([r["h"] for r in bench.collect()])
+
+    got = run_stream_to_memory(
+        jobs.decontamination_job(
+            sources.documents_stream(spark, SF_DIR), bits, n_bits
+        ),
+        mode="append",
+    )
+    want = jobs.decontamination_job(docs, bits, n_bits).collect()
+    key = lambda r: (r.doc_id, r.n_shingles, r.n_flagged, r.clean)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+    # superset screen: every doc the EXACT op reports contaminated
+    # must be flagged here (zero false negatives) …
+    exact = {
+        r.doc_id: r.n_contaminated
+        for r in tf.text_contamination(spark, SF_DIR).collect()
+    }
+    flagged = {r.doc_id: r.n_flagged for r in got if r.doc_id in exact}
+    for doc_id, n_exact in exact.items():
+        assert flagged[doc_id] >= n_exact, (doc_id, flagged[doc_id], n_exact)
+    # … and `clean` certifies zero exact contamination
+    for r in got:
+        if r.doc_id in exact and r.clean:
+            assert exact[r.doc_id] == 0

@@ -153,3 +153,58 @@ def test_doc_length_histogram_accounts_for_all_docs(spark):
     n_docs = load_table(spark, SF_DIR, "documents").count()
     assert sum(r.n_docs for r in rows) == n_docs
     assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-3
+
+
+def test_contamination_bloom_is_exact_and_prunes(spark):
+    """Bloom-prefiltered decontamination ≡ the exact join, and the
+    prefilter actually prunes the probe input (the 100 TB win)."""
+    tf = text_filters
+    exact = sorted(
+        map(tuple, tf.text_contamination(spark, SF_DIR).collect())
+    )
+    bloom = sorted(
+        map(tuple, tf.contamination_bloom(spark, SF_DIR).collect())
+    )
+    assert bloom == exact
+
+    # membership predicate admits every benchmark hash (no false negatives)
+    import pyspark.sql.functions as F
+
+    from samza_hello_samza_spark.operators.dedup import _shingles, _words
+    from samza_hello_samza_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(_shingles(_words(F.col("text")), k=tf.SHINGLE_K), F.md5)
+        ).alias("sh"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % tf.BENCHMARK_MOD == 0)
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+    )
+    hashes = [r["h"] for r in bench.collect()]
+    signed, n_bits = tf.build_bloom(hashes)
+    probe = (
+        bench.withColumn("bloom_bits", F.lit(signed))
+        .filter(F.expr(tf._bloom_member_sql(n_bits)))
+    )
+    assert probe.count() == len(hashes)  # all true members pass
+
+    # and non-members are mostly rejected: corpus shingles NOT in the
+    # benchmark should survive the bloom at ~fp-rate, far below 50%
+    corpus_h = (
+        sh.filter(F.col("doc_id") % tf.BENCHMARK_MOD != 0)
+        .select(F.explode("sh").alias("h"))
+        .join(bench, "h", "left_anti")
+    )
+    n_nonmember = corpus_h.count()
+    n_pass = (
+        corpus_h.withColumn("bloom_bits", F.lit(signed))
+        .filter(F.expr(tf._bloom_member_sql(n_bits)))
+        .count()
+    )
+    assert n_nonmember > 0
+    assert n_pass < 0.5 * n_nonmember, (n_pass, n_nonmember)
