@@ -54,6 +54,25 @@ def _words(col: F.Column) -> F.Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
 
 
+def explode_nonempty(df: DataFrame, keep: list, arr: F.Column, alias: str) -> DataFrame:
+    """``explode`` for an EXPENSIVE derived array — outer generate + null
+    filter, identical output for null-free arrays.
+
+    Plain ``explode`` lets Catalyst's InferFiltersFromGenerate push a
+    ``size(arr) > 0 AND isnotnull(arr)`` guard below the Generate, and
+    for a derived array that guard inlines the WHOLE array-building
+    expression twice into the pre-Generate Filter (with CollapseProject
+    additionally re-inlining the tokenize ``split`` into every
+    ``element_at`` the shingle lambda makes). Measured on the 3-shingle
+    hash explode at sf0.1: 6.5 s → 0.4 s. ``explode_outer`` is exempt
+    from the filter inference, and the explicit post-Generate null
+    filter restores exact explode semantics (our arrays never contain
+    null elements — md5/xxhash over non-null strings).
+    """
+    out = df.select(*keep, F.explode_outer(arr).alias(alias))
+    return out.filter(F.col(alias).isNotNull())
+
+
 def _shingles(words: F.Column, k: int = 3) -> F.Column:
     """k-word shingles as an array column (JVM-side, 0-based subscripts).
 
@@ -89,8 +108,8 @@ def _doc_shingles(
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tokenized = docs.select("doc_id", _words(F.col("text")).alias("words"))
-    sh = tokenized.select(
-        "doc_id", F.explode(_shingles(F.col("words"), k)).alias("shingle")
+    sh = explode_nonempty(
+        tokenized, ["doc_id"], _shingles(F.col("words"), k), "shingle"
     ).distinct()
     # hot-shingle set is tiny in absolute terms (≤ |shingle rows|/cap,
     # realistically a handful of boilerplate strings) — the anti-join
@@ -120,7 +139,7 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFra
     docs = load_table(spark, sf_dir, "documents")
     tokenized = docs.select("doc_id", _words(F.col("text")).alias("words"))
     hashes = F.transform(_shingles(F.col("words"), k), lambda s: F.xxhash64(s))
-    return tokenized.select("doc_id", F.explode(hashes).alias("h"))
+    return explode_nonempty(tokenized, ["doc_id"], hashes, "h")
 
 
 def _bucket_pairs(bands: DataFrame, key_cols: list[str], payload: str) -> DataFrame:

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_table
-from .dedup import _shingles, _words
+from .dedup import _shingles, _words, explode_nonempty
 
 TOP_TRIGRAMS = 50
 
@@ -50,7 +50,9 @@ def trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _words into the shingle lambda re-tokenizes the doc once per
     # element access (the 19s→3s minhash lesson — see verify notes).
     words = docs.select(_words(F.col("text")).alias("words"))
-    tri = words.select(F.explode(_shingles(F.col("words"), 3)).alias("tg"))
+    # explode_nonempty: plain explode's inferred size()>0 guard would
+    # re-derive the whole trigram pipeline twice per row pre-Generate.
+    tri = explode_nonempty(words, [], _shingles(F.col("words"), 3), "tg")
     tri_counts = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("cnt"))
     with_ctx = tri_counts.select(
         "tg",

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hints import maybe_broadcast
 from ..session import load_table
-from .dedup import _words
+from .dedup import _words, explode_nonempty
 from .text_analysis import SEARCH_TERMS, _WORDS_SQL
 
 BM25_K1 = 1.2
@@ -63,12 +63,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("dl").alias("avgdl"),
     )
     hits = (
-        words.select(
-            "doc_id",
-            F.size("words").alias("dl"),
-            F.explode(
-                F.filter(F.col("words"), lambda w: w.isin(list(SEARCH_TERMS)))
-            ).alias("word"),
+        explode_nonempty(
+            words,
+            ["doc_id", F.size("words").alias("dl")],
+            F.filter(F.col("words"), lambda w: w.isin(list(SEARCH_TERMS))),
+            "word",
         )
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_table
-from .dedup import _normalized_text, _shingles, _words
+from .dedup import _normalized_text, _shingles, _words, explode_nonempty
 
 #: tiny per-language stopword lists (public, common function words).
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -301,7 +301,7 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", _words(F.col("text")).alias("words"))
-    bigrams = words.select(F.explode(_shingles(F.col("words"), k=2)).alias("bigram"))
+    bigrams = explode_nonempty(words, [], _shingles(F.col("words"), k=2), "bigram")
     return (
         bigrams.groupBy("bigram")
         .agg(F.count("*").alias("n"))

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hints import maybe_broadcast
 from ..session import load_table
-from .dedup import _shingles, _words
+from .dedup import _shingles, _words, explode_nonempty
 from .text_analysis import BPE_TOKEN_REGEX
 
 # ---------------------------------------------------------------------------
@@ -235,12 +235,12 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh"),
     )
     corpus = shingled.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
-    bench_sh = (
-        shingled.filter(F.col("doc_id") % BENCHMARK_MOD == 0)
-        .select(F.explode("sh").alias("h"))
-        .distinct()
-    )
-    exploded = corpus.select("doc_id", F.explode("sh").alias("h"))
+    # explode_nonempty: the plain-explode inferred guard re-derives the
+    # whole shingle pipeline twice per row (34 s → 5.7 s at sf0.1).
+    bench_sh = explode_nonempty(
+        shingled.filter(F.col("doc_id") % BENCHMARK_MOD == 0), [], F.col("sh"), "h"
+    ).distinct()
+    exploded = explode_nonempty(corpus, ["doc_id"], F.col("sh"), "h")
     contaminated = (
         exploded.join(maybe_broadcast(bench_sh), "h", "left_semi")
         .groupBy("doc_id")
@@ -268,53 +268,17 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contamination_bloom
 # ---------------------------------------------------------------------------
 
-#: Bloom sizing: ≥16 bits per benchmark shingle (fp ≈ 0.2% at k=3),
-#: rounded to a power of two so idx%m and idx%64 compose; bounded so
-#: the broadcast literal stays ≤ 512 KiB even for a huge eval suite.
-BLOOM_MIN_BITS = 1 << 16
-BLOOM_MAX_BITS = 1 << 22
-BLOOM_K = 3  # three independent 32-bit slices of the md5 hex
-
-
-def _bloom_member_sql(n_bits: int) -> str:
-    """SQL predicate: md5-hex column ``h`` hits all k bloom positions.
-
-    Each hash function is an 8-hex-digit slice of the md5 the shingle
-    already carries — zero extra hashing, and the Python build side
-    (``int(h[8j:8j+8], 16)``) computes the identical index. Pure JVM
-    codegen: conv/shiftright/element_at on the broadcast ``bloom_bits``
-    long-array literal, no Python in the per-row path.
-    """
-    terms = []
-    for j in range(BLOOM_K):
-        idx = f"(CAST(conv(substring(h, {1 + 8 * j}, 8), 16, 10) AS BIGINT) % {n_bits})"
-        terms.append(
-            f"((shiftright(element_at(bloom_bits, CAST(shiftright({idx}, 6) AS INT) + 1),"
-            f" CAST({idx} & 63 AS INT)) & 1) = 1)"
-        )
-    return " AND ".join(terms)
-
-
-def build_bloom(hashes: list[str]) -> tuple[list[int], int]:
-    """Bloom bits (signed-int64 words, ready for ``F.lit``) + size.
-
-    Sized at ≥16 bits/element (fp ≈ 0.2% at k=3) between BLOOM_MIN_BITS
-    and BLOOM_MAX_BITS; each element sets BLOOM_K bits addressed by
-    8-hex-digit slices of its md5 — the exact arithmetic
-    ``_bloom_member_sql`` evaluates JVM-side, so membership has no
-    false negatives by construction. Shared by the batch
-    ``contamination_bloom`` and the streaming decontamination screen.
-    """
-    n_bits = BLOOM_MIN_BITS
-    while n_bits < BLOOM_MAX_BITS and n_bits < 16 * max(len(hashes), 1):
-        n_bits *= 2
-    bits = [0] * (n_bits // 64)
-    for h in hashes:
-        for j in range(BLOOM_K):
-            idx = int(h[8 * j : 8 * j + 8], 16) % n_bits
-            bits[idx // 64] |= 1 << (idx % 64)
-    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in bits]
-    return signed, n_bits
+# the reusable primitive lives in functions/bloom.py; re-exported here
+# because the decontamination family is its anchor consumer (tests and
+# streaming/jobs.decontamination_job import through this module).
+from ..functions.bloom import (  # noqa: E402  (grouped with its consumers)
+    BLOOM_K,
+    BLOOM_MAX_BITS,
+    BLOOM_MIN_BITS,
+    bloom_semi_join,
+    build_bloom,
+)
+from ..functions.bloom import member_sql as _bloom_member_sql  # noqa: E402
 
 
 def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,22 +306,13 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh"),
     )
     corpus = shingled.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
-    bench_sh = (
-        shingled.filter(F.col("doc_id") % BENCHMARK_MOD == 0)
-        .select(F.explode("sh").alias("h"))
-        .distinct()
-    )
+    bench_sh = explode_nonempty(
+        shingled.filter(F.col("doc_id") % BENCHMARK_MOD == 0), [], F.col("sh"), "h"
+    ).distinct()
     bench_sh = bench_sh.localCheckpoint()  # bloom build + confirm join share it
-    hashes = [r["h"] for r in bench_sh.collect()]  # bounded: eval-suite-sized
-    signed, n_bits = build_bloom(hashes)
-    exploded = corpus.select("doc_id", F.explode("sh").alias("h"))
-    survivors = (
-        exploded.withColumn("bloom_bits", F.lit(signed))
-        .filter(F.expr(_bloom_member_sql(n_bits)))
-        .drop("bloom_bits")
-    )
+    exploded = explode_nonempty(corpus, ["doc_id"], F.col("sh"), "h")
     contaminated = (
-        survivors.join(maybe_broadcast(bench_sh), "h", "left_semi")
+        bloom_semi_join(exploded, bench_sh, "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
@@ -520,9 +475,8 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle lambda re-tokenizes per element access (trigram_lm's
     # 14s→4s lesson).
     tok = docs.select("doc_id", _words(F.col("text")).alias("words"))
-    bg = tok.select(
-        "doc_id",
-        F.explode(F.array_distinct(_shingles(F.col("words"), 2))).alias("bigram"),
+    bg = explode_nonempty(
+        tok, ["doc_id"], F.array_distinct(_shingles(F.col("words"), 2)), "bigram"
     )
     # materialize once: the df-table and the per-doc join share it
     bg = bg.localCheckpoint()
@@ -769,7 +723,7 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", _words(F.col("text")).alias("words"))
     words = tok.select(F.explode("words").alias("word"))
-    bigrams = tok.select(F.explode(_shingles(F.col("words"), k=2)).alias("bigram"))
+    bigrams = explode_nonempty(tok, [], _shingles(F.col("words"), k=2), "bigram")
     w_stats = words.agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.count_distinct("word").alias("vocab_size"),

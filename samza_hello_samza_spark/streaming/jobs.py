@@ -217,7 +217,8 @@ def decontamination_job(
     The live twin of ``text_filters.contamination_bloom``'s prefilter
     stage, shaped the way a production pipeline actually deploys it:
     the benchmark bloom (built once from the bounded eval suite via
-    ``text_filters.build_bloom``) rides along as a plan constant, each
+    ``text_filters.build_bloom``) rides along as a broadcast 1-row
+    relation (``with_bloom_bits`` — see why not a literal there), each
     arriving doc counts its shingles that hit the filter IN-ROW
     (``size(filter(sh, h -> member(h)))`` — a JVM higher-order
     function, no explode, no aggregation, no watermark needed), and
@@ -228,6 +229,7 @@ def decontamination_job(
     pass — the honest streaming trade, since an exact per-shingle
     stream-static semi-join would shuffle every doc's shingles.
     """
+    from ..functions.bloom import with_bloom_bits
     from ..operators.dedup import _shingles, _words
     from ..operators.text_filters import SHINGLE_K, _bloom_member_sql
 
@@ -240,7 +242,7 @@ def decontamination_job(
         ).alias("sh"),
     )
     return (
-        shingled.withColumn("bloom_bits", F.lit(bloom_bits))
+        with_bloom_bits(shingled, bloom_bits)
         .withColumn("n_flagged", F.expr(f"size(filter(sh, h -> {member}))"))
         .select(
             "doc_id",

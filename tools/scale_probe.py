@@ -75,6 +75,11 @@ PROBE_OPS = (
     "data_quality_report",
     "audience_overlap",
     "trigram_lm",
+    "basket_pmi",
+    "basket_rules",
+    "text_contamination",
+    "contamination_bloom",
+    "export_shards",
     # mv_event_type_stats is excluded: its MV build-once cache keys on
     # the sf_dir, so 1× (warm) vs N× (cold build) ratios would compare
     # serving against building.
