@@ -222,12 +222,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: shingle→minhash→band→bucket-join.
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig) LSH band rows — the text near-dup index layout.
 
     24 permutations of xxhash64(shingle) reduced mod 2^31-1; 12 bands
     of 2 rows. All hashing/aggregation is whole-stage-codegen'd column
-    math. Output: distinct candidate pairs (doc_a < doc_b).
+    math. Shared by the full-corpus pair join (``dedup_minhash_lsh``)
+    and the new-batch probe (``dedup_incremental``).
     """
     sh = _doc_shingle_hashes(spark, sf_dir, k=3)
     h1 = F.pmod(F.col("h"), F.lit(MERSENNE_P))
@@ -237,7 +238,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_PERMS)
         ]
     )
-    bands = mins.select(
+    return mins.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -248,9 +249,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "sig"),
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle→minhash→band→bucket-join.
+
+    Output: distinct candidate pairs (doc_a < doc_b). See
+    ``_minhash_bands`` for the signature/band derivation.
+    """
+    bands = _minhash_bands(spark, sf_dir)
     return (
         _bucket_pairs(bands, ["band", "sig"], "doc_id")
         .select(F.col("p.pa").alias("doc_a"), F.col("p.pb").alias("doc_b"))
+        .distinct()
+    )
+
+
+#: "today's batch" stand-in for the incremental probe: every 10th doc.
+NEW_BATCH_MOD = 10
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: probe ONLY the new batch against the
+    existing corpus' LSH band table.
+
+    The daily-ingest shape every production pipeline needs: dedup of
+    today's documents must not re-pair the whole corpus against
+    itself. The standing corpus bands are the index side (in
+    production the partitioned band table
+    ``streaming/maintenance.lsh_index_updater`` maintains; derived
+    in-query here and localCheckpoint'd to stand in for the index
+    read), and the new batch equi-joins it on (band, sig) — cost
+    |new|·bands plus true collisions, NEVER corpus². Output: one row
+    per (new_doc, corpus_doc) candidate pair — the new docs to drop
+    or link before ingest. Batch-internal duplicates are a separate
+    tiny pass (run the regular dedup over the batch alone).
+
+    rows-only like ``dedup_minhash_lsh`` (xxhash64 hash family has no
+    DuckDB twin); pytest asserts the pairs equal the full-corpus
+    minhash pairs restricted to one-new/one-existing.
+    """
+    bands = _minhash_bands(spark, sf_dir).localCheckpoint()  # = index read
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    new = bands.filter(is_new).select(
+        "band", "sig", F.col("doc_id").alias("new_doc")
+    )
+    corpus = bands.filter(~is_new).select(
+        "band", "sig", F.col("doc_id").alias("corpus_doc")
+    )
+    return (
+        new.join(corpus, ["band", "sig"])
+        .select("new_doc", "corpus_doc")
         .distinct()
     )
 
@@ -264,7 +313,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     wc = (
-        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        explode_nonempty(docs, ["doc_id"], _words(F.col("text")), "word")
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("cnt"))
         .withColumn("wh", F.xxhash64("word"))
@@ -846,6 +895,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,

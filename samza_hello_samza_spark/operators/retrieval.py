@@ -107,7 +107,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE row_number with a word tiebreak (cross-engine ln noise).
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    words = explode_nonempty(docs, ["doc_id"], _words(F.col("text")), "word")
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -146,25 +146,23 @@ def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tokenized = docs.select("doc_id", _words(F.col("text")).alias("words"))
-    occ = tokenized.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("words") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("words") - 2),
-                    lambda i: F.struct(
-                        F.element_at(F.col("words"), (i + 1).cast("int")).alias("w1"),
-                        F.concat_ws(
-                            " ",
-                            F.element_at(F.col("words"), (i + 1).cast("int")),
-                            F.element_at(F.col("words"), (i + 2).cast("int")),
-                        ).alias("bigram"),
-                    ),
-                ),
-            ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, bigram: STRING>>)"))
-        ).alias("o"),
-    ).select("doc_id", "o.w1", "o.bigram")
+    occ_arr = F.when(
+        F.size("words") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("words"), (i + 1).cast("int")).alias("w1"),
+                F.concat_ws(
+                    " ",
+                    F.element_at(F.col("words"), (i + 1).cast("int")),
+                    F.element_at(F.col("words"), (i + 2).cast("int")),
+                ).alias("bigram"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, bigram: STRING>>)"))
+    occ = explode_nonempty(tokenized, ["doc_id"], occ_arr, "o").select(
+        "doc_id", "o.w1", "o.bigram"
+    )
     pair_cnt = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("pair_cnt"))
     prefix_cnt = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("prefix_cnt"))
     return (

@@ -362,9 +362,11 @@ def wikipedia_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quickstart/wordcount — explode(split) + count over documents."""
+    from .dedup import explode_nonempty
+
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    words = explode_nonempty(
+        docs, [], F.split(F.lower(F.col("text")), r"\s+"), "word"
     ).filter(F.col("word") != "")
     return words.groupBy("word").agg(F.count("*").alias("cnt"))
 

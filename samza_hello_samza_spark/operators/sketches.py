@@ -71,8 +71,10 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             for row in range(CMS_D)
         ]
     )
+    from .dedup import explode_nonempty
+
     cells = (
-        events.select(F.explode(pairs).alias("p"))
+        explode_nonempty(events, [], pairs, "p")
         .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -48,7 +48,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic argmax: max votes, then lexicographically first lang.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    words = explode_nonempty(docs, ["doc_id"], _words(F.col("text")), "word")
     sw = spark.createDataFrame(_stopword_rows(), ["cand_lang", "word"])
     votes = (
         words.join(F.broadcast(sw), "word")
@@ -278,7 +278,7 @@ def term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     never by |terms| self-joins.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    words = explode_nonempty(docs, ["doc_id"], _words(F.col("text")), "word")
     return (
         words.filter(F.col("word").isin(*SEARCH_TERMS))
         .groupBy("doc_id")

@@ -119,7 +119,7 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     counts = (
-        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        explode_nonempty(docs, ["doc_id"], _words(F.col("text")), "word")
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -392,7 +392,7 @@ def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s != "",
         )
     )
-    sents = docs.select("doc_id", F.explode(sent_arr).alias("sent")).select(
+    sents = explode_nonempty(docs, ["doc_id"], sent_arr, "sent").select(
         "doc_id", F.md5("sent").alias("h")
     )
     sents = sents.localCheckpoint()  # df-table and per-doc join share it
@@ -433,7 +433,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
-        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        explode_nonempty(docs, [], _words(F.col("text")), "word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -539,7 +539,7 @@ def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate repetition scores near-zero NLL.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    words = explode_nonempty(docs, ["doc_id"], _words(F.col("text")), "word")
     freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").cast("double").alias("total"))
     per_doc = (
@@ -746,7 +746,7 @@ def token_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vocabulary-sized shuffle, then a ~32-row final aggregate.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(F.explode(_words(F.col("text"))).alias("word"))
+    words = explode_nonempty(docs, [], _words(F.col("text")), "word")
     freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     bucket = (F.length(F.bin(F.col("cnt"))) - 1).alias("log2_freq")
     return (
@@ -783,10 +783,8 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks = F.when(n <= CHUNK_SIZE, F.lit(1)).otherwise(
         F.ceil((n - CHUNK_SIZE) / F.lit(float(CHUNK_STEP))).cast("long") + 1
     )
-    chunked = tok.select(
-        "doc_id",
-        "words",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    chunked = explode_nonempty(
+        tok, ["doc_id", "words"], F.sequence(F.lit(0), n_chunks - 1), "chunk_id"
     )
     chunk = F.slice(
         F.col("words"), (F.col("chunk_id") * CHUNK_STEP + 1).cast("int"), CHUNK_SIZE

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from ..session import load_table
-from .dedup import _words
+from .dedup import _words, explode_nonempty
 
 N_MERGES = 10
 
@@ -38,7 +38,7 @@ N_MERGES = 10
 def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        explode_nonempty(docs, [], _words(F.col("text")), "word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -96,7 +96,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(N_MERGES):
         best = (
-            vocab.select("freq", F.explode(_adjacent_pairs(F.col("symbols"))).alias("pair"))
+            explode_nonempty(vocab, ["freq"], _adjacent_pairs(F.col("symbols")), "pair")
             .groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("pair"))

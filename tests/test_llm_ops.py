@@ -482,3 +482,24 @@ def test_embedding_kmeans_matches_numpy_replica(spark):
     for c, _x in got.values():
         sizes[c] = sizes.get(c, 0) + 1
     assert len(sizes) >= 2  # non-degenerate clustering
+
+
+def test_dedup_incremental_matches_restricted_full_pairs(spark):
+    """The new-batch probe returns exactly the full-corpus minhash
+    pairs restricted to one-new/one-existing (at test SF no bucket
+    exceeds MAX_BUCKET, so the full join's hot-bucket cap is inert)."""
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    inc = {
+        tuple(sorted((r.new_doc, r.corpus_doc)))
+        for r in dedup.dedup_incremental(spark, SF_DIR).collect()
+    }
+    is_new = lambda d: d % dedup.NEW_BATCH_MOD == 0  # noqa: E731
+    want = {(a, b) for a, b in full if is_new(a) != is_new(b)}
+    assert inc == want
+    assert inc, "batch probe found no candidates — fixture degenerate"
+    # every pair is one-new-one-existing by construction
+    for r in dedup.dedup_incremental(spark, SF_DIR).collect():
+        assert is_new(r.new_doc) and not is_new(r.corpus_doc)
