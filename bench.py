@@ -77,6 +77,8 @@ HEADLINE = (
     "boilerplate_lines",
     "basket_rules",
     "contamination_bloom",
+    "domain_kl_divergence",
+    "zipf_slope",
 )
 
 #: Excluded from the sf1 (10×-replicated) tier: replication creates
@@ -145,15 +147,25 @@ def main() -> None:
         from scale_probe import build_scaled
 
         sf1_dir = build_scaled(spark, 10)
+        # the sf1 tier runs late in a long-lived JVM: accumulated heap
+        # pressure showed ±60% run-to-run spread on identical plans.
+        # Steady-state discipline: GC before the tier, time each query
+        # twice and keep the min (same spirit as the uncounted warmups
+        # — we freeze/judge steady-state serving, not GC luck).
+        spark._jvm.System.gc()
         for q in ("groupby_count", "ann_lsh_topk", "ann_pq_topk"):
             queries[q](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         sf1_timings: dict[str, float] = {}
         for name in HEADLINE:
             if name in SF1_EXCLUDE or name not in queries:
                 continue
-            t0 = time.perf_counter()
-            queries[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
-            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            sf1_timings[name] = round(best, 3)
         result["tiers"] = {
             "sf1": {
                 "value": round(sum(sf1_timings.values()), 3),

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import maybe_broadcast
 from ..session import load_table
 from .dedup import _words
 
@@ -307,6 +308,49 @@ def curriculum_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# domain_kl_divergence
+# ---------------------------------------------------------------------------
+
+
+def domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution drift vs the whole corpus:
+    KL(P_source ‖ P_corpus) in nats.
+
+    The domain-shift monitor a mixture pipeline watches: a source
+    whose word distribution diverges from the blend (scrape gone
+    wrong, language drift, template flood) shows up as a KL jump.
+    KL_s = Σ_w (c_sw/n_s)·ln((c_sw/n_s)/(c_w/N)) — every occurring
+    (source, word) has corpus support, so no smoothing is needed.
+    Plan: one tokenize scan → (source, word) counts; the corpus word
+    table is vocabulary-sized (size-gated broadcast, Zipf-skew falls
+    back to AQE); per-source totals and the 1-row corpus total ride
+    as broadcasts. Output is sources-sized.
+    """
+    from .dedup import _words, explode_nonempty
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = explode_nonempty(docs, ["source"], _words(F.col("text")), "word")
+    sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
+    w = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    n_tot = w.agg(F.sum("c_w").alias("n_total"))
+    p_s = F.col("c_sw") / F.col("n_s")
+    q = F.col("c_w") / F.col("n_total")
+    return (
+        sw.join(maybe_broadcast(w), "word")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.round(F.sum(p_s * F.log(p_s / q)), 4).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # export_shards
 # ---------------------------------------------------------------------------
 
@@ -469,6 +513,31 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["domain_kl_divergence"] = f"""
+    WITH words AS (
+        SELECT source, unnest({{ws}}) AS word FROM documents
+    ),
+    sw AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS c_sw
+        FROM words GROUP BY source, word
+    ),
+    w AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY word),
+    s_tot AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+    n_tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM w)
+    SELECT sw.source,
+           CAST(max(n_s) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           round(sum((CAST(c_sw AS DOUBLE) / n_s)
+                     * ln((CAST(c_sw AS DOUBLE) / n_s)
+                          / (CAST(c_w AS DOUBLE) / n_total))), 4) AS kl_nats
+    FROM sw
+    JOIN w USING (word)
+    JOIN s_tot ON sw.source = s_tot.source
+    CROSS JOIN n_tot
+    GROUP BY sw.source
+    ORDER BY sw.source
+""".format(ws=_WORDS_SQL)
+
 ORACLES["export_shards"] = f"""
     WITH assigned AS (
         SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -490,6 +559,7 @@ ORACLES["export_shards"] = f"""
 
 QUERIES = {
     "curriculum_assign": curriculum_assign,
+    "domain_kl_divergence": domain_kl_divergence,
     "export_shards": export_shards,
     "mixture_sample": mixture_sample,
     "weighted_sample": weighted_sample,

@@ -460,6 +460,47 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Zipf fit over the top-K vocabulary: bounded, deterministic, and
+#: where the law actually holds (the tail bends away from power-law).
+ZIPF_TOP_K = 1000
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-card Zipf exponent: OLS fit of ln(freq) on ln(rank) over
+    the top-1000 vocabulary.
+
+    The tokenizer-budget / corpus-health metric (natural text sits
+    near slope −1; heavy boilerplate or dedup failure pushes it
+    shallower). The top-K cut is a distributed top-k
+    (TakeOrderedAndProject, freq desc with word tiebreak — identical
+    rank assignment in both engines); the rank window then runs over
+    those K rows only (bounded — the vocab_coverage pattern), and the
+    regression is one `regr_slope/intercept/corr` aggregate over exact
+    integer (rank, freq) pairs passed through ln().
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        explode_nonempty(docs, [], _words(F.col("text")), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = vocab.orderBy(F.desc("freq"), "word").limit(ZIPF_TOP_K)
+    from pyspark.sql import Window
+
+    ranked = top.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("freq"), "word"))
+    )
+    return ranked.select(
+        F.log(F.col("rn").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.regr_slope("y", "x"), 4).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+        F.round(F.corr("y", "x"), 4).alias("r"),
+    )
+
+
 def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: share of its distinct bigrams that occur
     NOWHERE else in the corpus (df = 1).
@@ -1161,6 +1202,28 @@ ORACLES: dict[str, str] = {
 # same-hash construction forbids FNs) — it shares the exact oracle.
 ORACLES["contamination_bloom"] = ORACLES["text_contamination"]
 
+ORACLES["zipf_slope"] = f"""
+    WITH freq AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+        GROUP BY word
+    ),
+    top AS (
+        SELECT word, freq FROM freq ORDER BY freq DESC, word LIMIT {ZIPF_TOP_K}
+    ),
+    ranked AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, word) AS rn
+        FROM top
+    ),
+    xy AS (SELECT ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y FROM ranked)
+    SELECT CAST(count(*) AS BIGINT) AS n_words,
+           round(regr_slope(y, x), 4) AS slope,
+           round(regr_intercept(y, x), 4) AS intercept,
+           round(corr(y, x), 4) AS r
+    FROM xy
+"""
+
 QUERIES = {
     "corpus_profile": corpus_profile,
     "corpus_vocab_stats": corpus_vocab_stats,
@@ -1179,4 +1242,5 @@ QUERIES = {
     "doc_length_histogram": doc_length_histogram,
     "text_novelty": text_novelty,
     "doc_chunks": doc_chunks,
+    "zipf_slope": zipf_slope,
 }

@@ -58,6 +58,7 @@ NONEQUI_OK = {
     "basket_rules",         # 1-row basket-total broadcast (basket_pmi shape)
     "export_shards",        # 1-row corpus-total broadcast (share report)
     "contamination_bloom",  # 1-row bloom-bits broadcast (constant-key join folds)
+    "domain_kl_divergence",  # 1-row corpus-total broadcast (KL normalizer)
     "domain_stats",         # 1-row corpus-totals broadcast
     "curriculum_assign",    # 1-row quantile-thresholds broadcast
     "events_gapfill",       # 1-row day-span broadcast into the spine

@@ -145,3 +145,26 @@ def test_export_shards_partition_of_corpus(spark):
     for r in rows:
         assert r.n_docs > 0, f"empty shard {r.shard_id}"
         assert abs(r.dev_from_ideal) < bound, (r, bound)
+
+
+def test_domain_kl_nonnegative_and_partitions_tokens(spark):
+    """Gibbs: KL ≥ 0 per source; per-source token counts partition the
+    corpus total."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.operators import sampling
+    from samza_hello_samza_spark.operators.dedup import _words
+    from samza_hello_samza_spark.session import load_table
+
+    rows = sampling.domain_kl_divergence(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.kl_nats >= 0, r
+        assert r.n_distinct_words <= r.n_words
+    total = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.size(_words(F.col("text"))).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_words for r in rows) == total

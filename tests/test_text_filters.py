@@ -208,3 +208,10 @@ def test_contamination_bloom_is_exact_and_prunes(spark):
     )
     assert n_nonmember > 0
     assert n_pass < 0.5 * n_nonmember, (n_pass, n_nonmember)
+
+
+def test_zipf_slope_is_negative_powerlaw(spark):
+    r = text_filters.zipf_slope(spark, SF_DIR).collect()[0]
+    assert 0 < r.n_words <= text_filters.ZIPF_TOP_K
+    assert r.slope < 0  # frequency falls with rank, always
+    assert -1.0 <= r.r < 0  # strong negative log-log correlation
