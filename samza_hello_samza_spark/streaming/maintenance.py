@@ -531,6 +531,100 @@ class TxnView:
         )
 
 
+def domain_wordcount_updater(
+    docs_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Maintain the (source, word) count state behind the domain-drift
+    monitor from a live documents stream.
+
+    The incremental-view instance of ``sampling.domain_kl_divergence``:
+    counts are MERGEABLE state (sums add), so each micro-batch folds at
+    delta-vocabulary cost — union with the stored state, re-aggregate,
+    atomic staging-directory swap — and history is never re-tokenized.
+    Replay safety follows ``mv_refresh_job``'s applied-batch marker:
+    the merge is not idempotent (counts would double), so a redelivered
+    batch id is a no-op.
+    """
+    import os
+
+    marker_dir = os.path.join(checkpoint_dir, "_applied")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker) or batch.isEmpty():
+            return
+        fold_domain_wordcounts(batch, state_path)
+        with open(marker, "w") as fh:
+            fh.write("applied")
+
+    return (
+        docs_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def fold_domain_wordcounts(batch: DataFrame, state_path: str) -> None:
+    """Merge one documents delta into the (source, word, cnt) state."""
+    import os
+
+    from ..operators.dedup import _words, explode_nonempty
+
+    spark = batch.sparkSession
+    delta = (
+        explode_nonempty(batch, ["source"], _words(F.col("text")), "word")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if os.path.exists(state_path):
+        delta = (
+            spark.read.parquet(state_path)
+            .unionByName(delta)
+            .groupBy("source", "word")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    staging = state_path.rstrip("/") + ".staging"
+    delta.write.mode("overwrite").parquet(staging)
+    final = state_path.rstrip("/") + ".final"
+    if os.path.exists(state_path):
+        os.rename(state_path, final)
+    os.rename(staging, state_path)
+    if os.path.exists(final):
+        import shutil
+
+        shutil.rmtree(final)
+
+
+def domain_drift_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
+    """Per-source KL vs the corpus blend, computed FROM the maintained
+    state (vocab-sized read — the corpus is never re-tokenized).
+
+    Same arithmetic as the batch ``domain_kl_divergence`` (so stream
+    state ≡ batch output is pytest-assertable), but its input is the
+    (source, word, cnt) table ``domain_wordcount_updater`` keeps.
+    """
+    sw = spark.read.parquet(state_path).withColumnRenamed("cnt", "c_sw")
+    w = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    n_tot = w.agg(F.sum("c_w").alias("n_total"))
+    p_s = F.col("c_sw") / F.col("n_s")
+    q = F.col("c_w") / F.col("n_total")
+    return (
+        sw.join(w, "word")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.round(F.sum(p_s * F.log(p_s / q)), 4).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
 def maintain_view_from_topic(
     spark: SparkSession,
     topic: TopicLog,

@@ -503,3 +503,35 @@ def test_dedup_incremental_matches_restricted_full_pairs(spark):
     # every pair is one-new-one-existing by construction
     for r in dedup.dedup_incremental(spark, SF_DIR).collect():
         assert is_new(r.new_doc) and not is_new(r.corpus_doc)
+
+
+def test_explode_nonempty_equals_explode_for_nullfree_arrays(spark):
+    """explode_nonempty ≡ explode on null-free arrays (incl. empty and
+    NULL arrays, which both drop); the documented boundary is arrays
+    CONTAINING null elements — explode emits them, the helper filters
+    them (never produced by our md5/xxhash pipelines)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b"]),
+            (2, []),          # empty → dropped by both
+            (3, None),        # NULL array → dropped by both
+            (4, ["c"]),
+        ],
+        "id long, arr array<string>",
+    )
+    plain = sorted(
+        map(tuple, df.select("id", F.explode("arr").alias("x")).collect())
+    )
+    helper = sorted(
+        map(tuple, dedup.explode_nonempty(df, ["id"], F.col("arr"), "x").collect())
+    )
+    assert helper == plain == [(1, "a"), (1, "b"), (4, "c")]
+
+    # the boundary: a null ELEMENT is emitted by explode, filtered here
+    dfn = spark.createDataFrame([(5, ["x", None])], "id long, arr array<string>")
+    assert (
+        dfn.select("id", F.explode("arr").alias("x")).count() == 2
+        and dedup.explode_nonempty(dfn, ["id"], F.col("arr"), "x").count() == 1
+    )

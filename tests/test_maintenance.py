@@ -579,3 +579,51 @@ def test_windowed_topk_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_domain_drift_updater_matches_batch_kl(spark, tmp_path):
+    """Two folded micro-batches (the same corpus twice): the drift
+    snapshot must match the batch KL exactly — doubling every count
+    leaves both distributions unchanged — with doubled token counts.
+    A restarted query over the same source+checkpoint must fold
+    nothing (applied-batch markers), leaving the state untouched."""
+    import shutil
+
+    from samza_hello_samza_spark.operators import sampling
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    base = os.path.join(SF_DIR, "documents.parquet")
+    shutil.copy(base, os.path.join(src, "b1.parquet"))
+    shutil.copy(base, os.path.join(src, "b2.parquet"))
+
+    schema = spark.read.parquet(base).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    state = str(tmp_path / "dw_state")
+    ck = str(tmp_path / "dw_ck")
+    q = maintenance.domain_wordcount_updater(stream, state, ck)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.source: r for r in maintenance.domain_drift_snapshot(spark, state).collect()}
+    want = {r.source: r for r in sampling.domain_kl_divergence(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s].kl_nats == want[s].kl_nats, s
+        assert got[s].n_distinct_words == want[s].n_distinct_words
+        assert got[s].n_words == 2 * want[s].n_words  # corpus folded twice
+
+    # replay: same checkpoint, same files → markers make it a no-op
+    before = sorted(
+        map(tuple, spark.read.parquet(state).collect())
+    )
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = maintenance.domain_wordcount_updater(stream2, state, ck)
+    q2.processAllAvailable()
+    q2.stop()
+    after = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert after == before
