@@ -79,6 +79,7 @@ HEADLINE = (
     "contamination_bloom",
     "domain_kl_divergence",
     "zipf_slope",
+    "session_order_overlap",
 )
 
 #: Excluded from the sf1 (10×-replicated) tier: replication creates

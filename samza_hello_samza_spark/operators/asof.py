@@ -165,7 +165,154 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_interval_join(
+    left: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    right: DataFrame,
+    r_lo: str,
+    r_hi: str,
+    keys: list[str],
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-OVERLAP join (both sides are intervals) as an equi-join.
+
+    The third member of the family (``asof_join`` = point-to-latest,
+    ``bucketed_range_join`` = point-in-interval): emit every (left,
+    right) pair whose closed intervals overlap, sharing ``keys``.
+    Both sides explode onto fixed-width buckets, the join is an
+    equi-join on (keys, bucket), and the exact overlap predicate
+    filters inside the bucket. An overlapping pair meets in EVERY
+    shared bucket, so ownership is assigned to exactly one — the
+    bucket containing the overlap's start, max(l_lo, r_lo) — which
+    dedups without any distinct() shuffle. Cost is Σ width/bucket
+    join rows per side; never |left|×|right|.
+    """
+    w = bucket_width
+
+    def boxed(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        from .dedup import explode_nonempty
+
+        return explode_nonempty(
+            df,
+            [F.col(c) for c in df.columns],
+            F.sequence(F.floor(F.col(lo) / w), F.floor(F.col(hi) / w)),
+            "_b",
+        )
+
+    pairs = boxed(left, l_lo, l_hi).join(boxed(right, r_lo, r_hi), keys + ["_b"])
+    overlap_start = F.greatest(F.col(l_lo), F.col(r_lo))
+    return (
+        pairs.filter(
+            (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
+        )
+        .filter(F.col("_b") == F.floor(overlap_start / w))
+        .drop("_b")
+    )
+
+
+#: order-fulfillment attention window: 3 days from (re-based) placement.
+ORDER_WINDOW_DAYS = 3
+DAY_SEC = 86400
+#: events month start (TESTDATA events span 2024-01): orders carry
+#: 1995–2001 TPC-H dates, so fulfillment windows are re-based
+#: deterministically into the events month from the order key — the
+#: same synthesized-from-columns discipline as pii_redact's contact
+#: trailers and the wikipedia raw lines; both engines compute the
+#: identical placement.
+EVENTS_EPOCH0 = 1704067200  # 2024-01-01 00:00:00 UTC
+REBASE_MOD_DAYS = 28
+
+
+def session_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions overlap an open order-fulfillment window?
+
+    The interval×interval question (did the user come back while an
+    order was in flight?) that a nested-loop overlap join cannot
+    answer at scale. Sessions use the exact ``session_window`` break
+    rule (≥30-min silence); each order opens a 3-day closed window
+    placed deterministically inside the events month (see
+    EVENTS_EPOCH0 note); the overlap join is
+    ``bucketed_interval_join`` on (user, day-bucket) — an equi-join
+    with first-shared-bucket dedup, no distinct, no nested loop.
+    Output: one row per overlapping (session, order) with the overlap
+    length in seconds.
+    """
+    from .samza_surface import SESSION_GAP_MIN
+
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    with_breaks = ev.withColumn(
+        "is_break",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user))
+            >= F.lit(gap_us)
+        ).cast("int"),
+    ).withColumn("session_id", F.coalesce(F.sum("is_break").over(by_user), F.lit(0)))
+    sessions = with_breaks.groupBy("user_id", "session_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("s_start"),
+        F.unix_timestamp(F.max("ts")).alias("s_end"),
+    )
+    w_start = (
+        F.lit(EVENTS_EPOCH0)
+        + (F.col("o_orderkey") % REBASE_MOD_DAYS) * DAY_SEC
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        w_start.cast("long").alias("w_start"),
+        (w_start + ORDER_WINDOW_DAYS * DAY_SEC).cast("long").alias("w_end"),
+    )
+    return (
+        bucketed_interval_join(
+            sessions, "s_start", "s_end", orders, "w_start", "w_end",
+            ["user_id"], DAY_SEC,
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "o_orderkey",
+            (
+                F.least(F.col("s_end"), F.col("w_end"))
+                - F.greatest(F.col("s_start"), F.col("w_start"))
+            ).cast("long").alias("overlap_seconds"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "session_order_overlap": f"""
+        WITH breaks AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS is_break
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM breaks
+        ), sessions AS (
+            SELECT user_id, session_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS s_end
+            FROM numbered GROUP BY user_id, session_id
+        ), wins AS (
+            SELECT o_custkey AS user_id, o_orderkey,
+                   CAST({EVENTS_EPOCH0} + (o_orderkey % {REBASE_MOD_DAYS}) * {DAY_SEC}
+                        AS BIGINT) AS w_start,
+                   CAST({EVENTS_EPOCH0} + (o_orderkey % {REBASE_MOD_DAYS}) * {DAY_SEC}
+                        + {ORDER_WINDOW_DAYS * DAY_SEC} AS BIGINT) AS w_end
+            FROM orders
+        )
+        SELECT s.user_id, s.session_id, o_orderkey,
+               CAST(least(s_end, w_end) - greatest(s_start, w_start) AS BIGINT)
+                   AS overlap_seconds
+        FROM sessions s JOIN wins w
+          ON s.user_id = w.user_id
+         AND s_start <= w_end AND w_start <= s_end
+    """,
     "range_join_value_bands": """
         SELECT band,
                count(*) AS n_events,
@@ -194,4 +341,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "asof_last_order": asof_last_order,
     "range_join_value_bands": range_join_value_bands,
+    "session_order_overlap": session_order_overlap,
 }

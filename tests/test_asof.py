@@ -50,3 +50,64 @@ def test_asof_join_edge_semantics(spark):
     assert got["e2"] == 200      # latest preceding, not first
     assert got["e0"] is None     # nothing at-or-before
     assert got["e3"] is None     # key with no right rows at all
+
+
+def test_bucketed_interval_join_matches_naive_overlap(spark):
+    """First-shared-bucket dedup is exact: the bucketized overlap join
+    equals the naive non-equi overlap join on intervals that span
+    multiple buckets, share buckets without overlapping, and tie at
+    closed endpoints."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.operators.asof import bucketed_interval_join
+
+    left = spark.createDataFrame(
+        [  # (key, id, lo, hi)
+            (1, "a", 0, 250),     # spans buckets 0,1,2 (width 100)
+            (1, "b", 90, 110),    # straddles a bucket edge
+            (1, "c", 400, 410),   # overlaps nothing
+            (2, "d", 0, 1000),    # long interval, other key
+        ],
+        "k int, lid string, l_lo long, l_hi long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "x", 240, 260),   # overlaps a at its tail (shared bucket 2)
+            (1, "y", 250, 300),   # closed-endpoint tie with a (250 == 250)
+            (1, "z", 111, 190),   # same bucket as b but NO overlap
+            (2, "w", 999, 1500),  # tail overlap across many buckets
+        ],
+        "k int, rid string, r_lo long, r_hi long",
+    )
+    got = sorted(
+        (r.k, r.lid, r.rid)
+        for r in bucketed_interval_join(
+            left, "l_lo", "l_hi", right, "r_lo", "r_hi", ["k"], 100
+        ).collect()
+    )
+    naive = sorted(
+        (r.k, r.lid, r.rid)
+        for r in left.join(right, "k")
+        .filter((F.col("l_lo") <= F.col("r_hi")) & (F.col("r_lo") <= F.col("l_hi")))
+        .collect()
+    )
+    assert got == naive
+    assert ("1", "b", "z") not in got  # shared bucket but disjoint
+    assert (1, "a", "y") in got        # closed-endpoint tie counts
+
+
+def test_session_order_overlap_bounds(spark):
+    from samza_hello_samza_spark.operators.asof import (
+        DAY_SEC,
+        ORDER_WINDOW_DAYS,
+        session_order_overlap,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = session_order_overlap(spark, SF_DIR).collect()
+    assert rows
+    # each (session, order) pair appears exactly once (bucket dedup)
+    keys = [(r.user_id, r.session_id, r.o_orderkey) for r in rows]
+    assert len(keys) == len(set(keys))
+    for r in rows:
+        assert 0 <= r.overlap_seconds <= ORDER_WINDOW_DAYS * DAY_SEC

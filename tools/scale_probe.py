@@ -80,6 +80,7 @@ PROBE_OPS = (
     "text_contamination",
     "contamination_bloom",
     "export_shards",
+    "session_order_overlap",
     # mv_event_type_stats is excluded: its MV build-once cache keys on
     # the sf_dir, so 1× (warm) vs N× (cold build) ratios would compare
     # serving against building.
