@@ -329,9 +329,17 @@ def customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
+    # decimal-domain sum + round (SURVEY §4 hazard classes 1 and 2):
+    # a plain round(sum(double), 2) diverged from the oracle at sf0.1
+    # on knife-edge customers — caught by the sf0.1 oracle sweep.
     rev = (
         orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue")
+        )
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(maybe_broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("n_name", "c_custkey", "revenue")
@@ -339,15 +347,30 @@ def customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("n_name").orderBy(
         F.col("revenue").desc(), F.col("c_custkey")
     )
-    return rev.select(
-        "n_name",
-        "c_custkey",
-        "revenue",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("dense_rnk"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(4).over(w).alias("quartile"),
+    wpart = Window.partitionBy("n_name")
+    # pct_rank/cume via truncating INTEGER division at 6dp: the order
+    # is tie-free (c_custkey tiebreak), so rank = row_number and
+    # percent_rank = (rn−1)/(n−1) — but round(double, 6) of that ratio
+    # sits on exact-halfway knife edges (333/640 = 0.5203125) where
+    # Spark's shortest-repr HALF_UP and DuckDB's binary-double round
+    # disagree (caught by the sf0.1 sweep). (k*10⁶) DIV denom is
+    # engine-exact; the final /1e6 maps equal integers to equal
+    # doubles.
+    return (
+        rev.withColumn("rnk", F.rank().over(w))
+        .withColumn("npart", F.count(F.lit(1)).over(wpart))
+        .select(
+            "n_name",
+            "c_custkey",
+            "revenue",
+            "rnk",
+            F.dense_rank().over(w).alias("dense_rnk"),
+            (
+                F.expr("((rnk - 1) * 1000000L) DIV (npart - 1)") / 1e6
+            ).alias("pct_rank"),
+            (F.expr("(rnk * 1000000L) DIV npart") / 1e6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
     )
 
 
@@ -810,7 +833,11 @@ ORACLES.update({
     "customer_revenue_rank": """
         WITH rev AS (
             SELECT n_name, c_custkey,
-                   round(sum(o_totalprice), 2) AS revenue
+                   -- round(DECIMAL, 2) = exact half-away = Spark's
+                   -- decimal(18,2) HALF_UP cast for positive values
+                   -- (DuckDB's decimal->decimal CAST truncates!)
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -819,11 +846,15 @@ ORACLES.update({
         SELECT n_name, c_custkey, revenue,
                rank() OVER w AS rnk,
                dense_rank() OVER w AS dense_rnk,
-               round(percent_rank() OVER w, 6) AS pct_rank,
-               round(cume_dist() OVER w, 6) AS cume,
+               -- integer-exact 6dp ratios (see Spark-side comment)
+               ((rank() OVER w - 1) * 1000000) // (count(*) OVER p - 1)
+                   / 1000000.0 AS pct_rank,
+               (rank() OVER w * 1000000) // (count(*) OVER p)
+                   / 1000000.0 AS cume,
                ntile(4) OVER w AS quartile
         FROM rev
-        WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, c_custkey)
+        WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, c_custkey),
+               p AS (PARTITION BY n_name)
     """,
     "rolling_active_users": f"""
         WITH ud AS (
@@ -884,7 +915,11 @@ ORACLES.update({
     "customer_pareto_curve": f"""
         WITH rev AS (
             SELECT o_custkey,
-                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS rev
+                   -- round(DECIMAL, 2): exact half-away = Spark's
+                   -- decimal(18,2) HALF_UP cast (decimal->decimal
+                   -- CAST would TRUNCATE in DuckDB)
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS rev
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_custkey
         ),
@@ -1345,10 +1380,13 @@ def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     term = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    # round in the DECIMAL domain before the double cast (hazard class
+    # 2): round(CAST(exact_decimal AS DOUBLE), 2) flipped a knife-edge
+    # customer at sf0.1 (Spark HALF_UP vs DuckDB rint on the double).
     rev = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.round(F.sum(term).cast("double"), 2).alias("rev"))
+        .agg(F.sum(term).cast("decimal(18,2)").cast("double").alias("rev"))
     )
     qs = [i / PARETO_NBUCKETS for i in range(1, PARETO_NBUCKETS)]
     cuts = rev.agg(F.percentile("rev", F.lit(qs)).alias("cuts"))
