@@ -80,6 +80,8 @@ HEADLINE = (
     "domain_kl_divergence",
     "zipf_slope",
     "session_order_overlap",
+    "kneser_ney_bigram",
+    "token_budget_plan",
 )
 
 #: Excluded from the sf1 (10×-replicated) tier: replication creates

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import maybe_broadcast
 from ..session import load_table
 from .dedup import _shingles, _words, explode_nonempty
 
@@ -72,6 +73,66 @@ def trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), "ctx", "w3")
         .limit(TOP_TRIGRAMS)
+    )
+
+
+#: absolute-discount mass for Kneser–Ney (the textbook default, exact
+#: in binary: 0.75 = 3/4).
+KN_DISCOUNT = 0.75
+KN_TOP_K = 50
+
+
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney smoothed bigram probabilities P_KN(w2|w1), top-50
+    bigrams by raw count.
+
+    The smoothing the count-based LM family needs before it can score
+    unseen text: absolute discounting re-distributes d=0.75 of each
+    seen bigram's mass to a CONTINUATION distribution (how many
+    distinct left-contexts a word follows — "francisco" is frequent
+    but only ever follows "san", so its continuation mass is tiny).
+    P_KN = max(c−d,0)/c(w1) + (d·N₁₊(w1·)/c(w1)) · N₁₊(·w2)/|types|.
+    Everything derives from one bigram-count aggregation: follower and
+    predecessor type counts are two groupBys of the count table
+    (bigram-vocabulary sized, never corpus sized), |types| rides as a
+    1-row broadcast. Selection/order by integer count with key
+    tiebreaks; the probability is decimal(18,6)-rounded payload.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(_words(F.col("text")).alias("words"))
+    bg = explode_nonempty(words, [], _shingles(F.col("words"), 2), "bg")
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c")).select(
+        F.substring_index("bg", " ", 1).alias("w1"),
+        F.substring_index("bg", " ", -1).alias("w2"),
+        "c",
+    )
+    counts = counts.localCheckpoint()  # four derivations share it
+    left = counts.groupBy("w1").agg(
+        F.sum("c").alias("c_w1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    right = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n_precede"))
+    types = counts.agg(F.count(F.lit(1)).alias("n_types"))
+    d = F.lit(KN_DISCOUNT)
+    p_kn = (
+        F.greatest(F.col("c") - d, F.lit(0.0)) / F.col("c_w1")
+        + (d * F.col("n_follow") / F.col("c_w1"))
+        * (F.col("n_precede") / F.col("n_types"))
+    )
+    return (
+        counts.join(maybe_broadcast(left), "w1")
+        .join(maybe_broadcast(right), "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "c_w1",
+            F.col("n_follow").cast("long").alias("n_follow"),
+            F.col("n_precede").cast("long").alias("n_precede"),
+            p_kn.cast("decimal(18,6)").cast("double").alias("p_kn"),
+        )
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(KN_TOP_K)
     )
 
 
@@ -166,7 +227,44 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["kneser_ney_bigram"] = f"""
+    WITH w AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(list_transform(generate_series(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1])) AS bg
+        FROM w
+    ),
+    counts AS (
+        SELECT string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2,
+               CAST(count(*) AS BIGINT) AS c
+        FROM bg GROUP BY bg
+    ),
+    lft AS (
+        SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1,
+               CAST(count(*) AS BIGINT) AS n_follow
+        FROM counts GROUP BY w1
+    ),
+    rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_precede FROM counts GROUP BY w2),
+    types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM counts)
+    SELECT w1, w2, c, c_w1, n_follow, n_precede,
+           CAST(CAST(greatest(c - {KN_DISCOUNT}, 0.0) / c_w1
+                     + ({KN_DISCOUNT} * n_follow / c_w1)
+                       * (CAST(n_precede AS DOUBLE) / n_types)
+                     AS DECIMAL(18,6)) AS DOUBLE) AS p_kn
+    FROM counts
+    JOIN lft USING (w1)
+    JOIN rgt USING (w2)
+    CROSS JOIN types
+    ORDER BY c DESC, w1, w2
+    LIMIT {KN_TOP_K}
+"""
+
 QUERIES = {
     "trigram_lm": trigram_lm,
+    "kneser_ney_bigram": kneser_ney_bigram,
     "bpe_encode_docs": bpe_encode_docs,
 }

@@ -308,6 +308,57 @@ def curriculum_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# token_budget_plan
+# ---------------------------------------------------------------------------
+
+#: total training-token budget the mixture must fill.
+TOKEN_BUDGET = 1_000_000
+#: fixed-point scale for the sqrt weights (engine-exact integers).
+W_SCALE = 1000
+
+
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-token quotas under a temperature-smoothed
+    mixture (α=0.5): quota_s ∝ sqrt(tokens_s), normalized to the
+    budget.
+
+    The planning step between ``domain_stats`` and the sampler: how
+    many tokens (and how many epochs over each source) the training
+    mix takes from every source. Cross-engine determinism trick: the
+    sqrt weights are snapped to FIXED-POINT integers
+    (floor(sqrt(n)·1000) — identical doubles → identical integers in
+    both engines), so the normalizing sum is integer-exact and the
+    quota is a truncating integer division — no order-dependent
+    double summation anywhere. One tokenize scan; sources-sized
+    state; 1-row integer total broadcast.
+    """
+    from .dedup import _words
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(_words(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+        .withColumn(
+            "w", F.floor(F.sqrt(F.col("n_tokens")) * W_SCALE).cast("long")
+        )
+    )
+    tot = per_src.agg(F.sum("w").alias("w_total"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr(f"({TOKEN_BUDGET}L * w) DIV w_total").alias("quota_tokens"),
+            F.expr(
+                f"(({TOKEN_BUDGET}L * w) DIV w_total) * 10000 DIV n_tokens"
+            ).alias("epochs_bp"),  # epochs in basis points, integer-exact
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # domain_kl_divergence
 # ---------------------------------------------------------------------------
 
@@ -513,6 +564,25 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["token_budget_plan"] = f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(len({{ws}})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, n_tokens,
+               CAST(floor(sqrt(n_tokens) * {W_SCALE}) AS BIGINT) AS w
+        FROM per_src
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM weighted)
+    SELECT source, n_tokens,
+           ({TOKEN_BUDGET} * w) // w_total AS quota_tokens,
+           (({TOKEN_BUDGET} * w) // w_total) * 10000 // n_tokens AS epochs_bp
+    FROM weighted CROSS JOIN tot
+    ORDER BY source
+""".format(ws=_WORDS_SQL)
+
 ORACLES["domain_kl_divergence"] = f"""
     WITH words AS (
         SELECT source, unnest({{ws}}) AS word FROM documents
@@ -560,6 +630,7 @@ ORACLES["export_shards"] = f"""
 QUERIES = {
     "curriculum_assign": curriculum_assign,
     "domain_kl_divergence": domain_kl_divergence,
+    "token_budget_plan": token_budget_plan,
     "export_shards": export_shards,
     "mixture_sample": mixture_sample,
     "weighted_sample": weighted_sample,

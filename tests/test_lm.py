@@ -59,3 +59,34 @@ def test_bpe_encode_compresses(spark):
     rows = lm.bpe_encode_docs(spark, SF_DIR).collect()
     assert sum(r.n_merged for r in rows) > 0
     assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_kneser_ney_oracle(spark, duck):
+    assert_matches_oracle(
+        spark,
+        duck,
+        lm.QUERIES["kneser_ney_bigram"],
+        lm.ORACLES["kneser_ney_bigram"],
+    )
+
+
+def test_kneser_ney_probabilities_well_formed(spark):
+    """0 < P_KN ≤ 1 for every emitted bigram, and each probability is
+    bounded by its row-reconstructed ceiling: discounted main term
+    plus the maximum continuation mass d·N₁₊(w1·)/c(w1)."""
+    from samza_hello_samza_spark.operators import lm
+    from tests.conftest import SF_DIR
+
+    rows = lm.kneser_ney_bigram(spark, SF_DIR).collect()
+    assert len(rows) == lm.KN_TOP_K
+    for r in rows:
+        assert 0 < r.p_kn <= 1, r
+        assert r.c <= r.c_w1
+        assert r.n_follow >= 1 and r.n_precede >= 1
+        # the discounted MAIN term never exceeds the MLE; the
+        # continuation term adds back at most d·N₁₊(w1·)/c(w1)
+        # (Pcont ≤ 1) — reconstruct the bound from the row's counts
+        upper = (r.c - lm.KN_DISCOUNT) / r.c_w1 + (
+            lm.KN_DISCOUNT * r.n_follow / r.c_w1
+        )
+        assert r.p_kn <= upper + 1e-6, r

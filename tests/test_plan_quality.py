@@ -59,6 +59,8 @@ NONEQUI_OK = {
     "export_shards",        # 1-row corpus-total broadcast (share report)
     "contamination_bloom",  # 1-row bloom-bits broadcast (constant-key join folds)
     "domain_kl_divergence",  # 1-row corpus-total broadcast (KL normalizer)
+    "kneser_ney_bigram",    # 1-row bigram-type-count broadcast
+    "token_budget_plan",    # 1-row weight-total broadcast
     "domain_stats",         # 1-row corpus-totals broadcast
     "curriculum_assign",    # 1-row quantile-thresholds broadcast
     "events_gapfill",       # 1-row day-span broadcast into the spine

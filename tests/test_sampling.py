@@ -168,3 +168,27 @@ def test_domain_kl_nonnegative_and_partitions_tokens(spark):
         .collect()[0][0]
     )
     assert sum(r.n_words for r in rows) == total
+
+
+def test_token_budget_plan_fills_budget_and_flattens(spark):
+    """Quotas (a) sum to ≤ budget with only integer-truncation slack,
+    (b) are monotone in source size, and (c) flatten the mix: the
+    quota ratio between the biggest and smallest source is strictly
+    smaller than their token ratio (sqrt-temperature effect)."""
+    from samza_hello_samza_spark.operators import sampling
+    from tests.conftest import SF_DIR
+
+    rows = sampling.token_budget_plan(spark, SF_DIR).collect()
+    assert rows
+    total_quota = sum(r.quota_tokens for r in rows)
+    assert total_quota <= sampling.TOKEN_BUDGET
+    assert total_quota >= sampling.TOKEN_BUDGET - len(rows)  # DIV slack only
+    by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+    quotas = [r.quota_tokens for r in by_tokens]
+    assert quotas == sorted(quotas)  # monotone in source size
+    small, big = by_tokens[0], by_tokens[-1]
+    if small.n_tokens < big.n_tokens:
+        assert (
+            big.quota_tokens / small.quota_tokens
+            < big.n_tokens / small.n_tokens
+        )
