@@ -81,6 +81,10 @@ PROBE_OPS = (
     "contamination_bloom",
     "export_shards",
     "session_order_overlap",
+    "domain_kl_divergence",
+    "zipf_slope",
+    "kneser_ney_bigram",
+    "token_budget_plan",
     # mv_event_type_stats is excluded: its MV build-once cache keys on
     # the sf_dir, so 1× (warm) vs N× (cold build) ratios would compare
     # serving against building.
