@@ -178,7 +178,13 @@ def main() -> None:
             }
         }
 
-    print(json.dumps(result))
+    # The driver records only a bounded TAIL of stdout; the JSON line
+    # must (a) be the very last thing printed, (b) be as short as
+    # possible (compact separators), and (c) not share its tail with
+    # stray executor chatter (flush stderr first, then stdout last).
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(json.dumps(result, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

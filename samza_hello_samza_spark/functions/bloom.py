@@ -44,6 +44,13 @@ BLOOM_MIN_BITS = 1 << 16
 BLOOM_MAX_BITS = 1 << 22
 BLOOM_K = 3  # independent 32-bit slices of the md5 hex
 
+#: driver-build budget: past 16 bits/key at the max filter size the fp
+#: rate degrades anyway, and the driver collect stops being "bounded".
+#: ``bloom_semi_join`` switches to the distributed aggregate build
+#: beyond this — the collect there is ≤ n_bits/64 word rows, a plan
+#: constant independent of key count.
+BLOOM_MAX_DRIVER_KEYS = BLOOM_MAX_BITS // 16
+
 
 def build_bloom(hashes: list[str]) -> tuple[list[int], int]:
     """Bloom bits (signed-int64 words, ready for ``F.lit``) + size.
@@ -110,19 +117,66 @@ def with_bloom_bits(df: DataFrame, bits: list[int]) -> DataFrame:
     )
 
 
-def bloom_semi_join(big: DataFrame, keys: DataFrame, col: str) -> DataFrame:
-    """Exact left-semi join of ``big`` against bounded ``keys`` on the
-    md5-hex column ``col``, with a Bloom prefilter ahead of the join.
+def build_bloom_distributed(keys: DataFrame, col: str) -> tuple[list[int], int]:
+    """Bloom bits built by a distributed aggregate — no key collect.
 
-    ``keys`` must be bounded (it is collected once to build the filter
-    — same discipline as the k-means centroids); it is reused for the
-    confirm join, so localCheckpoint it if its lineage is expensive.
-    Result ≡ ``big.join(keys, col, "left_semi")`` exactly; only the
-    cost differs — non-members die in codegen at ~fp-rate survival
-    instead of reaching the join.
+    The scale path for key sets past ``BLOOM_MAX_DRIVER_KEYS``: each
+    hash contributes its BLOOM_K (word_index, bit_mask) pairs in-row
+    (JVM expressions, same 8-hex-slice arithmetic as ``build_bloom``),
+    a groupBy(word) bit_or folds them map-side, and the driver collects
+    at most n_bits/64 ≤ 64 Ki word rows — a plan constant tied to the
+    FILTER size, never to the key count. Bit-identical to
+    ``build_bloom`` over the same keys (pytest-asserted).
     """
-    hashes = [r[col] for r in keys.select(col).collect()]  # bounded by contract
-    bits, n_bits = build_bloom(hashes)
+    n_bits = BLOOM_MAX_BITS
+    pairs = ", ".join(
+        f"named_struct('w', CAST(shiftright("
+        f"CAST(conv(substring({col}, {1 + 8 * j}, 8), 16, 10) AS BIGINT)"
+        f" % {n_bits}, 6) AS INT), 'm', shiftleft(CAST(1 AS BIGINT), "
+        f"CAST((CAST(conv(substring({col}, {1 + 8 * j}, 8), 16, 10) AS BIGINT)"
+        f" % {n_bits}) & 63 AS INT)))"
+        for j in range(BLOOM_K)
+    )
+    words = (
+        keys.select(F.expr(f"explode(array({pairs})) AS p"))
+        .groupBy(F.col("p.w").alias("w"))
+        .agg(F.expr("bit_or(p.m)").alias("m"))
+        .collect()
+    )
+    bits = [0] * (n_bits // 64)
+    for r in words:
+        bits[r.w] = r.m
+    return bits, n_bits
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    col: str,
+    max_driver_keys: int = BLOOM_MAX_DRIVER_KEYS,
+) -> DataFrame:
+    """Exact left-semi join of ``big`` against ``keys`` on the md5-hex
+    column ``col``, with a Bloom prefilter ahead of the join.
+
+    The filter build is collect-bounded BY CONSTRUCTION, not by caller
+    promise: key sets up to ``max_driver_keys`` are collected and built
+    on the driver (one pass, cheapest for the eval-suite sizes the
+    anchor consumers ship); anything larger flips to
+    ``build_bloom_distributed``, whose driver traffic is the ≤64 Ki
+    bit-array words regardless of key count — so a 100 TB-scale key
+    side degrades fp-rate, never driver memory. ``keys`` is reused for
+    the exact confirm join, so localCheckpoint it if its lineage is
+    expensive. Result ≡ ``big.join(keys, col, "left_semi")`` exactly;
+    only the cost differs — non-members die in codegen at ~fp-rate
+    survival instead of reaching the join.
+    """
+    # limit(n+1) bounds the probe collect itself: we never pull more
+    # than the budget plus the one row that proves it was exceeded.
+    probe = keys.select(col).limit(max_driver_keys + 1).collect()
+    if len(probe) > max_driver_keys:
+        bits, n_bits = build_bloom_distributed(keys, col)
+    else:
+        bits, n_bits = build_bloom([r[col] for r in probe])
     survivors = (
         with_bloom_bits(big, bits)
         .filter(F.expr(member_sql(n_bits, col)))

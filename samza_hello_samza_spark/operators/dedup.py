@@ -5,11 +5,15 @@ Six strategies over the ``documents`` / ``embeddings`` tables:
 - exact        : normalize → md5 → group (oracle-checked)
 - ngram_jaccard: 3-word shingle overlap join, J ≥ 0.5 (oracle-checked)
 - minhash_lsh  : shingle → 24 minhash perms → 12 bands of 2 →
-                 band-bucket join (rows-only; hash family is Spark
-                 xxhash64, not portable to DuckDB — property-tested
-                 against the jaccard oracle in tests/)
+                 band-bucket join (oracle-checked: the shingle hash is
+                 the engine-portable md5-slice family — same digest in
+                 Spark and DuckDB — and the permutation constants are
+                 pinned, so the whole signature pipeline is ANSI-SQL
+                 expressible; also property-tested against the jaccard
+                 oracle in tests/)
 - simhash      : 32-bit simhash, 4×8-bit band join, hamming ≤ 6
-                 (rows-only, property-tested)
+                 (oracle-checked via the same md5-slice word hash,
+                 plus property tests)
 - embedding    : pairwise cosine ≥ 0.45 (oracle-checked vs DuckDB
                  list_cosine_similarity)
 - clusters     : connected components over the jaccard pairs via
@@ -48,6 +52,19 @@ _PERM_B = [_rng.randrange(0, MERSENNE_P) for _ in range(N_PERMS)]
 
 def _normalized_text(col: F.Column) -> F.Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def _md5_slice32(col: F.Column) -> F.Column:
+    """Engine-portable 32-bit string hash: the first 8 hex digits of
+    md5, parsed as an unsigned integer (long-typed, always ≥ 0).
+
+    The repo's cross-engine hash family (same discipline as
+    ``functions/bloom`` and ``operators/sketches``): Spark and DuckDB
+    compute identical md5 hex, so every sketch built on this hash is
+    oracle-checkable — unlike xxhash64, which has no DuckDB twin.
+    DuckDB twin: ``CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def _words(col: F.Column) -> F.Column:
@@ -124,8 +141,10 @@ def _doc_shingles(
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """(doc_id, xxhash64(shingle)) rows — hashing BEFORE the explode so
-    downstream aggregation shuffles 16-byte rows, never shingle strings.
+    """(doc_id, md5-slice32(shingle)) rows — hashing BEFORE the explode
+    so downstream aggregation shuffles 16-byte rows, never shingle
+    strings, and the hash is the engine-portable md5-slice family so
+    every downstream signature stays oracle-checkable.
 
     Deliberately NOT deduplicated: min() over a multiset equals min()
     over its set, so minhash signatures are identical and skipping the
@@ -138,7 +157,7 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFra
     """
     docs = load_table(spark, sf_dir, "documents")
     tokenized = docs.select("doc_id", _words(F.col("text")).alias("words"))
-    hashes = F.transform(_shingles(F.col("words"), k), lambda s: F.xxhash64(s))
+    hashes = F.transform(_shingles(F.col("words"), k), _md5_slice32)
     return explode_nonempty(tokenized, ["doc_id"], hashes, "h")
 
 
@@ -225,10 +244,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, sig) LSH band rows — the text near-dup index layout.
 
-    24 permutations of xxhash64(shingle) reduced mod 2^31-1; 12 bands
-    of 2 rows. All hashing/aggregation is whole-stage-codegen'd column
-    math. Shared by the full-corpus pair join (``dedup_minhash_lsh``)
-    and the new-batch probe (``dedup_incremental``).
+    24 pinned-constant permutations of md5-slice32(shingle) reduced
+    mod 2^31-1; 12 bands of 2 rows. All hashing/aggregation is
+    whole-stage-codegen'd column math, and every step has an exact
+    DuckDB twin (md5 slice + embedded permutation constants), so both
+    consumers are oracle-checked. Shared by the full-corpus pair join
+    (``dedup_minhash_lsh``) and the new-batch probe
+    (``dedup_incremental``).
     """
     sh = _doc_shingle_hashes(spark, sf_dir, k=3)
     h1 = F.pmod(F.col("h"), F.lit(MERSENNE_P))
@@ -285,8 +307,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     or link before ingest. Batch-internal duplicates are a separate
     tiny pass (run the regular dedup over the batch alone).
 
-    rows-only like ``dedup_minhash_lsh`` (xxhash64 hash family has no
-    DuckDB twin); pytest asserts the pairs equal the full-corpus
+    Oracle-checked (md5-slice hash family, see ``_minhash_bands``);
+    pytest additionally asserts the pairs equal the full-corpus
     minhash pairs restricted to one-new/one-existing.
     """
     bands = _minhash_bands(spark, sf_dir).localCheckpoint()  # = index read
@@ -309,14 +331,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The signature is 32 conditional-sum aggregate columns (sign of
     weighted bit votes) — pure JVM column math, one shuffle on doc_id.
-    Candidates collide on any band; verified by bit_count(xor).
+    Candidates collide on any band; verified by bit_count(xor). The
+    word hash is the engine-portable md5-slice32 family, so the entire
+    signature→band→pair pipeline oracle-checks against DuckDB.
     """
     docs = load_table(spark, sf_dir, "documents")
     wc = (
         explode_nonempty(docs, ["doc_id"], _words(F.col("text")), "word")
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("wh", F.xxhash64("word"))
+        .withColumn("wh", _md5_slice32(F.col("word")))
     )
     bit_votes = [
         F.sum(
@@ -529,6 +553,90 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINDOW_WORDS = 50
+
+
+def dedup_window_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style exact substring dedup: stride-1 50-word window
+    fingerprints, winner-take-first, covered words removed.
+
+    ``dedup_chunk_exact``'s fixed chunk grid misses duplicated spans
+    that straddle a chunk boundary (deduplicate-text-datasets' core
+    observation); the fix fingerprints EVERY 50-word window (stride 1),
+    keeps the corpus-first occurrence of each fingerprint in
+    (doc_id, pos) order, and removes each word covered by some
+    non-first window occurrence. A duplicated run of L ≥ 50 words is
+    thereby removed in full from every later copy (all its positions
+    are covered) while the first copy survives untouched — span
+    boundaries need no special casing.
+
+    Scale shape: stride-1 windows are ~n_words rows per doc (the
+    explode is positional, not ×W), hashed BEFORE the explode into
+    16-byte md5 keys; first-occurrence resolution is a min(struct)
+    window over the hash — ONE equi-shuffle on the hash, no join back
+    (same trick as dedup_chunk_exact's winner aggregate). Coverage is
+    computed ARRAY-SIDE per doc (exists() over the doc's duplicate
+    starts), never a word-level interval join. Hashing cost is
+    O(n·W) chars — the Karp–Rabin rolling recurrence would make it
+    O(n), but it is sequential per doc and not SQL-portable; at 100 TB
+    you'd swap it in via one mapInPandas pass, keeping every stage
+    after the fingerprint column identical. md5 keeps the whole
+    pipeline oracle-checkable (engine-portable hash family).
+    """
+    w = WINDOW_WORDS
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", _words(F.col("text")).alias("words")).filter(
+        F.size("words") > 0
+    )
+    wins_arr = F.when(
+        F.size("words") >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - w),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice("words", i + 1, w))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<pos INT, h STRING>>)"))
+    wins = explode_nonempty(words, ["doc_id"], wins_arr, "w").select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
+    )
+    first_at = F.min(F.struct("doc_id", "pos")).over(Window.partitionBy("h"))
+    dups = (
+        wins.withColumn("first_at", first_at)
+        .filter(
+            (F.col("doc_id") != F.col("first_at.doc_id"))
+            | (F.col("pos") != F.col("first_at.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("dup_starts"))
+    )
+    # position p is removed iff covered by a duplicate window:
+    # ∃ d ∈ dup_starts with d ≤ p < d + w
+    surv = F.filter(
+        F.sequence(F.lit(0), F.size("words") - 1),
+        lambda p: ~F.exists(
+            "dup_starts", lambda d: (d <= p) & (p < d + w)
+        ),
+    )
+    return (
+        words.join(dups, "doc_id", "left")
+        .withColumn(
+            "dup_starts",
+            F.coalesce("dup_starts", F.expr("CAST(array() AS ARRAY<INT>)")),
+        )
+        .withColumn("surv", surv)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.transform("surv", lambda p: F.element_at("words", p + 1))
+            ).alias("clean_text"),
+            F.size("words").cast("long").alias("n_words"),
+            (F.size("words") - F.size("surv")).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection per near-dup cluster.
 
@@ -731,6 +839,160 @@ _CLUSTERS_CTE = _SHINGLES_SQL.replace("WITH", "WITH RECURSIVE", 1) + """
     )
 """
 
+#: DuckDB twin of ``_md5_slice32`` (see its docstring).
+_MD5_SLICE32_SQL = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+
+#: shared tokenize CTE (the Spark ``_words`` twin, no shingle cap).
+_WORDS_CTE = r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+        FROM documents
+    )
+"""
+
+_SIMHASH_VOTE_COLS = ",\n               ".join(
+    f"sum(CASE WHEN (wh >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_SIG_EXPR = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+)
+_SIMHASH_BAND_W = SIMHASH_BITS // SIMHASH_BANDS
+
+_SIMHASH_SQL = f"""{_WORDS_CTE}
+    , wc AS (
+        SELECT doc_id, word, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(words) AS word FROM w)
+        GROUP BY doc_id, word
+    ),
+    wh AS (
+        SELECT doc_id, cnt, {_MD5_SLICE32_SQL.format(x="word")} AS wh
+        FROM wc
+    ),
+    votes AS (
+        SELECT doc_id,
+               {_SIMHASH_VOTE_COLS}
+        FROM wh GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id, CAST({_SIMHASH_SIG_EXPR} AS BIGINT) AS simhash
+        FROM votes
+    ),
+    bands AS (
+        SELECT doc_id, simhash, CAST(i AS INT) AS band,
+               (simhash >> ({_SIMHASH_BAND_W} * i)) & {(1 << _SIMHASH_BAND_W) - 1} AS code
+        FROM sigs, (SELECT unnest(range({SIMHASH_BANDS})) AS i) t
+    ),
+    capped AS (
+        SELECT band, code, doc_id, simhash FROM (
+            SELECT band, code, doc_id, simhash,
+                   row_number() OVER (PARTITION BY band, code ORDER BY doc_id) AS rn
+            FROM bands)
+        WHERE rn <= {MAX_BUCKET}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+    FROM capped a
+    JOIN capped b ON a.band = b.band AND a.code = b.code AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+_MINHASH_MIN_COLS = ",\n               ".join(
+    f"min(({_PERM_A[i]} * h1 + {_PERM_B[i]}) % {MERSENNE_P}) AS m{i}"
+    for i in range(N_PERMS)
+)
+_MINHASH_BAND_SELECTS = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"CAST(m{2 * b} AS VARCHAR) || '_' || CAST(m{2 * b + 1} AS VARCHAR) AS sig FROM mins"
+    for b in range(N_BANDS)
+)
+
+#: minhash band derivation — multiset shingles (no DISTINCT, no df
+#: cap: min over a multiset = min over its set), md5-slice32 hash,
+#: pinned permutation constants embedded verbatim.
+_MINHASH_BANDS_CTE = f"""{_WORDS_CTE}
+    , shm AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(words) - 2),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        FROM w
+    ),
+    h AS (
+        SELECT doc_id, {_MD5_SLICE32_SQL.format(x="shingle")} % {MERSENNE_P} AS h1
+        FROM shm
+    ),
+    mins AS (
+        SELECT doc_id,
+               {_MINHASH_MIN_COLS}
+        FROM h GROUP BY doc_id
+    ),
+    bands AS (
+        {_MINHASH_BAND_SELECTS}
+    )
+"""
+
+_MINHASH_LSH_SQL = f"""{_MINHASH_BANDS_CTE}
+    , capped AS (
+        SELECT band, sig, doc_id FROM (
+            SELECT band, sig, doc_id,
+                   row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+            FROM bands)
+        WHERE rn <= {MAX_BUCKET}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a
+    JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+_MINHASH_INCREMENTAL_SQL = f"""{_MINHASH_BANDS_CTE}
+    SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+    FROM bands n
+    JOIN bands c ON n.band = c.band AND n.sig = c.sig
+    WHERE n.doc_id % {NEW_BATCH_MOD} = 0 AND c.doc_id % {NEW_BATCH_MOD} <> 0
+"""
+
+_WINDOW_EXACT_SQL = f"""{_WORDS_CTE}
+    , wnz AS (SELECT doc_id, words FROM w WHERE len(words) > 0),
+    win AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(words[i:i + {WINDOW_WORDS} - 1], ' ')) AS h
+        FROM wnz, unnest(generate_series(1, len(words) - {WINDOW_WORDS} + 1)) AS t(i)
+    ),
+    dups AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM win)
+        WHERE rn > 1
+    ),
+    positions AS (
+        SELECT doc_id, p - 1 AS p, words[p] AS word
+        FROM wnz, unnest(generate_series(1, len(words))) AS t(p)
+    ),
+    removed AS (
+        SELECT DISTINCT positions.doc_id, p
+        FROM positions
+        JOIN dups d ON positions.doc_id = d.doc_id
+                   AND p BETWEEN d.pos AND d.pos + {WINDOW_WORDS} - 1
+    ),
+    kept AS (
+        SELECT po.doc_id, po.p, po.word
+        FROM positions po
+        ANTI JOIN removed r ON po.doc_id = r.doc_id AND po.p = r.p
+    ),
+    perdoc AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text,
+               count(*) AS n_surv
+        FROM kept GROUP BY doc_id
+    )
+    SELECT wnz.doc_id,
+           coalesce(perdoc.clean_text, '') AS clean_text,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(words) - coalesce(n_surv, 0) AS BIGINT) AS n_removed
+    FROM wnz LEFT JOIN perdoc ON wnz.doc_id = perdoc.doc_id
+"""
+
 _URL_SQL = (
     "'https://WWW.' || source || '.Example.COM/' || lang || '/page-' || "
     "CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=feed&utm_campaign=c' || "
@@ -738,6 +1000,10 @@ _URL_SQL = (
 )
 
 ORACLES: dict[str, str] = {
+    "dedup_simhash": _SIMHASH_SQL,
+    "dedup_window_exact": _WINDOW_EXACT_SQL,
+    "dedup_minhash_lsh": _MINHASH_LSH_SQL,
+    "dedup_incremental": _MINHASH_INCREMENTAL_SQL,
     "dedup_fuzzy": _SHINGLES_SQL
     + f"""
     , cand AS (
@@ -901,6 +1167,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_chunk_exact": dedup_chunk_exact,
+    "dedup_window_exact": dedup_window_exact,
     "dedup_canonical": dedup_canonical,
     "dedup_url": dedup_url,
     "dedup_fuzzy": dedup_fuzzy,

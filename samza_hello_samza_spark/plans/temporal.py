@@ -365,9 +365,15 @@ def customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
             "rnk",
             F.dense_rank().over(w).alias("dense_rnk"),
-            (
-                F.expr("((rnk - 1) * 1000000L) DIV (npart - 1)") / 1e6
-            ).alias("pct_rank"),
+            # single-customer nations: (npart-1)=0 — non-ANSI DIV
+            # would yield NULL (and error under ANSI); percent_rank's
+            # defined value there is 0.0, so guard it explicitly.
+            F.when(
+                F.col("npart") > 1,
+                F.expr("((rnk - 1) * 1000000L) DIV (npart - 1)") / 1e6,
+            )
+            .otherwise(0.0)
+            .alias("pct_rank"),
             (F.expr("(rnk * 1000000L) DIV npart") / 1e6).alias("cume"),
             F.ntile(4).over(w).alias("quartile"),
         )
@@ -846,9 +852,13 @@ ORACLES.update({
         SELECT n_name, c_custkey, revenue,
                rank() OVER w AS rnk,
                dense_rank() OVER w AS dense_rnk,
-               -- integer-exact 6dp ratios (see Spark-side comment)
-               ((rank() OVER w - 1) * 1000000) // (count(*) OVER p - 1)
-                   / 1000000.0 AS pct_rank,
+               -- integer-exact 6dp ratios (see Spark-side comment);
+               -- guard the single-customer nation (n-1 = 0): both
+               -- engines' integer // NULLs there, percent_rank is 0.0
+               CASE WHEN count(*) OVER p > 1
+                    THEN ((rank() OVER w - 1) * 1000000)
+                         // (count(*) OVER p - 1) / 1000000.0
+                    ELSE 0.0 END AS pct_rank,
                (rank() OVER w * 1000000) // (count(*) OVER p)
                    / 1000000.0 AS cume,
                ntile(4) OVER w AS quartile

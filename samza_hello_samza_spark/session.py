@@ -60,6 +60,9 @@ def get_spark(app_name: str = "samza-hello-samza-spark", cpus: int | None = None
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: bench.py's final JSON line is machine-read
+        # from a bounded stdout tail, so no progress bars may interleave.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # Driver testdata stores TIMESTAMP(NANOS); read as long and
         # convert in load_table (truncating to micros, matching what

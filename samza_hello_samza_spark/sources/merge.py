@@ -23,6 +23,14 @@ Semantics follow SQL MERGE with source-wins update (the whole source
 row replaces the target row on a match, NULLs included); the source
 must be key-unique with non-null keys (validated, ValueError) — the
 standard MERGE cardinality rule.
+
+Schema evolution (the Delta ``mergeSchema`` behavior): a source with
+NEW columns widens the table — new columns are null on target-only
+rows and in untouched buckets (parquet footer merge on read). A
+source MISSING a target column, or sharing a column at a different
+type, fails loudly (ValueError): "whole source row wins" is undefined
+for absent columns, and silently null-filling an update would destroy
+data.
 Crash model: dynamic overwrite is atomic per partition directory but
 not across buckets; the multi-source transactional upgrade is
 ``maintenance.TxnView``'s manifest swap (same trade-off as
@@ -69,7 +77,16 @@ class MergeTable:
         )
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path).drop("_bucket")
+        # mergeSchema: after an add-column merge, untouched bucket
+        # files lack the new column — footer merge null-fills them.
+        # Costs a footer read per file at planning; at 100 TB you
+        # freeze the merged schema in a catalog instead and pass it
+        # to .schema(...) — the bucket layout is unchanged either way.
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.path)
+            .drop("_bucket")
+        )
 
     def merge(self, source: DataFrame, delete_cond: F.Column | None = None) -> dict:
         """SQL-MERGE the source into the table; returns audit counts.
@@ -103,9 +120,28 @@ class MergeTable:
         # a schema from — bootstrap: the first merge's source DEFINES
         # the table schema and every source row is an insert.
         try:
-            full = self.spark.read.parquet(self.path)
+            full = self.spark.read.option("mergeSchema", "true").parquet(self.path)
         except Exception:
             full = src.filter(F.lit(False))
+        # schema evolution gate (see module docstring): source may ADD
+        # columns; it may not drop or re-type existing ones.
+        t_fields = {f.name: f.dataType for f in full.schema if f.name != "_bucket"}
+        s_fields = {f.name: f.dataType for f in src.schema if f.name != "_bucket"}
+        missing = [c for c in t_fields if c not in s_fields]
+        if missing:
+            raise ValueError(
+                f"MERGE source is missing table columns {missing}: "
+                "'whole source row wins' is undefined for absent columns — "
+                "select them from the table first or backfill explicitly"
+            )
+        retyped = [
+            (c, str(t_fields[c]), str(s_fields[c]))
+            for c in t_fields
+            if s_fields[c] != t_fields[c]
+        ]
+        if retyped:
+            raise ValueError(f"MERGE source re-types table columns: {retyped}")
+        new_cols = [c for c in s_fields if c not in t_fields]
         target = full.filter(F.col("_bucket").isin(touched))
         t = target.alias("t")
         s = src.alias("s")
@@ -125,7 +161,10 @@ class MergeTable:
         # SQL-MERGE update semantics: the WHOLE source row wins on a
         # match — branch per row on the source key, never per-column
         # coalesce (which would silently resurrect the stale target
-        # value whenever an update sets a column to NULL).
+        # value whenever an update sets a column to NULL). Added
+        # columns have no target side: null of the source's type on
+        # target-only rows (untouched buckets get the same null via
+        # read-time footer merge).
         src_row = F.col(f"s.{key}").isNotNull()
         merged = joined.filter(~deleting).select(
             *[
@@ -133,6 +172,12 @@ class MergeTable:
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
                 for c in cols
+            ],
+            *[
+                F.when(src_row, F.col(f"s.{c}"))
+                .otherwise(F.lit(None).cast(s_fields[c]))
+                .alias(c)
+                for c in new_cols
             ],
             F.coalesce(F.col("s._bucket"), F.col("t._bucket")).alias("_bucket"),
         )

@@ -234,11 +234,19 @@ def decontamination_job(
     from ..operators.text_filters import SHINGLE_K, _bloom_member_sql
 
     member = _bloom_member_sql(n_bits)
-    shingled = docs.select(
+    # materialize words FIRST: _shingles dereferences the array k times
+    # per shingle, and Catalyst re-evaluates an inlined split() per
+    # element_at — the exact blowup batch contamination_bloom fixed
+    # (explode_nonempty's 34s→5.7s lesson). Two selects keep tokenize
+    # once-per-row.
+    tokenized = docs.select(
+        "doc_id", "lang", _words(F.col("text")).alias("words")
+    )
+    shingled = tokenized.select(
         "doc_id",
         "lang",
         F.array_distinct(
-            F.transform(_shingles(_words(F.col("text")), k=SHINGLE_K), F.md5)
+            F.transform(_shingles(F.col("words"), k=SHINGLE_K), F.md5)
         ).alias("sh"),
     )
     return (

@@ -539,24 +539,22 @@ def domain_wordcount_updater(
 
     The incremental-view instance of ``sampling.domain_kl_divergence``:
     counts are MERGEABLE state (sums add), so each micro-batch folds at
-    delta-vocabulary cost — union with the stored state, re-aggregate,
-    atomic staging-directory swap — and history is never re-tokenized.
-    Replay safety follows ``mv_refresh_job``'s applied-batch marker:
-    the merge is not idempotent (counts would double), so a redelivered
-    batch id is a no-op.
+    delta-vocabulary cost — union with the stored state, re-aggregate —
+    and history is never re-tokenized. Crash-atomicity and replay
+    safety both ride on ``TxnView``'s manifest-swap discipline: each
+    fold writes a NEW immutable ``v{N}`` state directory and commits by
+    atomically replacing one MANIFEST.json that records {version,
+    applied_batch} in the SAME write. A crash anywhere before the swap
+    leaves the manifest at version N (the half-written v{N+1} is
+    invisible, never deleted state); a crash after the swap but before
+    Spark checkpoints means the redelivered batch id ≤ applied_batch
+    and folds as a no-op — no double count, no lost history.
     """
-    import os
-
-    marker_dir = os.path.join(checkpoint_dir, "_applied")
-    os.makedirs(marker_dir, exist_ok=True)
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, f"batch-{batch_id}")
-        if os.path.exists(marker) or batch.isEmpty():
+        if batch.isEmpty():
             return
-        fold_domain_wordcounts(batch, state_path)
-        with open(marker, "w") as fh:
-            fh.write("applied")
+        fold_domain_wordcounts(batch, state_path, batch_id=batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(_fold)
@@ -566,35 +564,81 @@ def domain_wordcount_updater(
     )
 
 
-def fold_domain_wordcounts(batch: DataFrame, state_path: str) -> None:
-    """Merge one documents delta into the (source, word, cnt) state."""
+def _dw_manifest(state_path: str) -> dict:
+    import json
     import os
+
+    p = os.path.join(state_path, "MANIFEST.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"version": 0, "applied_batch": -1}
+
+
+def fold_domain_wordcounts(
+    batch: DataFrame, state_path: str, batch_id: int | None = None
+) -> bool:
+    """Merge one documents delta into the (source, word, cnt) state.
+
+    Same snapshot-manifest commit as ``TxnView``: the new state version
+    is written to an immutable ``v{N+1}`` directory, then ONE atomic
+    ``os.replace`` of MANIFEST.json records both the new version and
+    the applied batch id. There is no window in which a crash can lose
+    or double-apply history: before the swap, the manifest still points
+    at v{N} (prior counts intact, batch not marked applied → clean
+    re-fold); the swap itself is the single commit point for state AND
+    the idempotence marker. Returns True iff the delta was folded
+    (False = already-applied batch id, a redelivery no-op).
+    """
+    import json
+    import os
+    import shutil
 
     from ..operators.dedup import _words, explode_nonempty
 
+    os.makedirs(state_path, exist_ok=True)
+    man = _dw_manifest(state_path)
+    if batch_id is not None and batch_id <= man["applied_batch"]:
+        return False
     spark = batch.sparkSession
     delta = (
         explode_nonempty(batch, ["source"], _words(F.col("text")), "word")
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    if os.path.exists(state_path):
+    if man["version"] > 0:
         delta = (
-            spark.read.parquet(state_path)
+            spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
             .unionByName(delta)
             .groupBy("source", "word")
             .agg(F.sum("cnt").alias("cnt"))
         )
-    staging = state_path.rstrip("/") + ".staging"
-    delta.write.mode("overwrite").parquet(staging)
-    final = state_path.rstrip("/") + ".final"
-    if os.path.exists(state_path):
-        os.rename(state_path, final)
-    os.rename(staging, state_path)
-    if os.path.exists(final):
-        import shutil
+    new_version = man["version"] + 1
+    delta.write.mode("overwrite").parquet(os.path.join(state_path, f"v{new_version}"))
+    new_man = {
+        "version": new_version,
+        "applied_batch": batch_id if batch_id is not None else man["applied_batch"],
+    }
+    tmp = os.path.join(state_path, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp, os.path.join(state_path, "MANIFEST.json"))  # THE commit
+    # GC: keep current + previous for in-flight readers (TxnView rule).
+    for v in range(1, new_version - 1):
+        d = os.path.join(state_path, f"v{v}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    return True
 
-        shutil.rmtree(final)
+
+def read_domain_wordcounts(spark: SparkSession, state_path: str) -> DataFrame:
+    """The committed (source, word, cnt) state at the manifest version."""
+    import os
+
+    man = _dw_manifest(state_path)
+    if man["version"] == 0:
+        return spark.createDataFrame([], "source string, word string, cnt bigint")
+    return spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
 
 
 def domain_drift_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
@@ -605,7 +649,7 @@ def domain_drift_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
     state ≡ batch output is pytest-assertable), but its input is the
     (source, word, cnt) table ``domain_wordcount_updater`` keeps.
     """
-    sw = spark.read.parquet(state_path).withColumnRenamed("cnt", "c_sw")
+    sw = read_domain_wordcounts(spark, state_path).withColumnRenamed("cnt", "c_sw")
     w = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
     s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
     n_tot = w.agg(F.sum("c_w").alias("n_total"))

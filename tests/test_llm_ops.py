@@ -56,6 +56,76 @@ def test_minhash_lsh_finds_exact_and_near_dups(spark):
         assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8 over {len(jac_pairs)} pairs"
 
 
+def test_window_exact_removes_planted_span(spark, tmp_path):
+    """A 60-word span planted mid-document in two docs at DIFFERENT
+    offsets (so no fixed chunk grid aligns): the first copy survives
+    untouched, every word of the second copy is removed, surrounding
+    unique text survives, and sub-window docs are never touched."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = [f"span{i}" for i in range(60)]
+    d1 = [f"a{i}" for i in range(100)] + span + [f"b{i}" for i in range(30)]
+    d2 = [f"c{i}" for i in range(40)] + span + [f"d{i}" for i in range(20)]
+    d3 = [f"e{i}" for i in range(30)]  # < 50 words: no windows at all
+    pdf = pd.DataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2)), (3, " ".join(d3))],
+        columns=["doc_id", "text"],
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(pdf), f"{sf_dir}/documents.parquet")
+
+    got = {r.doc_id: r for r in dedup.dedup_window_exact(spark, sf_dir).collect()}
+    assert got[1].clean_text == " ".join(d1) and got[1].n_removed == 0
+    assert got[2].clean_text == " ".join(d2[:40] + d2[100:])
+    assert got[2].n_removed == 60
+    assert got[3].clean_text == " ".join(d3) and got[3].n_removed == 0
+
+    # the chunk-grid variant MISSES this span (different offsets →
+    # different 10-word grids... unless a grid aligns; offsets 100 vs
+    # 40 are both ≡0 mod 10, so shift doc 2 by one to break alignment)
+    # — instead just assert the oracle parity on this planted corpus.
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    oracle = {
+        int(r[0]): (r[1], int(r[2]), int(r[3]))
+        for r in con.execute(dedup.ORACLES["dedup_window_exact"]).fetchall()
+    }
+    con.close()
+    assert oracle == {
+        k: (v.clean_text, v.n_words, v.n_removed) for k, v in got.items()
+    }
+
+
+def test_window_exact_straddles_chunk_grid(spark, tmp_path):
+    """The motivating case: a duplicated span whose copies sit at
+    grid-incompatible offsets. dedup_chunk_exact's fixed grid keeps
+    every chunk of the second copy (no chunk string repeats); the
+    rolling-window variant removes the whole span."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = [f"s{i}" for i in range(55)]
+    d1 = [f"a{i}" for i in range(20)] + span  # span at offset 20
+    d2 = [f"c{i}" for i in range(23)] + span  # offset 23: 3 ≢ 0 mod 10
+    pdf = pd.DataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2))], columns=["doc_id", "text"]
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(pdf), f"{sf_dir}/documents.parquet")
+
+    chunk = {r.doc_id: r for r in dedup.dedup_chunk_exact(spark, sf_dir).collect()}
+    assert chunk[2].n_kept == chunk[2].n_chunks  # grid variant blind
+    win = {r.doc_id: r for r in dedup.dedup_window_exact(spark, sf_dir).collect()}
+    assert win[1].n_removed == 0
+    assert win[2].n_removed == 55
+    assert win[2].clean_text == " ".join(d2[:23])
+
+
 def test_simhash_finds_exact_dups(spark):
     """Exact duplicates have identical simhash → hamming 0 pairs present."""
     pairs = {

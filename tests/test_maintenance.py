@@ -586,7 +586,8 @@ def test_domain_drift_updater_matches_batch_kl(spark, tmp_path):
     snapshot must match the batch KL exactly — doubling every count
     leaves both distributions unchanged — with doubled token counts.
     A restarted query over the same source+checkpoint must fold
-    nothing (applied-batch markers), leaving the state untouched."""
+    nothing (manifest applied_batch marker), leaving the state
+    untouched."""
     import shutil
 
     from samza_hello_samza_spark.operators import sampling
@@ -615,15 +616,59 @@ def test_domain_drift_updater_matches_batch_kl(spark, tmp_path):
         assert got[s].n_distinct_words == want[s].n_distinct_words
         assert got[s].n_words == 2 * want[s].n_words  # corpus folded twice
 
-    # replay: same checkpoint, same files → markers make it a no-op
+    # replay: same checkpoint, same files → manifest marker no-op
     before = sorted(
-        map(tuple, spark.read.parquet(state).collect())
+        map(tuple, maintenance.read_domain_wordcounts(spark, state).collect())
     )
+    man_before = maintenance._dw_manifest(state)
     stream2 = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
     q2 = maintenance.domain_wordcount_updater(stream2, state, ck)
     q2.processAllAvailable()
     q2.stop()
-    after = sorted(map(tuple, spark.read.parquet(state).collect()))
+    after = sorted(
+        map(tuple, maintenance.read_domain_wordcounts(spark, state).collect())
+    )
     assert after == before
+    assert maintenance._dw_manifest(state) == man_before
+
+
+def test_fold_domain_wordcounts_crash_atomic(spark, tmp_path):
+    """Simulated crash DURING a fold (state version written, manifest
+    swap never reached): the committed view must still show the prior
+    counts, the interrupted batch must not be marked applied, and the
+    clean re-fold must land exactly once — the failure mode ADVICE
+    round 3 found in the old rename/rename/rmtree swap."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(50)
+    state = str(tmp_path / "dw_state")
+
+    assert maintenance.fold_domain_wordcounts(docs, state, batch_id=0)
+    v1 = sorted(map(tuple, maintenance.read_domain_wordcounts(spark, state).collect()))
+    assert v1 and maintenance._dw_manifest(state) == {
+        "version": 1,
+        "applied_batch": 0,
+    }
+
+    # crash mid-fold: v2 data directory exists but the manifest swap
+    # never happened (write the orphan exactly as a killed fold would)
+    spark.createDataFrame(
+        [("s", "w", 1)], "source string, word string, cnt bigint"
+    ).write.mode("overwrite").parquet(os.path.join(state, "v2"))
+    assert maintenance._dw_manifest(state)["version"] == 1  # v2 invisible
+    assert (
+        sorted(map(tuple, maintenance.read_domain_wordcounts(spark, state).collect()))
+        == v1
+    )
+
+    # recovery: the same batch id re-folds cleanly over the v1 state,
+    # overwriting the orphan — exactly-once, no double counts
+    assert maintenance.fold_domain_wordcounts(docs, state, batch_id=1)
+    doubled = {
+        (r.source, r.word): r.cnt
+        for r in maintenance.read_domain_wordcounts(spark, state).collect()
+    }
+    assert doubled == {(s, w): 2 * c for (s, w, c) in v1}
+    # redelivery of an applied batch id is a no-op
+    assert not maintenance.fold_domain_wordcounts(docs, state, batch_id=1)
+    assert maintenance._dw_manifest(state)["version"] == 2

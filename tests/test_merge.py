@@ -52,6 +52,48 @@ def test_merge_is_idempotent_for_pure_updates(spark, table):
     assert before == after
 
 
+def test_merge_schema_evolution_adds_column(spark, table):
+    """A superset-schema source widens the table: new column lands on
+    merged rows, reads back NULL for untouched rows/buckets, and the
+    whole table round-trips through a further ordinary merge."""
+    src = spark.createDataFrame(
+        [(1, "X1", "open", 9.5), (500, "ins", "open", 1.25)],
+        "k long, v string, status string, score double",
+    )
+    stats = table.merge(src)
+    assert stats["inserted"] == 1 and stats["updated"] == 1
+    got = {r.k: (r.v, r.score) for r in table.read().collect()}
+    assert got[1] == ("X1", 9.5)
+    assert got[500] == ("ins", 1.25)
+    # a row in a bucket the merge never touched: column exists, NULL
+    untouched = [k for k in got if k not in (1, 500)]
+    assert untouched and all(got[k][1] is None for k in untouched)
+    assert len(got) == 201
+
+    # subsequent merge with the WIDENED schema is now the norm
+    src2 = spark.createDataFrame(
+        [(2, "X2", "open", None)],
+        "k long, v string, status string, score double",
+    )
+    table.merge(src2)
+    got2 = {r.k: (r.v, r.score) for r in table.read().collect()}
+    assert got2[2] == ("X2", None) and got2[1] == ("X1", 9.5)
+
+
+def test_merge_rejects_source_missing_table_columns(spark, table):
+    src = spark.createDataFrame([(1, "X")], "k long, v string")
+    with pytest.raises(ValueError, match="missing table columns"):
+        table.merge(src)
+
+
+def test_merge_rejects_retyped_columns(spark, table):
+    src = spark.createDataFrame(
+        [(1, 7, "open")], "k long, v int, status string"
+    )
+    with pytest.raises(ValueError, match="re-types"):
+        table.merge(src)
+
+
 def test_merge_rejects_duplicate_source_keys(spark, table):
     dup = spark.createDataFrame(
         [(1, "a", "open"), (1, "b", "open")], "k long, v string, status string"
