@@ -84,6 +84,28 @@ HEADLINE = (
     "token_budget_plan",
 )
 
+#: Volume-sensitive keys benched in BOTH tiers but recorded only in
+#: the DETAIL file (never the final stdout line): the driver keeps a
+#: 2000-char stdout tail, and the r03 post-mortem showed the full
+#: two-tier per-query dict cannot fit — so the in-line `queries` dict
+#: stays at the frozen HEADLINE set and everything added for coverage
+#: (r04: the 4×-probe ≥1.3× family + asof/range joins +
+#: segment_migration + this round's new keys) goes here.
+EXTRA_VOLUME = (
+    "redelivery_dedup",
+    "winsorize_values",
+    "order_size_distribution",
+    "group_capped_sample",
+    "audience_overlap",
+    "text_contamination",
+    "asof_last_order",
+    "range_join_value_bands",
+    "segment_migration",
+    "dedup_window_exact",
+    "dedup_simhash",
+    "stream_stream_join_bucketed",
+)
+
 #: Excluded from the sf1 (10×-replicated) tier: replication creates
 #: 10-sized exact-duplicate cliques, so the near-dup pair family's
 #: OUTPUT grows quadratically by construction (an artifact of the
@@ -92,11 +114,17 @@ HEADLINE = (
 #: (its first sf1 run would time the build, not serving).
 SF1_EXCLUDE = {
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "doc_pagerank",
     "triangle_count",
     "text_novelty",
     "mv_event_type_stats",
 }
+
+#: full two-tier per-query timings land here every run (the committed
+#: per-round copy is BENCH_LOCAL_r{N}.json); the final stdout line
+#: carries only what fits the driver's 2000-char tail window.
+DETAIL_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 
 
 def main() -> None:
@@ -122,14 +150,23 @@ def main() -> None:
 
     _pairs_cached(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def _time(names, target_dir, best_of: int = 1) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            best = None
+            for _ in range(best_of):
+                t0 = time.perf_counter()
+                fn(spark, target_dir).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 3)
+        return out
+
+    timings = _time(HEADLINE, sf_dir)
+    extra_timings = _time(EXTRA_VOLUME, sf_dir)
 
     result = {
         "metric": "headline_query_wall_time",
@@ -138,6 +175,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    detail = dict(result)
+    detail["queries"] = {**timings, **extra_timings}
+    detail["value"] = round(sum(detail["queries"].values()), 3)
 
     # sf1 tier: at sf0.1 every headliner is <3.5 s and mostly fixed
     # stage overhead — a plan regression can hide inside the noise.
@@ -158,18 +198,25 @@ def main() -> None:
         spark._jvm.System.gc()
         for q in ("groupby_count", "ann_lsh_topk", "ann_pq_topk"):
             queries[q](spark, sf1_dir).write.mode("overwrite").format("noop").save()
-        sf1_timings: dict[str, float] = {}
-        for name in HEADLINE:
-            if name in SF1_EXCLUDE or name not in queries:
-                continue
-            best = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                queries[name](spark, sf1_dir).write.mode("overwrite").format("noop").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            sf1_timings[name] = round(best, 3)
+        sf1_names = [
+            n
+            for n in (*HEADLINE, *EXTRA_VOLUME)
+            if n not in SF1_EXCLUDE and n in queries
+        ]
+        sf1_timings = _time(sf1_names, sf1_dir, best_of=2)
+        # the final stdout line must fit the driver's 2000-char tail,
+        # so the tier is summarized in-line; per-query numbers go to
+        # the DETAIL file (committed per round as BENCH_LOCAL_r{N}).
         result["tiers"] = {
+            "sf1": {
+                "value": round(sum(sf1_timings.values()), 3),
+                "unit": "sec",
+                "n_queries": len(sf1_timings),
+                "sf": 1.0,
+                "detail": os.path.basename(DETAIL_FILE),
+            }
+        }
+        detail["tiers"] = {
             "sf1": {
                 "value": round(sum(sf1_timings.values()), 3),
                 "unit": "sec",
@@ -178,13 +225,19 @@ def main() -> None:
             }
         }
 
-    # The driver records only a bounded TAIL of stdout; the JSON line
-    # must (a) be the very last thing printed, (b) be as short as
-    # possible (compact separators), and (c) not share its tail with
-    # stray executor chatter (flush stderr first, then stdout last).
+    with open(DETAIL_FILE, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # The driver records only a 2000-char TAIL of stdout; the JSON line
+    # must (a) be the very last thing printed, (b) fit that window
+    # whole (compact separators, sf1 tier summarized — verified by the
+    # guard below so growth fails loudly at bench time, not judge
+    # time), and (c) not share the tail with stray executor chatter.
+    line = json.dumps(result, separators=(",", ":"))
+    assert len(line) <= 1900, f"stdout JSON line {len(line)} > 1900 chars"
     sys.stderr.flush()
     sys.stdout.flush()
-    print(json.dumps(result, separators=(",", ":")), flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

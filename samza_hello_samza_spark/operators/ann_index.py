@@ -451,6 +451,41 @@ def build_pq_index(
     return out_dir
 
 
+def _load_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
+    """(m, ksub, dsub) codebook tensor from the stored rows. Codebooks
+    are FROZEN at build time (appended vectors are encoded against
+    them — the standard PQ live-index contract), so a raw read is
+    snapshot-safe."""
+    books = spark.read.parquet(os.path.join(index_dir, "codebooks")).collect()
+    m = max(r.sub for r in books) + 1
+    ksub = max(r.k for r in books) + 1
+    dsub = len(books[0].centroid)
+    out = np.zeros((m, ksub, dsub))
+    for r in books:
+        out[r.sub][r.k] = np.asarray(r.centroid)
+    return out
+
+
+def _adc_rank(
+    codes: DataFrame, books: np.ndarray, qvec: np.ndarray, n_candidates: int
+) -> DataFrame:
+    """Rank a codes relation by asymmetric-distance table lookups."""
+    m, ksub, dsub = books.shape
+    table = np.array(
+        [books[sub] @ qvec[sub * dsub : (sub + 1) * dsub] for sub in range(m)]
+    )
+    score = None
+    for sub in range(m):
+        lut = F.array(*[F.lit(float(x)) for x in table[sub]])
+        term = F.element_at(lut, F.col(f"code_{sub}") + 1)
+        score = term if score is None else (score + term)
+    return (
+        codes.select("vec_id", score.alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(n_candidates)
+    )
+
+
 def probe_pq_index(
     spark: SparkSession,
     index_dir: str,
@@ -469,25 +504,56 @@ def probe_pq_index(
     TakeOrderedAndProject. Returns (vec_id, adc_score) candidates for
     exact re-rank by the caller.
     """
-    books = spark.read.parquet(os.path.join(index_dir, "codebooks")).collect()
-    m = max(r.sub for r in books) + 1
-    ksub = max(r.k for r in books) + 1
-    dsub = len(books[0].centroid)
-    table = np.zeros((m, ksub))
-    for r in books:
-        table[r.sub][r.k] = float(
-            np.dot(qvec[r.sub * dsub : (r.sub + 1) * dsub], np.asarray(r.centroid))
-        )
+    books = _load_codebooks(spark, index_dir)
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    score = None
-    for sub in range(m):
-        lut = F.array(*[F.lit(float(x)) for x in table[sub]])
-        term = F.element_at(lut, F.col(f"code_{sub}") + 1)
-        score = term if score is None else (score + term)
-    return (
-        codes.select("vec_id", score.alias("adc_score"))
-        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
-        .limit(n_candidates)
+    return _adc_rank(codes, books, qvec, n_candidates)
+
+
+def probe_pq_snapshot(
+    spark: SparkSession,
+    index_dir: str,
+    qvec: np.ndarray,
+    n_candidates: int,
+) -> DataFrame:
+    """``probe_pq_index`` against the committed codes snapshot: the ADC
+    scan reads exactly the manifest's file set, so a concurrent
+    ``append_pq_index`` is invisible until its commit — same
+    torn-append contract as ``probe_lsh_snapshot``."""
+    books = _load_codebooks(spark, index_dir)
+    codes = snapshot_scan(spark, os.path.join(index_dir, "codes"))
+    return _adc_rank(codes, books, qvec, n_candidates)
+
+
+def append_pq_index(spark: SparkSession, index_dir: str, vectors: DataFrame) -> None:
+    """Append (vec_id, v) vectors as code rows, encoded with the FROZEN
+    codebooks — cost ∝ |batch|, no index rewrite. Invisible to snapshot
+    readers until ``commit_index_snapshot(<index_dir>/codes)``."""
+    books = _load_codebooks(spark, index_dir)
+    m, _ksub, dsub = books.shape
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        codes = np.empty((len(emb), m), dtype=np.int32)
+        for sub in range(m):
+            x = mat[:, sub * dsub : (sub + 1) * dsub]
+            d2 = ((x[:, None, :] - books[sub][None, :, :]) ** 2).sum(axis=2)
+            codes[:, sub] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    (
+        vectors.withColumn("codes", encode(F.col("v")))
+        .select(
+            "vec_id",
+            *[
+                F.element_at(F.col("codes"), i + 1).cast("int").alias(f"code_{i}")
+                for i in range(m)
+            ],
+        )
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "codes"))
     )
 
 

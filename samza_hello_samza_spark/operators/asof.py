@@ -99,6 +99,118 @@ def asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Forward as-of join: EARLIEST right row at-or-after each left row,
+    optionally within ``tolerance_s`` seconds.
+
+    The mirror of ``asof_join`` (same tag-union + one window, zero row
+    amplification), run over the key-stream in DESCENDING time order
+    so ``last(..., ignorenulls=True)`` carries the nearest future
+    right row backward; right rows sort before left at equal
+    timestamps, keeping the match inclusive. The matched right
+    timestamp is carried alongside the values so the tolerance is one
+    post-hoc null-out — no second pass, no range join.
+    """
+    lt = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c != key],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast("timestamp").alias("_rt"),
+    )
+    rt = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c != key
+        ],
+        *[F.col(c) for c in value_cols],
+        F.col(right_ts).cast("timestamp").alias("_rt"),
+    )
+    w = Window.partitionBy("_k").orderBy(F.col("_t").desc(), "_side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = lt.unionByName(rt).select(
+        "_k",
+        "_side",
+        F.col("_t").alias("_lt"),
+        *[c for c in left.columns if c != key],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("_rt", ignorenulls=True).over(w).alias("_rt"),
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_s is not None:
+        in_tol = (
+            F.unix_timestamp("_rt")
+            <= F.unix_timestamp(F.col("_lt").cast("timestamp")) + tolerance_s
+        )
+        out = out.select(
+            "_k",
+            "_lt",
+            *[c for c in left.columns if c != key],
+            *[
+                F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in value_cols
+            ],
+        )
+    return out.select(
+        F.col("_k").alias(key),
+        *[c for c in left.columns if c != key],
+        *value_cols,
+    )
+
+
+#: attribution horizon for the forward probe: an order more than 30
+#: days after the touchpoint is not credited to it.
+FORWARD_TOL_DAYS = 30
+
+
+def asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event enriched with the customer's NEXT order at-or-after
+    it, within a 30-day horizon — the forward-attribution twin of
+    ``asof_last_order`` ("did this touchpoint lead to an order?")."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("event_id"), F.col("ts")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("order_ts"),
+        )
+        .agg(F.max("o_orderkey").alias("next_orderkey"))
+    )
+    out = asof_join_forward(
+        ev,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="order_ts",
+        value_cols=["next_orderkey"],
+        tolerance_s=FORWARD_TOL_DAYS * 86400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("event_ts_epoch"),
+        # -1 = no order within the horizon (nullable bigint crosses the
+        # oracle bridge as NaN-laden float64 — the repo's sentinel rule)
+        F.coalesce("next_orderkey", F.lit(-1)).cast("long").alias("next_orderkey"),
+    )
+
+
 def bucketed_range_join(
     fact: DataFrame,
     val_col: str,
@@ -336,10 +448,30 @@ ORACLES: dict[str, str] = {
         ASOF LEFT JOIN o
           ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
     """,
+    "asof_next_order": f"""
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey
+            FROM orders GROUP BY 1, 2
+        ),
+        matched AS (
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderdate, o.next_orderkey
+            FROM events e
+            ASOF LEFT JOIN o
+              ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+        )
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS event_ts_epoch,
+               CAST(coalesce(CASE WHEN CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                         <= CAST(floor(epoch(ts)) AS BIGINT)
+                            + {FORWARD_TOL_DAYS * 86400}
+                    THEN next_orderkey END, -1) AS BIGINT) AS next_orderkey
+        FROM matched
+    """,
 }
 
 QUERIES = {
     "asof_last_order": asof_last_order,
+    "asof_next_order": asof_next_order,
     "range_join_value_bands": range_join_value_bands,
     "session_order_overlap": session_order_overlap,
 }

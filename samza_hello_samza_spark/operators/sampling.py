@@ -402,6 +402,112 @@ def domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dsir_importance
+# ---------------------------------------------------------------------------
+
+#: hashed-feature space size (DSIR uses 10⁴; scaled to the test corpus
+#: — the bucket tables stay B-bounded regardless of corpus size).
+DSIR_BUCKETS = 1024
+#: the "target distribution" slice standing in for the high-quality
+#: reference corpus (DSIR's Wikipedia+books role).
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: hashed-bigram importance weights.
+
+    Data Selection via Importance Resampling (Xie et al., 2023):
+    weight every raw document by how target-like its hashed n-gram
+    distribution is, log w(x) = Σ_b c_b(x)·(ln p̂_target(b) −
+    ln p̂_raw(b)), with word-bigram features hashed into
+    ``DSIR_BUCKETS`` buckets and add-one smoothing on both bucket
+    distributions. Here the target slice is the English sub-corpus
+    (the quality-reference role Wikipedia plays in the paper); the
+    raw distribution is the whole corpus.
+
+    Engine-exactness: the per-bucket log-ratio is truncated to
+    integer micro-nats BEFORE the per-doc aggregation, so the doc
+    score is an integer sum (order-independent — float summation
+    order across engines cannot flip a knife-edge), divided back to
+    nats only at the end. Hashing is the portable md5-slice family.
+
+    Scale shape (100 TB): one tokenize scan → (doc, bucket) counts
+    (shuffle rows are 16-byte pairs); both bucket distributions are
+    B-row aggregates that ride back as ONE broadcast join; output is
+    corpus-sized but narrow. Nothing is vocabulary- or corpus-
+    quadratic, and B bounds all small-side state by construction.
+    """
+    from .dedup import _shingles, _words, explode_nonempty
+
+    b_mod = DSIR_BUCKETS
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).cast("int").alias("is_target"),
+        _words(F.col("text")).alias("words"),
+    )
+    feat = explode_nonempty(
+        tok, ["doc_id", "is_target"], _shingles(F.col("words"), k=2), "bg"
+    ).select(
+        "doc_id",
+        "is_target",
+        _md5_bucket(F.col("bg"), b_mod).alias("b"),
+    )
+    doc_feat = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    tgt = feat.filter(F.col("is_target") == 1).groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    raw = feat.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    n_t = tgt.agg(F.sum("c_t").alias("n_t"))
+    n_r = raw.agg(F.sum("c_r").alias("n_r"))
+    # every bucket that occurs anywhere, target side null-filled: the
+    # raw join below must find a log-ratio for EVERY observed bucket.
+    buckets = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_r))
+        .select(
+            "b",
+            # ln p̂_t − ln p̂_r with add-one smoothing, as integer
+            # micro-nats (Spark cast=trunc; DuckDB oracle uses trunc())
+            (
+                (
+                    F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double"))
+                    - F.log((F.col("n_t") + b_mod).cast("double"))
+                    - F.log((F.col("c_r") + 1).cast("double"))
+                    + F.log((F.col("n_r") + b_mod).cast("double"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_unats"),
+        )
+    )
+    scored = (
+        doc_feat.join(maybe_broadcast(buckets), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            (F.sum(F.col("c") * F.col("lr_unats")) / 1e6).alias("log_weight"),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            (F.col("lang") == DSIR_TARGET_LANG).cast("int").alias("is_target"),
+        )
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+            (F.coalesce("log_weight", F.lit(0.0)) > 0).cast("int").alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # export_shards
 # ---------------------------------------------------------------------------
 
@@ -627,8 +733,53 @@ ORACLES["export_shards"] = f"""
     ORDER BY shard_id
 """
 
+ORACLES["dsir_importance"] = f"""
+    WITH w AS (
+        SELECT doc_id, CAST(lang = '{DSIR_TARGET_LANG}' AS INT) AS is_target,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, is_target,
+               unnest(list_transform(generate_series(1, len(words) - 1),
+                      i -> words[i] || ' ' || words[i+1])) AS bg
+        FROM w
+    ),
+    feat AS (
+        SELECT doc_id, is_target,
+               CAST(concat('0x', substr(md5(bg), 1, 8)) AS BIGINT) % {DSIR_BUCKETS} AS b
+        FROM bg
+    ),
+    doc_feat AS (SELECT doc_id, b, count(*) AS c FROM feat GROUP BY 1, 2),
+    tgt AS (SELECT b, count(*) AS c_t FROM feat WHERE is_target = 1 GROUP BY b),
+    raw AS (SELECT b, count(*) AS c_r FROM feat GROUP BY b),
+    tot AS (SELECT (SELECT sum(c_t) FROM tgt) AS n_t,
+                   (SELECT sum(c_r) FROM raw) AS n_r),
+    buckets AS (
+        -- integer micro-nats, trunc() to match Spark's truncating cast
+        SELECT raw.b,
+               CAST(trunc((ln(coalesce(c_t, 0) + 1) - ln(n_t + {DSIR_BUCKETS})
+                           - ln(c_r + 1) + ln(n_r + {DSIR_BUCKETS}))
+                          * 1000000) AS BIGINT) AS lr_unats
+        FROM raw LEFT JOIN tgt USING (b), tot
+    ),
+    scored AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+               sum(c * lr_unats) / 1000000.0 AS log_weight
+        FROM doc_feat JOIN buckets USING (b)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.lang = '{DSIR_TARGET_LANG}' AS INT) AS is_target,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(log_weight, 0.0) AS log_weight,
+           CAST(coalesce(log_weight, 0.0) > 0 AS INT) AS keep
+    FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""
+
 QUERIES = {
     "curriculum_assign": curriculum_assign,
+    "dsir_importance": dsir_importance,
     "domain_kl_divergence": domain_kl_divergence,
     "token_budget_plan": token_budget_plan,
     "export_shards": export_shards,

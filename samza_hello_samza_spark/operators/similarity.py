@@ -444,6 +444,66 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit.
+
+    The serving-memory lever between float32 and PQ: scalar int8
+    (scale = max|v_i|/127, q_i = half-up(v_i/scale)) is 4× smaller
+    with near-lossless recall, and every vector DB ships it. This
+    operator reports what that compression would cost HERE: per-vector
+    scale, max absolute reconstruction error, and relative L2 error —
+    the audit you run before flipping a corpus to int8.
+
+    Engine-exactness: quantized codes use floor(x·127/maxabs + 0.5)
+    — explicit half-up built from floor, which IS exact in IEEE
+    arithmetic on identical doubles — rather than each engine's own
+    round() (they disagree on exact halves). maxabs is an
+    order-independent max fold. Error sums fold per-row in index
+    order on both engines (the embedding_outliers discipline) and are
+    rounded to 6dp. Zero vectors quantize to scale 0 / error 0.
+
+    Scale shape: one scan, zero shuffle — all math is per-row JVM
+    higher-order functions; output is corpus-sized but 4 narrow
+    columns. The actual rewrite (writing q codes) is this plan plus a
+    partitioned write.
+    """
+    e = _embeddings(spark, sf_dir)
+    with_max = e.select(
+        "vec_id",
+        "v",
+        F.aggregate(
+            "v", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        ).alias("maxabs"),
+    )
+    scale = F.col("maxabs") / F.lit(127.0)
+    qc = F.transform("v", lambda x: F.floor(x * 127.0 / F.col("maxabs") + 0.5))
+    staged = with_max.withColumn(
+        "qc",
+        F.when(F.col("maxabs") > 0, qc).otherwise(
+            F.transform("v", lambda x: F.lit(0).cast("bigint"))
+        ),
+    )
+    err = F.zip_with("v", "qc", lambda x, c: (x - c * scale) * (x - c * scale))
+    abserr = F.zip_with("v", "qc", lambda x, c: F.abs(x - c * scale))
+    return staged.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.round(
+            F.aggregate(abserr, F.lit(0.0), lambda a, x: F.greatest(a, x)), 6
+        ).alias("max_abs_err"),
+        F.when(
+            F.col("maxabs") > 0,
+            F.round(
+                F.sqrt(F.aggregate(err, F.lit(0.0), lambda a, x: a + x))
+                / _norm(F.col("v")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rel_l2_err"),
+    )
+
+
 OUTLIER_PCT = 0.99
 KNN_K = 3
 
@@ -621,6 +681,34 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "embedding_quantize_int8": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        m AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS maxabs
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id, v, maxabs,
+                   CASE WHEN maxabs > 0
+                        THEN list_transform(v, x -> floor(x * 127.0 / maxabs + 0.5))
+                        ELSE list_transform(v, x -> 0.0) END AS qc
+            FROM m
+        )
+        SELECT vec_id,
+               round(maxabs / 127.0, 9) AS scale,
+               round(list_max(list_transform(range(1, {DIM + 1}),
+                     i -> abs(v[i] - qc[i] * (maxabs / 127.0)))), 6) AS max_abs_err,
+               CASE WHEN maxabs > 0 THEN
+                   round(sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                         i -> (v[i] - qc[i] * (maxabs / 127.0))
+                              * (v[i] - qc[i] * (maxabs / 127.0)))))
+                         / sqrt(list_sum(list_transform(v, x -> x * x))), 6)
+               ELSE 0.0 END AS rel_l2_err
+        FROM q
+    """,
     "embedding_norm_stats": f"""
         WITH norms AS (
             SELECT label,
@@ -712,6 +800,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "embedding_quantize_int8": embedding_quantize_int8,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,

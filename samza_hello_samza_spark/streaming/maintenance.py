@@ -291,6 +291,74 @@ def ann_serving_job(
     )
 
 
+def pq_serving_job(
+    query_stream: DataFrame,
+    index_dir: str,
+    vectors: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    top_k: int = 10,
+    n_candidates: int = 64,
+) -> StreamingQuery:
+    """Serve ANN queries from a stream via the PQ/ADC route.
+
+    The memory-bound twin of ``ann_serving_job``: instead of probing
+    LSH band partitions, each micro-batch ADC-ranks the committed
+    codes snapshot (codes-only columns, a few bytes per corpus vector
+    — ``ann_index.probe_pq_snapshot``), then exact-cosine re-ranks
+    only the ``n_candidates`` finalists against the full ``vectors``
+    relation via a broadcast semi-join on vec_id — the same
+    candidates→re-rank shape as batch ``similarity.ann_pq_topk``.
+    Snapshot isolation per batch: the manifest is resolved at probe
+    time, so an in-flight ``append_pq_index`` is invisible until its
+    ``commit_index_snapshot``. Per-batch driver work is one codebook
+    read (m×ksub rows) + per-query lookup tables — micro-batch-sized
+    by construction.
+    """
+    from ..operators.ann_index import probe_pq_snapshot
+
+    def _serve(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        queries = batch.select("query_id", "v").collect()  # micro-batch-sized
+        for q in queries:
+            qvec = np.asarray(q.v)
+            qnorm = float(np.linalg.norm(qvec))
+            cand_ids = probe_pq_snapshot(
+                spark, index_dir, qvec, n_candidates
+            ).select("vec_id")
+            cand = vectors.join(F.broadcast(cand_ids), "vec_id", "left_semi")
+            qv = F.array(*[F.lit(float(x)) for x in qvec])
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), qv, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            norm = F.sqrt(
+                F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+            )
+            (
+                cand.withColumn("cosine", F.round(dot / (norm * F.lit(qnorm)), 6))
+                .orderBy(F.desc("cosine"), F.asc("vec_id"))
+                .limit(top_k)
+                .select(
+                    F.lit(int(q.query_id)).alias("query_id"),
+                    "vec_id",
+                    "cosine",
+                )
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+    return (
+        query_stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def cms_updater(
     stream: DataFrame, state_path: str, key_col: str, checkpoint_dir: str
 ) -> StreamingQuery:

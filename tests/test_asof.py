@@ -111,3 +111,69 @@ def test_session_order_overlap_bounds(spark):
     assert len(keys) == len(set(keys))
     for r in rows:
         assert 0 <= r.overlap_seconds <= ORDER_WINDOW_DAYS * DAY_SEC
+
+
+def test_asof_join_forward_semantics(spark):
+    """Forward as-of: earliest right at-or-after, inclusive at equality,
+    null after the last right row, tolerance nulls far matches."""
+    from samza_hello_samza_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, _ts(0), "a"), (1, _ts(10), "b"), (1, _ts(30), "c"), (2, _ts(5), "d")],
+        "k int, lts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(20), 200)],
+        "k int, rts timestamp, val int",
+    )
+    got = {
+        r.tag: r.val
+        for r in asof_join_forward(
+            left, right, "k", "lts", "rts", ["val"]
+        ).collect()
+    }
+    assert got == {"a": 100, "b": 100, "c": None, "d": None}
+    # tolerance 5s: "a"'s match at +10s is beyond it
+    got_tol = {
+        r.tag: r.val
+        for r in asof_join_forward(
+            left, right, "k", "lts", "rts", ["val"], tolerance_s=5
+        ).collect()
+    }
+    assert got_tol == {"a": None, "b": 100, "c": None, "d": None}
+
+
+def test_asof_next_order_matches_model(spark):
+    """Brute-force per-event model over the real tables."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.operators.asof import (
+        FORWARD_TOL_DAYS,
+        asof_next_order,
+    )
+    from samza_hello_samza_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    orders = {}
+    for r in (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("k"))
+        .collect()
+    ):
+        orders.setdefault(r.o_custkey, []).append(
+            (dt.datetime.combine(r.o_orderdate, dt.time()), r.k)
+        )
+    for v in orders.values():
+        v.sort()
+    got = {r.event_id: r.next_orderkey for r in asof_next_order(spark, SF_DIR).collect()}
+    events = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts").collect()
+    assert got and len(got) == len(events)
+    tol = dt.timedelta(days=FORWARD_TOL_DAYS)
+    for e in events:
+        want = -1
+        for ots, okey in orders.get(e.user_id, ()):
+            if ots >= e.ts:
+                want = okey if ots <= e.ts + tol else -1
+                break
+        assert got[e.event_id] == want, e.event_id

@@ -605,3 +605,19 @@ def test_explode_nonempty_equals_explode_for_nullfree_arrays(spark):
         dfn.select("id", F.explode("arr").alias("x")).count() == 2
         and dedup.explode_nonempty(dfn, ["id"], F.col("arr"), "x").count() == 1
     )
+
+
+def test_int8_quantization_error_bounds(spark):
+    """Half-up int8 codes: per-component error ≤ scale/2 (+ float eps),
+    relative L2 error small, zero scale only for zero vectors."""
+    from samza_hello_samza_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    rows = embedding_quantize_int8(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.scale >= 0
+        # + 5e-7: max_abs_err is reported rounded to 6dp
+        assert r.max_abs_err <= r.scale / 2 + 5e-7, r.vec_id
+        assert 0 <= r.rel_l2_err < 0.05, r.vec_id

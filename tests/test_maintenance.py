@@ -455,6 +455,112 @@ def test_ann_serving_job_matches_batch_probe(spark, tmp_path):
         assert got[qrow.query_id] == scored, qrow.query_id
 
 
+def test_pq_snapshot_isolates_uncommitted_appends(spark, tmp_path):
+    """PQ route of the torn-append contract: an appended-but-uncommitted
+    codes file is invisible to the ADC snapshot probe; after the codes
+    manifest commit the new vector ranks (it is an exact clone of the
+    query, so it must take ADC rank 1)."""
+    import os
+
+    idx = ann_index.build_pq_index(
+        spark, SF_DIR, similarity.PQ_M, similarity.PQ_KSUB,
+        out_dir=str(tmp_path / "pq_versioned"),
+    )
+    codes_dir = os.path.join(idx, "codes")
+    man1 = ann_index.commit_index_snapshot(codes_dir)
+    assert man1["version"] == 1 and man1["files"]
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+    before = {
+        r.vec_id
+        for r in ann_index.probe_pq_snapshot(spark, idx, qvec, 64).collect()
+    }
+    assert NEW_VEC_ID not in before
+
+    ann_index.append_pq_index(spark, idx, _query_clone_df(spark))
+    assert len(ann_index._list_parquet_files(codes_dir)) > len(man1["files"])
+    mid = {
+        r.vec_id
+        for r in ann_index.probe_pq_snapshot(spark, idx, qvec, 64).collect()
+    }
+    assert mid == before, "torn read: ADC scan saw uncommitted code files"
+
+    man2 = ann_index.commit_index_snapshot(codes_dir)
+    assert man2["version"] == 2
+    after = ann_index.probe_pq_snapshot(spark, idx, qvec, 64).collect()
+    after_ids = {r.vec_id for r in after}
+    # the clone enters the fixed-size candidate list (displacing the
+    # old 64th) — nothing else appears from nowhere
+    assert NEW_VEC_ID in after_ids
+    assert after_ids <= before | {NEW_VEC_ID}
+    # the clone quantizes to the query's own cells → maximal ADC score
+    top_score = max(r.adc_score for r in after)
+    clone_score = next(r.adc_score for r in after if r.vec_id == NEW_VEC_ID)
+    assert abs(clone_score - top_score) < 1e-9
+
+
+def test_pq_serving_job_matches_batch_probe(spark, tmp_path):
+    """Streamed queries through the PQ/ADC route must return exactly
+    the batch snapshot-probe + exact-re-rank answer (the
+    similarity.ann_pq_topk shape) for the same vectors."""
+    import os
+
+    import numpy as np
+
+    idx = ann_index.build_pq_index(
+        spark, SF_DIR, similarity.PQ_M, similarity.PQ_KSUB,
+        out_dir=str(tmp_path / "pq_serve"),
+    )
+    ann_index.commit_index_snapshot(os.path.join(idx, "codes"))
+
+    emb = similarity._embeddings(spark, SF_DIR)
+    qdf = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    qdir = str(tmp_path / "queries")
+    qdf.write.parquet(qdir)
+    stream = spark.readStream.schema("query_id BIGINT, v ARRAY<DOUBLE>").parquet(qdir)
+    out = str(tmp_path / "results")
+    q = maintenance.pq_serving_job(
+        stream, idx, emb, out, str(tmp_path / "ck"),
+        top_k=5, n_candidates=64,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got: dict[int, list] = {}
+    for r in sorted(
+        spark.read.parquet(out).collect(),
+        key=lambda r: (r.query_id, -r.cosine, r.vec_id),
+    ):
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+
+    vecs = {r.vec_id: np.asarray(r.v) for r in emb.collect()}
+    for qrow in qdf.collect():
+        qvec = np.asarray(qrow.v)
+        qnorm = np.linalg.norm(qvec)
+        cand_ids = [
+            r.vec_id
+            for r in ann_index.probe_pq_snapshot(spark, idx, qvec, 64).collect()
+        ]
+        scored = sorted(
+            (
+                (
+                    vid,
+                    round(
+                        float(vecs[vid] @ qvec / (np.linalg.norm(vecs[vid]) * qnorm)),
+                        6,
+                    ),
+                )
+                for vid in cand_ids
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert got[qrow.query_id] == scored, qrow.query_id
+
+
 # -- property-based exactly-once invariant (hypothesis) ----------------------
 
 try:

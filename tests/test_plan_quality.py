@@ -76,6 +76,7 @@ NONEQUI_OK = {
     "priority_mix_chi2",    # 1-row grand-total broadcast
     "doc_length_histogram",  # 1-row doc-total broadcast
     "user_recency_buckets",  # 1-row max-day anchor broadcast
+    "dsir_importance",       # two 1-row feature-total broadcasts
 }
 
 #: operators that declared an Arrow-batched Python stage.

@@ -192,3 +192,21 @@ def test_token_budget_plan_fills_budget_and_flattens(spark):
             big.quota_tokens / small.quota_tokens
             < big.n_tokens / small.n_tokens
         )
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """The importance weight must separate the slices it was built
+    from: mean log-weight of target (en) docs strictly exceeds the
+    non-target mean, and docs with no bigrams carry weight 0."""
+    from samza_hello_samza_spark.operators.sampling import dsir_importance
+    from tests.conftest import SF_DIR
+
+    rows = dsir_importance(spark, SF_DIR).collect()
+    assert rows
+    tgt = [r.log_weight for r in rows if r.is_target == 1]
+    non = [r.log_weight for r in rows if r.is_target == 0]
+    assert tgt and non
+    assert sum(tgt) / len(tgt) > sum(non) / len(non)
+    for r in rows:
+        if r.n_grams == 0:
+            assert r.log_weight == 0.0 and r.keep == 0

@@ -109,6 +109,21 @@ SKEW_OPS = (
     "redelivery_dedup",
     "order_size_distribution",
     "q18_large_volume",
+    # fact-fact join family (r04, VERDICT item 5): lineitem⋈orders on
+    # the hot orderkey, per-supplier aggs on the hot suppkey, and the
+    # views⋈clicks self-join on the hot user_id — the shapes where a
+    # hot key means one sort-merge partition does pair-quadratic work.
+    "q9_product_profit",
+    "nation_trade_flow",
+    "supplier_lead_time",
+    "stream_stream_join",
+    # the rewrite of the one blowup above (2.9× at a 20%-hot user):
+    # time-bucketed interval join — comparisons shrink to temporally-
+    # plausible pairs. (A salted variant was measured FIRST and made
+    # it worse, 4.75×: both plans are broadcast joins, so a salt has
+    # no shuffle partitions to spread and only multiplies the build
+    # side — see stream_stream_join_bucketed's docstring.)
+    "stream_stream_join_bucketed",
 )
 
 SKEW_BEGIN = "<!-- SKEW:BEGIN -->"
@@ -129,8 +144,11 @@ def build_skewed(spark, frac: float) -> tuple[str, str]:
     ctl_dir = os.path.join(SCALED_ROOT, "skew_control")
     out_dir = os.path.join(SCALED_ROOT, f"skew{int(frac * 100)}")
     marker = os.path.join(out_dir, "_BUILT")
-    if os.path.exists(marker) and os.path.exists(
-        os.path.join(ctl_dir, "_BUILT")
+    stamp = f"{frac}:v2"  # v2: also plants a hot l_suppkey (r04)
+    if (
+        os.path.exists(marker)
+        and open(marker).read() == stamp
+        and os.path.exists(os.path.join(ctl_dir, "_BUILT"))
     ):
         return ctl_dir, out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -154,6 +172,7 @@ def build_skewed(spark, frac: float) -> tuple[str, str]:
             )
         elif name == "lineitem":
             hot = df.agg(F.min("l_orderkey")).first()[0]
+            hot_supp = df.agg(F.min("l_suppkey")).first()[0]
             df = df.withColumn(
                 "l_orderkey",
                 F.when(
@@ -163,10 +182,23 @@ def build_skewed(spark, frac: float) -> tuple[str, str]:
                     == 0,
                     F.lit(hot),
                 ).otherwise(F.col("l_orderkey")),
+            ).withColumn(
+                # independent selection (different hash salt): the hot
+                # suppkey rows are NOT the hot orderkey rows, so the
+                # supplier-agg and orderkey-join probes skew separately
+                "l_suppkey",
+                F.when(
+                    F.pmod(
+                        F.xxhash64("l_orderkey", "l_linenumber", F.lit(7)),
+                        F.lit(mod),
+                    )
+                    == 0,
+                    F.lit(hot_supp),
+                ).otherwise(F.col("l_suppkey")),
             )
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
     with open(marker, "w") as f:
-        f.write(str(frac))
+        f.write(stamp)
     return ctl_dir, out_dir
 
 
@@ -220,8 +252,12 @@ def run_skew_probe(spark, queries, frac: float) -> None:
         "physical layout, so file-format effects cancel). Ratio =",
         "t(skewed) / t(uniform control) on identical volume: ≈1× means",
         "the plan absorbs a hot key (AQE skew-split on shuffle joins,",
-        "partial aggregation on groupBys); a blowup here is what a",
-        "salted rewrite (operators/skew.py) exists to fix.",
+        "partial aggregation on groupBys); a blowup gets a rewrite —",
+        "salting (operators/skew.py) when the straggler is a SHUFFLE",
+        "partition, comparison-reduction (time bucketing, as in",
+        "stream_stream_join_bucketed) when the plan is a broadcast",
+        "join and the cost is probe-match iterations, which a salt",
+        "cannot spread (measured: salt made it 4.75×, bucketing ~1×).",
         "",
         "| operator | t(uniform) s | t(skewed) s | ratio |",
         "| --- | --- | --- | --- |",
