@@ -556,6 +556,27 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_WORDS = 50
 
 
+def window_fingerprints(words_df: DataFrame, w: int = WINDOW_WORDS) -> DataFrame:
+    """(doc_id, pos, h) stride-1 window fingerprints from a
+    (doc_id, words) relation — md5 of each w-word window, hashed
+    in-row before the positional explode. Shared by the batch
+    ``dedup_window_exact`` and the streaming fingerprint-index fold
+    (``streaming.maintenance.window_fingerprint_updater``)."""
+    wins_arr = F.when(
+        F.size("words") >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - w),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice("words", i + 1, w))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<pos INT, h STRING>>)"))
+    return explode_nonempty(words_df, ["doc_id"], wins_arr, "w").select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
+    )
+
+
 def dedup_window_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee-et-al-style exact substring dedup: stride-1 50-word window
     fingerprints, winner-take-first, covered words removed.
@@ -588,19 +609,7 @@ def dedup_window_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select("doc_id", _words(F.col("text")).alias("words")).filter(
         F.size("words") > 0
     )
-    wins_arr = F.when(
-        F.size("words") >= w,
-        F.transform(
-            F.sequence(F.lit(0), F.size("words") - w),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.md5(F.concat_ws(" ", F.slice("words", i + 1, w))).alias("h"),
-            ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<pos INT, h STRING>>)"))
-    wins = explode_nonempty(words, ["doc_id"], wins_arr, "w").select(
-        "doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
-    )
+    wins = window_fingerprints(words, w)
     first_at = F.min(F.struct("doc_id", "pos")).over(Window.partitionBy("h"))
     dups = (
         wins.withColumn("first_at", first_at)
@@ -634,6 +643,48 @@ def dedup_window_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("words").cast("long").alias("n_words"),
             (F.size("words") - F.size("surv")).cast("long").alias("n_removed"),
         )
+    )
+
+
+def dedup_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time substring dedup: probe ONLY the new batch's window
+    fingerprints against the standing corpus fingerprint index.
+
+    The daily-ingest twin of ``dedup_window_exact`` (same shape as
+    ``dedup_incremental`` vs ``dedup_minhash_lsh``): the corpus index
+    is the h → owner winner table ``streaming.maintenance
+    .window_fingerprint_updater`` maintains (derived in-query here and
+    localCheckpoint'd to stand in for the index read), and the new
+    batch's windows equi-join it on the 16-byte hash — cost
+    |new|·windows + hits, NEVER corpus². Output: one row per new doc
+    that has ≥1 window — its window count, how many windows hit a
+    corpus-owned span, and how many distinct corpus docs own those
+    spans (the triage row an ingest gate acts on).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", _words(F.col("text")).alias("words")).filter(
+        F.size("words") > 0
+    )
+    wins = window_fingerprints(words)
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    idx = (
+        wins.filter(~is_new)
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first_at"))
+        .select("h", F.col("first_at.doc_id").alias("owner"))
+        .localCheckpoint()  # = the standing index read
+    )
+    new_win = wins.filter(is_new)
+    hits = new_win.join(idx, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.count_distinct("owner").alias("n_owner_docs"),
+    )
+    base = new_win.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("n_owner_docs", F.lit(0)).cast("long").alias("n_owner_docs"),
     )
 
 
@@ -993,6 +1044,35 @@ _WINDOW_EXACT_SQL = f"""{_WORDS_CTE}
     FROM wnz LEFT JOIN perdoc ON wnz.doc_id = perdoc.doc_id
 """
 
+_WINDOW_INCREMENTAL_SQL = f"""{_WORDS_CTE}
+    , wnz AS (SELECT doc_id, words FROM w WHERE len(words) > 0),
+    win AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(words[i:i + {WINDOW_WORDS} - 1], ' ')) AS h
+        FROM wnz, unnest(generate_series(1, len(words) - {WINDOW_WORDS} + 1)) AS t(i)
+    ),
+    idx AS (
+        SELECT h, doc_id AS owner FROM (
+            SELECT h, doc_id,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM win WHERE doc_id % {NEW_BATCH_MOD} <> 0)
+        WHERE rn = 1
+    ),
+    new_win AS (SELECT * FROM win WHERE doc_id % {NEW_BATCH_MOD} = 0),
+    hits AS (
+        SELECT n.doc_id, count(*) AS n_dup_windows,
+               count(DISTINCT i.owner) AS n_owner_docs
+        FROM new_win n JOIN idx i USING (h)
+        GROUP BY n.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_windows AS BIGINT) AS n_windows,
+           CAST(coalesce(h.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(h.n_owner_docs, 0) AS BIGINT) AS n_owner_docs
+    FROM (SELECT doc_id, count(*) AS n_windows FROM new_win GROUP BY doc_id) b
+    LEFT JOIN hits h ON b.doc_id = h.doc_id
+"""
+
 _URL_SQL = (
     "'https://WWW.' || source || '.Example.COM/' || lang || '/page-' || "
     "CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=feed&utm_campaign=c' || "
@@ -1002,6 +1082,7 @@ _URL_SQL = (
 ORACLES: dict[str, str] = {
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_window_exact": _WINDOW_EXACT_SQL,
+    "dedup_window_incremental": _WINDOW_INCREMENTAL_SQL,
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
     "dedup_incremental": _MINHASH_INCREMENTAL_SQL,
     "dedup_fuzzy": _SHINGLES_SQL
@@ -1168,6 +1249,7 @@ QUERIES = {
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_chunk_exact": dedup_chunk_exact,
     "dedup_window_exact": dedup_window_exact,
+    "dedup_window_incremental": dedup_window_incremental,
     "dedup_canonical": dedup_canonical,
     "dedup_url": dedup_url,
     "dedup_fuzzy": dedup_fuzzy,

@@ -297,12 +297,141 @@ _TRIANGLES_SQL = (
 )
 
 
+#: fixed peeling rounds: makes the distributed loop AND the SQL oracle
+#: identical deterministic programs; the fixpoint pytest proves the
+#: graph actually converges within this budget, so the fixed-R output
+#: equals the true k-core here. (At 100 TB you iterate to convergence
+#: with a driver-side changed-count check, exactly like dedup_clusters.)
+KCORE_ROUNDS = 8
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership of the near-dup graph (k=2 and k=3).
+
+    The dedup-triage refinement after connected components: a 2-core
+    keeps only docs in CYCLES of similarity (mutually-reinforcing
+    duplicate groups), and the 3-core marks the dense template-flood
+    centers — chains and satellite leaves peel away. Classic
+    distributed peeling: each round recomputes degree WITHIN the
+    surviving set (two equi-joins of the materialized edge table
+    against the survivor list + one groupBy) and drops nodes below k;
+    ``KCORE_ROUNDS`` fixed rounds, survivor list localCheckpoint'd per
+    round to truncate the iterative lineage. Cost per round ∝
+    surviving edges — monotonically shrinking.
+
+    Oracle: the same fixed-round peel UNROLLED as a chained-CTE SQL
+    program (recursive CTEs can't reference the working table twice,
+    which in-set degree needs — so the oracle is generated, not
+    recursive). Fully hash-checked.
+    """
+    pairs = _pairs_cached(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+
+    def peel(k: int) -> DataFrame:
+        surv = deg0.select(F.col("src").alias("node"))
+        for _ in range(KCORE_ROUNDS):
+            in_deg = (
+                edges.join(surv.withColumnRenamed("node", "src"), "src")
+                .join(
+                    surv.select(F.col("node").alias("dst")),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            surv = (
+                in_deg.filter(F.col("c") >= k)
+                .select(F.col("src").alias("node"))
+                .localCheckpoint()
+            )
+        return surv
+
+    core2 = peel(2).withColumn("in_2core", F.lit(1))
+    core3 = peel(3).withColumn("in_3core", F.lit(1))
+    return (
+        deg0.select(F.col("src").alias("doc_id"), F.col("degree").cast("long").alias("degree"))
+        .join(core2.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(core3.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce("in_2core", F.lit(0)).cast("int").alias("in_2core"),
+            F.coalesce("in_3core", F.lit(0)).cast("int").alias("in_3core"),
+        )
+    )
+
+
+def _kcore_chain(k: int, tag: str) -> str:
+    """Chained-CTE unrolled peel: s{tag}0 ⊇ s{tag}1 ⊇ … ⊇ s{tag}R.
+
+    Every CTE is MATERIALIZED: each survivor set is referenced twice
+    by the next round, and without the hint DuckDB's inlining
+    re-evaluates the whole upstream chain (back to the shingle
+    self-join) per reference — measured minutes instead of seconds.
+    """
+    parts = [f"s{tag}0 AS MATERIALIZED (SELECT src AS node FROM deg)"]
+    for r in range(KCORE_ROUNDS):
+        parts.append(
+            f"""s{tag}{r + 1} AS MATERIALIZED (
+        SELECT e.src AS node FROM edges e
+        JOIN s{tag}{r} a ON e.src = a.node
+        JOIN s{tag}{r} b ON e.dst = b.node
+        GROUP BY e.src HAVING count(*) >= {k}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_KCORE_SQL = (
+    _SHINGLES_SQL
+    + f"""
+    , counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN counts na ON na.doc_id = doc_a
+        JOIN counts nb ON nb.doc_id = doc_b
+        WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+    ),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT src, count(*) AS degree FROM edges GROUP BY src),
+    {_kcore_chain(2, "a")},
+    {_kcore_chain(3, "b")}
+    SELECT d.src AS doc_id,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(CASE WHEN c2.node IS NULL THEN 0 ELSE 1 END AS INT) AS in_2core,
+           CAST(CASE WHEN c3.node IS NULL THEN 0 ELSE 1 END AS INT) AS in_3core
+    FROM deg d
+    LEFT JOIN s{"a"}{KCORE_ROUNDS} c2 ON d.src = c2.node
+    LEFT JOIN s{"b"}{KCORE_ROUNDS} c3 ON d.src = c3.node
+    """
+)
+
+
 ORACLES: dict[str, str] = {
     "doc_pagerank": _PAGERANK_SQL,
     "triangle_count": _TRIANGLES_SQL,
+    "graph_kcore": _KCORE_SQL,
 }
 
 QUERIES = {
     "doc_pagerank": doc_pagerank,
     "triangle_count": triangle_count,
+    "graph_kcore": graph_kcore,
 }

@@ -62,6 +62,46 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_mixed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with a non-cube set selection: (type, day),
+    (type, hour-of-day), and the grand total — the mixed-granularity
+    report (daily trend + intraday profile per event type) that CUBE
+    cannot express without computing the unwanted (day, hour) sets.
+    Still ONE Expand+Aggregate pass: each input row expands to exactly
+    the 3 requested sets (vs 8 for a 3-dim cube), so the shuffle is
+    3× the input instead of 2^d×. grouping_id disambiguates NULL
+    markers exactly as in ``events_cube``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+            "value",
+        )
+        .groupingSets(
+            [["event_type", "day"], ["event_type", "hour"], []],
+            "event_type",
+            "day",
+            "hour",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+    return g.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        F.coalesce(F.col("day").cast("string"), F.lit("(all)")).alias("day"),
+        F.coalesce(F.col("hour"), F.lit(-1)).cast("long").alias("hour"),
+        "n_events",
+        "total_value",
+        "gid",
+    )
+
+
 Z_THRESHOLD = 3.0
 
 
@@ -819,6 +859,17 @@ ORACLES: dict[str, str] = {
         FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
         GROUP BY CUBE (event_type, day)
     """,
+    "events_mixed_rollup": """
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(CAST(day AS VARCHAR), '(all)') AS day,
+               CAST(coalesce(hour, -1) AS BIGINT) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value,
+               CAST(GROUPING(event_type, day, hour) AS BIGINT) AS gid
+        FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(hour(ts) AS INT) AS hour, value FROM events)
+        GROUP BY GROUPING SETS ((event_type, day), (event_type, hour), ())
+    """,
     "events_anomaly_zscore": f"""
         WITH stats AS (
             SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
@@ -897,6 +948,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "orders_priority_rollup": orders_priority_rollup,
     "events_cube": events_cube,
+    "events_mixed_rollup": events_mixed_rollup,
     "table_profile": table_profile,
     "events_anomaly_zscore": events_anomaly_zscore,
     "revenue_yearly_growth": revenue_yearly_growth,

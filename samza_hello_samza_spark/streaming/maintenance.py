@@ -709,6 +709,96 @@ def read_domain_wordcounts(spark: SparkSession, state_path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
 
 
+def window_fingerprint_updater(
+    docs_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Maintain the substring-dedup fingerprint index from a live
+    documents stream — the incremental state behind
+    ``dedup.dedup_window_exact`` at ingest time.
+
+    State is the winner table h → first (doc_id, pos): min(struct) is
+    a MERGEABLE aggregate (min of mins), so each micro-batch folds at
+    |batch-windows| + |state| cost and history text is never
+    re-fingerprinted. A pipeline then screens an incoming doc by
+    equi-joining its windows against this table (any hit whose winner
+    is another doc ⇒ duplicated span — the same probe shape as
+    ``dedup_incremental``). Crash-atomicity and replay safety ride the
+    same snapshot-manifest commit as ``fold_domain_wordcounts``.
+    """
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        fold_window_fingerprints(batch, state_path, batch_id=batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def fold_window_fingerprints(
+    batch: DataFrame, state_path: str, batch_id: int | None = None
+) -> bool:
+    """Merge one documents delta into the h → first (doc_id, pos)
+    winner table (manifest-swap commit, see fold_domain_wordcounts)."""
+    import json
+    import os
+    import shutil
+
+    from ..operators.dedup import _words, window_fingerprints
+
+    os.makedirs(state_path, exist_ok=True)
+    man = _dw_manifest(state_path)
+    if batch_id is not None and batch_id <= man["applied_batch"]:
+        return False
+    spark = batch.sparkSession
+    words = batch.select("doc_id", _words(F.col("text")).alias("words")).filter(
+        F.size("words") > 0
+    )
+    delta = (
+        window_fingerprints(words)
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first_at"))
+    )
+    if man["version"] > 0:
+        delta = (
+            spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
+            .unionByName(delta)
+            .groupBy("h")
+            .agg(F.min("first_at").alias("first_at"))
+        )
+    new_version = man["version"] + 1
+    delta.write.mode("overwrite").parquet(os.path.join(state_path, f"v{new_version}"))
+    new_man = {
+        "version": new_version,
+        "applied_batch": batch_id if batch_id is not None else man["applied_batch"],
+    }
+    tmp = os.path.join(state_path, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp, os.path.join(state_path, "MANIFEST.json"))  # THE commit
+    for v in range(1, new_version - 1):
+        d = os.path.join(state_path, f"v{v}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    return True
+
+
+def read_window_fingerprints(spark: SparkSession, state_path: str) -> DataFrame:
+    """The committed winner table at the manifest version."""
+    import os
+
+    man = _dw_manifest(state_path)
+    if man["version"] == 0:
+        return spark.createDataFrame(
+            [], "h string, first_at struct<doc_id: bigint, pos: int>"
+        )
+    return spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
+
+
 def domain_drift_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
     """Per-source KL vs the corpus blend, computed FROM the maintained
     state (vocab-sized read — the corpus is never re-tokenized).

@@ -621,3 +621,34 @@ def test_int8_quantization_error_bounds(spark):
         # + 5e-7: max_abs_err is reported rounded to 6dp
         assert r.max_abs_err <= r.scale / 2 + 5e-7, r.vec_id
         assert 0 <= r.rel_l2_err < 0.05, r.vec_id
+
+
+def test_window_incremental_flags_planted_span(spark, tmp_path):
+    """A new doc (id % 10 == 0) sharing a 55-word span with a corpus
+    doc is flagged with the right window counts; a clean new doc is
+    reported with zero hits."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = [f"s{i}" for i in range(55)]
+    corpus_doc = [f"a{i}" for i in range(20)] + span
+    new_dup = [f"c{i}" for i in range(23)] + span
+    new_clean = [f"z{i}" for i in range(60)]
+    pdf = pd.DataFrame(
+        [(1, " ".join(corpus_doc)), (10, " ".join(new_dup)), (20, " ".join(new_clean))],
+        columns=["doc_id", "text"],
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(pdf), f"{sf_dir}/documents.parquet")
+
+    got = {
+        r.doc_id: r for r in dedup.dedup_window_incremental(spark, sf_dir).collect()
+    }
+    assert set(got) == {10, 20}
+    # new_dup: 78 words → 29 windows; 6 of them (starts 23..28) sit
+    # wholly inside the shared span
+    assert got[10].n_windows == len(new_dup) - 50 + 1
+    assert got[10].n_dup_windows == 55 - 50 + 1
+    assert got[10].n_owner_docs == 1
+    assert got[20].n_dup_windows == 0 and got[20].n_owner_docs == 0

@@ -778,3 +778,65 @@ def test_fold_domain_wordcounts_crash_atomic(spark, tmp_path):
     # redelivery of an applied batch id is a no-op
     assert not maintenance.fold_domain_wordcounts(docs, state, batch_id=1)
     assert maintenance._dw_manifest(state)["version"] == 2
+
+
+def test_window_fingerprint_updater_matches_batch_winners(spark, tmp_path):
+    """Two micro-batches (disjoint halves of the corpus): the folded
+    winner table must equal the batch min(struct) winners computed
+    over the whole corpus in one pass, and a restarted query over the
+    same checkpoint folds nothing."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.operators.dedup import (
+        _words,
+        window_fingerprints,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    src = str(tmp_path / "docs_src")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(os.path.join(src, "b1"))
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(os.path.join(src, "b2"))
+    # flatten: the reader wants a flat dir of files
+    import glob
+    import shutil as sh
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "b*", "*.parquet")))):
+        sh.copy(f, os.path.join(flat, f"part-{i}.parquet"))
+
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    state = str(tmp_path / "wf_state")
+    ck = str(tmp_path / "wf_ck")
+    q = maintenance.window_fingerprint_updater(stream, state, ck)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.h: (r.first_at.doc_id, r.first_at.pos)
+        for r in maintenance.read_window_fingerprints(spark, state).collect()
+    }
+    words = docs.select("doc_id", _words(F.col("text")).alias("words")).filter(
+        F.size("words") > 0
+    )
+    want = {
+        r.h: (r.first_at.doc_id, r.first_at.pos)
+        for r in window_fingerprints(words)
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first_at"))
+        .collect()
+    }
+    assert got == want and got
+
+    # restart replay: manifest marker makes it a no-op
+    man_before = maintenance._dw_manifest(state)
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    q2 = maintenance.window_fingerprint_updater(stream2, state, ck)
+    q2.processAllAvailable()
+    q2.stop()
+    assert maintenance._dw_manifest(state) == man_before

@@ -207,3 +207,46 @@ def test_pairs_cached_commit_is_atomic_first_writer_wins(spark, tmp_path, monkey
     assert len(builds) == 2
     build_dirs = {os.path.dirname(f) for f in man2["files"]}
     assert len(build_dirs) == 1
+
+
+def test_kcore_fixpoint_and_model(spark):
+    """The fixed-round peel must (a) have CONVERGED within the budget
+    (one more peeling round changes nothing — so the output IS the
+    true k-core, not a truncation) and (b) match a driver-side
+    peeling model of the same edge list."""
+    rows = graph.graph_kcore(spark, SF_DIR).collect()
+    assert rows
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in graph._pairs_cached(spark, SF_DIR).collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def model_core(k):
+        surv = set(adj)
+        changed = True
+        rounds = 0
+        while changed:
+            changed = False
+            rounds += 1
+            keep = {
+                v for v in surv if len(adj[v] & surv) >= k
+            }
+            if keep != surv:
+                surv, changed = keep, True
+        return surv, rounds
+
+    c2, r2 = model_core(2)
+    c3, r3 = model_core(3)
+    # budget covers convergence (plus the final no-change round)
+    assert max(r2, r3) <= graph.KCORE_ROUNDS, (r2, r3)
+    got2 = {r.doc_id for r in rows if r.in_2core}
+    got3 = {r.doc_id for r in rows if r.in_3core}
+    assert got2 == c2 and got3 == c3
+    # 3-core ⊆ 2-core ⊆ all graph nodes; degrees match the edge list
+    assert got3 <= got2 <= {r.doc_id for r in rows}
+    deg = {r.doc_id: r.degree for r in rows}
+    assert deg == {v: len(adj[v]) for v in adj}
