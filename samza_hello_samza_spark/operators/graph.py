@@ -336,6 +336,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def peel(k: int) -> DataFrame:
         surv = deg0.select(F.col("src").alias("node"))
+        prev_n = None
         for _ in range(KCORE_ROUNDS):
             in_deg = (
                 edges.join(surv.withColumnRenamed("node", "src"), "src")
@@ -351,6 +352,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col("src").alias("node"))
                 .localCheckpoint()
             )
+            # peeling shrinks monotonically (surv_{t+1} ⊆ surv_t), so
+            # an unchanged COUNT means an unchanged SET — fixpoint
+            # reached, remaining rounds are no-ops. Output identical
+            # to the full fixed-R run (what the oracle computes), so
+            # the early exit is pure wall-time (typ. 3 rounds, not 8).
+            n = surv.count()
+            if n == prev_n:
+                break
+            prev_n = n
         return surv
 
     core2 = peel(2).withColumn("in_2core", F.lit(1))
