@@ -431,9 +431,15 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     order across engines cannot flip a knife-edge), divided back to
     nats only at the end. Hashing is the portable md5-slice family.
 
-    Scale shape (100 TB): one tokenize scan → (doc, bucket) counts
-    (shuffle rows are 16-byte pairs); both bucket distributions are
-    B-row aggregates that ride back as ONE broadcast join; output is
+    Scale shape (100 TB): ONE tokenize scan reduces straight to the
+    (doc, bucket, count) feature matrix — the only corpus-sized
+    shuffle, 16-byte rows — which is then materialized
+    (localCheckpoint) because every downstream quantity (target and
+    raw bucket distributions, their totals, the per-doc score) is an
+    aggregate OF that matrix; without the checkpoint Spark would
+    re-run the tokenize+hash scan once per consumer (measured: the
+    plan audit showed 3 scans). Both bucket distributions are B-row
+    aggregates that ride back as ONE broadcast join; output is
     corpus-sized but narrow. Nothing is vocabulary- or corpus-
     quadratic, and B bounds all small-side state by construction.
     """
@@ -453,11 +459,17 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_target",
         _md5_bucket(F.col("bg"), b_mod).alias("b"),
     )
-    doc_feat = feat.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    tgt = feat.filter(F.col("is_target") == 1).groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_t")
+    doc_feat = (
+        feat.groupBy("doc_id", "is_target", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
-    raw = feat.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    raw = doc_feat.groupBy("b").agg(F.sum("c").alias("c_r"))
+    tgt = (
+        doc_feat.filter(F.col("is_target") == 1)
+        .groupBy("b")
+        .agg(F.sum("c").alias("c_t"))
+    )
     n_t = tgt.agg(F.sum("c_t").alias("n_t"))
     n_r = raw.agg(F.sum("c_r").alias("n_r"))
     # every bucket that occurs anywhere, target side null-filled: the

@@ -47,6 +47,113 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKETS = 32
 
 
+def _validate_merge_source(source: DataFrame, key: str) -> None:
+    # one aggregate job validates both cardinality rules: key-unique
+    # AND no NULL keys (count_distinct ignores NULLs, so either
+    # defect makes the two counts diverge). ValueError, not assert —
+    # `python -O` strips asserts and a duplicate-key source would
+    # silently row-multiply through the full-outer join.
+    chk = source.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("k"),
+    ).collect()[0]
+    if chk.n != chk.k:
+        raise ValueError(
+            f"MERGE source must be key-unique with non-null keys: "
+            f"{chk.n} rows, {chk.k} distinct non-null keys"
+        )
+
+
+def _gate_schema_evolution(full: DataFrame, src: DataFrame):
+    """Schema evolution gate (see module docstring): source may ADD
+    columns; it may not drop or re-type existing ones. Returns
+    (existing cols, new source-only cols, source field types)."""
+    t_fields = {f.name: f.dataType for f in full.schema if f.name != "_bucket"}
+    s_fields = {f.name: f.dataType for f in src.schema if f.name != "_bucket"}
+    missing = [c for c in t_fields if c not in s_fields]
+    if missing:
+        raise ValueError(
+            f"MERGE source is missing table columns {missing}: "
+            "'whole source row wins' is undefined for absent columns — "
+            "select them from the table first or backfill explicitly"
+        )
+    retyped = [
+        (c, str(t_fields[c]), str(s_fields[c]))
+        for c in t_fields
+        if s_fields[c] != t_fields[c]
+    ]
+    if retyped:
+        raise ValueError(f"MERGE source re-types table columns: {retyped}")
+    new_cols = [c for c in s_fields if c not in t_fields]
+    cols = [f.name for f in full.schema if f.name != "_bucket"]
+    return cols, new_cols, s_fields
+
+
+def _merge_rows(
+    target: DataFrame,
+    src: DataFrame,
+    key: str,
+    cols: list[str],
+    new_cols: list[str],
+    s_fields: dict,
+    delete_cond: F.Column | None,
+):
+    """The MERGE core both table variants share: one full-outer
+    equi-join resolving update/insert/delete/carry, returning the
+    checkpointed merged rows (with ``_bucket``) and audit counts."""
+    t = target.alias("t")
+    s = src.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+    # a delete-marked source row must never INSERT either (the
+    # "WHEN NOT MATCHED AND cond THEN skip" clause): without it, a
+    # REPLAYED tombstone would re-insert the row it once deleted —
+    # with it, applying a CDC batch is fully idempotent.
+    deleting = (
+        F.col(f"s.{key}").isNotNull() & F.coalesce(delete_cond, F.lit(False))
+        if delete_cond is not None
+        else F.lit(False)
+    )
+    # SQL-MERGE update semantics: the WHOLE source row wins on a
+    # match — branch per row on the source key, never per-column
+    # coalesce (which would silently resurrect the stale target
+    # value whenever an update sets a column to NULL). Added
+    # columns have no target side: null of the source's type on
+    # target-only rows (untouched buckets get the same null at read
+    # time — footer merge / allowMissingColumns union).
+    src_row = F.col(f"s.{key}").isNotNull()
+    merged = joined.filter(~deleting).select(
+        *[
+            F.when(src_row, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in cols
+        ],
+        *[
+            F.when(src_row, F.col(f"s.{c}"))
+            .otherwise(F.lit(None).cast(s_fields[c]))
+            .alias(c)
+            for c in new_cols
+        ],
+        F.coalesce(F.col("s._bucket"), F.col("t._bucket")).alias("_bucket"),
+    )
+    # break the lineage to the files being replaced: Spark refuses
+    # (correctly) to overwrite a path its own plan still reads.
+    # The checkpoint holds touched-bucket rows only — the bound the
+    # whole design exists to provide.
+    merged = merged.localCheckpoint()
+    counts = joined.agg(
+        F.sum((matched & ~deleting).cast("long")).alias("updated"),
+        F.sum((matched & deleting).cast("long")).alias("deleted"),
+        F.sum((F.col(f"t.{key}").isNull() & ~deleting).cast("long")).alias(
+            "inserted"
+        ),
+    ).collect()[0]
+    return merged, {
+        "inserted": int(counts.inserted or 0),
+        "updated": int(counts.updated or 0),
+        "deleted": int(counts.deleted or 0),
+    }
+
+
 class MergeTable:
     """A hash-bucketed parquet table with MERGE INTO support."""
 
@@ -97,20 +204,7 @@ class MergeTable:
         "closed"``.
         """
         key = self.key_col
-        # one aggregate job validates both cardinality rules: key-unique
-        # AND no NULL keys (count_distinct ignores NULLs, so either
-        # defect makes the two counts diverge). ValueError, not assert —
-        # `python -O` strips asserts and a duplicate-key source would
-        # silently row-multiply through the full-outer join.
-        chk = source.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(key)).alias("k"),
-        ).collect()[0]
-        if chk.n != chk.k:
-            raise ValueError(
-                f"MERGE source must be key-unique with non-null keys: "
-                f"{chk.n} rows, {chk.k} distinct non-null keys"
-            )
+        _validate_merge_source(source, key)
         src = source.withColumn("_bucket", self._bucket()).localCheckpoint()
         touched = sorted(r._bucket for r in src.select("_bucket").distinct().collect())
         if not touched:
@@ -123,76 +217,11 @@ class MergeTable:
             full = self.spark.read.option("mergeSchema", "true").parquet(self.path)
         except Exception:
             full = src.filter(F.lit(False))
-        # schema evolution gate (see module docstring): source may ADD
-        # columns; it may not drop or re-type existing ones.
-        t_fields = {f.name: f.dataType for f in full.schema if f.name != "_bucket"}
-        s_fields = {f.name: f.dataType for f in src.schema if f.name != "_bucket"}
-        missing = [c for c in t_fields if c not in s_fields]
-        if missing:
-            raise ValueError(
-                f"MERGE source is missing table columns {missing}: "
-                "'whole source row wins' is undefined for absent columns — "
-                "select them from the table first or backfill explicitly"
-            )
-        retyped = [
-            (c, str(t_fields[c]), str(s_fields[c]))
-            for c in t_fields
-            if s_fields[c] != t_fields[c]
-        ]
-        if retyped:
-            raise ValueError(f"MERGE source re-types table columns: {retyped}")
-        new_cols = [c for c in s_fields if c not in t_fields]
+        cols, new_cols, s_fields = _gate_schema_evolution(full, src)
         target = full.filter(F.col("_bucket").isin(touched))
-        t = target.alias("t")
-        s = src.alias("s")
-        joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
-        matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
-        # a delete-marked source row must never INSERT either (the
-        # "WHEN NOT MATCHED AND cond THEN skip" clause): without it, a
-        # REPLAYED tombstone would re-insert the row it once deleted —
-        # with it, applying a CDC batch is fully idempotent.
-        marked = (
-            F.col(f"s.{key}").isNotNull() & F.coalesce(delete_cond, F.lit(False))
-            if delete_cond is not None
-            else F.lit(False)
+        merged, counts = _merge_rows(
+            target, src, key, cols, new_cols, s_fields, delete_cond
         )
-        deleting = marked
-        cols = [c for c in full.columns if c != "_bucket"]
-        # SQL-MERGE update semantics: the WHOLE source row wins on a
-        # match — branch per row on the source key, never per-column
-        # coalesce (which would silently resurrect the stale target
-        # value whenever an update sets a column to NULL). Added
-        # columns have no target side: null of the source's type on
-        # target-only rows (untouched buckets get the same null via
-        # read-time footer merge).
-        src_row = F.col(f"s.{key}").isNotNull()
-        merged = joined.filter(~deleting).select(
-            *[
-                F.when(src_row, F.col(f"s.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-                for c in cols
-            ],
-            *[
-                F.when(src_row, F.col(f"s.{c}"))
-                .otherwise(F.lit(None).cast(s_fields[c]))
-                .alias(c)
-                for c in new_cols
-            ],
-            F.coalesce(F.col("s._bucket"), F.col("t._bucket")).alias("_bucket"),
-        )
-        # break the lineage to the files being replaced: Spark refuses
-        # (correctly) to overwrite a path its own plan still reads.
-        # The checkpoint holds touched-bucket rows only — the bound the
-        # whole design exists to provide.
-        merged = merged.localCheckpoint()
-        counts = joined.agg(
-            F.sum((matched & ~deleting).cast("long")).alias("updated"),
-            F.sum((matched & deleting).cast("long")).alias("deleted"),
-            F.sum(
-                (F.col(f"t.{key}").isNull() & ~deleting).cast("long")
-            ).alias("inserted"),
-        ).collect()[0]
         (
             merged.repartition("_bucket")
             .write.mode("overwrite")
@@ -200,12 +229,7 @@ class MergeTable:
             .partitionBy("_bucket")
             .parquet(self.path)
         )
-        return {
-            "inserted": int(counts.inserted or 0),
-            "updated": int(counts.updated or 0),
-            "deleted": int(counts.deleted or 0),
-            "buckets": touched,
-        }
+        return {**counts, "buckets": touched}
 
     def bucket_files(self) -> dict[int, list[str]]:
         out: dict[int, list[str]] = {}
@@ -217,3 +241,175 @@ class MergeTable:
                     f for f in os.listdir(d) if f.endswith(".parquet")
                 )
         return out
+
+
+class VersionedMergeTable:
+    """MergeTable with snapshot isolation and time travel.
+
+    ``MergeTable``'s dynamic partition overwrite is atomic per bucket
+    directory but NOT across buckets: a crash mid-write can leave a
+    multi-bucket merge half-applied, and history is destroyed in
+    place. This variant closes both gaps with the repo's
+    snapshot-manifest commit (TxnView / ann_index discipline), i.e.
+    the Iceberg/Delta transaction-log design re-expressed minimally:
+
+    - every merge writes its touched buckets' NEW files under an
+      immutable ``data/v{N}/_bucket=*/`` directory — untouched bucket
+      files are never rewritten, not even touched;
+    - one MANIFEST.json maps, PER VERSION, each bucket to the version
+      directory that last rewrote it; ``os.replace`` of the manifest
+      is the single commit point, so readers see every merge fully or
+      not at all — cross-bucket atomicity by atomicity of the swap;
+    - ``read(version=K)`` resolves any historical snapshot (time
+      travel): one pruned read per distinct writer version (the
+      bucket filter is a partition filter, so only the snapshot's
+      bucket directories are listed), unioned by name with missing
+      columns null-filled — schema evolution works across versions
+      without rewriting old files.
+
+    Scale shape: merge cost is O(source + touched-bucket rows), the
+    manifest is O(versions × buckets) — KB — and nothing ever
+    rewrites an untouched file, which is what makes the layout safe
+    for petabyte tables with concurrent readers.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        n_buckets: int = DEFAULT_BUCKETS,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "MANIFEST.json")
+
+    def manifest(self) -> dict:
+        import json
+
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"current": 0, "snapshots": {}}
+
+    def _swap_manifest(self, man: dict) -> None:
+        import json
+
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest_path())  # THE commit point
+
+    def versions(self) -> list[int]:
+        return sorted(int(v) for v in self.manifest()["snapshots"])
+
+    def _data_dir(self, version: int) -> str:
+        return os.path.join(self.path, "data", f"v{version}")
+
+    def _bucket(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(F.col(self.key_col).cast("string")), F.lit(self.n_buckets)
+        ).cast("int")
+
+    # -- read -------------------------------------------------------------
+
+    def _read_snapshot(
+        self, snap: dict[str, int], buckets: list[int] | None = None
+    ) -> DataFrame:
+        by_writer: dict[int, list[int]] = {}
+        for b, m in snap.items():
+            if buckets is None or int(b) in buckets:
+                by_writer.setdefault(int(m), []).append(int(b))
+        parts = []
+        for m, bs in sorted(by_writer.items()):
+            parts.append(
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self._data_dir(m))
+                .filter(F.col("_bucket").isin(bs))  # partition filter
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: current). Time travel is
+        just reading an older snapshot's bucket→writer map."""
+        man = self.manifest()
+        v = man["current"] if version is None else version
+        if str(v) not in man["snapshots"]:
+            raise FileNotFoundError(f"no snapshot v{v} in {self.path}")
+        df = self._read_snapshot(man["snapshots"][str(v)])
+        if df is None:  # table emptied at this version
+            raise FileNotFoundError(f"snapshot v{v} holds no buckets")
+        return df.drop("_bucket")
+
+    # -- write ------------------------------------------------------------
+
+    def write_full(self, df: DataFrame) -> None:
+        src = df.withColumn("_bucket", self._bucket())
+        (
+            src.repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(self._data_dir(1))
+        )
+        present = sorted(
+            r._bucket for r in src.select("_bucket").distinct().collect()
+        )
+        self._swap_manifest(
+            {"current": 1, "snapshots": {"1": {str(b): 1 for b in present}}}
+        )
+
+    def merge(self, source: DataFrame, delete_cond: F.Column | None = None) -> dict:
+        """Atomic multi-bucket MERGE; see MergeTable.merge for the row
+        semantics (identical — same shared core)."""
+        key = self.key_col
+        _validate_merge_source(source, key)
+        src = source.withColumn("_bucket", self._bucket()).localCheckpoint()
+        touched = sorted(
+            r._bucket for r in src.select("_bucket").distinct().collect()
+        )
+        man = self.manifest()
+        if not touched:
+            return {"inserted": 0, "updated": 0, "deleted": 0, "buckets": [],
+                    "version": man["current"]}
+        snap = dict(man["snapshots"].get(str(man["current"]), {}))
+        target = self._read_snapshot(snap, buckets=touched)
+        if target is None:
+            target = src.filter(F.lit(False))
+        cols, new_cols, s_fields = _gate_schema_evolution(target, src)
+        merged, counts = _merge_rows(
+            target, src, key, cols, new_cols, s_fields, delete_cond
+        )
+        new_version = man["current"] + 1
+        (
+            merged.repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(self._data_dir(new_version))
+        )
+        # a touched bucket whose merge deleted every row writes no
+        # directory — it must leave the snapshot entirely.
+        present = {
+            r._bucket for r in merged.select("_bucket").distinct().collect()
+        }
+        for b in touched:
+            if b in present:
+                snap[str(b)] = new_version
+            else:
+                snap.pop(str(b), None)
+        man["snapshots"][str(new_version)] = snap
+        man["current"] = new_version
+        self._swap_manifest(man)  # all-or-nothing across every bucket
+        return {**counts, "buckets": touched, "version": new_version}

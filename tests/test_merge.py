@@ -220,3 +220,132 @@ def test_cdc_apply_job_end_to_end(spark, tmp_path):
         q2.stop()
     again = {r.k: r.v for r in table.read().select("k", "v").collect()}
     assert again == model
+
+
+# -- VersionedMergeTable: snapshot isolation + time travel -------------------
+
+
+from samza_hello_samza_spark.sources.merge import VersionedMergeTable
+
+
+@pytest.fixture()
+def vtable(spark, tmp_path):
+    t = VersionedMergeTable(spark, str(tmp_path / "vt"), "k", n_buckets=8)
+    base = spark.createDataFrame(
+        [(i, f"v{i}", "open") for i in range(200)], "k long, v string, status string"
+    )
+    t.write_full(base)
+    return t
+
+
+def test_versioned_merge_matches_model_with_time_travel(spark, vtable):
+    """Same model equivalence as MergeTable, plus every historical
+    version stays readable and unchanged after later merges."""
+    v1 = {r.k: (r.v, r.status) for r in vtable.read().collect()}
+    assert len(v1) == 200 and vtable.manifest()["current"] == 1
+
+    src = spark.createDataFrame(
+        [(i, f"NEW{i}", "open") for i in range(50)]
+        + [(i, f"v{i}", "closed") for i in range(100, 110)]
+        + [(i, f"ins{i}", "open") for i in range(500, 520)],
+        "k long, v string, status string",
+    )
+    stats = vtable.merge(src, delete_cond=F.col("s.status") == "closed")
+    assert stats["version"] == 2
+    assert (stats["inserted"], stats["updated"], stats["deleted"]) == (20, 50, 10)
+
+    model = dict(v1)
+    for i in range(50):
+        model[i] = (f"NEW{i}", "open")
+    for i in range(100, 110):
+        del model[i]
+    for i in range(500, 520):
+        model[i] = (f"ins{i}", "open")
+    got2 = {r.k: (r.v, r.status) for r in vtable.read().collect()}
+    assert got2 == model
+
+    # time travel: v1 still exactly the original table
+    got1 = {r.k: (r.v, r.status) for r in vtable.read(version=1).collect()}
+    assert got1 == v1
+    assert vtable.versions() == [1, 2]
+
+
+def test_versioned_merge_never_rewrites_untouched_files(spark, vtable):
+    """Old version directories are immutable: a merge adds a new
+    version dir and leaves every existing file byte-identical."""
+    import os
+
+    def snapshot_files(root):
+        out = {}
+        for dirpath, _d, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getsize(p)
+        return out
+
+    before = snapshot_files(vtable.path)
+    vtable.merge(
+        spark.createDataFrame([(1, "X", "open")], "k long, v string, status string")
+    )
+    after = snapshot_files(vtable.path)
+    for p, size in before.items():
+        assert after.get(p) == size, f"immutable file rewritten: {p}"
+    assert len(after) > len(before)
+
+
+def test_versioned_merge_crash_before_commit_is_invisible(spark, vtable):
+    """An orphan data/v2 directory (merge crashed before the manifest
+    swap) must be invisible to readers, and the next merge must land
+    cleanly over it."""
+    orphan = vtable._data_dir(2)
+    spark.createDataFrame(
+        [(9999, "GHOST", "open", 3)], "k long, v string, status string, _bucket int"
+    ).write.mode("overwrite").partitionBy("_bucket").parquet(orphan)
+
+    got = {r.k for r in vtable.read().collect()}
+    assert 9999 not in got and vtable.manifest()["current"] == 1
+
+    stats = vtable.merge(
+        spark.createDataFrame([(2, "Y", "open")], "k long, v string, status string")
+    )
+    assert stats["version"] == 2
+    after = {r.k: r.v for r in vtable.read().collect()}
+    assert after[2] == "Y" and 9999 not in after
+
+
+def test_versioned_merge_schema_evolution_across_versions(spark, vtable):
+    """A widening merge adds the column for its rows; reads of ANY
+    version mixing old and new writer dirs null-fill the gap; old
+    snapshots don't grow the column at all."""
+    src = spark.createDataFrame(
+        [(1, "X1", "open", 9.5)], "k long, v string, status string, score double"
+    )
+    vtable.merge(src)
+    got = {r.k: r.score for r in vtable.read().collect()}
+    assert got[1] == 9.5
+    others = [k for k in got if k != 1]
+    assert others and all(got[k] is None for k in others)
+    assert "score" not in vtable.read(version=1).columns
+
+
+def test_versioned_merge_empty_bucket_leaves_snapshot(spark, tmp_path):
+    """Deleting every row of a bucket removes that bucket from the new
+    snapshot (no dangling pointer), while the prior version still
+    serves it."""
+    t = VersionedMergeTable(spark, str(tmp_path / "vt2"), "k", n_buckets=4)
+    base = spark.createDataFrame(
+        [(i, "x", "open") for i in range(8)], "k long, v string, status string"
+    )
+    t.write_full(base)
+    # tombstone EVERY existing row → some buckets must empty out
+    tomb = spark.createDataFrame(
+        [(i, "x", "closed") for i in range(8)], "k long, v string, status string"
+    )
+    stats = t.merge(tomb, delete_cond=F.col("s.status") == "closed")
+    assert stats["deleted"] == 8
+    snap2 = t.manifest()["snapshots"]["2"]
+    assert snap2 == {}  # all buckets emptied and dropped
+    with pytest.raises(FileNotFoundError):
+        t.read()  # current snapshot holds nothing
+    assert {r.k for r in t.read(version=1).collect()} == set(range(8))
