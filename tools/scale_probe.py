@@ -85,6 +85,18 @@ PROBE_OPS = (
     "zipf_slope",
     "kneser_ney_bigram",
     "token_budget_plan",
+    # r04 additions (graph_kcore is excluded with the rest of the
+    # pair-graph family — replication manufactures duplicate cliques)
+    "dsir_importance",
+    "dedup_window_exact",
+    "dedup_window_incremental",
+    "events_mixed_rollup",
+    "embedding_quantize_int8",
+    "asof_last_order",
+    "asof_next_order",
+    "range_join_value_bands",
+    "stream_stream_join_bucketed",
+    "segment_migration",
     # mv_event_type_stats is excluded: its MV build-once cache keys on
     # the sf_dir, so 1× (warm) vs N× (cold build) ratios would compare
     # serving against building.
