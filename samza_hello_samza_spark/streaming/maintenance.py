@@ -799,6 +799,80 @@ def read_window_fingerprints(spark: SparkSession, state_path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
 
 
+def substring_dedup_gate(
+    docs_stream: DataFrame,
+    state_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """The ingest gate: screen each arriving document batch against
+    the standing substring-fingerprint index, THEN fold it in.
+
+    Per micro-batch, in order:
+    1. probe — the batch's stride-1 window fingerprints equi-join the
+       COMMITTED winner table (``read_window_fingerprints``): one
+       triage row per batch doc (window count, corpus-hit count,
+       clean flag) appended to the parquet audit sink. Cost
+       |batch-windows| + state join — the ``dedup_window_incremental``
+       shape, live.
+    2. fold — ``fold_window_fingerprints`` merges the batch into the
+       state (manifest commit, replay-safe), so every LATER batch
+       sees these documents as corpus.
+
+    Probing against the pre-batch snapshot makes the gate causally
+    consistent under redelivery: a replayed batch probes the state
+    that already contains itself, so its docs self-hit — but the fold
+    is an applied-batch no-op, and the audit sink is idempotent per
+    batch only if the caller dedups on (doc_id); production routes
+    the triage rows through ``sinks.idempotent_parquet_sink``. Batch-
+    INTERNAL duplicate spans are resolved by the fold's min(struct)
+    winner, exactly like the batch operator.
+    """
+    from ..operators.dedup import _words, window_fingerprints
+
+    def _screen_then_fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        words = batch.select("doc_id", _words(F.col("text")).alias("words")).filter(
+            F.size("words") > 0
+        )
+        wins = window_fingerprints(words)
+        idx = read_window_fingerprints(spark, state_path).select(
+            "h", F.col("first_at.doc_id").alias("owner")
+        )
+        hits = wins.join(idx, "h").groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.count_distinct("owner").alias("n_owner_docs"),
+        )
+        base = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+        (
+            base.join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.lit(batch_id).alias("batch_id"),
+                F.col("n_windows").cast("long").alias("n_windows"),
+                F.coalesce("n_dup_windows", F.lit(0))
+                .cast("long")
+                .alias("n_dup_windows"),
+                F.coalesce("n_owner_docs", F.lit(0))
+                .cast("long")
+                .alias("n_owner_docs"),
+                (F.coalesce("n_dup_windows", F.lit(0)) == 0).alias("clean"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        fold_window_fingerprints(batch, state_path, batch_id=batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_screen_then_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def domain_drift_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
     """Per-source KL vs the corpus blend, computed FROM the maintained
     state (vocab-sized read — the corpus is never re-tokenized).

@@ -840,3 +840,60 @@ def test_window_fingerprint_updater_matches_batch_winners(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert maintenance._dw_manifest(state) == man_before
+
+
+def test_substring_dedup_gate_flags_cross_batch_spans(spark, tmp_path):
+    """Batch 1 establishes the corpus; batch 2 contains one doc sharing
+    a 55-word span with a batch-1 doc and one clean doc. The gate must
+    mark the copier dirty (with the right window counts), everything
+    else clean, and fold both batches into the state."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = [f"s{i}" for i in range(55)]
+    b1 = pd.DataFrame(
+        [(1, " ".join([f"a{i}" for i in range(20)] + span)),
+         (2, " ".join(f"b{i}" for i in range(60)))],
+        columns=["doc_id", "text"],
+    )
+    b2 = pd.DataFrame(
+        [(10, " ".join([f"c{i}" for i in range(23)] + span)),
+         (20, " ".join(f"z{i}" for i in range(60)))],
+        columns=["doc_id", "text"],
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(pa.Table.from_pandas(b1), os.path.join(src, "b1.parquet"))
+    pq.write_table(pa.Table.from_pandas(b2), os.path.join(src, "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    q = maintenance.substring_dedup_gate(stream, state, out, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2, 10, 20}
+    # batch order is file order (maxFilesPerTrigger=1, lexicographic)
+    assert rows[1].clean and rows[2].clean, "first batch saw an empty index"
+    assert not rows[10].clean
+    assert rows[10].n_dup_windows == 55 - 50 + 1 and rows[10].n_owner_docs == 1
+    assert rows[20].clean
+    # both batches folded: every doc owns its unique windows (doc 10's
+    # prefix-straddling windows are genuinely new), but the pure-span
+    # window belongs to doc 1 — the first-occurrence winner
+    import hashlib
+
+    winner_of = {
+        r.h: r.first_at.doc_id
+        for r in maintenance.read_window_fingerprints(spark, state).collect()
+    }
+    assert {1, 2, 10, 20} == set(winner_of.values())
+    span_h = hashlib.md5(" ".join(span[:50]).encode()).hexdigest()
+    assert winner_of[span_h] == 1
