@@ -349,3 +349,81 @@ def test_versioned_merge_empty_bucket_leaves_snapshot(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         t.read()  # current snapshot holds nothing
     assert {r.k for r in t.read(version=1).collect()} == set(range(8))
+
+
+# -- property-based model equivalence + time travel (hypothesis) -------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    # an action: list of (key, value, op) with op ∈ upsert/delete
+    _batch_st = st.lists(
+        st.tuples(
+            st.integers(0, 12),
+            st.text(alphabet="abc", min_size=1, max_size=2),
+            st.sampled_from(["upsert", "delete"]),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],  # MERGE sources must be key-unique
+    )
+
+    @given(batches=st.lists(_batch_st, min_size=1, max_size=4))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_versioned_merge_model_and_history_under_random_batches(
+        spark, tmp_path_factory, batches
+    ):
+        """For ANY sequence of key-unique upsert/delete batches: the
+        current table equals a dict model, and EVERY historical
+        version still reads back exactly as it was at its commit."""
+        import tempfile
+
+        root = tempfile.mkdtemp(
+            prefix="hypvmt", dir=str(tmp_path_factory.getbasetemp())
+        )
+        t = VersionedMergeTable(spark, root, "k", n_buckets=4)
+        t.write_full(
+            spark.createDataFrame(
+                [(i, "init", "open") for i in range(5)],
+                "k long, v string, status string",
+            )
+        )
+        model = {i: ("init", "open") for i in range(5)}
+        history = {1: dict(model)}
+
+        for batch in batches:
+            src = spark.createDataFrame(
+                [
+                    (k, v, "closed" if op == "delete" else "open")
+                    for k, v, op in batch
+                ],
+                "k long, v string, status string",
+            )
+            stats = t.merge(src, delete_cond=F.col("s.status") == "closed")
+            for k, v, op in batch:
+                if op == "delete":
+                    model.pop(k, None)
+                else:
+                    model[k] = (v, "open")
+            history[stats["version"]] = dict(model)
+
+        for version, snap in history.items():
+            if not snap:
+                with pytest.raises(FileNotFoundError):
+                    t.read(version=version)
+                continue
+            got = {
+                r.k: (r.v, r.status)
+                for r in t.read(version=version).collect()
+            }
+            assert got == snap, f"version {version} drifted"
