@@ -370,6 +370,84 @@ def priority_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_Z = 1.96  # 95% two-sided
+AB_MIN_PURCHASES = 14  # ≈ per-user median purchase count: interior rate at every SF
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: per-arm conversion with Wilson 95%
+    intervals and the two-proportion pooled z-statistic.
+
+    The analysis every product experiment ends in, as ONE Spark job.
+    Arm assignment is the deterministic user-id parity (standing in
+    for the experiment's hash bucket); a user converts at
+    ``AB_MIN_PURCHASES`` purchase events (≥1 would be degenerate on
+    this synthetic corpus — every user purchases — and a degenerate
+    pooled rate makes the z-statistic 0/0; the guard below also
+    handles that edge explicitly). Per arm: distinct users, distinct converters
+    (two exact count-distincts over one scan), conversion rate,
+    Wilson score interval (the interval that stays sane at small n
+    and extreme p, unlike the normal approximation), and the pooled
+    two-proportion z for THIS arm minus the other (antisymmetric by
+    construction). Cross-engine: counts are integers, and every
+    float derives from identical integer operands via +,·,/ and one
+    correctly-rounded sqrt — bit-identical in both engines; outputs
+    rounded at 6dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.withColumn("arm", F.pmod("user_id", F.lit(2)).cast("int"))
+        .groupBy("arm", "user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purch"
+            )
+        )
+    )
+    # second groupBy keys on a prefix of the first — shuffle reused
+    per_arm = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("n_purch") >= AB_MIN_PURCHASES).cast("long")).alias(
+            "n_converters"
+        ),
+    )
+    other = per_arm.select(
+        (1 - F.col("arm")).alias("arm"),
+        F.col("n_users").alias("o_users"),
+        F.col("n_converters").alias("o_conv"),
+    )
+    z = F.lit(AB_Z)
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converters") / n
+    center = p + z * z / (2 * n)
+    margin = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    pooled = (F.col("n_converters") + F.col("o_conv")) / (
+        F.col("n_users") + F.col("o_users")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (1 / n + 1 / F.col("o_users").cast("double"))
+    )
+    zdiff = F.when(
+        se > 0,
+        (p - F.col("o_conv") / F.col("o_users").cast("double")) / se,
+    ).otherwise(F.lit(0.0))
+    return (
+        per_arm.join(maybe_broadcast(other), "arm")
+        .select(
+            "arm",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_converters").cast("long").alias("n_converters"),
+            F.round(p, 6).alias("conv_rate"),
+            F.round((center - margin) / denom, 6).alias("wilson_lo"),
+            F.round((center + margin) / denom, 6).alias("wilson_hi"),
+            F.round(zdiff, 6).alias("z_vs_other"),
+        )
+    )
+
+
 def daily_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point scan of the daily value series per type.
 
@@ -419,6 +497,64 @@ def daily_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "ab_test_report": f"""
+        WITH per_user AS (
+            SELECT CAST(user_id % 2 AS INT) AS arm, user_id,
+                   sum(CAST(event_type = 'purchase' AS BIGINT)) AS n_purch
+            FROM events GROUP BY 1, 2
+        ),
+        per_arm AS (
+            SELECT arm, count(*) AS n_users,
+                   sum(CAST(n_purch >= {AB_MIN_PURCHASES} AS BIGINT)) AS n_converters
+            FROM per_user GROUP BY arm
+        ),
+        paired AS (
+            SELECT a.arm, a.n_users, a.n_converters,
+                   b.n_users AS o_users, b.n_converters AS o_conv
+            FROM per_arm a JOIN per_arm b ON b.arm = 1 - a.arm
+        )
+        SELECT arm,
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(n_converters AS BIGINT) AS n_converters,
+               round(n_converters / CAST(n_users AS DOUBLE), 6) AS conv_rate,
+               round((n_converters / CAST(n_users AS DOUBLE)
+                      + {AB_Z} * {AB_Z} / (2 * CAST(n_users AS DOUBLE))
+                      - {AB_Z} * sqrt(
+                          (n_converters / CAST(n_users AS DOUBLE))
+                          * (1 - n_converters / CAST(n_users AS DOUBLE))
+                          / CAST(n_users AS DOUBLE)
+                          + {AB_Z} * {AB_Z}
+                            / (4 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+                     / (1 + {AB_Z} * {AB_Z} / CAST(n_users AS DOUBLE)), 6)
+                   AS wilson_lo,
+               round((n_converters / CAST(n_users AS DOUBLE)
+                      + {AB_Z} * {AB_Z} / (2 * CAST(n_users AS DOUBLE))
+                      + {AB_Z} * sqrt(
+                          (n_converters / CAST(n_users AS DOUBLE))
+                          * (1 - n_converters / CAST(n_users AS DOUBLE))
+                          / CAST(n_users AS DOUBLE)
+                          + {AB_Z} * {AB_Z}
+                            / (4 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+                     / (1 + {AB_Z} * {AB_Z} / CAST(n_users AS DOUBLE)), 6)
+                   AS wilson_hi,
+               round(CASE WHEN sqrt(((n_converters + o_conv)
+                             / CAST(n_users + o_users AS DOUBLE))
+                            * (1 - (n_converters + o_conv)
+                               / CAST(n_users + o_users AS DOUBLE))
+                            * (1 / CAST(n_users AS DOUBLE)
+                               + 1 / CAST(o_users AS DOUBLE))) > 0
+                     THEN (n_converters / CAST(n_users AS DOUBLE)
+                      - o_conv / CAST(o_users AS DOUBLE))
+                     / sqrt(((n_converters + o_conv)
+                             / CAST(n_users + o_users AS DOUBLE))
+                            * (1 - (n_converters + o_conv)
+                               / CAST(n_users + o_users AS DOUBLE))
+                            * (1 / CAST(n_users AS DOUBLE)
+                               + 1 / CAST(o_users AS DOUBLE)))
+                     ELSE 0.0 END, 6)
+                   AS z_vs_other
+        FROM paired
+    """,
     "priority_mix_chi2": """
         WITH cells AS (
             SELECT year(o_orderdate) AS yr, o_orderpriority AS pr,
@@ -635,6 +771,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "ab_test_report": ab_test_report,
     "priority_mix_chi2": priority_mix_chi2,
     "daily_cusum_changepoint": daily_cusum_changepoint,
     "benford_deviation": benford_deviation,

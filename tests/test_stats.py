@@ -192,3 +192,17 @@ def test_cusum_detects_injected_level_shift(spark, tmp_path):
     for r in stats.daily_cusum_changepoint(spark, bad_dir).collect():
         # CUSUM's |max| sits AT the boundary day (±2 days tolerance)
         assert abs(idx[r.change_day] - idx[shift_day]) <= 2, r
+
+
+def test_ab_test_report_properties(spark):
+    """Two arms; antisymmetric z; Wilson interval brackets the rate
+    and sits inside [0,1]; counts consistent."""
+    from samza_hello_samza_spark.plans.stats import ab_test_report
+    from tests.conftest import SF_DIR
+
+    rows = {r.arm: r for r in ab_test_report(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    assert abs(rows[0].z_vs_other + rows[1].z_vs_other) < 1e-9
+    for r in rows.values():
+        assert 0 < r.n_converters < r.n_users  # non-degenerate metric
+        assert 0.0 <= r.wilson_lo <= r.conv_rate <= r.wilson_hi <= 1.0
