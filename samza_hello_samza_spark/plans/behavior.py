@@ -226,6 +226,66 @@ def user_recency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: active users decomposed into
+    new / retained / resurrected, plus that day's churn.
+
+    The standard DAU decomposition (every growth team's first chart):
+    for each day, active = new (first-ever day) + retained (also
+    active yesterday) + resurrected (active before, but not
+    yesterday); churned(d) = users active on d−1 who are not active
+    on d — which is exactly active(d−1) − retained(d), so churn falls
+    out of the same aggregates with ONE lag over the days-sized
+    table, no extra user-level pass.
+
+    Plan shape: distinct (user, day) reduces the events table once
+    (user_id shuffle); first-day and previous-active-day are windows
+    over that per-user table (same shuffle reused); the day-level
+    rollup is a days-sized aggregate and the final lag runs on ~days
+    rows. All integers — engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / 86400)).cast("long").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    classified = ud.select(
+        "day",
+        F.when(F.lag("day").over(w).isNull(), F.lit("new"))
+        .when(F.lag("day").over(w) == F.col("day") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("kind"),
+    )
+    daily = classified.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((F.col("kind") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("kind") == "retained").cast("long")).alias("n_retained"),
+        F.sum((F.col("kind") == "resurrected").cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+    wd = Window.orderBy("day")
+    prev_active = F.lag("n_active").over(wd)
+    # churn is defined only against an ADJACENT observed day: if the
+    # previous row is a gap (no activity at all corpus-wide), every
+    # prior active user churned the day after it — report vs the
+    # previous CALENDAR day, 0 when that day had no actives.
+    prev_cal = F.when(
+        F.lag("day").over(wd) == F.col("day") - 1, prev_active
+    ).otherwise(F.lit(0))
+    return daily.select(
+        "day",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("n_retained").cast("long").alias("n_retained"),
+        F.col("n_resurrected").cast("long").alias("n_resurrected"),
+        (F.coalesce(prev_cal, F.lit(0)) - F.col("n_retained"))
+        .cast("long")
+        .alias("n_churned"),
+    )
+
+
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative lifetime value per cohort customer, by cohort age.
 
@@ -342,6 +402,39 @@ _SESSION_CTE = """
 """
 
 ORACLES: dict[str, str] = {
+    "growth_accounting": """
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+            FROM events
+        ),
+        cl AS (
+            SELECT day,
+                   CASE WHEN lag(day) OVER w IS NULL THEN 'new'
+                        WHEN lag(day) OVER w = day - 1 THEN 'retained'
+                        ELSE 'resurrected' END AS kind
+            FROM ud
+            WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        ),
+        daily AS (
+            SELECT day, count(*) AS n_active,
+                   sum(CAST(kind = 'new' AS BIGINT)) AS n_new,
+                   sum(CAST(kind = 'retained' AS BIGINT)) AS n_retained,
+                   sum(CAST(kind = 'resurrected' AS BIGINT)) AS n_resurrected
+            FROM cl GROUP BY day
+        )
+        SELECT day,
+               CAST(n_active AS BIGINT) AS n_active,
+               CAST(n_new AS BIGINT) AS n_new,
+               CAST(n_retained AS BIGINT) AS n_retained,
+               CAST(n_resurrected AS BIGINT) AS n_resurrected,
+               CAST(coalesce(CASE WHEN lag(day) OVER wd = day - 1
+                                  THEN lag(n_active) OVER wd
+                                  ELSE 0 END, 0) - n_retained AS BIGINT)
+                   AS n_churned
+        FROM daily
+        WINDOW wd AS (ORDER BY day)
+    """,
     "session_paths": _SESSION_CTE
     + """
         , paths AS (
@@ -469,6 +562,7 @@ ORACLES: dict[str, str] = {
 }
 
 QUERIES = {
+    "growth_accounting": growth_accounting,
     "user_recency_buckets": user_recency_buckets,
     "cohort_ltv_curve": cohort_ltv_curve,
     "audience_overlap": audience_overlap,

@@ -84,3 +84,29 @@ def test_recency_buckets_cover_all_users(spark):
     n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
     assert sum(r.n_users for r in rows) == n_users
     assert all(r.days_inactive >= 0 and r.value_at_risk >= 0 for r in rows)
+
+
+def test_growth_accounting_identities(spark):
+    """Per-day: active = new + retained + resurrected; day-1 is all
+    new; churn(d) = active(d-1) - retained(d) on adjacent days; and
+    total new over all days = total distinct users."""
+    from samza_hello_samza_spark.plans.behavior import growth_accounting
+    from samza_hello_samza_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    rows = sorted(growth_accounting(spark, SF_DIR).collect(), key=lambda r: r.day)
+    assert rows
+    by_day = {r.day: r for r in rows}
+    first = rows[0]
+    assert first.n_new == first.n_active and first.n_retained == 0
+    assert first.n_churned == 0
+    total_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_new for r in rows) == total_users
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+        prev = by_day.get(r.day - 1)
+        if prev is not None:
+            assert r.n_churned == prev.n_active - r.n_retained
+            assert r.n_retained <= prev.n_active
