@@ -873,6 +873,176 @@ def substring_dedup_gate(
     )
 
 
+def growth_accounting_updater(
+    events_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Maintain daily growth accounting incrementally from a live
+    events stream — the incremental-view instance of
+    ``behavior.growth_accounting``.
+
+    State (two relations, ONE manifest commit — crash-atomic across
+    both, same snapshot discipline as ``fold_domain_wordcounts``):
+
+    - ``users``: per-user last-active day — the ONLY per-user state
+      classification needs, because a user's next active day is new /
+      retained / resurrected purely from (last_day is null, day −
+      last_day == 1, else). O(users), not O(user×days).
+    - ``daily``: (day, n_new, n_retained, n_resurrected) counters —
+      sum-mergeable, folded per batch at |batch days| cost.
+
+    Correctness contract: per-user day arrival must be non-decreasing
+    across batches (event-time order per key — what a keyed topic
+    gives you); a day ≤ the user's recorded last_day is a replay and
+    folds as a no-op, so redelivery at the day grain is free. True
+    late data (an OLD day arriving after a newer one) would need the
+    batch operator as backfill — the standard lambda split.
+    ``growth_snapshot`` serves the finished decomposition (with churn
+    derived exactly as the batch op derives it) from days-sized state.
+    """
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        fold_growth_accounting(batch, state_path, batch_id=batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def fold_growth_accounting(
+    batch: DataFrame, state_path: str, batch_id: int | None = None
+) -> bool:
+    """Fold one events delta into the growth-accounting state."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    os.makedirs(state_path, exist_ok=True)
+    man = _dw_manifest(state_path)
+    if batch_id is not None and batch_id <= man["applied_batch"]:
+        return False
+    spark = batch.sparkSession
+    v = man["version"]
+    if v > 0:
+        users = spark.read.parquet(os.path.join(state_path, f"users_v{v}"))
+        daily = spark.read.parquet(os.path.join(state_path, f"daily_v{v}"))
+    else:
+        users = spark.createDataFrame([], "user_id bigint, last_day bigint")
+        daily = spark.createDataFrame(
+            [],
+            "day bigint, n_new bigint, n_retained bigint, n_resurrected bigint",
+        )
+    batch_days = (
+        batch.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .distinct()
+        .join(users, "user_id", "left")
+        .filter((F.col("last_day").isNull()) | (F.col("day") > F.col("last_day")))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    prev = F.coalesce(F.lag("day").over(w), F.col("last_day"))
+    classified = batch_days.select(
+        "user_id",
+        "day",
+        F.when(prev.isNull(), F.lit("new"))
+        .when(prev == F.col("day") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("kind"),
+    ).localCheckpoint()  # consumed by both folds below
+    delta_daily = classified.groupBy("day").agg(
+        F.sum((F.col("kind") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("kind") == "retained").cast("long")).alias("n_retained"),
+        F.sum((F.col("kind") == "resurrected").cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+    new_daily = (
+        daily.unionByName(delta_daily)
+        .groupBy("day")
+        .agg(
+            F.sum("n_new").alias("n_new"),
+            F.sum("n_retained").alias("n_retained"),
+            F.sum("n_resurrected").alias("n_resurrected"),
+        )
+    )
+    new_users = (
+        users.unionByName(
+            classified.groupBy("user_id").agg(F.max("day").alias("last_day"))
+        )
+        .groupBy("user_id")
+        .agg(F.max("last_day").alias("last_day"))
+    )
+    nv = v + 1
+    new_daily.write.mode("overwrite").parquet(
+        os.path.join(state_path, f"daily_v{nv}")
+    )
+    new_users.write.mode("overwrite").parquet(
+        os.path.join(state_path, f"users_v{nv}")
+    )
+    tmp = os.path.join(state_path, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": nv,
+                "applied_batch": batch_id if batch_id is not None else man["applied_batch"],
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(state_path, "MANIFEST.json"))  # THE commit
+    for old in range(1, nv - 1):
+        for pref in ("daily_v", "users_v"):
+            d = os.path.join(state_path, f"{pref}{old}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+    return True
+
+
+def growth_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
+    """The finished growth decomposition from the maintained state —
+    identical schema/semantics to ``behavior.growth_accounting``,
+    computed from days-sized state (churn = active(d−1) − retained(d)
+    on adjacent calendar days, exactly the batch derivation)."""
+    import os
+
+    from pyspark.sql import Window
+
+    man = _dw_manifest(state_path)
+    if man["version"] == 0:
+        return spark.createDataFrame(
+            [],
+            "day bigint, n_active bigint, n_new bigint, n_retained bigint, "
+            "n_resurrected bigint, n_churned bigint",
+        )
+    daily = spark.read.parquet(
+        os.path.join(state_path, f"daily_v{man['version']}")
+    ).withColumn(
+        "n_active",
+        F.col("n_new") + F.col("n_retained") + F.col("n_resurrected"),
+    )
+    wd = Window.orderBy("day")
+    prev_cal = F.when(
+        F.lag("day").over(wd) == F.col("day") - 1, F.lag("n_active").over(wd)
+    ).otherwise(F.lit(0))
+    return daily.select(
+        "day",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("n_retained").cast("long").alias("n_retained"),
+        F.col("n_resurrected").cast("long").alias("n_resurrected"),
+        (F.coalesce(prev_cal, F.lit(0)) - F.col("n_retained"))
+        .cast("long")
+        .alias("n_churned"),
+    )
+
+
 def domain_drift_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
     """Per-source KL vs the corpus blend, computed FROM the maintained
     state (vocab-sized read — the corpus is never re-tokenized).

@@ -897,3 +897,67 @@ def test_substring_dedup_gate_flags_cross_batch_spans(spark, tmp_path):
     assert {1, 2, 10, 20} == set(winner_of.values())
     span_h = hashlib.md5(" ".join(span[:50]).encode()).hexdigest()
     assert winner_of[span_h] == 1
+
+
+def test_growth_accounting_updater_matches_batch(spark, tmp_path):
+    """Events streamed in day-ordered batches: the snapshot must equal
+    the batch growth_accounting decomposition exactly; a restarted
+    query over the same checkpoint folds nothing."""
+    from samza_hello_samza_spark.plans.behavior import growth_accounting
+    from samza_hello_samza_spark.session import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    mid = ev.agg(F.expr("percentile(unix_timestamp(ts), 0.5)")).collect()[0][0]
+    # split at a DAY boundary so per-user day arrival is non-decreasing
+    mid_day = (int(mid) // 86400) * 86400
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    # ONE file per half: multiple part files per half would become
+    # separate micro-batches with per-user days out of order across
+    # them, violating the updater's arrival contract
+    ev.filter(F.unix_timestamp("ts") < mid_day).coalesce(1).write.parquet(
+        os.path.join(src, "a=1")
+    )
+    ev.filter(F.unix_timestamp("ts") >= mid_day).coalesce(1).write.parquet(
+        os.path.join(src, "a=2")
+    )
+    import glob
+    import shutil as sh
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    import time as _time
+
+    now = _time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "a=*", "*.parquet")))):
+        dst = os.path.join(flat, f"part-{i:03d}.parquet")
+        sh.copy(f, dst)
+        # the file stream orders batches by MODIFICATION TIME, not
+        # name — pin strictly increasing mtimes so batch order is the
+        # day order the updater's arrival contract needs
+        os.utime(dst, (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    state = str(tmp_path / "ga_state")
+    q = maintenance.growth_accounting_updater(stream, state, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        map(tuple, maintenance.growth_snapshot(spark, state).collect())
+    )
+    want = sorted(map(tuple, growth_accounting(spark, SF_DIR).collect()))
+    assert got == want and got
+
+    man_before = maintenance._dw_manifest(state)
+    stream2 = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    q2 = maintenance.growth_accounting_updater(
+        stream2, state, str(tmp_path / "ck")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert maintenance._dw_manifest(state) == man_before
