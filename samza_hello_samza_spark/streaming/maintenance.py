@@ -873,6 +873,168 @@ def substring_dedup_gate(
     )
 
 
+def dsir_state_updater(
+    docs_stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Maintain the DSIR bucket distributions from a live documents
+    stream — the trained-model side of ``sampling.dsir_importance``.
+
+    The hashed-bigram bucket counts (per bucket: raw count + target
+    count) are sum-mergeable state bounded by B = DSIR_BUCKETS rows,
+    folded per micro-batch at |batch-bigrams| cost under the usual
+    snapshot-manifest commit. ``dsir_score_snapshot`` then scores any
+    relation against the CURRENT committed distributions — the
+    production shape: the importance model updates slowly as corpus
+    lands; scoring rides each batch as a B-row broadcast join.
+    """
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        fold_dsir_state(batch, state_path, batch_id=batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def fold_dsir_state(
+    batch: DataFrame, state_path: str, batch_id: int | None = None
+) -> bool:
+    """Merge one documents delta's hashed-bigram bucket counts."""
+    import json
+    import os
+    import shutil
+
+    from ..operators.dedup import _shingles, _words, explode_nonempty
+    from ..operators.sampling import DSIR_BUCKETS, DSIR_TARGET_LANG, _md5_bucket
+
+    os.makedirs(state_path, exist_ok=True)
+    man = _dw_manifest(state_path)
+    if batch_id is not None and batch_id <= man["applied_batch"]:
+        return False
+    spark = batch.sparkSession
+    tok = batch.select(
+        (F.col("lang") == DSIR_TARGET_LANG).cast("int").alias("is_target"),
+        _words(F.col("text")).alias("words"),
+    )
+    delta = (
+        explode_nonempty(tok, ["is_target"], _shingles(F.col("words"), k=2), "bg")
+        .select("is_target", _md5_bucket(F.col("bg"), DSIR_BUCKETS).alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum("is_target").cast("long").alias("c_t"),
+        )
+    )
+    if man["version"] > 0:
+        delta = (
+            spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
+            .unionByName(delta)
+            .groupBy("b")
+            .agg(F.sum("c_r").alias("c_r"), F.sum("c_t").alias("c_t"))
+        )
+    nv = man["version"] + 1
+    delta.write.mode("overwrite").parquet(os.path.join(state_path, f"v{nv}"))
+    tmp = os.path.join(state_path, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": nv,
+                "applied_batch": batch_id if batch_id is not None else man["applied_batch"],
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(state_path, "MANIFEST.json"))  # THE commit
+    for v in range(1, nv - 1):
+        d = os.path.join(state_path, f"v{v}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    return True
+
+
+def dsir_score_snapshot(
+    docs: DataFrame, state_path: str
+) -> DataFrame:
+    """Score a documents relation against the COMMITTED bucket state.
+
+    Identical arithmetic to the batch ``sampling.dsir_importance``
+    (add-one smoothing, integer micro-nat truncation, integer per-doc
+    sums) — so state folded from the whole corpus reproduces the
+    batch operator's log-weights EXACTLY (pytest-asserted). Output
+    schema matches the batch operator.
+    """
+    import os
+
+    from ..operators.dedup import _shingles, _words, explode_nonempty
+    from ..operators.sampling import DSIR_BUCKETS, DSIR_TARGET_LANG, _md5_bucket
+
+    spark = docs.sparkSession
+    man = _dw_manifest(state_path)
+    if man["version"] == 0:
+        raise FileNotFoundError(f"no committed DSIR state in {state_path}")
+    buckets_raw = spark.read.parquet(
+        os.path.join(state_path, f"v{man['version']}")
+    )
+    n_t = buckets_raw.agg(F.sum("c_t").alias("n_t"))
+    n_r = buckets_raw.agg(F.sum("c_r").alias("n_r"))
+    b_mod = DSIR_BUCKETS
+    buckets = (
+        buckets_raw.crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_r))
+        .select(
+            "b",
+            (
+                (
+                    F.log((F.col("c_t") + 1).cast("double"))
+                    - F.log((F.col("n_t") + b_mod).cast("double"))
+                    - F.log((F.col("c_r") + 1).cast("double"))
+                    + F.log((F.col("n_r") + b_mod).cast("double"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_unats"),
+        )
+    )
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).cast("int").alias("is_target"),
+        _words(F.col("text")).alias("words"),
+    )
+    doc_feat = (
+        explode_nonempty(tok, ["doc_id"], _shingles(F.col("words"), k=2), "bg")
+        .select("doc_id", _md5_bucket(F.col("bg"), b_mod).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        doc_feat.join(F.broadcast(buckets), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            (F.sum(F.col("c") * F.col("lr_unats")) / 1e6).alias("log_weight"),
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            (F.col("lang") == DSIR_TARGET_LANG).cast("int").alias("is_target"),
+        )
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+            (F.coalesce("log_weight", F.lit(0.0)) > 0).cast("int").alias("keep"),
+        )
+    )
+
+
 def growth_accounting_updater(
     events_stream: DataFrame, state_path: str, checkpoint_dir: str
 ) -> StreamingQuery:

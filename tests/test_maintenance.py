@@ -961,3 +961,52 @@ def test_growth_accounting_updater_matches_batch(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert maintenance._dw_manifest(state) == man_before
+
+
+def test_dsir_state_updater_reproduces_batch_scores(spark, tmp_path):
+    """Bucket distributions folded from two streamed halves of the
+    corpus, then scoring the corpus against the committed state, must
+    reproduce sampling.dsir_importance EXACTLY (same smoothing, same
+    micro-nat truncation, integer sums). Replay folds nothing."""
+    from samza_hello_samza_spark.operators import sampling
+    from samza_hello_samza_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "h1")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "h2")
+    )
+    import glob
+    import shutil as sh
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "h*", "*.parquet")))):
+        sh.copy(f, os.path.join(flat, f"part-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    state = str(tmp_path / "dsir_state")
+    q = maintenance.dsir_state_updater(stream, state, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        map(tuple, maintenance.dsir_score_snapshot(docs, state).collect())
+    )
+    want = sorted(map(tuple, sampling.dsir_importance(spark, SF_DIR).collect()))
+    assert got == want and got
+
+    man_before = maintenance._dw_manifest(state)
+    stream2 = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(flat)
+    )
+    q2 = maintenance.dsir_state_updater(stream2, state, str(tmp_path / "ck"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert maintenance._dw_manifest(state) == man_before
