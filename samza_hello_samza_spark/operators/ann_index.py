@@ -557,15 +557,11 @@ def append_pq_index(spark: SparkSession, index_dir: str, vectors: DataFrame) -> 
     )
 
 
-def probe_ivf_index(
+def _ivf_probe_lists(
     spark: SparkSession, index_dir: str, qvec: np.ndarray, nprobe: int
-) -> DataFrame:
-    """Read only the ``nprobe`` nearest lists — partition pruning.
-
-    The centroid read is nlist rows (a dim-table read); list selection
-    happens driver-side; the corpus scan carries a ``list_id IN (...)``
-    partition filter so non-probed directories are never opened.
-    """
+) -> list[int]:
+    """The query's ``nprobe`` nearest centroid lists (driver-side over
+    the nlist-row centroid table — a dim-table read)."""
     cent = sorted(
         spark.read.parquet(os.path.join(index_dir, "centroids")).collect(),
         key=lambda r: r.centroid_id,
@@ -574,6 +570,32 @@ def probe_ivf_index(
     ids = np.array([r.centroid_id for r in cent])
     cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     order = np.argsort(-(cnorm @ (qvec / np.linalg.norm(qvec))))
-    probe = [int(i) for i in ids[order[:nprobe]]]
+    return [int(i) for i in ids[order[:nprobe]]]
+
+
+def probe_ivf_index(
+    spark: SparkSession, index_dir: str, qvec: np.ndarray, nprobe: int
+) -> DataFrame:
+    """Read only the ``nprobe`` nearest lists — partition pruning.
+
+    List selection happens driver-side; the corpus scan carries a
+    ``list_id IN (...)`` partition filter so non-probed directories
+    are never opened.
+    """
+    probe = _ivf_probe_lists(spark, index_dir, qvec, nprobe)
     corpus = spark.read.parquet(os.path.join(index_dir, "corpus"))
     return corpus.filter(F.col("list_id").isin(probe)).select("vec_id", "v")
+
+
+def probe_ivf_snapshot(
+    spark: SparkSession, index_dir: str, qvec: np.ndarray, nprobe: int
+) -> DataFrame:
+    """``probe_ivf_index`` against the committed corpus snapshot: the
+    pruned (list_id) read resolves the manifest's file set, so a
+    concurrent ``append_ivf_index`` is invisible until its commit —
+    the same torn-append contract as the LSH and PQ routes. Centroids
+    are frozen at build time (appends assign against them), so their
+    raw read is snapshot-safe."""
+    probe = _ivf_probe_lists(spark, index_dir, qvec, nprobe)
+    scan = snapshot_scan(spark, os.path.join(index_dir, "corpus"))
+    return scan.filter(F.col("list_id").isin(probe)).select("vec_id", "v")

@@ -291,6 +291,62 @@ def ann_serving_job(
     )
 
 
+def ivf_serving_job(
+    query_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    top_k: int = 10,
+    nprobe: int = 4,
+) -> StreamingQuery:
+    """Serve ANN queries from a stream via the IVF route — the third
+    member of the serving trilogy (LSH bands, PQ/ADC codes, IVF
+    lists). Per micro-batch, each query resolves the CURRENT
+    committed corpus snapshot, scans only its ``nprobe`` nearest
+    lists (partition pruning inside the manifest's file set —
+    ``ann_index.probe_ivf_snapshot``), exact-cosine re-ranks them,
+    and appends (query_id, vec_id, cosine) results.
+    """
+    from ..operators.ann_index import probe_ivf_snapshot
+
+    def _serve(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        for q in batch.select("query_id", "v").collect():  # micro-batch-sized
+            qvec = np.asarray(q.v)
+            qnorm = float(np.linalg.norm(qvec))
+            cand = probe_ivf_snapshot(spark, index_dir, qvec, nprobe)
+            qv = F.array(*[F.lit(float(x)) for x in qvec])
+            dot = F.aggregate(
+                F.zip_with(F.col("v"), qv, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            norm = F.sqrt(
+                F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+            )
+            (
+                cand.withColumn("cosine", F.round(dot / (norm * F.lit(qnorm)), 6))
+                .orderBy(F.desc("cosine"), F.asc("vec_id"))
+                .limit(top_k)
+                .select(
+                    F.lit(int(q.query_id)).alias("query_id"),
+                    "vec_id",
+                    "cosine",
+                )
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+    return (
+        query_stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def pq_serving_job(
     query_stream: DataFrame,
     index_dir: str,

@@ -1010,3 +1010,93 @@ def test_dsir_state_updater_reproduces_batch_scores(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert maintenance._dw_manifest(state) == man_before
+
+
+def test_ivf_snapshot_isolates_uncommitted_appends(spark, tmp_path):
+    """IVF route of the torn-append contract: an appended-but-
+    uncommitted corpus file is invisible to the snapshot probe; after
+    commit the clone (assigned to the query's own list) appears."""
+    idx = ann_index.build_ivf_index(
+        spark, SF_DIR, similarity.IVF_NLIST, out_dir=str(tmp_path / "ivf_v")
+    )
+    corpus_dir = os.path.join(idx, "corpus")
+    man1 = ann_index.commit_index_snapshot(corpus_dir)
+    assert man1["version"] == 1 and man1["files"]
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+    before = {
+        r.vec_id
+        for r in ann_index.probe_ivf_snapshot(
+            spark, idx, qvec, similarity.IVF_NPROBE
+        ).collect()
+    }
+    assert NEW_VEC_ID not in before
+
+    ann_index.append_ivf_index(spark, idx, _query_clone_df(spark))
+    mid = {
+        r.vec_id
+        for r in ann_index.probe_ivf_snapshot(
+            spark, idx, qvec, similarity.IVF_NPROBE
+        ).collect()
+    }
+    assert mid == before, "torn read: probe saw uncommitted corpus files"
+
+    ann_index.commit_index_snapshot(corpus_dir)
+    after = {
+        r.vec_id
+        for r in ann_index.probe_ivf_snapshot(
+            spark, idx, qvec, similarity.IVF_NPROBE
+        ).collect()
+    }
+    assert after == before | {NEW_VEC_ID}
+
+
+def test_ivf_serving_job_matches_batch_probe(spark, tmp_path):
+    """Streamed queries via the IVF route return exactly the batch
+    snapshot-probe + exact re-rank answer."""
+    idx = ann_index.build_ivf_index(
+        spark, SF_DIR, similarity.IVF_NLIST, out_dir=str(tmp_path / "ivf_s")
+    )
+    ann_index.commit_index_snapshot(os.path.join(idx, "corpus"))
+
+    emb = similarity._embeddings(spark, SF_DIR)
+    qdf = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    qdir = str(tmp_path / "queries")
+    qdf.write.parquet(qdir)
+    stream = spark.readStream.schema("query_id BIGINT, v ARRAY<DOUBLE>").parquet(qdir)
+    out = str(tmp_path / "results")
+    q = maintenance.ivf_serving_job(
+        stream, idx, out, str(tmp_path / "ck"),
+        top_k=5, nprobe=similarity.IVF_NPROBE,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got: dict[int, list] = {}
+    for r in sorted(
+        spark.read.parquet(out).collect(),
+        key=lambda r: (r.query_id, -r.cosine, r.vec_id),
+    ):
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+
+    for qrow in qdf.collect():
+        qvec = np.asarray(qrow.v)
+        qnorm = np.linalg.norm(qvec)
+        cand = ann_index.probe_ivf_snapshot(
+            spark, idx, qvec, similarity.IVF_NPROBE
+        ).collect()
+        scored = sorted(
+            (
+                (
+                    r.vec_id,
+                    round(float(np.asarray(r.v) @ qvec / (np.linalg.norm(r.v) * qnorm)), 6),
+                )
+                for r in cand
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert got[qrow.query_id] == scored, qrow.query_id
