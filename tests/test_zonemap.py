@@ -101,3 +101,23 @@ def test_zonemap_refresh_after_append(spark, tmp_path):
     assert hits == 1000
     kept = zonemap.pruned_files(spark, path, {"u": (1_000_000.0, 2_000_000.0)})
     assert len(kept) == added
+
+
+def test_lineitem_pruned_scan_actually_skips_files(spark):
+    """The registered probe must read a strict subset of the layout's
+    files for its box — the zone map is load-bearing, not decorative."""
+    from tests.conftest import SF_DIR
+
+    table_dir = zonemap._zordered_lineitem(spark, SF_DIR)
+    all_files = zonemap.pruned_files(
+        spark, table_dir, {"l_extendedprice": (0.0, 1e12)}
+    )
+    kept = zonemap.pruned_files(
+        spark,
+        table_dir,
+        {
+            "l_extendedprice": (zonemap.PRICE_LO, zonemap.PRICE_HI),
+            "l_quantity": (zonemap.QTY_LO, zonemap.QTY_HI),
+        },
+    )
+    assert 0 < len(kept) < len(all_files) / 2, (len(kept), len(all_files))
