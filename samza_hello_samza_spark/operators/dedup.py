@@ -241,25 +241,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, sig) LSH band rows — the text near-dup index layout.
-
-    24 pinned-constant permutations of md5-slice32(shingle) reduced
-    mod 2^31-1; 12 bands of 2 rows. All hashing/aggregation is
-    whole-stage-codegen'd column math, and every step has an exact
-    DuckDB twin (md5 slice + embedded permutation constants), so both
-    consumers are oracle-checked. Shared by the full-corpus pair join
-    (``dedup_minhash_lsh``) and the new-batch probe
-    (``dedup_incremental``).
-    """
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m23) minhash signatures: 24 pinned-constant
+    permutations of md5-slice32(shingle) reduced mod 2^31-1, as
+    whole-stage-codegen'd min() columns."""
     sh = _doc_shingle_hashes(spark, sf_dir, k=3)
     h1 = F.pmod(F.col("h"), F.lit(MERSENNE_P))
-    mins = sh.withColumn("h1", h1).groupBy("doc_id").agg(
+    return sh.withColumn("h1", h1).groupBy("doc_id").agg(
         *[
             F.min(F.pmod(F.lit(_PERM_A[i]) * F.col("h1") + F.lit(_PERM_B[i]), F.lit(MERSENNE_P))).alias(f"m{i}")
             for i in range(N_PERMS)
         ]
     )
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig) LSH band rows — the text near-dup index layout.
+
+    12 bands of 2 signature rows over ``_minhash_sigs``. Every step
+    has an exact DuckDB twin (md5 slice + embedded permutation
+    constants), so every consumer is oracle-checked. Shared by the
+    full-corpus pair join (``dedup_minhash_lsh``), the new-batch probe
+    (``dedup_incremental``) and the calibration estimator
+    (``minhash_jaccard_estimate``).
+    """
+    mins = _minhash_sigs(spark, sf_dir)
     return mins.select(
         "doc_id",
         F.posexplode(
@@ -284,6 +290,76 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bucket_pairs(bands, ["band", "sig"], "doc_id")
         .select(F.col("p.pa").alias("doc_a"), F.col("p.pb").alias("doc_b"))
         .distinct()
+    )
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration: signature-estimated vs exact Jaccard for
+    every LSH candidate pair.
+
+    The audit behind trusting minhash at 100 TB: for each candidate
+    pair, the fraction of the 24 permutations whose minima agree is an
+    unbiased estimate of Jaccard similarity; this operator reports it
+    next to the EXACT Jaccard over the uncapped distinct-shingle sets
+    (the universe the signatures actually hash) plus the absolute
+    error. Exact-set computation is restricted to the docs appearing
+    in candidate pairs (a semi-join BEFORE the shingle self-join), so
+    its cost is candidates-sized, never corpus². Fully oracle-checked
+    — the md5-slice family makes the whole estimator SQL-expressible.
+    """
+    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint()  # reused 2×
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    n_match = sum(
+        (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int") for i in range(N_PERMS)
+    )
+    matched = (
+        pairs.join(sigs.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", n_match.alias("n_match_perms"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    cand_docs = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+    )
+    tokenized = docs.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", _words(F.col("text")).alias("words")
+    )
+    shd = explode_nonempty(
+        tokenized, ["doc_id"], _shingles(F.col("words"), 3), "shingle"
+    ).distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shd.alias("sa")
+    b = shd.alias("sb")
+    inter = (
+        a.join(
+            b,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    est = F.round(F.col("n_match_perms") / F.lit(float(N_PERMS)), 6)
+    exact = F.round(
+        F.coalesce(F.col("i"), F.lit(0))
+        / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))),
+        6,
+    )
+    return (
+        matched.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_match_perms").cast("long").alias("n_match_perms"),
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
     )
 
 
@@ -1003,6 +1079,53 @@ _MINHASH_INCREMENTAL_SQL = f"""{_MINHASH_BANDS_CTE}
     WHERE n.doc_id % {NEW_BATCH_MOD} = 0 AND c.doc_id % {NEW_BATCH_MOD} <> 0
 """
 
+_MATCH_TERMS = " + ".join(
+    f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(N_PERMS)
+)
+
+_MINHASH_EST_SQL = f"""{_MINHASH_BANDS_CTE}
+    , capped AS (
+        SELECT band, sig, doc_id FROM (
+            SELECT band, sig, doc_id,
+                   row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+            FROM bands)
+        WHERE rn <= {MAX_BUCKET}
+    ),
+    cpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a
+        JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    matched AS (
+        SELECT p.doc_a, p.doc_b, ({_MATCH_TERMS}) AS n_match
+        FROM cpairs p
+        JOIN mins a ON a.doc_id = p.doc_a
+        JOIN mins b ON b.doc_id = p.doc_b
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM shm),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS i
+        FROM cpairs p
+        JOIN shd a ON a.doc_id = p.doc_a
+        JOIN shd b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+        GROUP BY 1, 2
+    )
+    SELECT m.doc_a, m.doc_b,
+           CAST(m.n_match AS BIGINT) AS n_match_perms,
+           round(m.n_match / {float(N_PERMS)}, 6) AS est_jaccard,
+           round(coalesce(i.i, 0) / (na.n + nb.n - coalesce(i.i, 0)), 6)
+               AS exact_jaccard,
+           round(abs(round(m.n_match / {float(N_PERMS)}, 6)
+                     - round(coalesce(i.i, 0)
+                             / (na.n + nb.n - coalesce(i.i, 0)), 6)), 6)
+               AS abs_err
+    FROM matched m
+    LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+    JOIN sizes na ON na.doc_id = m.doc_a
+    JOIN sizes nb ON nb.doc_id = m.doc_b
+"""
+
 _WINDOW_EXACT_SQL = f"""{_WORDS_CTE}
     , wnz AS (SELECT doc_id, words FROM w WHERE len(words) > 0),
     win AS (
@@ -1084,6 +1207,7 @@ ORACLES: dict[str, str] = {
     "dedup_window_exact": _WINDOW_EXACT_SQL,
     "dedup_window_incremental": _WINDOW_INCREMENTAL_SQL,
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
+    "minhash_jaccard_estimate": _MINHASH_EST_SQL,
     "dedup_incremental": _MINHASH_INCREMENTAL_SQL,
     "dedup_fuzzy": _SHINGLES_SQL
     + f"""
@@ -1242,6 +1366,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,

@@ -652,3 +652,17 @@ def test_window_incremental_flags_planted_span(spark, tmp_path):
     assert got[10].n_dup_windows == 55 - 50 + 1
     assert got[10].n_owner_docs == 1
     assert got[20].n_dup_windows == 0 and got[20].n_owner_docs == 0
+
+
+def test_minhash_estimate_calibration(spark):
+    """The signature estimate must track exact Jaccard: mean absolute
+    error under the binomial sampling bound (~1/sqrt(24) ≈ 0.2), and
+    exact duplicates estimate 1.0 with zero error."""
+    rows = dedup.minhash_jaccard_estimate(spark, SF_DIR).collect()
+    assert rows
+    mae = sum(r.abs_err for r in rows) / len(rows)
+    assert mae < 0.2, f"estimator off: MAE {mae:.3f}"
+    for r in rows:
+        if r.exact_jaccard == 1.0:
+            assert r.n_match_perms == 24 and r.est_jaccard == 1.0
+        assert 0.0 <= r.est_jaccard <= 1.0
