@@ -97,6 +97,13 @@ PROBE_OPS = (
     "range_join_value_bands",
     "stream_stream_join_bucketed",
     "segment_migration",
+    # r04b additions. minhash_jaccard_estimate sits with the excluded
+    # pair family (replication manufactures duplicate cliques);
+    # lineitem_pruned_scan is excluded for mv_event_type_stats' reason
+    # — its z-order+zonemap state caches per sf_dir, so the first N×
+    # run would time the layout BUILD, not the pruned serving read.
+    "ab_test_report",
+    "growth_accounting",
     # mv_event_type_stats is excluded: its MV build-once cache keys on
     # the sf_dir, so 1× (warm) vs N× (cold build) ratios would compare
     # serving against building.
