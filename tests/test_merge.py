@@ -427,3 +427,24 @@ if _HYP:
                 for r in t.read(version=version).collect()
             }
             assert got == snap, f"version {version} drifted"
+
+
+def test_versioned_merge_readers_survive_concurrent_commits(spark, vtable):
+    """A reader that resolved its snapshot BEFORE a merge must still
+    collect the old version's exact rows afterwards — writers never
+    block or break readers because no committed file is ever deleted
+    or rewritten."""
+    reader = vtable.read(version=1)  # lazy plan pinned to v1's files
+    expected = {(r.k, r.v) for r in vtable.read(version=1).collect()}
+    vtable.merge(
+        spark.createDataFrame(
+            [(i, f"W{i}", "open") for i in range(0, 200, 3)],
+            "k long, v string, status string",
+        )
+    )
+    vtable.merge(
+        spark.createDataFrame([(7, "X", "open")], "k long, v string, status string")
+    )
+    # the pre-merge plan still reads v1 exactly
+    assert {(r.k, r.v) for r in reader.collect()} == expected
+    assert vtable.manifest()["current"] == 3
