@@ -121,3 +121,64 @@ def test_lineitem_pruned_scan_actually_skips_files(spark):
         },
     )
     assert 0 < len(kept) < len(all_files) / 2, (len(kept), len(all_files))
+
+
+# -- property-based conservatism (hypothesis) --------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @given(
+        ranges=st.lists(
+            st.tuples(
+                st.sampled_from(["u", "v"]),
+                st.integers(0, 100_000),
+                st.integers(0, 100_000),
+            ),
+            min_size=1,
+            max_size=2,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_zonemap_read_always_equals_full_scan(
+        spark, tmp_path_factory, ranges
+    ):
+        """For ANY box (including empty and inverted ranges collapsing
+        to nothing), the pruned read equals the full-scan filter —
+        conservatism is unconditional, not layout luck."""
+        import os
+        import tempfile
+
+        global _ZM_SHARED
+        try:
+            path = _ZM_SHARED
+        except NameError:
+            path = os.path.join(
+                tempfile.mkdtemp(dir=str(tmp_path_factory.getbasetemp())), "t"
+            )
+            zorder.write_zordered(_dataset(spark, 30_000), path, "u", "v", files=8)
+            zonemap.build_zonemap(spark, path, ["u", "v"])
+            _ZM_SHARED = path
+
+        box = {}
+        for col, a, b in ranges:
+            box[col] = (float(min(a, b)), float(max(a, b)))
+        got = sorted(
+            r.row_id for r in zonemap.zonemap_read(spark, path, box).collect()
+        )
+        df = spark.read.parquet(path)
+        for col, (lo, hi) in box.items():
+            df = df.filter(F.col(col).between(lo, hi))
+        want = sorted(r.row_id for r in df.collect())
+        assert got == want
