@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -212,11 +213,20 @@ class MergeTable:
 
         # a brand-new (or emptied) table has no parquet files to infer
         # a schema from — bootstrap: the first merge's source DEFINES
-        # the table schema and every source row is an insert.
+        # the table schema and every source row is an insert. ONLY the
+        # genuinely-missing-table conditions take this path; any other
+        # read failure (transient IO, corrupt footer, permissions)
+        # re-raises — bootstrapping on those would dynamic-overwrite
+        # touched buckets with source-only rows and destroy the
+        # matched target rows they failed to read.
         try:
             full = self.spark.read.option("mergeSchema", "true").parquet(self.path)
-        except Exception:
-            full = src.filter(F.lit(False))
+        except AnalysisException as e:
+            marker = str(getattr(e, "getErrorClass", lambda: None)() or e)
+            if "PATH_NOT_FOUND" in marker or "UNABLE_TO_INFER_SCHEMA" in marker:
+                full = src.filter(F.lit(False))
+            else:
+                raise
         cols, new_cols, s_fields = _gate_schema_evolution(full, src)
         target = full.filter(F.col("_bucket").isin(touched))
         merged, counts = _merge_rows(
@@ -271,6 +281,14 @@ class VersionedMergeTable:
     manifest is O(versions × buckets) — KB — and nothing ever
     rewrites an untouched file, which is what makes the layout safe
     for petabyte tables with concurrent readers.
+
+    Writer model: optimistic single-winner. Each merge atomically
+    claims its target version with an O_EXCL ``v{N}.claim`` marker
+    BEFORE writing data; of two concurrent merges that both read
+    current=N, exactly one proceeds and the other raises RuntimeError
+    having written nothing (retry after re-reading). Readers need no
+    coordination — they resolve against an immutable manifest
+    snapshot (pytest: concurrent-merge reader test).
     """
 
     def __init__(
@@ -393,6 +411,21 @@ class VersionedMergeTable:
             target, src, key, cols, new_cols, s_fields, delete_cond
         )
         new_version = man["current"] + 1
+        # writer-side concurrency control: atomically CLAIM the target
+        # version with an O_EXCL marker before writing any data. Two
+        # concurrent merges both reading current=N would otherwise
+        # write into the SAME data/v{N+1} directory and race the
+        # manifest read-modify-write, silently losing one commit.
+        # First claimer wins; the loser fails loudly here, having
+        # written nothing.
+        claim = os.path.join(self.path, f"v{new_version}.claim")
+        try:
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent writer already claimed version {new_version} "
+                f"of {self.path}; re-read the table and retry the merge"
+            ) from None
         (
             merged.repartition("_bucket")
             .write.mode("overwrite")
@@ -411,5 +444,13 @@ class VersionedMergeTable:
                 snap.pop(str(b), None)
         man["snapshots"][str(new_version)] = snap
         man["current"] = new_version
+        # belt-and-suspenders: the claim already serialized writers,
+        # but re-verify nobody else advanced the manifest before the
+        # commit point (covers a claim file removed out-of-band).
+        if self.manifest()["current"] != new_version - 1:
+            raise RuntimeError(
+                f"concurrent commit detected on {self.path}: manifest moved "
+                f"past version {new_version - 1} while this merge was writing"
+            )
         self._swap_manifest(man)  # all-or-nothing across every bucket
         return {**counts, "buckets": touched, "version": new_version}

@@ -81,11 +81,23 @@ def refresh_new_files(spark: SparkSession, table_dir: str, cols: list[str]) -> i
     files scanned — cost ∝ delta, not table. Returns files added.
     """
     out = _stats_dir(table_dir)
-    known = {r._file for r in spark.read.parquet(out).select("_file").collect()}
-    df = spark.read.parquet(table_dir)
-    fresh = _file_stats(df.withColumn("_f", F.input_file_name()).filter(
-        ~F.col("_f").isin(list(known))
-    ).drop("_f"), cols)
+    # Diff the file LISTING (metadata-only, no data scan) against the
+    # stats table's anti-joined _file column — NOT a collected
+    # isin() literal: at 100 TB the known-file set is millions of
+    # paths and a literal IN-list of that size blows up driver memory
+    # and analysis time. listing ⟕ stats is file-count-sized on both
+    # sides; only the surviving DELTA files are then scanned, so the
+    # data cost really is ∝ delta.
+    listing = spark.createDataFrame(
+        [(f,) for f in spark.read.parquet(table_dir).inputFiles()], "_file string"
+    )
+    known = spark.read.parquet(out).select("_file")
+    new_files = [
+        r._file for r in listing.join(known, "_file", "left_anti").collect()
+    ]
+    if not new_files:
+        return 0
+    fresh = _file_stats(spark.read.parquet(*new_files), cols)
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(out)

@@ -229,6 +229,32 @@ def parse_events_json(batch: DataFrame) -> DataFrame:
     ).select("e.user_id", "e.event_type", "e.value")
 
 
+def _write_results_idempotent(
+    per_query: list[DataFrame], out_dir: str, batch_id: int
+) -> None:
+    """Exactly-once result sink for the serving trilogy.
+
+    foreachBatch is at-least-once: a crash-and-replay re-runs the
+    micro-batch, and a bare ``mode('append')`` would duplicate every
+    (query_id, vec_id) row. Writing the batch's unioned results into
+    a ``_batch_id={N}`` partition with DYNAMIC partition overwrite
+    makes the replay overwrite its own partition and nothing else —
+    the same idempotence-by-partition discipline as ``mv_refresh_job``
+    — and collapses the per-query appends into ONE job per batch.
+    """
+    import functools
+
+    results = functools.reduce(DataFrame.unionByName, per_query)
+    (
+        results.withColumn("_batch_id", F.lit(int(batch_id)))
+        .coalesce(1)  # micro-batch-sized top-k rows; one file per batch
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_dir)
+    )
+
+
 def ann_serving_job(
     query_stream: DataFrame,
     index_dir: str,
@@ -245,18 +271,20 @@ def ann_serving_job(
     job answers a stream of (query_id, v) rows — each micro-batch
     resolves the CURRENT committed snapshot (manifest read per batch:
     queries never see a torn append), probes the pruned (band, code)
-    partitions per query, exact-cosine re-ranks, and appends
-    (query_id, vec_id, cosine, rank) results to a parquet sink.
-    Per-batch driver work is one manifest read + per-query band-code
-    hashes — query vectors are micro-batch-sized by definition.
+    partitions per query, exact-cosine re-ranks, and writes
+    (query_id, vec_id, cosine) results to a parquet sink, exactly
+    once under replay (``_write_results_idempotent``). Per-batch
+    driver work is one manifest read + per-query band-code hashes —
+    query vectors are micro-batch-sized by definition.
     """
     from ..operators.ann_index import probe_lsh_snapshot
 
-    def _serve(batch: DataFrame, _batch_id: int) -> None:
+    def _serve(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
         queries = batch.select("query_id", "v").collect()  # micro-batch-sized
+        per_query = []
         for q in queries:
             qvec = np.asarray(q.v)
             qnorm = float(np.linalg.norm(qvec))
@@ -270,7 +298,7 @@ def ann_serving_job(
             norm = F.sqrt(
                 F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
             )
-            (
+            per_query.append(
                 cand.withColumn("cosine", F.round(dot / (norm * F.lit(qnorm)), 6))
                 .orderBy(F.desc("cosine"), F.asc("vec_id"))
                 .limit(top_k)
@@ -279,9 +307,8 @@ def ann_serving_job(
                     "vec_id",
                     "cosine",
                 )
-                .write.mode("append")
-                .parquet(out_dir)
             )
+        _write_results_idempotent(per_query, out_dir, batch_id)
 
     return (
         query_stream.writeStream.foreachBatch(_serve)
@@ -305,14 +332,16 @@ def ivf_serving_job(
     committed corpus snapshot, scans only its ``nprobe`` nearest
     lists (partition pruning inside the manifest's file set —
     ``ann_index.probe_ivf_snapshot``), exact-cosine re-ranks them,
-    and appends (query_id, vec_id, cosine) results.
+    and writes (query_id, vec_id, cosine) results exactly once under
+    replay (``_write_results_idempotent``).
     """
     from ..operators.ann_index import probe_ivf_snapshot
 
-    def _serve(batch: DataFrame, _batch_id: int) -> None:
+    def _serve(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        per_query = []
         for q in batch.select("query_id", "v").collect():  # micro-batch-sized
             qvec = np.asarray(q.v)
             qnorm = float(np.linalg.norm(qvec))
@@ -326,7 +355,7 @@ def ivf_serving_job(
             norm = F.sqrt(
                 F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
             )
-            (
+            per_query.append(
                 cand.withColumn("cosine", F.round(dot / (norm * F.lit(qnorm)), 6))
                 .orderBy(F.desc("cosine"), F.asc("vec_id"))
                 .limit(top_k)
@@ -335,9 +364,8 @@ def ivf_serving_job(
                     "vec_id",
                     "cosine",
                 )
-                .write.mode("append")
-                .parquet(out_dir)
             )
+        _write_results_idempotent(per_query, out_dir, batch_id)
 
     return (
         query_stream.writeStream.foreachBatch(_serve)
@@ -373,11 +401,12 @@ def pq_serving_job(
     """
     from ..operators.ann_index import probe_pq_snapshot
 
-    def _serve(batch: DataFrame, _batch_id: int) -> None:
+    def _serve(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
         queries = batch.select("query_id", "v").collect()  # micro-batch-sized
+        per_query = []
         for q in queries:
             qvec = np.asarray(q.v)
             qnorm = float(np.linalg.norm(qvec))
@@ -394,7 +423,7 @@ def pq_serving_job(
             norm = F.sqrt(
                 F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
             )
-            (
+            per_query.append(
                 cand.withColumn("cosine", F.round(dot / (norm * F.lit(qnorm)), 6))
                 .orderBy(F.desc("cosine"), F.asc("vec_id"))
                 .limit(top_k)
@@ -403,9 +432,8 @@ def pq_serving_job(
                     "vec_id",
                     "cosine",
                 )
-                .write.mode("append")
-                .parquet(out_dir)
             )
+        _write_results_idempotent(per_query, out_dir, batch_id)
 
     return (
         query_stream.writeStream.foreachBatch(_serve)

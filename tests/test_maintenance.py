@@ -1100,3 +1100,25 @@ def test_ivf_serving_job_matches_batch_probe(spark, tmp_path):
             key=lambda t: (-t[1], t[0]),
         )[:5]
         assert got[qrow.query_id] == scored, qrow.query_id
+
+
+def test_serving_result_sink_is_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch through
+    the serving sink must overwrite its own _batch_id partition, not
+    duplicate (query_id, vec_id) rows; other batches stay untouched
+    (ADVICE r04)."""
+    out = str(tmp_path / "results")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "query_id long, vec_id long, cosine double"
+    )
+    maintenance._write_results_idempotent([mk([(1, 10, 0.9), (1, 11, 0.8)])], out, 0)
+    maintenance._write_results_idempotent([mk([(2, 20, 0.7)])], out, 1)
+    # crash-and-replay of batch 1 with (possibly) recomputed rows
+    maintenance._write_results_idempotent([mk([(2, 20, 0.7)])], out, 1)
+    maintenance._write_results_idempotent([mk([(2, 20, 0.7)])], out, 1)
+
+    rows = sorted(
+        (r.query_id, r.vec_id, r.cosine)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(1, 10, 0.9), (1, 11, 0.8), (2, 20, 0.7)]

@@ -448,3 +448,55 @@ def test_versioned_merge_readers_survive_concurrent_commits(spark, vtable):
     # the pre-merge plan still reads v1 exactly
     assert {(r.k, r.v) for r in reader.collect()} == expected
     assert vtable.manifest()["current"] == 3
+
+
+def test_merge_bootstrap_only_when_table_truly_missing(spark, tmp_path):
+    """The bootstrap path (empty target, all inserts) fires for a
+    missing/empty table dir; an UNREADABLE table (corrupt footer,
+    IO failure) must raise, never silently treat the target as empty
+    — that would dynamic-overwrite matched rows with source-only
+    buckets (ADVICE r04)."""
+    import os
+
+    # genuinely-new table: first merge defines schema, all inserts
+    t = MergeTable(spark, str(tmp_path / "fresh"), "k", n_buckets=4)
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    stats = t.merge(src)
+    assert stats["inserted"] == 2 and stats["updated"] == 0
+    assert {r.k for r in t.read().collect()} == {1, 2}
+
+    # corrupt table: a garbage "parquet" file must fail the merge loudly
+    bad_dir = str(tmp_path / "corrupt")
+    os.makedirs(os.path.join(bad_dir, "_bucket=0"))
+    with open(os.path.join(bad_dir, "_bucket=0", "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    bad = MergeTable(spark, bad_dir, "k", n_buckets=4)
+    with pytest.raises(Exception) as ei:
+        bad.merge(src)
+    # and the garbage file must still be there — nothing was overwritten
+    assert os.path.exists(os.path.join(bad_dir, "_bucket=0", "part-00000.parquet"))
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
+def test_versioned_merge_second_writer_fails_loudly(spark, vtable):
+    """Two writers that both read current=N cannot both commit N+1:
+    the version claim is O_EXCL, so the second merge raises having
+    written nothing, and the survivor's snapshot is intact."""
+    import os
+
+    # simulate writer A having claimed v2 (claim precedes any data write)
+    claim = os.path.join(vtable.path, "v2.claim")
+    open(claim, "x").close()
+
+    src = spark.createDataFrame([(5, "B", "open")], "k long, v string, status string")
+    with pytest.raises(RuntimeError, match="claimed version 2"):
+        vtable.merge(src)
+    assert vtable.manifest()["current"] == 1  # nothing committed
+    before = {r.k: r.v for r in vtable.read().collect()}
+    assert before[5] == "v5"  # loser wrote nothing visible
+
+    # writer A releases (crash recovery: operator removes stale claim)
+    os.remove(claim)
+    stats = vtable.merge(src)
+    assert stats["version"] == 2
+    assert {r.k: r.v for r in vtable.read().collect()}[5] == "B"
