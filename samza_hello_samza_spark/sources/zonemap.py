@@ -126,6 +126,49 @@ def pruned_files(
     return [r._file for r in stats.filter(cond).select("_file").collect()]
 
 
+def pruned_files_multi(
+    spark: SparkSession,
+    table_dir: str,
+    boxes: list[dict[str, tuple[float, float]]],
+) -> list[str]:
+    """Files whose zone could satisfy ANY of the boxes — disjunctive
+    pruning for OR-of-ANDs predicates (TPC-H Q19 shape).
+
+    One pass over the stats table: keep a file when it overlaps at
+    least one box. A file matching several boxes appears once (the
+    caller re-applies the exact disjunction, so double-reads would
+    also double-count).
+    """
+    stats = spark.read.parquet(_stats_dir(table_dir))
+    any_cond = F.lit(False)
+    for ranges in boxes:
+        cond = F.lit(True)
+        for c, (lo, hi) in ranges.items():
+            overlap = ~(
+                (F.col(f"max_{c}") < F.lit(float(lo)))
+                | (F.col(f"min_{c}") > F.lit(float(hi)))
+            )
+            cond = cond & F.coalesce(overlap, F.lit(True))
+        any_cond = any_cond | cond
+    return [r._file for r in stats.filter(any_cond).select("_file").collect()]
+
+
+def pruned_scan(
+    spark: SparkSession,
+    table_dir: str,
+    boxes: list[dict[str, tuple[float, float]]],
+) -> DataFrame:
+    """File-skipped scan WITHOUT a residual filter: the caller applies
+    its own exact predicate (needed when the predicate isn't a closed
+    box — strict bounds, date comparisons, OR-of-ANDs). Conservative
+    skipping guarantees the surviving files are a superset of every
+    qualifying row."""
+    files = pruned_files_multi(spark, table_dir, boxes)
+    if not files:
+        return spark.read.parquet(table_dir).filter(F.lit(False))
+    return spark.read.option("basePath", table_dir).parquet(*files)
+
+
 # -- registered demo query: the zone map as a serving layout ---------------
 
 #: the box predicate the pruned-scan key answers (selective on both
@@ -196,6 +239,210 @@ def lineitem_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def refresh_merged_buckets(
+    spark: SparkSession, table_dir: str, cols: list[str], buckets: list[int]
+) -> int:
+    """Post-MERGE zone-map maintenance for a bucketed lakehouse table
+    (``MergeTable``): re-derive per-file stats for ONLY the touched
+    ``_bucket=B`` directories and carry every other stats row over
+    unchanged.
+
+    A merge dynamic-overwrites exactly its touched bucket dirs, so
+    the stats rows keyed by the old files in those dirs are dead and
+    every file elsewhere is bit-identical (MergeTable's pytest-
+    asserted contract) — data-scan cost is ∝ touched buckets, never
+    O(table), and the stats rewrite itself is file-count-sized (KB).
+    The kept rows are materialized (localCheckpoint) before the
+    overwrite so the read never races its own sink. Returns the
+    number of refreshed file rows.
+    """
+    out = _stats_dir(table_dir)
+    markers = [f"/_bucket={b}/" for b in buckets]
+    touched_col = None
+    for m in markers:
+        c = F.col("_file").contains(m)
+        touched_col = c if touched_col is None else (touched_col | c)
+    old = spark.read.parquet(out)
+    kept = old.filter(~touched_col).localCheckpoint() if markers else old
+    dirs = [
+        os.path.join(table_dir, f"_bucket={b}")
+        for b in buckets
+        if os.path.isdir(os.path.join(table_dir, f"_bucket={b}"))
+    ]
+    if dirs:
+        fresh = _file_stats(
+            spark.read.option("basePath", table_dir).parquet(*dirs).drop("_bucket"),
+            cols,
+        )
+        n = fresh.count()
+        kept.unionByName(fresh).write.mode("overwrite").parquet(out)
+    else:  # every touched bucket emptied out — nothing to scan
+        n = 0
+        kept.write.mode("overwrite").parquet(out)
+    return n
+
+
+# -- zone-map twins of the showcase pushdown queries (q6 / q19) ------------
+
+#: epoch-day bounds of the q6 ship-year window (1997), precomputed so
+#: the box is a pure literal: datediff('1997-01-01','1970-01-01')=9862.
+_Q6_DAY_LO, _Q6_DAY_HI = 9862.0, 10227.0  # hi overcovers by 1 day; residual trims
+
+
+def _zordered_lineitem_ship(spark: SparkSession, sf_dir: str) -> str:
+    """(ship_day, discount)-clustered lineitem projection for the q6
+    family — date-selective scans. Same build-once index-root
+    discipline as ``_zordered_lineitem``; ``_ship_day`` is the
+    epoch-day of l_shipdate, materialized so the zone map (numeric
+    min/max) can skip on a date predicate."""
+    from ..operators.ann_index import _index_root, _is_built, _tag
+    from ..session import load_table
+    from .zorder import write_zordered
+
+    out = os.path.join(_index_root(), _tag(sf_dir), "zorder_lineitem_ship")
+    if not _is_built(out):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_shipdate",
+            "l_discount",
+            "l_quantity",
+            "l_extendedprice",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("_ship_day"),
+        )
+        write_zordered(li, out, "_ship_day", "l_discount", files=_ZM_FILES)
+    if not os.path.exists(_stats_dir(out)):
+        build_zonemap(spark, out, ["_ship_day", "l_discount", "l_quantity"])
+    return out
+
+
+def q6_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 routed through the zone-mapped (ship_day, discount)
+    layout: the file listing drops every file whose zones miss the
+    1997 × [0.05, 0.07] × (<24) box, then the EXACT q6 predicate
+    re-applies on the survivors (skipping is conservative, so the
+    composition equals the full scan — DuckDB-oracle-checked).
+    Reference analog: the predicate-pushdown showcase of SURVEY §2;
+    this key pushes the predicate past the scan INTO the listing."""
+    table_dir = _zordered_lineitem_ship(spark, sf_dir)
+    df = pruned_scan(
+        spark,
+        table_dir,
+        [
+            {
+                "_ship_day": (_Q6_DAY_LO, _Q6_DAY_HI),
+                "l_discount": (0.05, 0.07),
+                "l_quantity": (-1e18, 24.0),
+            }
+        ],
+    )
+    return df.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.coalesce(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+            ),
+            F.lit(0).cast("decimal(18,4)"),
+        )
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+#: q19's three conjunctive clauses as (brand, quantity, size) boxes.
+_Q19_BOXES = [
+    {"_brand_num": (12.0, 12.0), "l_quantity": (1.0, 11.0), "p_size": (1.0, 5.0)},
+    {"_brand_num": (23.0, 23.0), "l_quantity": (10.0, 20.0), "p_size": (1.0, 10.0)},
+    {"_brand_num": (34.0, 34.0), "l_quantity": (26.0, 36.0), "p_size": (1.0, 15.0)},
+]
+
+
+def _zordered_lineitem_brand(spark: SparkSession, sf_dir: str) -> str:
+    """Denormalized (brand, quantity)-clustered lineitem⨝part
+    projection for the q19 family — the Vertica-projection /
+    materialized-sort-order design: the join is paid ONCE at layout
+    build (broadcast of the small part dim), after which a
+    brand-selective disjunction prunes at file listing instead of
+    scanning the fact table. ``_brand_num`` is the numeric brand id
+    ('Brand#12' → 12) so the zone map can box it."""
+    from ..operators.ann_index import _index_root, _is_built, _tag
+    from ..session import load_table
+    from .zorder import write_zordered
+
+    out = os.path.join(_index_root(), _tag(sf_dir), "zorder_lineitem_brand")
+    if not _is_built(out):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        part = load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_size"
+        )
+        joined = li.join(
+            F.broadcast(part), li.l_partkey == part.p_partkey
+        ).select(
+            "p_brand",
+            "p_size",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            F.substring_index("p_brand", "#", -1).cast("int").alias("_brand_num"),
+        )
+        write_zordered(joined, out, "_brand_num", "l_quantity", files=_ZM_FILES)
+    if not os.path.exists(_stats_dir(out)):
+        build_zonemap(spark, out, ["_brand_num", "l_quantity", "p_size"])
+    return out
+
+
+def q19_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 routed through the zone map: the OR-of-ANDs predicate
+    becomes a UNION of three (brand, quantity, size) boxes evaluated
+    against the stats table in one pass (``pruned_files_multi``); only
+    files overlapping at least one clause are listed, then the exact
+    disjunction re-applies. On the brand-clustered layout each clause
+    touches ~1/25 of the files, so the disjunctive scan reads a small
+    fraction of the projection (pytest-asserted <1/2)."""
+    table_dir = _zordered_lineitem_brand(spark, sf_dir)
+    df = pruned_scan(spark, table_dir, _Q19_BOXES)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(26, 36)
+        )
+    )
+    return df.filter(clause).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.coalesce(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            F.lit(0).cast("decimal(18,4)"),
+        )
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "lineitem_pruned_scan": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_lines,
@@ -208,10 +455,36 @@ ORACLES: dict[str, str] = {
         WHERE l_extendedprice BETWEEN {PRICE_LO} AND {PRICE_HI}
           AND l_quantity BETWEEN {QTY_LO} AND {QTY_HI}
     """,
+    "q6_pruned_scan": """
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(coalesce(round(sum(CAST(l_extendedprice * l_discount
+                                            AS DECIMAL(18,4))), 2), 0.0)
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q19_pruned_scan": """
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(coalesce(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                            AS DECIMAL(18,4))), 2), 0.0)
+                    AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 26 AND 36)
+    """,
 }
 
 QUERIES = {
     "lineitem_pruned_scan": lineitem_pruned_scan,
+    "q6_pruned_scan": q6_pruned_scan,
+    "q19_pruned_scan": q19_pruned_scan,
 }
 
 

@@ -182,3 +182,129 @@ if _HYP:
             df = df.filter(F.col(col).between(lo, hi))
         want = sorted(r.row_id for r in df.collect())
         assert got == want
+
+
+def test_q6_pruned_scan_skips_files_and_matches_full_scan(spark):
+    """The q6 twin must (a) read <1/2 of the ship-clustered layout's
+    files for the 1997 box and (b) return exactly the full-scan q6
+    aggregate — conservative skipping composed with the exact
+    residual predicate."""
+    from tests.conftest import SF_DIR
+
+    table_dir = zonemap._zordered_lineitem_ship(spark, SF_DIR)
+    all_files = zonemap.pruned_files(spark, table_dir, {"_ship_day": (-1e18, 1e18)})
+    kept = zonemap.pruned_files_multi(
+        spark,
+        table_dir,
+        [
+            {
+                "_ship_day": (zonemap._Q6_DAY_LO, zonemap._Q6_DAY_HI),
+                "l_discount": (0.05, 0.07),
+                "l_quantity": (-1e18, 24.0),
+            }
+        ],
+    )
+    assert 0 < len(kept) < len(all_files) / 2, (len(kept), len(all_files))
+
+    got = zonemap.q6_pruned_scan(spark, SF_DIR).collect()[0]
+    want = (
+        spark.read.parquet(table_dir)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.coalesce(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                F.lit(0).cast("decimal(18,4)"),
+            )
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()[0]
+    )
+    assert (got.n_lines, got.revenue) == (want.n_lines, want.revenue)
+
+
+def test_q19_pruned_scan_disjunctive_boxes_skip_files(spark):
+    """The q19 twin's three-clause disjunction prunes as the UNION of
+    boxes: <1/2 of the brand-clustered files survive, every file
+    appears once, and single-box prunes are subsets of the union."""
+    from tests.conftest import SF_DIR
+
+    table_dir = zonemap._zordered_lineitem_brand(spark, SF_DIR)
+    all_files = zonemap.pruned_files(spark, table_dir, {"_brand_num": (-1e18, 1e18)})
+    kept = zonemap.pruned_files_multi(spark, table_dir, zonemap._Q19_BOXES)
+    assert 0 < len(kept) < len(all_files) / 2, (len(kept), len(all_files))
+    assert len(kept) == len(set(kept))  # no double-reads
+    for box in zonemap._Q19_BOXES:
+        single = set(zonemap.pruned_files_multi(spark, table_dir, [box]))
+        assert single <= set(kept)
+
+
+def test_zonemap_refresh_after_merge_touched_buckets_only(spark, tmp_path):
+    """Lakehouse composition: after a MERGE, refresh_merged_buckets
+    re-scans ONLY the touched _bucket dirs. Stats rows for untouched
+    files carry over identical, dead rows for overwritten files
+    disappear, and the zone-mapped read over the merged table equals
+    the exact filter — the conservative-skipping contract survives
+    upserts."""
+    from samza_hello_samza_spark.sources.merge import MergeTable
+
+    t = MergeTable(spark, str(tmp_path / "t"), "k", n_buckets=8)
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(2000)], "k long, v long"
+    )
+    t.write_full(base)
+    zonemap.build_zonemap(spark, t.path, ["v"])
+    before = {
+        r._file: (r.n_rows, r.min_v, r.max_v)
+        for r in spark.read.parquet(zonemap._stats_dir(t.path)).collect()
+    }
+
+    src = spark.createDataFrame(
+        [(i, 1_000_000 + i) for i in range(0, 2000, 400)] + [(9001, 5)],
+        "k long, v long",
+    )
+    stats = t.merge(src)
+    touched = stats["buckets"]
+    assert 0 < len(touched) < 8  # a real partial merge
+
+    n = zonemap.refresh_merged_buckets(spark, t.path, ["v"], touched)
+    assert n > 0
+    after = {
+        r._file: (r.n_rows, r.min_v, r.max_v)
+        for r in spark.read.parquet(zonemap._stats_dir(t.path)).collect()
+    }
+    markers = [f"/_bucket={b}/" for b in touched]
+    untouched_before = {
+        f: s for f, s in before.items() if not any(m in f for m in markers)
+    }
+    untouched_after = {
+        f: s for f, s in after.items() if not any(m in f for m in markers)
+    }
+    assert untouched_before == untouched_after  # carried over identical
+    for f in after:
+        if any(m in f for m in markers):
+            assert f not in before  # touched dirs hold only NEW files
+
+    # the zone map still serves exact answers over the merged table
+    got = sorted(
+        r.k for r in zonemap.zonemap_read(spark, t.path, {"v": (1_000_000.0, 2_000_000.0)}).collect()
+    )
+    want = sorted(
+        r.k
+        for r in spark.read.parquet(t.path)
+        .filter(F.col("v").between(1_000_000, 2_000_000))
+        .collect()
+    )
+    assert got == want and got
