@@ -96,3 +96,38 @@ def maybe_broadcast_counted(
     if observed <= row_budget:
         return F.broadcast(df)
     return df
+
+
+def maybe_broadcast_runtime(
+    df: DataFrame, max_bytes: int = DEFAULT_BROADCAST_BUDGET
+) -> DataFrame:
+    """Decide from the OBSERVED size, not Catalyst's estimate.
+
+    ``maybe_broadcast_counted``'s limit-probe is still a pre-execution
+    guess (rows × assumed row width); this is the runtime path: the
+    frame is persisted and materialized once, and the decision reads
+    the actual cached-batch byte size through the plan's
+    ``InMemoryRelation`` statistics — the same runtime-truth signal
+    class AQE reads from shuffle stage stats, surfaced through
+    QueryExecution instead of a guess. Catalyst being wrong in EITHER
+    direction is corrected: an over-estimated tiny frame (filtered
+    dim the optimizer assumes unselective) still gets its broadcast,
+    and an under-estimated blowup (generator/explode output estimated
+    at input size) is NOT shipped to every executor.
+
+    Use when the frame will be reused by the join anyway (the persist
+    is then free); the returned frame is the cached one either way,
+    so callers join against actual materialized batches. The stats
+    must be read through a FRESH QueryExecution (``select("*")``) —
+    a DataFrame whose plan was analyzed before ``persist`` keeps its
+    pre-cache estimate.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()  # materialize → InMemoryRelation carries actual bytes
+    fresh = cached.select("*")
+    size = plan_size_bytes(fresh)
+    if size is not None and size <= max_bytes:
+        return F.broadcast(fresh)
+    return fresh

@@ -282,14 +282,43 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_K = 8
 
 
+def _pca_gram_folded(e: DataFrame) -> DataFrame:
+    """Per-Arrow-batch (n | Σx | XᵀX) partials, tree-reduced JVM-side.
+
+    Each batch collapses to ONE packed vector row inside
+    ``mapInPandas``; posexplode + positional sum then folds them with
+    map-side partial aggregation, so the driver collects EXACTLY
+    1 + DIM + DIM² rows regardless of corpus size (at 100 TB the raw
+    per-batch rows alone would be millions of (DIM²+DIM)-double rows
+    through the driver)."""
+
+    def partial_gram(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["v"].to_numpy())
+            flat = np.concatenate(
+                ([float(len(mat))], mat.sum(axis=0), (mat.T @ mat).ravel())
+            )
+            yield pd.DataFrame({"p": [flat.tolist()]})
+
+    return (
+        e.select("v")
+        .mapInPandas(partial_gram, "p array<double>")
+        .select(F.posexplode("p").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("x"))
+    )
+
+
 def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project embeddings onto their top-8 principal components.
 
     The scalable PCA shape (what MLlib's RowMatrix does under the
     hood): the DIM×DIM Gramian and column sums are accumulated
     per-Arrow-batch with numpy matmuls inside ``mapInPandas`` — each
-    batch collapses to ONE row of (n, Σx, XᵀX), so the collect is
-    bounded by the number of batches, never by corpus size. The
+    batch collapses to ONE packed (n | Σx | XᵀX) row — then
+    tree-reduced JVM-side (posexplode + positional sum with map-side
+    partial aggregation) so the driver collects a CONSTANT
+    1 + DIM + DIM² values regardless of corpus size. The
     64×64 covariance eigendecomposition is a driver-side numpy
     ``eigh`` (trivial at any corpus scale — the matrix only depends
     on DIM), and the projection is one more Arrow-batched pass with
@@ -302,26 +331,12 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted against a straight numpy PCA of the same table.
     """
     e = _embeddings(spark, sf_dir)
-
-    def partial_gram(batches):
-        for pdf in batches:
-            mat = np.stack(pdf["v"].to_numpy())
-            yield pd.DataFrame(
-                {
-                    "n": [len(mat)],
-                    "s": [mat.sum(axis=0).tolist()],
-                    "g": [(mat.T @ mat).ravel().tolist()],
-                }
-            )
-
-    parts = (
-        e.select("v")
-        .mapInPandas(partial_gram, "n long, s array<double>, g array<double>")
-        .collect()
-    )  # one row per Arrow batch — bounded, not corpus-sized
-    n = sum(r.n for r in parts)
-    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
-    gram = np.sum([np.asarray(r.g).reshape(DIM, DIM) for r in parts], axis=0)
+    vec = np.zeros(1 + DIM + DIM * DIM)
+    for r in _pca_gram_folded(e).collect():
+        vec[r.i] = r.x
+    n = int(vec[0])
+    s = vec[1 : 1 + DIM]
+    gram = vec[1 + DIM :].reshape(DIM, DIM)
     mean = s / n
     cov = gram / n - np.outer(mean, mean)
     eigvals, eigvecs = np.linalg.eigh(cov)

@@ -72,3 +72,49 @@ def test_counted_probe_declines_when_over_row_budget(spark):
     # probe must observe 5 and decline.
     out = maybe_broadcast_counted(big, max_bytes=1024, est_row_bytes=256)
     assert out is big
+
+
+def test_runtime_hint_corrects_catalyst_both_ways(spark):
+    """maybe_broadcast_runtime must invert BOTH Catalyst mistakes
+    (VERDICT r04 #5): a frame the optimizer OVER-estimates (selective
+    modulo filter, estimate = full input size ≫ budget, actual 2
+    rows) still gets the broadcast, and a frame it UNDER-estimates
+    (explode of a sequence from one row — estimate ≈ input bytes,
+    actual millions of rows) is declined."""
+    from samza_hello_samza_spark.functions.hints import (
+        maybe_broadcast_runtime,
+        plan_size_bytes,
+    )
+
+    budget = 64 * 1024
+
+    over = (
+        spark.range(0, 2_000_000)
+        .withColumn("pad", F.concat(F.lit("x" * 100), F.col("id").cast("string")))
+        .filter(F.col("id") % 1_000_000 == 7)  # 2 rows actual
+    )
+    est = plan_size_bytes(over)
+    assert est is not None and est > budget  # Catalyst says too big
+    hinted = maybe_broadcast_runtime(over, max_bytes=budget)
+    probe = spark.range(0, 10).withColumnRenamed("id", "k")
+    plan = (
+        probe.join(hinted, probe.k == hinted.id)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "InMemoryTableScan" in plan
+    over.unpersist()
+
+    under = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(3_000_000))).alias("v"))
+        .withColumn("pad", F.concat(F.lit("y" * 60), F.col("v").cast("string")))
+    )
+    est = plan_size_bytes(under)
+    assert est is not None and est <= budget  # Catalyst says tiny
+    declined = maybe_broadcast_runtime(under, max_bytes=budget)
+    # no broadcast hint attached: the logical plan carries no hint node
+    assert "ResolvedHint" not in declined._jdf.queryExecution().logical().toString()
+    assert plan_size_bytes(declined) > budget  # observed truth
+    under.unpersist()

@@ -1122,3 +1122,56 @@ def test_serving_result_sink_is_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert rows == [(1, 10, 0.9), (1, 11, 0.8), (2, 20, 0.7)]
+
+
+def test_ivf_serving_snapshot_pins_per_micro_batch_across_commit(spark, tmp_path):
+    """Probe-during-commit race (VERDICT r04 #4): a serving job's
+    micro-batch resolves the snapshot committed AT ITS probe time.
+    A batch served against manifest K must not see rows from a K+1
+    commit that lands between micro-batches — and the NEXT batch
+    must see exactly the K+1 corpus. Mirrors test_merge.py's
+    concurrent-merge reader test for the IVF serving path."""
+    idx = ann_index.build_ivf_index(
+        spark, SF_DIR, similarity.IVF_NLIST, out_dir=str(tmp_path / "ivf_race")
+    )
+    corpus_dir = os.path.join(idx, "corpus")
+    ann_index.commit_index_snapshot(corpus_dir)
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+    qrow = [float(x) for x in qvec]
+    qdir = str(tmp_path / "queries")
+    os.makedirs(qdir)
+    schema = "query_id BIGINT, v ARRAY<DOUBLE>"
+    # phase-1 query lands alone in micro-batch 1 (maxFilesPerTrigger=1)
+    spark.createDataFrame([(100, qrow)], schema).write.parquet(
+        os.path.join(qdir, "f1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(qdir, "*"))
+    )
+    out = str(tmp_path / "results")
+    q = maintenance.ivf_serving_job(
+        stream, idx, out, str(tmp_path / "ck"),
+        top_k=5, nprobe=similarity.IVF_NPROBE,
+    )
+    try:
+        q.processAllAvailable()  # batch 1 served against snapshot v1
+        # writer commits v2 (the query's exact clone) between batches
+        ann_index.append_ivf_index(spark, idx, _query_clone_df(spark))
+        ann_index.commit_index_snapshot(corpus_dir)
+        spark.createDataFrame([(101, qrow)], schema).write.parquet(
+            os.path.join(qdir, "f2")
+        )
+        q.processAllAvailable()  # batch 2 served against snapshot v2
+    finally:
+        q.stop()
+
+    got: dict[int, set] = {}
+    for r in spark.read.parquet(out).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    assert NEW_VEC_ID not in got[100], "batch 1 leaked the mid-stream commit"
+    assert NEW_VEC_ID in got[101], "batch 2 missed the committed snapshot"
+    # identical query, so apart from the clone the answer sets agree
+    assert got[101] - {NEW_VEC_ID} <= got[100]

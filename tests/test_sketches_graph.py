@@ -250,3 +250,15 @@ def test_kcore_fixpoint_and_model(spark):
     assert got3 <= got2 <= {r.doc_id for r in rows}
     deg = {r.doc_id: r.degree for r in rows}
     assert deg == {v: len(adj[v]) for v in adj}
+
+
+def test_pca_gram_fold_is_constant_size_with_jvm_aggregate(spark):
+    """The Gramian fold must collapse to exactly 1 + DIM + DIM² rows
+    (driver cost constant in corpus size) and the fold itself must be
+    a JVM aggregate (map-side partial agg), not a driver-side sum of
+    per-batch rows (VERDICT r04 #2)."""
+    e = similarity._embeddings(spark, SF_DIR)
+    folded = similarity._pca_gram_folded(e)
+    assert folded.count() == 1 + similarity.DIM + similarity.DIM**2
+    plan = folded._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan or "SortAggregate" in plan

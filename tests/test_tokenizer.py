@@ -77,3 +77,56 @@ def test_bpe_merge_counts_non_increasing_in_spirit(spark):
     assert rows
     assert all(r.pair_count > 0 for r in rows)
     assert rows[0].pair_count == max(r.pair_count for r in rows)
+
+
+def test_bpe_batched_rounds_use_fewer_jobs_than_one_per_merge(spark):
+    """The r05 batched trainer must replay the EXACT one-merge-at-a-
+    time merge list (the _accept_batch equivalence guard) while
+    scheduling strictly fewer Spark jobs than the 1-argmax-per-merge
+    loop it replaced (VERDICT r04 #8) — measured with the job-group
+    listener on identical input."""
+    from samza_hello_samza_spark.operators.dedup import explode_nonempty
+
+    def one_per_merge(spark, sf_dir):
+        vocab = tokenizer._word_freq(spark, sf_dir).select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("symbols"),
+        ).localCheckpoint()
+        merges = []
+        for rank in range(tokenizer.N_MERGES):
+            best = (
+                explode_nonempty(
+                    vocab, ["freq"], tokenizer._adjacent_pairs(F.col("symbols")), "pair"
+                )
+                .groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            left, right = best[0].pair.split(" ", 1)
+            merges.append((rank, left, right, left + right, int(best[0].cnt)))
+            vocab = vocab.withColumn(
+                "symbols", tokenizer._merge_udf([(left, right)])(F.col("symbols"))
+            ).localCheckpoint()
+        return merges
+
+    sc = spark.sparkContext
+    one_per_merge(spark, SF_DIR)  # codegen warmup, uncounted
+    sc.setJobGroup("bpe_old", "one merge per job round-trip")
+    old = one_per_merge(spark, SF_DIR)
+    n_old = len(sc.statusTracker().getJobIdsForGroup("bpe_old"))
+    sc.setJobGroup("bpe_new", "batched rounds")
+    new = [
+        (r.rank, r.left, r.right, r.merged, int(r.pair_count))
+        for r in tokenizer.bpe_train_merges(spark, SF_DIR).collect()
+    ]
+    n_new = len(sc.statusTracker().getJobIdsForGroup("bpe_new"))
+    sc.setJobGroup("bpe_done", "")
+    assert new == old  # identical merge list, counts included
+    assert n_new < n_old, (n_new, n_old)

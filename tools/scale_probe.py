@@ -107,6 +107,12 @@ PROBE_OPS = (
     # mv_event_type_stats is excluded: its MV build-once cache keys on
     # the sf_dir, so 1× (warm) vs N× (cold build) ratios would compare
     # serving against building.
+    # r05 additions. The q6/q19 pruned-scan twins are excluded for the
+    # same build-once reason as lineitem_pruned_scan (per-sf_dir
+    # layout cache); leakage_safe_split sits with the excluded
+    # pair-graph family (it groups by near-dup components).
+    "sequence_packing_curriculum",
+    "train_val_test_split",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
@@ -135,15 +141,26 @@ SKEW_OPS = (
     "q9_product_profit",
     "nation_trade_flow",
     "supplier_lead_time",
+    # the pre-r05 naive views⋈clicks plan (2.9× at a 20%-hot user),
+    # kept unregistered as the before/after baseline; the REGISTERED
+    # stream_stream_join key now delegates to the time-bucketed
+    # rewrite — comparisons shrink to temporally-plausible pairs.
+    # (A salted variant was measured FIRST and made it worse, 4.75×:
+    # both plans are broadcast joins, so a salt has no shuffle
+    # partitions to spread and only multiplies the build side — see
+    # stream_stream_join_bucketed's docstring.)
+    "stream_stream_join_naive",
     "stream_stream_join",
-    # the rewrite of the one blowup above (2.9× at a 20%-hot user):
-    # time-bucketed interval join — comparisons shrink to temporally-
-    # plausible pairs. (A salted variant was measured FIRST and made
-    # it worse, 4.75×: both plans are broadcast joins, so a salt has
-    # no shuffle partitions to spread and only multiplies the build
-    # side — see stream_stream_join_bucketed's docstring.)
-    "stream_stream_join_bucketed",
 )
+
+#: probe-only baselines that are deliberately NOT in the registry.
+from samza_hello_samza_spark.operators.samza_surface import (  # noqa: E402
+    _stream_stream_join_naive,
+)
+
+UNREGISTERED_SKEW_OPS = {
+    "stream_stream_join_naive": _stream_stream_join_naive,
+}
 
 SKEW_BEGIN = "<!-- SKEW:BEGIN -->"
 SKEW_END = "<!-- SKEW:END -->"
@@ -244,7 +261,7 @@ def run_skew_probe(spark, queries, frac: float) -> None:
     base = {}
     skew = {}
     for name in SKEW_OPS:
-        fn = queries[name]
+        fn = queries.get(name) or UNREGISTERED_SKEW_OPS[name]
         # uncounted codegen warmup: the first execution of a query
         # compiles its generated code (~100 ms); without this the
         # control side always pays it and every ratio reads ~0.7×.
