@@ -124,6 +124,9 @@ EXTRA_VOLUME = (
     "minhash_jaccard_estimate",
     "q6_pruned_scan",
     "q19_pruned_scan",
+    "sequence_packing_curriculum",
+    "train_val_test_split",
+    "leakage_safe_split",
 )
 
 #: Excluded from the sf1 (10×-replicated) tier: replication creates
@@ -140,10 +143,12 @@ SF1_EXCLUDE = {
     "text_novelty",
     "mv_event_type_stats",
     # r05: same replication artifact — graph_kcore runs on the near-dup
-    # edge table (10-cliques inflate edge count quadratically) and
-    # minhash_jaccard_estimate scores the candidate PAIR set itself.
+    # edge table (10-cliques inflate edge count quadratically),
+    # minhash_jaccard_estimate scores the candidate PAIR set itself,
+    # and leakage_safe_split groups by the near-dup components.
     "graph_kcore",
     "minhash_jaccard_estimate",
+    "leakage_safe_split",
 }
 
 #: full two-tier per-query timings land here every run (the committed

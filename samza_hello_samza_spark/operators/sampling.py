@@ -574,6 +574,104 @@ def export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: train/val/test hash-split boundaries on the 100-bucket md5 ring.
+SPLIT_TRAIN_LT, SPLIT_VAL_LT = 90, 95
+
+
+def _split_of(bucket_col: F.Column) -> F.Column:
+    return (
+        F.when(bucket_col < SPLIT_TRAIN_LT, "train")
+        .when(bucket_col < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 corpus split audit (train / val / test).
+
+    The split every training pipeline needs before anything else:
+    membership is a pure function of doc_id (md5 bucket on the
+    100-slot ring — content- and order-independent, so re-runs,
+    backfills, and incremental appends NEVER move a document across
+    the split boundary, the property that prevents eval leakage).
+    The report is one hash aggregation over a three-column projection
+    + a 1-row corpus-total broadcast (export_shards shape); shares
+    are integer-exact ppm so both engines agree bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = _md5_bucket(F.col("doc_id"), 100)
+    per_split = (
+        docs.select(
+            _split_of(b).alias("split"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        per_split.crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "total_chars",
+            "n_langs",
+            F.expr("(n_docs * 1000000L) DIV n_total").alias("doc_share_ppm"),
+        )
+        .orderBy("split")
+    )
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split: near-duplicates can never
+    straddle the split boundary.
+
+    The eval-leakage failure ``train_val_test_split`` can't prevent:
+    two NEAR-duplicate documents hash to independent buckets, so one
+    lands in train and its twin in test — the benchmark is
+    contaminated even though no doc_id repeats. Fix = split by GROUP,
+    not by doc: every doc adopts its near-dup cluster id
+    (``dedup_clusters``; singletons keep their own doc_id), and the
+    md5 ring hashes that group id — the whole clique moves together
+    (pytest: zero clusters cross a boundary). The cluster pass is the
+    already-materialized shingle-Jaccard components; the split itself
+    stays one hash aggregation + a 1-row total broadcast.
+    """
+    from .dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    clusters = dedup_clusters(spark, sf_dir)  # (doc_id, cluster_id)
+    grouped = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("gid"),
+    )
+    per_split = (
+        grouped.select(_split_of(_md5_bucket(F.col("gid"), 100)).alias("split"), "gid")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("gid").cast("long").alias("n_groups"),
+        )
+    )
+    total = grouped.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        per_split.crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_groups",
+            F.expr("(n_docs * 1000000L) DIV n_total").alias("doc_share_ppm"),
+        )
+        .orderBy("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
@@ -582,6 +680,40 @@ _WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
 
 _BUCKET_SQL = (
     "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+#: shared DuckDB CTE chain producing (doc_id, q) + the quartile cuts —
+#: reused by curriculum_assign AND every oracle that composes the
+#: curriculum stage downstream (sequence_packing_curriculum).
+CURRICULUM_STAGE_CTES = f"""scored AS (
+            SELECT doc_id,
+                   round(
+                       (CASE WHEN nw BETWEEN 20 AND 5000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN nw > 0 THEN n_chars / nw ELSE 0.0 END) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN nw > 0 THEN n_stop / nw ELSE 0.0 END) >= 0.01 THEN 0.1 ELSE 0.0 END), 2) AS q
+            FROM (
+                SELECT doc_id,
+                       len({_WORDS_SQL}) AS nw,
+                       length(text) AS n_chars,
+                       len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS n_punct,
+                       len(list_filter({_WORDS_SQL},
+                           x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS n_stop
+                FROM documents
+            )
+        ),
+        cuts AS (
+            SELECT {', '.join(f'quantile_cont(q, {i}/{N_STAGES}.0) AS p{i}' for i in range(1, N_STAGES))}
+            FROM scored
+        )"""
+
+#: the quartile→stage CASE (reads q + the cuts columns).
+CURRICULUM_STAGE_CASE = (
+    "CAST("
+    + " ".join(f"CASE WHEN q > p{i} THEN {i} ELSE" for i in range(N_STAGES - 1, 0, -1))
+    + " 0 "
+    + "END " * (N_STAGES - 1)
+    + "AS INT)"
 )
 
 ORACLES: dict[str, str] = {
@@ -642,30 +774,9 @@ ORACLES: dict[str, str] = {
         FROM scored
     """,
     "curriculum_assign": f"""
-        WITH scored AS (
-            SELECT doc_id,
-                   round(
-                       (CASE WHEN nw BETWEEN 20 AND 5000 THEN 0.4 ELSE 0.0 END)
-                     + (CASE WHEN (CASE WHEN nw > 0 THEN n_chars / nw ELSE 0.0 END) BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END)
-                     + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.1 THEN 0.2 ELSE 0.0 END)
-                     + (CASE WHEN (CASE WHEN nw > 0 THEN n_stop / nw ELSE 0.0 END) >= 0.01 THEN 0.1 ELSE 0.0 END), 2) AS q
-            FROM (
-                SELECT doc_id,
-                       len({_WORDS_SQL}) AS nw,
-                       length(text) AS n_chars,
-                       len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS n_punct,
-                       len(list_filter({_WORDS_SQL},
-                           x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS n_stop
-                FROM documents
-            )
-        ),
-        cuts AS (
-            SELECT {', '.join(f'quantile_cont(q, {i}/{N_STAGES}.0) AS p{i}' for i in range(1, N_STAGES))}
-            FROM scored
-        )
+        WITH {CURRICULUM_STAGE_CTES}
         SELECT doc_id, q AS quality_score,
-               CAST({' '.join(f'CASE WHEN q > p{i} THEN {i} ELSE' for i in range(N_STAGES - 1, 0, -1))} 0
-                    {'END ' * (N_STAGES - 1)} AS INT) AS stage
+               {CURRICULUM_STAGE_CASE} AS stage
         FROM scored CROSS JOIN cuts
     """,
     "phrase_search": f"""
@@ -745,6 +856,64 @@ ORACLES["export_shards"] = f"""
     ORDER BY shard_id
 """
 
+ORACLES["train_val_test_split"] = f"""
+    WITH assigned AS (
+        SELECT CASE
+                 WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 100 < {SPLIT_TRAIN_LT} THEN 'train'
+                 WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 100 < {SPLIT_VAL_LT} THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               lang, n_chars
+        FROM documents
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST((count(*) * 1000000) // n_total AS BIGINT) AS doc_share_ppm
+    FROM assigned CROSS JOIN total
+    GROUP BY split, n_total
+    ORDER BY split
+"""
+
+def _leakage_safe_split_oracle() -> str:
+    from .dedup import _CLUSTERS_CTE
+
+    return (
+        _CLUSTERS_CTE
+        + f"""
+    , grouped AS (
+        SELECT d.doc_id, d.lang, coalesce(c.cluster_id, d.doc_id) AS gid
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
+    ),
+    assigned AS (
+        SELECT doc_id, gid,
+               CASE
+                 WHEN CAST(concat('0x', substr(md5(CAST(gid AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 100 < {SPLIT_TRAIN_LT} THEN 'train'
+                 WHEN CAST(concat('0x', substr(md5(CAST(gid AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 100 < {SPLIT_VAL_LT} THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM grouped
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM assigned)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT gid) AS BIGINT) AS n_groups,
+           CAST((count(*) * 1000000) // n_total AS BIGINT) AS doc_share_ppm
+    FROM assigned CROSS JOIN total
+    GROUP BY split, n_total
+    ORDER BY split
+"""
+    )
+
+
+ORACLES["leakage_safe_split"] = _leakage_safe_split_oracle()
+
 ORACLES["dsir_importance"] = f"""
     WITH w AS (
         SELECT doc_id, CAST(lang = '{DSIR_TARGET_LANG}' AS INT) AS is_target,
@@ -795,6 +964,8 @@ QUERIES = {
     "domain_kl_divergence": domain_kl_divergence,
     "token_budget_plan": token_budget_plan,
     "export_shards": export_shards,
+    "train_val_test_split": train_val_test_split,
+    "leakage_safe_split": leakage_safe_split,
     "mixture_sample": mixture_sample,
     "weighted_sample": weighted_sample,
     "domain_stats": domain_stats,

@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 from ..functions.hints import maybe_broadcast
 from ..session import load_table
 from .dedup import _shingles, _words, explode_nonempty
+from .sampling import CURRICULUM_STAGE_CASE as _CURRICULUM_STAGE_CASE
+from .sampling import CURRICULUM_STAGE_CTES as _CURRICULUM_STAGE_CTES
 from .text_analysis import BPE_TOKEN_REGEX
 
 # ---------------------------------------------------------------------------
@@ -747,6 +749,80 @@ def sequence_packing_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sequence_packing_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence assignment per (language, curriculum stage).
+
+    The actual training-mixture shape (VERDICT r04 #9):
+    ``curriculum_assign`` buckets docs into quality-quartile stages,
+    and each (lang, stage) cell packs its own fixed-budget sequences
+    independently — mixing stages inside one context window would
+    defeat the curriculum exactly like mixing languages would. Same
+    two-phase distributed prefix sum as ``sequence_packing_grouped``
+    with every stage of the plan keyed by (lang, stage, bucket): the
+    in-bucket window, the bucket totals, and the triangular offset
+    join all carry both keys, so no cell ever funnels through one
+    partition and cells pack in parallel. The stage column arrives by
+    one doc_id equi-join against the curriculum assignment (both
+    sides corpus-sized → sort-merge on the shared key).
+    """
+    from pyspark.sql import Window
+
+    from .sampling import curriculum_assign
+    from .text_analysis import tokencount_cols
+
+    stages = curriculum_assign(spark, sf_dir).select("doc_id", "stage")
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            tokencount_cols(F.col("text"))["bpe_tokens"].alias("n_tokens"),
+            F.floor(F.col("doc_id") / PACK_BUCKET_DOCS).alias("_bucket"),
+        )
+        .join(stages, "doc_id")
+    )
+    in_bucket = (
+        Window.partitionBy("lang", "stage", "_bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = toks.withColumn(
+        "_cum_in", F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0))
+    )
+    totals = toks.groupBy("lang", "stage", "_bucket").agg(
+        F.sum("n_tokens").alias("_total")
+    )
+    earlier = totals.select(
+        F.col("lang").alias("_l2"),
+        F.col("stage").alias("_s2"),
+        F.col("_bucket").alias("_b2"),
+        F.col("_total").alias("_t2"),
+    )
+    offsets = (
+        totals.join(
+            F.broadcast(earlier),
+            (F.col("_l2") == F.col("lang"))
+            & (F.col("_s2") == F.col("stage"))
+            & (F.col("_b2") < F.col("_bucket")),
+            "left",
+        )
+        .groupBy("lang", "stage", "_bucket")
+        .agg(F.coalesce(F.sum("_t2"), F.lit(0)).cast("long").alias("_offset"))
+    )
+    cum_before = F.col("_cum_in") + F.col("_offset")
+    return (
+        within.join(F.broadcast(offsets), ["lang", "stage", "_bucket"])
+        .select(
+            "doc_id",
+            "lang",
+            "stage",
+            "n_tokens",
+            F.floor(cum_before / SEQ_BUDGET).cast("long").alias("seq_id"),
+            (cum_before % SEQ_BUDGET).cast("long").alias("offset_in_seq"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus statistics
 # ---------------------------------------------------------------------------
@@ -1039,6 +1115,31 @@ ORACLES: dict[str, str] = {
                              - 84.6 * (n_syll / CAST(rw AS DOUBLE)), 4) AS flesch
         FROM ratios
     """,
+    "sequence_packing_curriculum": f"""
+        WITH {_CURRICULUM_STAGE_CTES},
+        st AS (
+            SELECT doc_id, {_CURRICULUM_STAGE_CASE} AS stage
+            FROM scored CROSS JOIN cuts
+        ),
+        t AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, '({BPE_TOKEN_REGEX})', 1)) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT t.doc_id AS doc_id, lang, stage, n_tokens,
+                   coalesce(sum(n_tokens) OVER (PARTITION BY lang, stage
+                       ORDER BY t.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM t JOIN st ON t.doc_id = st.doc_id
+        )
+        SELECT doc_id, lang, CAST(stage AS INT) AS stage,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+               CAST(cum_before % {SEQ_BUDGET} AS BIGINT) AS offset_in_seq
+        FROM c
+    """,
     "sequence_packing_grouped": f"""
         WITH t AS (
             SELECT doc_id, lang,
@@ -1230,6 +1331,7 @@ QUERIES = {
     "token_frequency_histogram": token_frequency_histogram,
     "sequence_packing": sequence_packing,
     "sequence_packing_grouped": sequence_packing_grouped,
+    "sequence_packing_curriculum": sequence_packing_curriculum,
     "text_repetition": text_repetition,
     "text_entropy": text_entropy,
     "pii_redact": pii_redact,

@@ -32,7 +32,6 @@ QUERIES = all_queries()
 #: single-query-vector scoring).
 NONEQUI_OK = {
     "dedup_embedding",      # all-pairs cosine calibration baseline
-    "dedup_ngram_jaccard",  # sf0.001 fallback plan; equi on shingle at scale
     "q22_idle_customers",   # 1-row scalar-subquery broadcast
     "q11_important_parts",  # 1-row value-threshold scalar broadcast
     "wikipedia_stats",      # triangular join over tiny bucket totals (prefix sum)
@@ -46,6 +45,7 @@ NONEQUI_OK = {
     "decayed_user_value",   # 1-row decay-anchor broadcast
     "price_equidepth_histogram",  # 1-row quantile-bounds broadcast
     "sequence_packing",     # triangular join over tiny bucket totals (prefix sum)
+    "sequence_packing_curriculum",  # inherits curriculum_assign's 1-row cuts broadcast (its own triangular join IS equi on (lang, stage))
     "corpus_vocab_stats",   # two 1-row aggregates broadcast-crossed
     "bm25_search",          # 1-row corpus-stats (N, avgdl) broadcast
     "tfidf_top_terms",      # 1-row corpus-count broadcast
@@ -57,6 +57,8 @@ NONEQUI_OK = {
     "mixture_sample",       # 1-row min-count broadcast into the rate table
     "basket_rules",         # 1-row basket-total broadcast (basket_pmi shape)
     "export_shards",        # 1-row corpus-total broadcast (share report)
+    "train_val_test_split",  # 1-row corpus-total broadcast (split report)
+    "leakage_safe_split",    # 1-row corpus-total broadcast (split report)
     "contamination_bloom",  # 1-row bloom-bits broadcast (constant-key join folds)
     "domain_kl_divergence",  # 1-row corpus-total broadcast (KL normalizer)
     "kneser_ney_bigram",    # 1-row bigram-type-count broadcast
@@ -195,3 +197,15 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ngram_jaccard_pair_join_is_equi_on_shingle(spark):
+    """The shingle-overlap pair join must plan as an EQUI join keyed on
+    the shingle (hash or sort-merge — doc_id< is the residual), never
+    a nested loop: the r04 NONEQUI_OK allowlist entry was masking any
+    future regression of this shape (VERDICT r04 #6)."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[shingle", plan
+    ), plan[:2000]

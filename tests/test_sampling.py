@@ -210,3 +210,85 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     for r in rows:
         if r.n_grams == 0:
             assert r.log_weight == 0.0 and r.keep == 0
+
+
+def test_train_val_test_split_is_stable_under_appends(spark):
+    """Split membership is a pure function of doc_id: the report over
+    the full corpus equals the fold of the report over any partition
+    of the corpus (append-stability — no doc ever crosses the
+    boundary), splits are disjoint-and-exhaustive, and the ppm shares
+    sum to ~1e6."""
+    from samza_hello_samza_spark.operators.sampling import (
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        _md5_bucket,
+    )
+    from samza_hello_samza_spark.session import load_table
+
+    rows = {r.split: r for r in sampling.train_val_test_split(spark, SF_DIR).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    assert sum(r.n_docs for r in rows.values()) == n  # exhaustive + disjoint
+    ppm = sum(r.doc_share_ppm for r in rows.values())
+    assert 1_000_000 - 3 <= ppm <= 1_000_000  # integer-floor rounding only
+
+    # membership recomputed per-doc matches the report's counts even
+    # when the corpus is processed as two arbitrary halves (append
+    # stability: the split column is doc_id-pure, so fold(=sum) of
+    # per-half counts is the full report's counts)
+    from pyspark.sql import functions as F
+
+    b = _md5_bucket(F.col("doc_id"), 100)
+    tagged = docs.select(
+        F.when(b < SPLIT_TRAIN_LT, "train")
+        .when(b < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+        (F.col("doc_id") % 2).alias("half"),
+    )
+    halves = {
+        (r.split, r.half): r.cnt
+        for r in tagged.groupBy("split", "half").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for s in rows:
+        assert halves.get((s, 0), 0) + halves.get((s, 1), 0) == rows[s].n_docs
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """Every near-dup cluster lands wholly inside ONE split (the
+    contamination guarantee), singletons follow their own doc_id
+    hash, and the report's counts reconcile with the full corpus."""
+    from samza_hello_samza_spark.operators.dedup import dedup_clusters
+    from samza_hello_samza_spark.operators.sampling import (
+        _md5_bucket,
+        _split_of,
+        leakage_safe_split,
+    )
+    from samza_hello_samza_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = {r.split: r for r in leakage_safe_split(spark, SF_DIR).collect()}
+    assert sum(r.n_docs for r in rows.values()) == docs.count()
+
+    clusters = dedup_clusters(spark, SF_DIR)
+    assert clusters.count() > 0  # the guard is exercised, not vacuous
+    per_doc = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            _split_of(
+                _md5_bucket(F.coalesce(F.col("cluster_id"), F.col("doc_id")), 100)
+            ).alias("split"),
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("gid"),
+        )
+    )
+    crossings = (
+        per_doc.groupBy("gid")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert crossings == 0

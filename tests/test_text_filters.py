@@ -215,3 +215,27 @@ def test_zipf_slope_is_negative_powerlaw(spark):
     assert 0 < r.n_words <= text_filters.ZIPF_TOP_K
     assert r.slope < 0  # frequency falls with rank, always
     assert -1.0 <= r.r < 0  # strong negative log-log correlation
+
+
+def test_sequence_packing_curriculum_packs_each_cell_independently(spark):
+    """Per-(lang, stage) budget conservation (VERDICT r04 #9): inside
+    every curriculum cell the packing is exactly the contiguous
+    single-stream tiling (offsets advance by token count in doc_id
+    order, seq_id = cum // budget), cells restart at offset 0, and
+    the stage column agrees with curriculum_assign."""
+    from samza_hello_samza_spark.operators.sampling import curriculum_assign
+
+    rows = text_filters.sequence_packing_curriculum(spark, SF_DIR).collect()
+    assert rows
+    stages = {r.doc_id: r.stage for r in curriculum_assign(spark, SF_DIR).collect()}
+    cells: dict[tuple, list] = {}
+    for r in rows:
+        assert stages[r.doc_id] == r.stage
+        cells.setdefault((r.lang, r.stage), []).append(r)
+    assert len(cells) > 1  # the composition actually splits the corpus
+    for cell, docs in cells.items():
+        cum = 0
+        for r in sorted(docs, key=lambda x: x.doc_id):
+            assert r.seq_id == cum // text_filters.SEQ_BUDGET, (cell, r)
+            assert r.offset_in_seq == cum % text_filters.SEQ_BUDGET, (cell, r)
+            cum += r.n_tokens
