@@ -49,11 +49,21 @@ def _stats_dir(table_dir: str) -> str:
     return os.path.join(table_dir, STATS_DIRNAME)
 
 
-def _file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+def _file_stats(
+    df: DataFrame, cols: list[str], str_cols: list[str] | None = None
+) -> DataFrame:
     aggs = []
     for c in cols:
         aggs.append(F.min(F.col(c).cast("double")).alias(f"min_{c}"))
         aggs.append(F.max(F.col(c).cast("double")).alias(f"max_{c}"))
+    # string columns keep their native type: parquet/Spark min/max on
+    # strings is lexicographic (binary collation), which is exactly the
+    # comparison the prune-side overlap test uses — equality and prefix
+    # predicates become closed string intervals ('MAIL'..'MAIL',
+    # 'PROMO'..'PROMO￿').
+    for c in str_cols or ():
+        aggs.append(F.min(F.col(c).cast("string")).alias(f"min_{c}"))
+        aggs.append(F.max(F.col(c).cast("string")).alias(f"max_{c}"))
     return (
         df.withColumn("_file", F.input_file_name())
         .groupBy("_file")
@@ -61,20 +71,38 @@ def _file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
-def build_zonemap(spark: SparkSession, table_dir: str, cols: list[str]) -> str:
+def build_zonemap(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    str_cols: list[str] | None = None,
+) -> str:
     """One-scan zone-map build over every data file in ``table_dir``.
 
-    Numeric columns only (min/max cast to double — the comparison
-    domain both the build and the prune share). Returns the stats dir.
+    ``cols`` are numeric (min/max cast to double — the comparison
+    domain both the build and the prune share); ``str_cols`` keep
+    lexicographic string min/max. Returns the stats dir.
     """
     df = spark.read.parquet(table_dir)
-    stats = _file_stats(df, cols)
+    stats = _file_stats(df, cols, str_cols)
     out = _stats_dir(table_dir)
     stats.write.mode("overwrite").parquet(out)
     return out
 
 
-def refresh_new_files(spark: SparkSession, table_dir: str, cols: list[str]) -> int:
+def _bound(v) -> F.Column:
+    """A range bound as a literal in its comparison domain: strings
+    compare lexicographically against the string stats columns,
+    everything else as double against the numeric ones."""
+    return F.lit(v if isinstance(v, str) else float(v))
+
+
+def refresh_new_files(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    str_cols: list[str] | None = None,
+) -> int:
     """Fold stats for files missing from the zone map (post-append).
 
     Per-file rows are independent, so an append needs only the NEW
@@ -97,7 +125,7 @@ def refresh_new_files(spark: SparkSession, table_dir: str, cols: list[str]) -> i
     ]
     if not new_files:
         return 0
-    fresh = _file_stats(spark.read.parquet(*new_files), cols)
+    fresh = _file_stats(spark.read.parquet(*new_files), cols, str_cols)
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(out)
@@ -119,8 +147,7 @@ def pruned_files(
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         overlap = ~(
-            (F.col(f"max_{c}") < F.lit(float(lo)))
-            | (F.col(f"min_{c}") > F.lit(float(hi)))
+            (F.col(f"max_{c}") < _bound(lo)) | (F.col(f"min_{c}") > _bound(hi))
         )
         cond = cond & F.coalesce(overlap, F.lit(True))
     return [r._file for r in stats.filter(cond).select("_file").collect()]
@@ -145,8 +172,7 @@ def pruned_files_multi(
         cond = F.lit(True)
         for c, (lo, hi) in ranges.items():
             overlap = ~(
-                (F.col(f"max_{c}") < F.lit(float(lo)))
-                | (F.col(f"min_{c}") > F.lit(float(hi)))
+                (F.col(f"max_{c}") < _bound(lo)) | (F.col(f"min_{c}") > _bound(hi))
             )
             cond = cond & F.coalesce(overlap, F.lit(True))
         any_cond = any_cond | cond
@@ -240,7 +266,11 @@ def lineitem_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def refresh_merged_buckets(
-    spark: SparkSession, table_dir: str, cols: list[str], buckets: list[int]
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    buckets: list[int],
+    str_cols: list[str] | None = None,
 ) -> int:
     """Post-MERGE zone-map maintenance for a bucketed lakehouse table
     (``MergeTable``): re-derive per-file stats for ONLY the touched
@@ -273,6 +303,7 @@ def refresh_merged_buckets(
         fresh = _file_stats(
             spark.read.option("basePath", table_dir).parquet(*dirs).drop("_bucket"),
             cols,
+            str_cols,
         )
         n = fresh.count()
         kept.unionByName(fresh).write.mode("overwrite").parquet(out)
@@ -443,7 +474,91 @@ def q19_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- string zone maps: categorical-clustered layout (returnflag) -----------
+
+#: epoch-day bounds of the 1997 ship window (shared with the q6 twin).
+_Y97_DAY_LO, _Y97_DAY_HI = 9862.0, 10227.0
+
+
+def _clustered_lineitem_flag(spark: SparkSession, sf_dir: str) -> str:
+    """(l_returnflag, ship_day) lexicographically-clustered lineitem
+    projection with STRING zone-map stats on the leading categorical —
+    §7.15's "zone-map stats for string columns". The flag has 3 values,
+    so ``write_clustered`` gives every file a single flag value (plus
+    at most 2 boundary files); min/max on the string column then lets
+    an equality predicate prune at file listing, with ship-day ranges
+    tight within each flag run. Same build-once index-root discipline
+    as the numeric layouts."""
+    from ..operators.ann_index import _index_root, _is_built, _tag
+    from ..session import load_table
+    from .zorder import write_clustered
+
+    out = os.path.join(_index_root(), _tag(sf_dir), "clustered_lineitem_flag")
+    if not _is_built(out):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("_ship_day"),
+        )
+        write_clustered(li, out, ["l_returnflag", "_ship_day"], files=_ZM_FILES)
+    if not os.path.exists(_stats_dir(out)):
+        build_zonemap(spark, out, ["_ship_day"], str_cols=["l_returnflag"])
+    return out
+
+
+def returned_items_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly returned-line revenue for 1997 through the string zone
+    map: the ``l_returnflag = 'R'`` equality becomes the closed string
+    interval ('R', 'R') against the lexicographic file stats, composed
+    with the numeric ship-day box — only files whose flag run AND date
+    range overlap are listed (pytest-asserted <½), then the exact
+    predicate re-applies. Conservative skipping ⇒ result ≡ full scan,
+    which is what the DuckDB oracle computes (hash-checked).
+    Reference analog: the q10 returned-items filter of SURVEY §2, here
+    pushed past the scan into the file listing."""
+    table_dir = _clustered_lineitem_flag(spark, sf_dir)
+    df = pruned_scan(
+        spark,
+        table_dir,
+        [{"l_returnflag": ("R", "R"), "_ship_day": (_Y97_DAY_LO, _Y97_DAY_HI)}],
+    )
+    return (
+        df.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "returned_items_pruned_scan": """
+        SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+        GROUP BY 1
+    """,
     "lineitem_pruned_scan": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_lines,
                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
@@ -485,6 +600,7 @@ QUERIES = {
     "lineitem_pruned_scan": lineitem_pruned_scan,
     "q6_pruned_scan": q6_pruned_scan,
     "q19_pruned_scan": q19_pruned_scan,
+    "returned_items_pruned_scan": returned_items_pruned_scan,
 }
 
 
@@ -500,8 +616,9 @@ def zonemap_read(
         return base.filter(F.lit(False))
     df = spark.read.option("basePath", table_dir).parquet(*files)
     for c, (lo, hi) in ranges.items():
+        domain = "string" if isinstance(lo, str) else "double"
         df = df.filter(
-            (F.col(c).cast("double") >= float(lo))
-            & (F.col(c).cast("double") <= float(hi))
+            (F.col(c).cast(domain) >= _bound(lo))
+            & (F.col(c).cast(domain) <= _bound(hi))
         )
     return df

@@ -125,3 +125,25 @@ def write_zordered(
             .write.mode("overwrite")
             .parquet(path)
         )
+
+
+def write_clustered(df: DataFrame, path: str, cols: list[str], files: int = 16) -> None:
+    """Lexicographic (hierarchical) clustering: sort by ``cols`` in
+    order, one range-partition per file.
+
+    The 1-D complement to the Z-curve — right when the leading column
+    is a LOW-CARDINALITY categorical (ship mode, return flag,
+    language): every file then holds a single leading value, so an
+    equality predicate on it prunes to ~1/|domain| of the files at
+    listing time, and the trailing column's ranges stay tight WITHIN
+    each leading value (the Z-curve would instead interleave the
+    categorical's handful of cells and blur the trailing dimension).
+    ``repartitionByRange`` samples real range bounds, so file sizes
+    balance even when the leading values are skewed.
+    """
+    (
+        df.repartitionByRange(files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

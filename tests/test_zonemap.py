@@ -308,3 +308,79 @@ def test_zonemap_refresh_after_merge_touched_buckets_only(spark, tmp_path):
         .collect()
     )
     assert got == want and got
+
+
+def test_string_zonemap_prunes_on_categorical_and_matches_full_scan(spark):
+    """String zone-map stats (§7.15): on the (returnflag, ship_day)
+    clustered layout the 'R' equality — the closed string interval
+    ('R','R') — plus the 1997 day box must read <1/2 of the files,
+    and the registered key must equal the full-scan aggregate."""
+    from tests.conftest import SF_DIR
+
+    table_dir = zonemap._clustered_lineitem_flag(spark, SF_DIR)
+    all_files = zonemap.pruned_files(spark, table_dir, {"_ship_day": (-1e18, 1e18)})
+    kept = zonemap.pruned_files(
+        spark,
+        table_dir,
+        {
+            "l_returnflag": ("R", "R"),
+            "_ship_day": (zonemap._Y97_DAY_LO, zonemap._Y97_DAY_HI),
+        },
+    )
+    assert 0 < len(kept) < len(all_files) / 2, (len(kept), len(all_files))
+
+    # the flag-only prune alone must also cut files (~1/3 of a 3-value
+    # domain on a clustered layout): the STRING stats are load-bearing
+    # even without the numeric box.
+    flag_only = zonemap.pruned_files(spark, table_dir, {"l_returnflag": ("R", "R")})
+    assert 0 < len(flag_only) < len(all_files), (len(flag_only), len(all_files))
+
+    got = {
+        r.ship_month: (r.n_lines, r.revenue)
+        for r in zonemap.returned_items_pruned_scan(spark, SF_DIR).collect()
+    }
+    want = {
+        r.ship_month: (r.n_lines, r.revenue)
+        for r in spark.read.parquet(table_dir)
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 12
+
+
+def test_string_zonemap_conservative_on_unclustered_strings(spark, tmp_path):
+    """String stats obey the same conservatism contract as numeric:
+    on a random layout the prune keeps every overlapping file and the
+    pruned read equals the full-scan filter exactly."""
+    path = os.path.join(str(tmp_path), "strs")
+    df = _dataset(spark, 20_000).withColumn(
+        "cat", F.element_at(F.array(F.lit("ash"), F.lit("oak"), F.lit("yew")),
+                            (F.col("u") % 3 + 1).cast("int"))
+    )
+    df.repartition(8).write.parquet(path)
+    zonemap.build_zonemap(spark, path, ["u"], str_cols=["cat"])
+    got = sorted(
+        r.row_id
+        for r in zonemap.zonemap_read(spark, path, {"cat": ("oak", "oak")}).collect()
+    )
+    want = sorted(
+        r.row_id
+        for r in spark.read.parquet(path).filter(F.col("cat") == "oak").collect()
+    )
+    assert got == want and got
