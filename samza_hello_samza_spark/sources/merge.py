@@ -454,3 +454,61 @@ class VersionedMergeTable:
             )
         self._swap_manifest(man)  # all-or-nothing across every bucket
         return {**counts, "buckets": touched, "version": new_version}
+
+    def merge_with_retry(
+        self,
+        source: DataFrame,
+        delete_cond: F.Column | None = None,
+        max_wait_s: float = 60.0,
+        poll_s: float = 0.05,
+    ) -> dict:
+        """The multi-writer MERGE queue: optimistic merge + claim-retry.
+
+        ``merge`` is single-winner by design — of N concurrent writers
+        that read the same ``current``, one claims the next version and
+        the rest raise having written nothing. This wrapper turns that
+        into a queue: on a lost claim it WAITS for the winner's commit
+        (manifest ``current`` advancing past the contended version),
+        then re-runs the whole merge against the NEW snapshot — so each
+        retry re-reads the winner's rows and the final table equals
+        applying every writer's merge in commit (version) order, i.e.
+        a serializable history. Progress is the retry condition, not
+        time: the loop re-attempts only after observing a new commit,
+        so N contending writers serialize in exactly N commits.
+
+        A claim whose writer died before committing never advances the
+        manifest; after ``max_wait_s`` without progress the stale claim
+        is broken (the claim file is removed — safe because a LIVE
+        winner past its claim re-verifies ``current`` before its
+        manifest swap and fails loudly rather than double-committing)
+        and the merge retried. Returns the winning merge's audit dict
+        plus the number of retries under ``"retries"``.
+        """
+        import time
+
+        retries = 0
+        while True:
+            base = self.manifest()["current"]
+            try:
+                out = self.merge(source, delete_cond)
+                out["retries"] = retries
+                return out
+            except RuntimeError:
+                retries += 1
+            # lost the claim on version base+1: wait for the winner's
+            # commit to land, then retry against the new snapshot.
+            waited = 0.0
+            while self.manifest()["current"] <= base:
+                time.sleep(poll_s)
+                waited += poll_s
+                if waited >= max_wait_s:
+                    # no commit after max_wait_s: the claimant is dead.
+                    # Break its claim and retake; os.remove of a claim
+                    # someone ALSO just broke raises FileNotFoundError
+                    # → that racer already retook it, keep waiting.
+                    stale = os.path.join(self.path, f"v{base + 1}.claim")
+                    try:
+                        os.remove(stale)
+                    except FileNotFoundError:
+                        pass
+                    break

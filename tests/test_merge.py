@@ -500,3 +500,66 @@ def test_versioned_merge_second_writer_fails_loudly(spark, vtable):
     stats = vtable.merge(src)
     assert stats["version"] == 2
     assert {r.k: r.v for r in vtable.read().collect()}[5] == "B"
+
+
+def test_merge_with_retry_serializes_contending_writers(spark, vtable):
+    """The multi-writer queue: three writers merge CONCURRENTLY through
+    ``merge_with_retry``; every writer eventually commits its own
+    version, and the final table equals replaying the three sources
+    in commit (version) order — a serializable history."""
+    import threading
+
+    sources = {
+        "A": [(1, "A1", "open"), (500, "A", "open")],
+        "B": [(2, "B2", "open"), (500, "B", "open")],
+        "C": [(3, "C3", "open"), (500, "C", "open")],
+    }
+    results: dict[str, dict] = {}
+    errors: list[Exception] = []
+
+    def run(name):
+        try:
+            src = spark.createDataFrame(
+                sources[name], "k long, v string, status string"
+            )
+            results[name] = vtable.merge_with_retry(src)
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(n,)) for n in sources]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    # each writer committed exactly one distinct version: 2, 3, 4
+    assert sorted(r["version"] for r in results.values()) == [2, 3, 4]
+    assert vtable.manifest()["current"] == 4
+
+    final = {r.k: r.v for r in vtable.read().collect()}
+    assert final[1] == "A1" and final[2] == "B2" and final[3] == "C3"
+    # the shared key 500 holds the LAST committer's value (version order)
+    last = max(results, key=lambda n: results[n]["version"])
+    assert final[500] == last
+    # history: each intermediate snapshot is still readable and contains
+    # exactly the writers committed up to that version
+    for v in (2, 3, 4):
+        snap = {r.k: r.v for r in vtable.read(version=v).collect()}
+        committed = [n for n in results if results[n]["version"] <= v]
+        assert {snap[sources[n][0][0]] for n in committed} == {
+            sources[n][0][1] for n in committed
+        }
+
+
+def test_merge_with_retry_breaks_stale_claim(spark, vtable):
+    """A claim whose writer died before committing must not wedge the
+    queue: after max_wait_s without manifest progress the claim is
+    broken and the merge retried."""
+    import os
+
+    open(os.path.join(vtable.path, "v2.claim"), "x").close()  # dead writer
+    src = spark.createDataFrame([(7, "R", "open")], "k long, v string, status string")
+    stats = vtable.merge_with_retry(src, max_wait_s=0.3, poll_s=0.05)
+    assert stats["version"] == 2 and stats["retries"] >= 1
+    assert {r.k: r.v for r in vtable.read().collect()}[7] == "R"
