@@ -37,6 +37,7 @@ _MODULES = (
     "samza_hello_samza_spark.operators.lm",
     "samza_hello_samza_spark.operators.multimodal",
     "samza_hello_samza_spark.operators.asof",
+    "samza_hello_samza_spark.operators.packing_io",
     "samza_hello_samza_spark.sources.zonemap",
 )
 

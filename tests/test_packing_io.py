@@ -1,0 +1,156 @@
+"""Materialized sequence packing: budget exactness, boundary metadata,
+token content vs a pure-Python reference tokenizer, shard round-trip,
+and the DuckDB oracle for the registered audit key."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from samza_hello_samza_spark.operators import packing_io
+from samza_hello_samza_spark.operators.text_filters import (
+    SEQ_BUDGET,
+    sequence_packing,
+)
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    return packing_io.packed_sequences(spark, SF_DIR).collect()
+
+
+def test_every_sequence_but_the_last_is_exactly_budget(packed):
+    max_seq = max(r.seq_id for r in packed)
+    for r in packed:
+        if r.seq_id < max_seq:
+            assert len(r.input_ids) == SEQ_BUDGET, r.seq_id
+        else:
+            assert 0 < len(r.input_ids) <= SEQ_BUDGET
+    # seq ids are contiguous from 0 — no gaps, nothing dropped
+    assert sorted(r.seq_id for r in packed) == list(range(max_seq + 1))
+
+
+def test_boundary_metadata_is_consistent(packed):
+    """doc_offsets start at 0, strictly increase, and the flattened
+    slice sizes reconstruct them exactly — per-doc spans tile the
+    sequence with no gap or overlap."""
+    for r in packed:
+        offs = list(r.doc_offsets)
+        assert offs[0] == 0
+        assert all(b > a for a, b in zip(offs, offs[1:]))
+        assert len(offs) == len(r.doc_ids)
+        assert offs[-1] < len(r.input_ids)
+
+
+def test_total_token_conservation_and_assignment_agreement(spark, packed):
+    asg = {r.doc_id: r for r in sequence_packing(spark, SF_DIR).collect()}
+    total_expected = sum(a.n_tokens for a in asg.values())
+    assert sum(len(r.input_ids) for r in packed) == total_expected
+
+    # each doc's FIRST slice lands exactly where the assignment says
+    first: dict[int, tuple[int, int]] = {}
+    per_doc_tokens: dict[int, int] = {}
+    for r in packed:
+        offs = list(r.doc_offsets) + [None]
+        for i, d in enumerate(r.doc_ids):
+            size = (
+                offs[i + 1] - offs[i]
+                if offs[i + 1] is not None
+                else len(r.input_ids) - offs[i]
+            )
+            per_doc_tokens[d] = per_doc_tokens.get(d, 0) + size
+            if d not in first or r.seq_id < first[d][0]:
+                first[d] = (r.seq_id, offs[i])
+    for d, a in asg.items():
+        if a.n_tokens > 0:
+            assert first[d] == (a.seq_id, a.offset_in_seq), d
+            assert per_doc_tokens[d] == a.n_tokens, d
+
+
+def test_token_ids_match_reference_tokenizer(spark, packed):
+    """The first documents' md5-slice32 token ids must appear verbatim
+    as the prefix of the assembled global stream (re.ASCII mirrors
+    Java's default ASCII \\s/\\w classes)."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    )
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", re.ASCII)
+    want = [
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for d in docs
+        for t in pat.findall(d.text)
+    ]
+    assert want, "fixture docs unexpectedly tokenless"
+    stream: list[int] = []
+    for r in sorted(packed, key=lambda r: r.seq_id):
+        stream.extend(r.input_ids)
+        if len(stream) >= len(want):
+            break
+    assert stream[: len(want)] == want
+
+
+def test_write_packed_shards_roundtrip(spark, tmp_path):
+    ps = packing_io.packed_sequences(spark, SF_DIR)
+    out = str(tmp_path / "shards")
+    packing_io.write_packed_shards(ps, out, seqs_per_shard=32)
+    back = spark.read.parquet(out)
+    # shard k holds exactly its contiguous seq range
+    assert (
+        back.filter(
+            F.floor(F.col("seq_id") / 32).cast("long") != F.col("_shard").cast("long")
+        ).count()
+        == 0
+    )
+    a = {
+        r.seq_id: (list(r.input_ids), list(r.doc_ids), list(r.doc_offsets))
+        for r in back.collect()
+    }
+    b = {
+        r.seq_id: (list(r.input_ids), list(r.doc_ids), list(r.doc_offsets))
+        for r in ps.collect()
+    }
+    assert a == b
+
+
+def test_materialize_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        spark,
+        duck,
+        packing_io.sequence_packing_materialize,
+        packing_io.ORACLES["sequence_packing_materialize"],
+    )
+
+
+def _scanned_partitions(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan()
+    try:
+        plan = plan.initialPlan()
+    except Exception:
+        pass
+    node = plan.collectLeaves().apply(0)
+    node.selectedPartitions()
+    return int(node.metrics().get("numPartitions").get().value())
+
+
+def test_read_packed_range_prunes_shards(spark, tmp_path):
+    """The loader seam reads only the shard partitions overlapping its
+    seq range, and returns exactly those sequences."""
+    ps = packing_io.packed_sequences(spark, SF_DIR)
+    out = str(tmp_path / "shards")
+    packing_io.write_packed_shards(ps, out, seqs_per_shard=2)
+    n_seq = ps.count()
+    assert n_seq >= 8, "fixture corpus too small for a multi-shard range test"
+
+    got = packing_io.read_packed_range(spark, out, 2, 8, seqs_per_shard=2)
+    assert sorted(r.seq_id for r in got.collect()) == list(range(2, 8))
+    n_parts = _scanned_partitions(
+        spark.read.parquet(out).filter(F.col("_shard").between(1, 3))
+    )
+    assert n_parts == 3, f"expected 3 shard partitions, scanned {n_parts}"

@@ -46,6 +46,7 @@ NONEQUI_OK = {
     "price_equidepth_histogram",  # 1-row quantile-bounds broadcast
     "sequence_packing",     # triangular join over tiny bucket totals (prefix sum)
     "sequence_packing_curriculum",  # inherits curriculum_assign's 1-row cuts broadcast (its own triangular join IS equi on (lang, stage))
+    "sequence_packing_materialize",  # inherits sequence_packing's triangular bucket-totals join (assembly itself is equi on doc_id/seq_id)
     "corpus_vocab_stats",   # two 1-row aggregates broadcast-crossed
     "bm25_search",          # 1-row corpus-stats (N, avgdl) broadcast
     "tfidf_top_terms",      # 1-row corpus-count broadcast
@@ -79,6 +80,7 @@ NONEQUI_OK = {
     "doc_length_histogram",  # 1-row doc-total broadcast
     "user_recency_buckets",  # 1-row max-day anchor broadcast
     "dsir_importance",       # two 1-row feature-total broadcasts
+    "epoch_shuffle_plan",    # N_EPOCHS-row epoch-spine broadcast cross
 }
 
 #: operators that declared an Arrow-batched Python stage.
