@@ -246,7 +246,7 @@ def append_ivf_index(spark: SparkSession, index_dir: str, vectors: DataFrame) ->
     rewritten; probes see appended vectors on the next pruned read.
     """
     cent = sorted(
-        spark.read.parquet(os.path.join(index_dir, "centroids")).collect(),
+        spark.read.parquet(_centroid_dir(index_dir)).collect(),
         key=lambda r: r.centroid_id,
     )
     cmat = np.stack([np.asarray(r.centroid) for r in cent])
@@ -316,12 +316,61 @@ def commit_index_snapshot(index_dir: str) -> dict:
     import json
 
     man = read_index_manifest(index_dir)
-    man = {"version": man["version"] + 1, "files": _list_parquet_files(index_dir)}
+    # files a rebalance superseded ("retired") stay on disk for pinned
+    # readers but must never re-enter a listing-based commit; any other
+    # extra manifest keys (e.g. the centroid-table pointer) carry over.
+    retired = set(man.get("retired", []))
+    files = [f for f in _list_parquet_files(index_dir) if f not in retired]
+    man = {**man, "version": man["version"] + 1, "files": files}
     tmp = _index_manifest_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(man, f)
     os.replace(tmp, _index_manifest_path(index_dir))  # the atomic commit
     return man
+
+
+def commit_index_files(
+    index_dir: str, files: list[str], extra: dict | None = None
+) -> dict:
+    """Publish an EXPLICIT file set as the next snapshot — the
+    rebuild/rebalance commit: superseded files stay on disk for
+    readers pinned to older manifests, but leave the manifest (and are
+    recorded under ``retired`` so later listing-based commits don't
+    resurrect them; ``vacuum_index`` reclaims the space)."""
+    import json
+
+    man = read_index_manifest(index_dir)
+    man = {**man, "version": man["version"] + 1, "files": sorted(files),
+           **(extra or {})}
+    tmp = _index_manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _index_manifest_path(index_dir))
+    return man
+
+
+def vacuum_index(index_dir: str) -> int:
+    """Delete the ``retired`` data files of ``index_dir``'s manifest
+    and clear the list. Call only once no reader is pinned to a
+    pre-rebalance manifest (the same grace-period contract as
+    Delta VACUUM); the current snapshot is untouched. Returns the
+    number of files removed."""
+    import json
+
+    man = read_index_manifest(index_dir)
+    removed = 0
+    for f in man.get("retired", []):
+        try:
+            os.remove(f)
+            removed += 1
+        except FileNotFoundError:
+            pass
+    man = {**man, "retired": []}
+    tmp = _index_manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _index_manifest_path(index_dir))
+    return removed
 
 
 def snapshot_scan(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -557,13 +606,22 @@ def append_pq_index(spark: SparkSession, index_dir: str, vectors: DataFrame) -> 
     )
 
 
+def _centroid_dir(index_dir: str) -> str:
+    """The CURRENT centroid table: the corpus manifest's ``centroids``
+    pointer when a rebalance has re-trained them, else the build-time
+    default — so probes and appenders always quantize against the
+    centroids that produced the committed assignment."""
+    man = read_index_manifest(os.path.join(index_dir, "corpus"))
+    return os.path.join(index_dir, man.get("centroids", "centroids"))
+
+
 def _ivf_probe_lists(
     spark: SparkSession, index_dir: str, qvec: np.ndarray, nprobe: int
 ) -> list[int]:
     """The query's ``nprobe`` nearest centroid lists (driver-side over
     the nlist-row centroid table — a dim-table read)."""
     cent = sorted(
-        spark.read.parquet(os.path.join(index_dir, "centroids")).collect(),
+        spark.read.parquet(_centroid_dir(index_dir)).collect(),
         key=lambda r: r.centroid_id,
     )  # parquet row order is not contractual; list choice must be stable
     cmat = np.stack([np.asarray(r.centroid) for r in cent])
@@ -599,3 +657,123 @@ def probe_ivf_snapshot(
     probe = _ivf_probe_lists(spark, index_dir, qvec, nprobe)
     scan = snapshot_scan(spark, os.path.join(index_dir, "corpus"))
     return scan.filter(F.col("list_id").isin(probe)).select("vec_id", "v")
+
+
+def rebalance_ivf_index(spark: SparkSession, index_dir: str) -> dict:
+    """Re-train centroids and re-assign the committed corpus — the
+    §7.15 "IVF list re-balancing after drift" maintenance pass.
+
+    Appends quantize against build-time centroids, so a drifting
+    stream piles into few lists: probes of those lists degrade toward
+    scans while empty lists waste nprobe. One Lloyd iteration fixes
+    it: each list's new centroid is the MEAN of its current members,
+    then every vector re-assigns to its nearest new centroid.
+
+    Scale shape: the per-list mean is a posexplode + (list_id, pos)
+    groupBy — partial-aggregated map-side, collecting exactly
+    nlist × dim rows regardless of corpus size (the PCA tree-reduce
+    discipline); re-assignment is one Arrow-batched pass against the
+    broadcast nlist × dim matrix; the rewrite is one shuffle by the
+    new list_id. Nothing driver-side ever scales with the corpus.
+
+    Commit protocol: new corpus files land as APPENDED files (no
+    committed file is touched), the re-trained centroid table lands at
+    ``centroids_v{N}``, then one ``commit_index_files`` swap publishes
+    exactly {new files + centroid pointer} and retires the old file
+    set — probes pinned to the previous manifest keep reading the old
+    assignment (pytest-asserted); the serving jobs pick up the new one
+    at their next micro-batch. Single-maintainer contract, like
+    ``VersionedMergeTable``'s writer model: run from the one
+    maintenance job, not concurrently with appenders.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    corpus_dir = os.path.join(index_dir, "corpus")
+    man = read_index_manifest(corpus_dir)
+    if not man["files"]:
+        raise FileNotFoundError(f"no committed snapshot in {corpus_dir}")
+    scan = (
+        snapshot_scan(spark, corpus_dir)
+        .select("vec_id", "v", "list_id")
+        .localCheckpoint()  # 3 downstream jobs; also breaks lineage to
+        # the files the rewrite appends next to
+    )
+    counts = {r.list_id: r.n for r in
+              scan.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_vec = sum(counts.values())
+
+    old_cent = {
+        r.centroid_id: np.asarray(r.centroid, dtype=float)
+        for r in spark.read.parquet(_centroid_dir(index_dir)).collect()
+    }
+    nlist = len(old_cent)
+    imbalance_before = max(counts.values()) / (n_vec / nlist)
+
+    # per-list mean: nlist × dim result rows, constant in corpus size
+    sums = (
+        scan.select("list_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("list_id", "pos")
+        .agg(F.sum("val").alias("s"))
+        .collect()
+    )
+    dim = len(next(iter(old_cent.values())))
+    cmat = np.stack([old_cent[i] for i in range(nlist)]).copy()
+    by_list: dict[int, dict[int, float]] = {}
+    for r in sums:
+        by_list.setdefault(r.list_id, {})[r.pos] = r.s
+    for lid, d in by_list.items():  # empty lists keep their old centroid
+        cmat[lid] = np.array([d[p] for p in range(dim)]) / counts[lid]
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @F.pandas_udf(LongType())
+    def assign(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ cnorm.T, axis=1).astype(np.int64))
+
+    assigned = (
+        scan.select("vec_id", "v")
+        .withColumn("list_id", assign(F.col("v")))
+        .localCheckpoint()
+    )
+    moved = (
+        assigned.alias("a")
+        .join(scan.alias("o"), "vec_id")
+        .filter(F.col("a.list_id") != F.col("o.list_id"))
+        .count()
+    )
+    new_counts = {r.list_id: r.n for r in
+                  assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    imbalance_after = max(new_counts.values()) / (n_vec / nlist)
+
+    version = man["version"] + 1
+    cent_name = f"centroids_v{version}"
+    (
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in cmat[i]]) for i in range(nlist)],
+            "centroid_id BIGINT, centroid ARRAY<DOUBLE>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, cent_name))
+    )
+    before_files = set(_list_parquet_files(corpus_dir))
+    (
+        assigned.repartition("list_id")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(corpus_dir)
+    )
+    new_files = sorted(set(_list_parquet_files(corpus_dir)) - before_files)
+    retired = sorted(set(man["files"]) | set(man.get("retired", [])))
+    commit_index_files(
+        corpus_dir, new_files, {"centroids": cent_name, "retired": retired}
+    )
+    return {
+        "version": version,
+        "n_vectors": n_vec,
+        "moved": moved,
+        "imbalance_before": round(imbalance_before, 4),
+        "imbalance_after": round(imbalance_after, 4),
+    }

@@ -115,7 +115,111 @@ _CMS_BUCKET_SQL = (
     + str(CMS_W)
 )
 
+#: KMV sample size: quantile error ~ O(1/sqrt(K)) per group.
+KMV_K = 256
+
+
+#: phase-1 salt cells per group for the two-phase k-min.
+KMV_SALTS = 64
+
+
+def _kmv_sample(ev: DataFrame) -> DataFrame:
+    """Per-group k-minimum-values sample: the KMV_K rows with the
+    smallest md5-slice32(event_id) — a deterministic uniform sample.
+    Mergeable by construction (k-min of a union = k-min over the
+    per-part k-mins; pytest-asserted), so partial samples fold across
+    partitions/batches exactly like the CMS cells above.
+
+    The same merge rule shapes the PLAN: group counts here are tiny
+    (5 event types), so a single rank window would sort the whole
+    table through |groups| partitions. Phase 1 ranks within
+    (group, salt) — |groups|·SALTS cells, each a parallel partial
+    k-min; phase 2 re-ranks the surviving ≤ SALTS·K rows per group.
+    The heavy sort spreads over every core; the final sort is
+    sketch-sized."""
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    w1 = Window.partitionBy("event_type", "_salt").orderBy("h", "event_id")
+    w2 = Window.partitionBy("event_type").orderBy("h", "event_id")
+    return (
+        ev.select("event_type", "event_id", "value", h.alias("h"))
+        .withColumn("_salt", F.pmod(F.col("event_id"), F.lit(KMV_SALTS)))
+        .withColumn("rnk", F.row_number().over(w1))
+        .filter(F.col("rnk") <= KMV_K)
+        .drop("_salt", "rnk")
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= KMV_K)
+    )
+
+
+def quantile_kmv_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV quantile sketch vs exact — per-group calibration report.
+
+    The fourth classic sketch family (after CMS/HLL/KLL): keep the K
+    rows with the globally-smallest deterministic hash per group —
+    a uniform sample whose merge rule (k-min of a union) makes it a
+    true mergeable summary, and whose determinism (md5 of the unique
+    event_id) makes the ESTIMATE itself oracle-checkable: DuckDB
+    derives the identical sample, so estimated AND exact p50/p90 per
+    event type hash-match — the sketch's error is committed evidence,
+    not a promise (minhash_jaccard_estimate discipline).
+
+    Scale: one shuffle on the group key; the per-group rank window
+    sorts only within bounded groups (top_events_per_user plan), and
+    at unbounded group counts the same k-min fold runs as a salted
+    two-phase top-k. Estimation cost after sampling is K·groups rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sample = _kmv_sample(ev)
+    est = sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.round(F.percentile("value", 0.5), 6).alias("est_p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("est_p90"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("exact_p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("exact_p90"),
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_sample", "est_p50", "exact_p50", "est_p90", "exact_p90"
+    )
+
+
 ORACLES: dict[str, str] = {
+    "quantile_kmv_calibration": f"""
+        WITH h AS (
+            SELECT event_type, event_id, value,
+                   CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h, event_id) AS rnk
+            FROM h
+        ),
+        est AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_sample,
+                   round(quantile_cont(value, 0.5), 6) AS est_p50,
+                   round(quantile_cont(value, 0.9), 6) AS est_p90
+            FROM ranked WHERE rnk <= {KMV_K}
+            GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS exact_p50,
+                   round(quantile_cont(value, 0.9), 6) AS exact_p90
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT event_type, n_sample, est_p50, exact_p50, est_p90, exact_p90
+        FROM est JOIN exact USING (event_type)
+    """,
     "heavy_hitters_cms": f"""
         WITH pairs AS (
             SELECT user_id, r.row,
@@ -152,4 +256,5 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "heavy_hitters_cms": heavy_hitters_cms,
+    "quantile_kmv_calibration": quantile_kmv_calibration,
 }

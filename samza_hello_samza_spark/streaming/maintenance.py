@@ -530,6 +530,107 @@ def cms_estimate(spark: SparkSession, state_path: str, keys: DataFrame, key_col:
     )
 
 
+def kmv_updater(
+    stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Maintain per-group KMV quantile samples from a stream — the
+    streaming twin of ``sketches.quantile_kmv_calibration``.
+
+    The k-minimum-values sample is mergeable by construction (k-min of
+    a union = k-min over per-part k-mins — the batch pytest proves the
+    rule), so it folds exactly like the CMS cells above: each
+    micro-batch contributes its per-group k-min partial (bounded at
+    K·groups rows however large the batch) and the state merge is
+    union → k-min again. The stored sample answers quantile queries
+    over the WHOLE stream history in O(K·groups) space.
+    """
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        fold_kmv_sample(batch, state_path, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def fold_kmv_sample(
+    batch: DataFrame, state_path: str, batch_id: int | None = None
+) -> bool:
+    """Merge one events delta into the per-group k-min sample state.
+
+    Same snapshot-manifest commit as ``fold_domain_wordcounts``: the
+    merged sample lands in an immutable ``v{N+1}`` directory and ONE
+    atomic MANIFEST.json replace records {version, applied_batch} —
+    crash before the swap leaves v{N} committed and the batch unmarked
+    (clean re-fold); a redelivered batch id ≤ applied_batch no-ops.
+    Returns True iff the delta was folded.
+    """
+    import json
+    import os
+    import shutil
+
+    from ..operators.sketches import _kmv_sample
+
+    os.makedirs(state_path, exist_ok=True)
+    man = _dw_manifest(state_path)  # same {version, applied_batch} shape
+    if batch_id is not None and batch_id <= man["applied_batch"]:
+        return False
+    spark = batch.sparkSession
+    merged_in = batch.select("event_type", "event_id", "value")
+    if man["version"] > 0:
+        merged_in = merged_in.unionByName(
+            spark.read.parquet(
+                os.path.join(state_path, f"v{man['version']}")
+            ).select("event_type", "event_id", "value")
+        )
+    sample = _kmv_sample(merged_in)
+    new_version = man["version"] + 1
+    sample.write.mode("overwrite").parquet(
+        os.path.join(state_path, f"v{new_version}")
+    )
+    new_man = {
+        "version": new_version,
+        "applied_batch": batch_id if batch_id is not None else man["applied_batch"],
+    }
+    tmp = os.path.join(state_path, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp, os.path.join(state_path, "MANIFEST.json"))  # THE commit
+    for v in range(1, new_version - 1):  # keep current + previous
+        d = os.path.join(state_path, f"v{v}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    return True
+
+
+def read_kmv_sample(spark: SparkSession, state_path: str) -> DataFrame:
+    """The committed per-group k-min sample at the manifest version."""
+    import os
+
+    man = _dw_manifest(state_path)
+    if man["version"] == 0:
+        return spark.createDataFrame(
+            [], "event_type string, event_id bigint, value double, h bigint, rnk int"
+        )
+    return spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
+
+
+def kmv_quantile_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
+    """Estimated p50/p90 per group from the maintained KMV sample —
+    identical expressions to the batch calibration key's estimate
+    side, so stream-fold ≡ batch-sample is directly assertable."""
+    sample = read_kmv_sample(spark, state_path)
+    return sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.round(F.percentile("value", 0.5), 6).alias("est_p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("est_p90"),
+    )
+
+
 class TxnView:
     """Multi-topic transactionally-maintained view: exactly-once folds.
 

@@ -1175,3 +1175,164 @@ def test_ivf_serving_snapshot_pins_per_micro_batch_across_commit(spark, tmp_path
     assert NEW_VEC_ID in got[101], "batch 2 missed the committed snapshot"
     # identical query, so apart from the clone the answer sets agree
     assert got[101] - {NEW_VEC_ID} <= got[100]
+
+
+# -- IVF rebalance (drift maintenance) --------------------------------------
+
+
+def _drifted_ivf(spark, tmp_path, n_drift=120):
+    """Build + commit an IVF index, then append a drifted batch that
+    piles onto ONE list (clones of centroid 0 with tiny jitter)."""
+    idx = ann_index.build_ivf_index(
+        spark, SF_DIR, similarity.IVF_NLIST, out_dir=str(tmp_path / "ivf_rb")
+    )
+    corpus_dir = os.path.join(idx, "corpus")
+    ann_index.commit_index_snapshot(corpus_dir)
+    c0 = np.asarray(
+        sorted(
+            spark.read.parquet(os.path.join(idx, "centroids")).collect(),
+            key=lambda r: r.centroid_id,
+        )[0].centroid,
+        dtype=float,
+    )
+    drift = spark.createDataFrame(
+        [
+            (1_000_000 + i, [float(x * (1.0 + 0.001 * ((i % 7) - 3))) for x in c0])
+            for i in range(n_drift)
+        ],
+        "vec_id BIGINT, v ARRAY<DOUBLE>",
+    )
+    ann_index.append_ivf_index(spark, idx, drift)
+    ann_index.commit_index_snapshot(corpus_dir)
+    return idx, corpus_dir
+
+
+def test_rebalance_reduces_drift_imbalance_and_keeps_assignment_optimal(
+    spark, tmp_path
+):
+    idx, corpus_dir = _drifted_ivf(spark, tmp_path)
+    n_before = ann_index.snapshot_scan(spark, corpus_dir).count()
+
+    stats = ann_index.rebalance_ivf_index(spark, idx)
+    assert stats["imbalance_after"] < stats["imbalance_before"]
+    assert stats["moved"] > 0 and stats["n_vectors"] == n_before
+
+    # corpus conserved: same vector set, no duplicates
+    after = ann_index.snapshot_scan(spark, corpus_dir).collect()
+    assert len(after) == n_before
+    assert len({r.vec_id for r in after}) == n_before
+
+    # every vector sits in its argmax-cosine list under the NEW centroids
+    cent = sorted(
+        spark.read.parquet(ann_index._centroid_dir(idx)).collect(),
+        key=lambda r: r.centroid_id,
+    )
+    cmat = np.stack([np.asarray(r.centroid) for r in cent])
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    for r in after:
+        v = np.asarray(r.v, dtype=float)
+        best = int(np.argmax(cnorm @ (v / np.linalg.norm(v))))
+        assert r.list_id == best, r.vec_id
+
+
+def test_rebalance_full_probe_parity_and_pinned_readers(spark, tmp_path):
+    """nprobe=nlist probes (≡ the whole committed corpus) return the
+    same vector set before and after a rebalance, and a reader whose
+    plan resolved the pre-rebalance manifest still reads the OLD
+    assignment afterwards."""
+    idx, corpus_dir = _drifted_ivf(spark, tmp_path)
+    qvec = similarity._query_vector(spark, SF_DIR)
+    full_before = {
+        r.vec_id
+        for r in ann_index.probe_ivf_snapshot(
+            spark, idx, qvec, similarity.IVF_NLIST
+        ).collect()
+    }
+    pinned = ann_index.snapshot_scan(spark, corpus_dir)  # plan pins v2 files
+    pinned_before = {(r.vec_id, r.list_id) for r in pinned.collect()}
+
+    ann_index.rebalance_ivf_index(spark, idx)
+
+    full_after = {
+        r.vec_id
+        for r in ann_index.probe_ivf_snapshot(
+            spark, idx, qvec, similarity.IVF_NLIST
+        ).collect()
+    }
+    assert full_after == full_before
+    assert {(r.vec_id, r.list_id) for r in pinned.collect()} == pinned_before
+
+
+def test_append_and_vacuum_after_rebalance(spark, tmp_path):
+    """Post-rebalance appends quantize against the NEW centroids and a
+    listing-based commit must not resurrect retired files; vacuum then
+    reclaims them without touching the live snapshot."""
+    idx, corpus_dir = _drifted_ivf(spark, tmp_path)
+    ann_index.rebalance_ivf_index(spark, idx)
+    n_live = ann_index.snapshot_scan(spark, corpus_dir).count()
+
+    ann_index.append_ivf_index(spark, idx, _query_clone_df(spark))
+    man = ann_index.commit_index_snapshot(corpus_dir)
+    assert man.get("retired"), "rebalance must have retired the old files"
+    scan = ann_index.snapshot_scan(spark, corpus_dir)
+    assert scan.count() == n_live + 1  # no resurrection, clone visible
+    assert scan.filter(F.col("vec_id") == NEW_VEC_ID).count() == 1
+
+    removed = ann_index.vacuum_index(corpus_dir)
+    assert removed > 0
+    assert ann_index.read_index_manifest(corpus_dir)["retired"] == []
+    assert ann_index.snapshot_scan(spark, corpus_dir).count() == n_live + 1
+
+
+def test_kmv_updater_stream_fold_equals_batch_sample(spark, tmp_path):
+    """Two disjoint micro-batches folded through the KMV state must
+    reproduce EXACTLY the batch-built sample (and therefore the batch
+    quantile estimates) — the mergeability rule end-to-end."""
+    from samza_hello_samza_spark.operators import sketches
+
+    import glob as globmod
+    import shutil
+
+    base = os.path.join(SF_DIR, "events.parquet")
+    events = spark.read.parquet(base)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, half in enumerate((0, 1)):
+        stage = str(tmp_path / f"stage{i}")
+        events.filter(F.col("event_id") % 2 == half).coalesce(1).write.parquet(stage)
+        part = globmod.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "kmv_state")
+    q = maintenance.kmv_updater(stream, state, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    got_sample = {
+        (r.event_type, r.event_id)
+        for r in maintenance.read_kmv_sample(spark, state).collect()
+    }
+    want_sample = {
+        (r.event_type, r.event_id)
+        for r in sketches._kmv_sample(events).collect()
+    }
+    assert got_sample == want_sample
+
+    # replayed batch ids no-op (crash-after-commit redelivery)
+    man_before = maintenance._dw_manifest(state)
+    assert maintenance.fold_kmv_sample(events, state, batch_id=0) is False
+    assert maintenance._dw_manifest(state) == man_before
+
+    est = {
+        r.event_type: (r.n_sample, r.est_p50, r.est_p90)
+        for r in maintenance.kmv_quantile_snapshot(spark, state).collect()
+    }
+    want = {
+        r.event_type: (r.n_sample, r.est_p50, r.est_p90)
+        for r in sketches.quantile_kmv_calibration(spark, SF_DIR).collect()
+    }
+    assert est == want

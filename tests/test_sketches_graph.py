@@ -12,7 +12,11 @@ from tests.conftest import SF_DIR, assert_matches_oracle
 
 @pytest.mark.parametrize(
     "mod,name",
-    [(sketches, "heavy_hitters_cms"), (graph, "doc_pagerank")],
+    [
+        (sketches, "heavy_hitters_cms"),
+        (sketches, "quantile_kmv_calibration"),
+        (graph, "doc_pagerank"),
+    ],
 )
 def test_oracle_match(spark, duck, mod, name):
     assert_matches_oracle(spark, duck, mod.QUERIES[name], mod.ORACLES[name])
@@ -262,3 +266,39 @@ def test_pca_gram_fold_is_constant_size_with_jvm_aggregate(spark):
     assert folded.count() == 1 + similarity.DIM + similarity.DIM**2
     plan = folded._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_kmv_sample_is_mergeable(spark):
+    """The KMV merge rule: the k-min sample of a union equals the k-min
+    over the two halves' k-min samples — the property that lets
+    partial samples fold across partitions/micro-batches."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    full = {
+        (r.event_type, r.event_id)
+        for r in sketches._kmv_sample(ev).collect()
+    }
+    half_a = sketches._kmv_sample(ev.filter(F.col("event_id") % 2 == 0))
+    half_b = sketches._kmv_sample(ev.filter(F.col("event_id") % 2 == 1))
+    refold = {
+        (r.event_type, r.event_id)
+        for r in sketches._kmv_sample(
+            half_a.select("event_type", "event_id", "value").unionByName(
+                half_b.select("event_type", "event_id", "value")
+            )
+        ).collect()
+    }
+    assert refold == full
+
+
+def test_kmv_estimate_tracks_exact_quantiles(spark):
+    """Calibration sanity: the 256-sample estimates land within a
+    loose-but-meaningful band of the exact quantiles (the committed
+    oracle already pins the exact values; this guards usefulness)."""
+    rows = sketches.quantile_kmv_calibration(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        spread = max(1e-9, abs(r.exact_p90 - r.exact_p50) * 2)
+        assert abs(r.est_p50 - r.exact_p50) <= spread, r
+        assert abs(r.est_p90 - r.exact_p90) <= spread, r
