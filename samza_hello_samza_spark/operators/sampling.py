@@ -958,8 +958,95 @@ ORACLES["dsir_importance"] = f"""
     FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
 """
 
+#: epoch-shuffle geometry: contiguous hash-range shards per epoch.
+EPOCH_SHARDS = 16
+N_EPOCHS = 2
+
+
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global training order, audited per shard.
+
+    Multi-epoch training needs a DIFFERENT document order each epoch,
+    reproducible from (epoch, doc_id) alone — never stored state. The
+    order key is md5-slice32("{epoch}:{doc_id}"): a seeded permutation
+    of the corpus. Shards are CONTIGUOUS ranges of that key space
+    (top bits: ``okey·S div 2³²``), so dataloader rank k streams its
+    shard sorted by key and the concatenation of shards 0..S-1 IS the
+    epoch's global permutation — hash-uniform keys keep shard sizes
+    balanced with no planning pass.
+
+    Plan shape: one projection (the key is codegen'd md5 math), one
+    hash shuffle on (epoch, shard), and a per-shard rank window — the
+    sort a shard writer pays anyway to emit its file in stream order;
+    S is the parallelism knob, so no global sort and nothing
+    single-partition. The audit emits per (epoch, shard) the doc
+    count and an order-weighted checksum (rank·doc_id) — any dropped
+    doc, collision mishandling, or mis-ordered stream changes it; the
+    DuckDB oracle re-derives the identical permutation (hash-checked).
+    Epoch-permutation distinctness is pytest-asserted.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(N_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("okey"),
+    )
+    # top log2(S) bits of the 32-bit key: integer-exact in both engines
+    shard = F.shiftright(F.col("okey"), 28).cast("long")
+    w = Window.partitionBy("epoch", "shard_id").orderBy("okey", "doc_id")
+    return (
+        keyed.withColumn("shard_id", shard)
+        .withColumn("rnk", F.row_number().over(w))
+        .groupBy("epoch", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("rnk").cast("long") * F.col("doc_id")).alias(
+                "order_checksum"
+            ),
+            F.min("okey").alias("min_key"),
+        )
+    )
+
+
+ORACLES["epoch_shuffle_plan"] = f"""
+    WITH keyed AS (
+        SELECT e.epoch, d.doc_id,
+               CAST(concat('0x', substr(md5(e.epoch || ':' || d.doc_id), 1, 8))
+                    AS BIGINT) AS okey
+        FROM documents d,
+             (SELECT unnest(generate_series(0, {N_EPOCHS - 1})) AS epoch) e
+    ),
+    ranked AS (
+        SELECT epoch, doc_id, okey,
+               okey >> 28 AS shard_id,
+               row_number() OVER (
+                   PARTITION BY epoch, okey >> 28
+                   ORDER BY okey, doc_id) AS rnk
+        FROM keyed
+    )
+    SELECT epoch, shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(rnk * doc_id) AS BIGINT) AS order_checksum,
+           min(okey) AS min_key
+    FROM ranked
+    GROUP BY epoch, shard_id
+"""
+
+
 QUERIES = {
     "curriculum_assign": curriculum_assign,
+    "epoch_shuffle_plan": epoch_shuffle_plan,
     "dsir_importance": dsir_importance,
     "domain_kl_divergence": domain_kl_divergence,
     "token_budget_plan": token_budget_plan,

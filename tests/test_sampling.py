@@ -292,3 +292,22 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
         .count()
     )
     assert crossings == 0
+
+
+def test_epoch_shuffle_orders_differ_across_epochs(spark):
+    """Different epochs must produce different permutations (the whole
+    point of reshuffling), while each epoch covers the corpus exactly."""
+    from samza_hello_samza_spark.session import load_table
+
+    rows = sampling.epoch_shuffle_plan(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    by_epoch: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.shard_id] = r.order_checksum
+    assert sorted(by_epoch) == list(range(sampling.N_EPOCHS))
+    for e, shards in by_epoch.items():
+        total = sum(
+            r.n_docs for r in rows if r.epoch == e
+        )
+        assert total == n_docs, e
+    assert by_epoch[0] != by_epoch[1], "epoch 1 repeated epoch 0's order"
