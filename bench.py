@@ -127,6 +127,13 @@ EXTRA_VOLUME = (
     "sequence_packing_curriculum",
     "train_val_test_split",
     "leakage_safe_split",
+    # r05b: string-zone-map serving probe (clustered layout build is
+    # warmup), the materialized-packing audit, the KMV quantile
+    # calibration, and the epoch-shuffle order audit.
+    "returned_items_pruned_scan",
+    "sequence_packing_materialize",
+    "quantile_kmv_calibration",
+    "epoch_shuffle_plan",
 )
 
 #: Excluded from the sf1 (10×-replicated) tier: replication creates
@@ -184,6 +191,7 @@ def main() -> None:
     queries["lineitem_pruned_scan"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     queries["q6_pruned_scan"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     queries["q19_pruned_scan"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    queries["returned_items_pruned_scan"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     def _time(names, target_dir, best_of: int = 1) -> dict[str, float]:
         out: dict[str, float] = {}

@@ -113,6 +113,11 @@ PROBE_OPS = (
     # pair-graph family (it groups by near-dup components).
     "sequence_packing_curriculum",
     "train_val_test_split",
+    # r05b additions. returned_items_pruned_scan is excluded for the
+    # build-once layout-cache reason above.
+    "sequence_packing_materialize",
+    "quantile_kmv_calibration",
+    "epoch_shuffle_plan",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
