@@ -500,12 +500,26 @@ def build_pq_index(
     return out_dir
 
 
-def _load_codebooks(spark: SparkSession, index_dir: str) -> np.ndarray:
-    """(m, ksub, dsub) codebook tensor from the stored rows. Codebooks
-    are FROZEN at build time (appended vectors are encoded against
-    them — the standard PQ live-index contract), so a raw read is
-    snapshot-safe."""
-    books = spark.read.parquet(os.path.join(index_dir, "codebooks")).collect()
+def _codebook_dir(index_dir: str, man: dict | None = None) -> str:
+    """The CURRENT codebook table: the codes manifest's ``codebooks``
+    pointer once a retrain has re-fit them, else the build-time
+    default. Pass the manifest when codes and codebooks must resolve
+    from ONE read (snapshot probes — a retrain commit between two
+    reads would pair new books with old codes)."""
+    if man is None:
+        man = read_index_manifest(os.path.join(index_dir, "codes"))
+    return os.path.join(index_dir, man.get("codebooks", "codebooks"))
+
+
+def _load_codebooks(
+    spark: SparkSession, index_dir: str, books_dir: str | None = None
+) -> np.ndarray:
+    """(m, ksub, dsub) codebook tensor from the stored rows. Codebook
+    TABLES are immutable once written (appends encode against the
+    current one — the standard PQ live-index contract; a retrain
+    writes a NEW versioned table and swaps the manifest pointer), so
+    the raw read is snapshot-safe."""
+    books = spark.read.parquet(books_dir or _codebook_dir(index_dir)).collect()
     m = max(r.sub for r in books) + 1
     ksub = max(r.k for r in books) + 1
     dsub = len(books[0].centroid)
@@ -567,9 +581,15 @@ def probe_pq_snapshot(
     """``probe_pq_index`` against the committed codes snapshot: the ADC
     scan reads exactly the manifest's file set, so a concurrent
     ``append_pq_index`` is invisible until its commit — same
-    torn-append contract as ``probe_lsh_snapshot``."""
-    books = _load_codebooks(spark, index_dir)
-    codes = snapshot_scan(spark, os.path.join(index_dir, "codes"))
+    torn-append contract as ``probe_lsh_snapshot``. Codes AND
+    codebooks resolve from ONE manifest read, so a retrain commit
+    mid-probe can never pair new books with old codes."""
+    codes_dir = os.path.join(index_dir, "codes")
+    man = read_index_manifest(codes_dir)
+    if not man["files"]:
+        raise FileNotFoundError(f"no committed snapshot in {codes_dir}")
+    books = _load_codebooks(spark, index_dir, _codebook_dir(index_dir, man))
+    codes = spark.read.option("basePath", codes_dir).parquet(*man["files"])
     return _adc_rank(codes, books, qvec, n_candidates)
 
 
@@ -604,6 +624,122 @@ def append_pq_index(spark: SparkSession, index_dir: str, vectors: DataFrame) -> 
         .write.mode("append")
         .parquet(os.path.join(index_dir, "codes"))
     )
+
+
+def retrain_pq_index(
+    spark: SparkSession, index_dir: str, vectors: DataFrame
+) -> dict:
+    """Re-fit the PQ codebooks on the CURRENT corpus and re-encode —
+    the PQ member of the drift-maintenance family (§7.17), sharing
+    ``rebalance_ivf_index``'s retire/vacuum commit protocol.
+
+    Codes are lossy projections of build-time codebooks: as appended
+    vectors drift, quantization error grows and ADC ranking degrades.
+    ``vectors`` is the corpus' raw (vec_id, v) table — the base table
+    a real deployment keeps anyway; the codes layout is only the
+    serving projection. The retrain:
+
+    1. draws a deterministic uniform training sample — the
+       ``PQ_TRAIN_ROWS`` smallest md5-slice32(vec_id) rows (the KMV
+       rule, so the sample follows the CURRENT distribution instead of
+       the build-time id prefix) — one bounded collect;
+    2. re-fits codebooks with the same deterministic Lloyd loop as the
+       build, writes them as an immutable ``codebooks_v{N}`` table;
+    3. re-encodes every vector in one Arrow-batched pass, landing NEW
+       code files next to the old ones (no committed file touched);
+    4. publishes {new files + codebook pointer} in ONE
+       ``commit_index_files`` swap, retiring the old file set — probes
+       pinned to the previous manifest keep the old books+codes pair
+       (coherence: snapshot probes resolve both from one manifest
+       read), later listing-based commits skip retired files, and
+       ``vacuum_index`` reclaims them.
+
+    Single-maintainer contract, like the IVF rebalance. Returns audit
+    stats including the mean squared reconstruction error of the
+    training sample before/after (Lloyd on the drifted sample —
+    pytest asserts the drop under drift).
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    codes_dir = os.path.join(index_dir, "codes")
+    man = read_index_manifest(codes_dir)
+    if not man["files"]:
+        raise FileNotFoundError(f"no committed snapshot in {codes_dir}")
+    old_books = _load_codebooks(spark, index_dir, _codebook_dir(index_dir, man))
+    m, ksub, dsub = old_books.shape
+
+    sample_rows = (
+        vectors.select(
+            "vec_id",
+            "v",
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(PQ_TRAIN_ROWS)
+        .collect()
+    )
+    train = np.stack([np.asarray(r.v) for r in sample_rows])
+    books = _fit_codebooks(train, m, ksub)
+
+    def _mse(bks: np.ndarray) -> float:
+        err = 0.0
+        for sub in range(m):
+            x = train[:, sub * dsub : (sub + 1) * dsub]
+            d2 = ((x[:, None, :] - bks[sub][None, :, :]) ** 2).sum(axis=2)
+            err += float(d2.min(axis=1).sum())
+        return err / len(train)
+
+    version = man["version"] + 1
+    books_name = f"codebooks_v{version}"
+    book_rows = [
+        (sub, k, [float(x) for x in books[sub][k]])
+        for sub in range(m)
+        for k in range(ksub)
+    ]
+    (
+        spark.createDataFrame(book_rows, "sub int, k int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, books_name))
+    )
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        codes = np.empty((len(emb), m), dtype=np.int32)
+        for sub in range(m):
+            x = mat[:, sub * dsub : (sub + 1) * dsub]
+            d2 = ((x[:, None, :] - books[sub][None, :, :]) ** 2).sum(axis=2)
+            codes[:, sub] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    before_files = set(_list_parquet_files(codes_dir))
+    (
+        vectors.withColumn("codes", encode(F.col("v")))
+        .select(
+            "vec_id",
+            *[
+                F.element_at(F.col("codes"), i + 1).cast("int").alias(f"code_{i}")
+                for i in range(m)
+            ],
+        )
+        .write.mode("append")
+        .parquet(codes_dir)
+    )
+    new_files = sorted(set(_list_parquet_files(codes_dir)) - before_files)
+    retired = sorted(set(man["files"]) | set(man.get("retired", [])))
+    commit_index_files(
+        codes_dir, new_files, {"codebooks": books_name, "retired": retired}
+    )
+    return {
+        "version": version,
+        "n_train": len(train),
+        "train_mse_before": round(_mse(old_books), 6),
+        "train_mse_after": round(_mse(books), 6),
+    }
 
 
 def _centroid_dir(index_dir: str) -> str:

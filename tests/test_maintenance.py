@@ -1336,3 +1336,88 @@ def test_kmv_updater_stream_fold_equals_batch_sample(spark, tmp_path):
         for r in sketches.quantile_kmv_calibration(spark, SF_DIR).collect()
     }
     assert est == want
+
+
+# -- PQ retrain (drift maintenance) -----------------------------------------
+
+
+def _drifted_pq(spark, tmp_path, n_drift=300):
+    """Build + commit a PQ index, then append a strongly-drifted batch
+    (far outside the build-time distribution) and commit it."""
+    idx = ann_index.build_pq_index(spark, SF_DIR, out_dir=str(tmp_path / "pq_rt"))
+    codes_dir = os.path.join(idx, "codes")
+    ann_index.commit_index_snapshot(codes_dir)
+    emb = similarity._embeddings(spark, SF_DIR)
+    drift = spark.createDataFrame(
+        [
+            (
+                2_000_000 + i,
+                [5.0 + 0.01 * ((i * 7 + d) % 13) for d in range(64)],
+            )
+            for i in range(n_drift)
+        ],
+        "vec_id BIGINT, v ARRAY<DOUBLE>",
+    )
+    ann_index.append_pq_index(spark, idx, drift)
+    ann_index.commit_index_snapshot(codes_dir)
+    vectors = emb.select("vec_id", "v").unionByName(drift)
+    return idx, codes_dir, vectors
+
+
+def test_pq_retrain_reduces_drift_error_and_reencodes_corpus(spark, tmp_path):
+    idx, codes_dir, vectors = _drifted_pq(spark, tmp_path)
+    n_vec = vectors.count()
+    assert ann_index.snapshot_scan(spark, codes_dir).count() == n_vec
+
+    stats = ann_index.retrain_pq_index(spark, idx, vectors)
+    assert stats["train_mse_after"] < stats["train_mse_before"]
+
+    # committed codes: same vector set, exactly once, no duplicates
+    after = ann_index.snapshot_scan(spark, codes_dir)
+    assert after.count() == n_vec
+    assert after.select("vec_id").distinct().count() == n_vec
+
+    # every committed code row is the argmin assignment under the NEW
+    # books (spot-check a handful of drifted + original vectors)
+    books = ann_index._load_codebooks(spark, idx)
+    m, ksub, dsub = books.shape
+    sample = {r.vec_id: r for r in after.filter(
+        F.col("vec_id").isin([0, 1, 2, 2_000_000, 2_000_001])
+    ).collect()}
+    vecs = {r.vec_id: np.asarray(r.v, dtype=float) for r in vectors.filter(
+        F.col("vec_id").isin(list(sample))
+    ).collect()}
+    for vid, row in sample.items():
+        v = vecs[vid]
+        for sub in range(m):
+            x = v[sub * dsub : (sub + 1) * dsub]
+            want = int(((x[None, :] - books[sub]) ** 2).sum(axis=1).argmin())
+            assert getattr(row, f"code_{sub}") == want, (vid, sub)
+
+
+def test_pq_retrain_pinned_probe_and_vacuum(spark, tmp_path):
+    """A probe whose plan resolved the pre-retrain manifest keeps the
+    OLD books+codes pair; post-retrain listing commits do not
+    resurrect retired files and vacuum leaves the live snapshot."""
+    idx, codes_dir, vectors = _drifted_pq(spark, tmp_path)
+    qvec = similarity._query_vector(spark, SF_DIR)
+    pinned = ann_index.probe_pq_snapshot(spark, idx, qvec, 20)  # resolves now
+    before = [(r.vec_id, r.adc_score) for r in pinned.collect()]
+
+    ann_index.retrain_pq_index(spark, idx, vectors)
+    assert [(r.vec_id, r.adc_score) for r in pinned.collect()] == before
+
+    n_live = ann_index.snapshot_scan(spark, codes_dir).count()
+    ann_index.append_pq_index(spark, idx, _query_clone_df(spark))
+    man = ann_index.commit_index_snapshot(codes_dir)
+    assert man.get("retired") and man.get("codebooks", "").startswith("codebooks_v")
+    scan = ann_index.snapshot_scan(spark, codes_dir)
+    assert scan.count() == n_live + 1
+    assert scan.filter(F.col("vec_id") == NEW_VEC_ID).count() == 1
+
+    removed = ann_index.vacuum_index(codes_dir)
+    assert removed > 0
+    assert ann_index.snapshot_scan(spark, codes_dir).count() == n_live + 1
+    # the fresh probe ranks against the NEW books+codes coherently
+    fresh = ann_index.probe_pq_snapshot(spark, idx, qvec, 20).collect()
+    assert len(fresh) == 20

@@ -563,3 +563,41 @@ def test_merge_with_retry_breaks_stale_claim(spark, vtable):
     stats = vtable.merge_with_retry(src, max_wait_s=0.3, poll_s=0.05)
     assert stats["version"] == 2 and stats["retries"] >= 1
     assert {r.k: r.v for r in vtable.read().collect()}[7] == "R"
+
+
+def test_merge_with_retry_no_starvation_under_sustained_contention(spark, vtable):
+    """Fairness probe: four writers each push three sequential merges
+    through the queue concurrently; every one of the 12 merges must
+    commit (progress-gated retry cannot starve a writer), versions are
+    exactly 2..13, and each writer's own key reflects its LAST merge."""
+    import threading
+
+    errors: list[Exception] = []
+    versions: dict[str, list[int]] = {n: [] for n in "ABCD"}
+
+    def run(name):
+        try:
+            for i in range(3):
+                src = spark.createDataFrame(
+                    [(ord(name), f"{name}{i}", "open")],
+                    "k long, v string, status string",
+                )
+                out = vtable.merge_with_retry(src)
+                versions[name].append(out["version"])
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(n,)) for n in "ABCD"]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    all_versions = sorted(v for vs in versions.values() for v in vs)
+    assert all_versions == list(range(2, 14))  # 12 commits, none lost
+    for name, vs in versions.items():
+        assert vs == sorted(vs), f"{name} committed out of order: {vs}"
+    final = {r.k: r.v for r in vtable.read().collect()}
+    for name in "ABCD":
+        assert final[ord(name)] == f"{name}2", name
