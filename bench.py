@@ -134,6 +134,8 @@ EXTRA_VOLUME = (
     "sequence_packing_materialize",
     "quantile_kmv_calibration",
     "epoch_shuffle_plan",
+    # r05c: array-column zone-map probe (layout build is warmup).
+    "embedding_box_scan",
 )
 
 #: Excluded from the sf1 (10×-replicated) tier: replication creates
@@ -192,6 +194,7 @@ def main() -> None:
     queries["q6_pruned_scan"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     queries["q19_pruned_scan"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     queries["returned_items_pruned_scan"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    queries["embedding_box_scan"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     def _time(names, target_dir, best_of: int = 1) -> dict[str, float]:
         out: dict[str, float] = {}

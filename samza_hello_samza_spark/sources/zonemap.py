@@ -547,7 +547,80 @@ def returned_items_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- zone maps over ARRAY columns: embedding-dimension boxes ----------------
+
+#: the embedding dimensions the layout clusters on (leading pair) and
+#: the registered probe's L∞ box over them.
+_EMB_D0_LO, _EMB_D0_HI = 0.05, 1.0
+_EMB_D1_LO, _EMB_D1_HI = 0.05, 1.0
+
+
+def _zordered_embeddings(spark: SparkSession, sf_dir: str) -> str:
+    """Embeddings clustered along (v[0], v[1]) with zone-map stats on
+    the MATERIALIZED leading dimensions — §7.18's "zone-map stats on
+    array columns": an array column has no scalar min/max, so the
+    indexed dimensions are projected out as ``_d0``/``_d1`` scalar
+    columns at layout-build time (the array itself rides along
+    untouched) and the standard numeric zone map applies. On the
+    Z-ordered layout every file is an axis-aligned rectangle in
+    (d0, d1) space — a bounding box per file — so an L∞ box probe
+    prunes at file listing exactly like the lineitem layouts."""
+    from ..operators.ann_index import _index_root, _is_built, _tag
+    from ..session import load_table
+    from .zorder import write_zordered
+
+    out = os.path.join(_index_root(), _tag(sf_dir), "zorder_embeddings")
+    if not _is_built(out):
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "embedding",
+            F.col("embedding").getItem(0).cast("double").alias("_d0"),
+            F.col("embedding").getItem(1).cast("double").alias("_d1"),
+        )
+        write_zordered(emb, out, "_d0", "_d1", files=_ZM_FILES)
+    if not os.path.exists(_stats_dir(out)):
+        build_zonemap(spark, out, ["_d0", "_d1"])
+    return out
+
+
+def embedding_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L∞ box query over embedding space through the zone map: count
+    and checksum the vectors whose leading dimensions fall in the
+    probe box, reading only the files whose (d0, d1) bounding boxes
+    overlap it (<½ files, pytest-asserted). The residual predicate
+    re-applies on the ARRAY column itself, so the result is exactly
+    the full-scan filter — which is what the DuckDB oracle computes
+    over the raw table (hash-checked). The block-pruning primitive
+    under windowed vector-range retrieval at 100 TB: the bounding
+    boxes cut the candidate file set before any vector is read."""
+    table_dir = _zordered_embeddings(spark, sf_dir)
+    df = pruned_scan(
+        spark,
+        table_dir,
+        [{"_d0": (_EMB_D0_LO, _EMB_D0_HI), "_d1": (_EMB_D1_LO, _EMB_D1_HI)}],
+    )
+    d0 = F.col("embedding").getItem(0).cast("double")
+    d1 = F.col("embedding").getItem(1).cast("double")
+    return df.filter(
+        d0.between(_EMB_D0_LO, _EMB_D0_HI) & d1.between(_EMB_D1_LO, _EMB_D1_HI)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.coalesce(F.sum("vec_id"), F.lit(0)).cast("long").alias("id_checksum"),
+        F.round(F.coalesce(F.min(d0), F.lit(0.0)), 6).alias("min_d0"),
+        F.round(F.coalesce(F.max(d1), F.lit(0.0)), 6).alias("max_d1"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "embedding_box_scan": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(coalesce(sum(vec_id), 0) AS BIGINT) AS id_checksum,
+               round(coalesce(min(CAST(embedding[1] AS DOUBLE)), 0.0), 6) AS min_d0,
+               round(coalesce(max(CAST(embedding[2] AS DOUBLE)), 0.0), 6) AS max_d1
+        FROM embeddings
+        WHERE CAST(embedding[1] AS DOUBLE) BETWEEN {_EMB_D0_LO} AND {_EMB_D0_HI}
+          AND CAST(embedding[2] AS DOUBLE) BETWEEN {_EMB_D1_LO} AND {_EMB_D1_HI}
+    """,
     "returned_items_pruned_scan": """
         SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
                CAST(count(*) AS BIGINT) AS n_lines,
@@ -601,6 +674,7 @@ QUERIES = {
     "q6_pruned_scan": q6_pruned_scan,
     "q19_pruned_scan": q19_pruned_scan,
     "returned_items_pruned_scan": returned_items_pruned_scan,
+    "embedding_box_scan": embedding_box_scan,
 }
 
 

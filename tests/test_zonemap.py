@@ -384,3 +384,41 @@ def test_string_zonemap_conservative_on_unclustered_strings(spark, tmp_path):
         for r in spark.read.parquet(path).filter(F.col("cat") == "oak").collect()
     )
     assert got == want and got
+
+
+def test_embedding_box_scan_prunes_files_and_matches_full_scan(spark):
+    """Array-column zone maps (§7.18): the (d0, d1)-z-ordered
+    embeddings layout gives every file a bounding box over the
+    materialized leading dimensions; the L∞ box probe must read <½
+    of the files and equal the full-scan filter on the ARRAY column."""
+    from tests.conftest import SF_DIR
+
+    table_dir = zonemap._zordered_embeddings(spark, SF_DIR)
+    all_files = zonemap.pruned_files(spark, table_dir, {"_d0": (-1e18, 1e18)})
+    kept = zonemap.pruned_files(
+        spark,
+        table_dir,
+        {
+            "_d0": (zonemap._EMB_D0_LO, zonemap._EMB_D0_HI),
+            "_d1": (zonemap._EMB_D1_LO, zonemap._EMB_D1_HI),
+        },
+    )
+    assert 0 < len(kept) < len(all_files) / 2, (len(kept), len(all_files))
+
+    got = zonemap.embedding_box_scan(spark, SF_DIR).collect()[0]
+    d0 = F.col("embedding").getItem(0).cast("double")
+    d1 = F.col("embedding").getItem(1).cast("double")
+    want = (
+        spark.read.parquet(table_dir)
+        .filter(
+            d0.between(zonemap._EMB_D0_LO, zonemap._EMB_D0_HI)
+            & d1.between(zonemap._EMB_D1_LO, zonemap._EMB_D1_HI)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("vec_id").cast("long").alias("id_checksum"),
+        )
+        .collect()[0]
+    )
+    assert (got.n_vectors, got.id_checksum) == (want.n_vectors, want.id_checksum)
+    assert got.n_vectors > 0
