@@ -39,6 +39,9 @@ _MODULES = (
     "samza_hello_samza_spark.operators.asof",
     "samza_hello_samza_spark.operators.packing_io",
     "samza_hello_samza_spark.sources.zonemap",
+    "samza_hello_samza_spark.sources.bloom_index",
+    "samza_hello_samza_spark.sources.inverted",
+    "samza_hello_samza_spark.sources.merge",
 )
 
 #: modules whose hard dependencies (numpy/pandas for vectorized paths)

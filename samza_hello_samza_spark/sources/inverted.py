@@ -1,0 +1,144 @@
+"""Inverted-index posting lists as a partitioned parquet layout.
+
+``text_analysis.term_search`` computes a conjunctive term query with
+the right AGGREGATION shape (union postings, intersect by counting —
+never |terms| self-joins) but still tokenizes the WHOLE corpus per
+query. This module materializes the postings once — the search-index
+build every retrieval stack performs — so a query touches only the
+partitions that can hold its terms:
+
+- Build: one tokenize pass, ``(word, doc_id)`` made distinct (postings
+  are sets), then hash-partitioned by ``tbucket = pmod(xxhash64(word),
+  N_TBUCKETS)`` and written ``partitionBy(tbucket)``. The build cost
+  is the corpus scan every index build pays; it amortizes over every
+  subsequent query.
+- Probe: the query terms' buckets come from one 3-row Spark job (the
+  same xxhash64 the layout used — the bucket function must be the
+  engine's own), then the scan lists ONLY those bucket directories
+  (partition pruning at file listing, ≤ |terms| of N_TBUCKETS
+  directories), filters ``word ∈ terms`` inside them (pushed to
+  parquet), and intersects by counting distinct matched terms per
+  doc — identical output to the full-scan plan, hash-checked against
+  the same DuckDB oracle.
+
+Scale shape (100 TB): a query reads |terms|/N_TBUCKETS of the index
+regardless of corpus size, and the index is smaller than the corpus
+(distinct word-doc pairs, two narrow columns). Postings for a new
+document batch append into the same bucket scheme (hash partitioning
+is stable), so the layout is ingest-friendly; hot buckets hold many
+terms but the per-term postings inside them are still filtered by the
+parquet word predicate. The degenerate-term risk (a stopword's
+postings ≈ corpus size) is the caller's to filter — same contract as
+every search engine's stopword list.
+
+Reference parity: hello-samza's wikipedia-stats job maintains
+per-window token statistics in a store keyed by word
+(src/main/java/samza/examples/wikipedia/task/WikipediaStatsStreamTask
+.java); the at-rest analog of "give me the docs for these words" is a
+posting-list layout, not a corpus scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import _words, explode_nonempty
+
+N_TBUCKETS = 64
+
+
+def build_inverted_index(
+    spark: SparkSession, docs: DataFrame, out_dir: str
+) -> str:
+    """Materialize distinct (word, doc_id) postings partitioned by
+    term bucket. ``docs`` must carry (doc_id, text)."""
+    words = explode_nonempty(docs, ["doc_id"], _words(F.col("text")), "word")
+    postings = (
+        words.select("word", "doc_id")
+        .distinct()
+        .withColumn(
+            "tbucket", F.pmod(F.xxhash64("word"), F.lit(N_TBUCKETS)).cast("int")
+        )
+    )
+    (
+        postings.repartition("tbucket")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def term_buckets(spark: SparkSession, terms: list[str]) -> list[int]:
+    """The layout buckets of the query terms — computed by the engine's
+    own xxhash64 on a |terms|-row local relation (no scan; the bucket
+    function and the layout's must be the same implementation)."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "word string")
+        .select(F.pmod(F.xxhash64("word"), F.lit(N_TBUCKETS)).cast("int").alias("b"))
+        .collect()
+    )
+    return sorted({r.b for r in rows})
+
+
+def conjunctive_search(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> DataFrame:
+    """Docs containing ALL ``terms``, via the posting-list layout:
+    bucket-pruned scan → word filter → intersect-by-counting."""
+    buckets = term_buckets(spark, terms)
+    postings = spark.read.parquet(index_dir).filter(
+        F.col("tbucket").isin(buckets)  # partition filter: lists ≤|terms| dirs
+    )
+    return (
+        postings.filter(F.col("word").isin(*terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("word").alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+        .select("doc_id")
+    )
+
+
+# -- registered demo query: term_search through the materialized index -----
+
+
+def _documents_index(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.ann_index import _index_root, _is_built, _tag
+    from ..session import load_table
+
+    out = os.path.join(_index_root(), _tag(sf_dir), "inverted_documents")
+    if not _is_built(out):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        build_inverted_index(spark, docs, out)
+    return out
+
+
+def term_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``term_search``'s conjunctive query answered from the posting
+    layout instead of a corpus scan — ≤3 of 64 bucket directories
+    listed (pytest-asserted), identical rows (same oracle)."""
+    from ..operators.text_analysis import SEARCH_TERMS
+
+    index_dir = _documents_index(spark, sf_dir)
+    return conjunctive_search(spark, index_dir, list(SEARCH_TERMS))
+
+
+# the oracle is term_search's: the layout changes WHERE the postings
+# are read from, not what the query means.
+ORACLES: dict[str, str] = {}
+
+
+def _term_search_oracle() -> str:
+    from ..operators.text_analysis import ORACLES as TA_ORACLES
+
+    return TA_ORACLES["term_search"]
+
+
+ORACLES["term_search_indexed"] = _term_search_oracle()
+
+QUERIES = {
+    "term_search_indexed": term_search_indexed,
+}

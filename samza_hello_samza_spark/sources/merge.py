@@ -332,6 +332,9 @@ class VersionedMergeTable:
     def _data_dir(self, version: int) -> str:
         return os.path.join(self.path, "data", f"v{version}")
 
+    def _dv_dir(self, version: int) -> str:
+        return os.path.join(self.path, "deletes", f"v{version}")
+
     def _bucket(self) -> F.Column:
         return F.pmod(
             F.xxhash64(F.col(self.key_col).cast("string")), F.lit(self.n_buckets)
@@ -340,7 +343,10 @@ class VersionedMergeTable:
     # -- read -------------------------------------------------------------
 
     def _read_snapshot(
-        self, snap: dict[str, int], buckets: list[int] | None = None
+        self,
+        snap: dict[str, int],
+        buckets: list[int] | None = None,
+        dvs: dict[str, list[int]] | None = None,
     ) -> DataFrame:
         by_writer: dict[int, list[int]] = {}
         for b, m in snap.items():
@@ -358,16 +364,42 @@ class VersionedMergeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
+        # deletion vectors: subtract this snapshot's tombstoned keys.
+        # Keys are table-unique, so a key anti-join is exact; every DV
+        # read is pruned to the buckets it covers (partition filter),
+        # so the anti-join's build side is tombstone-sized, never
+        # table-sized.
+        by_dv: dict[int, list[int]] = {}
+        for b, vers in (dvs or {}).items():
+            if buckets is None or int(b) in buckets:
+                for m in vers:
+                    by_dv.setdefault(int(m), []).append(int(b))
+        doomed = None
+        for m, bs in sorted(by_dv.items()):
+            part = (
+                self.spark.read.parquet(self._dv_dir(m))
+                .filter(F.col("_bucket").isin(bs))
+                .select(self.key_col)
+            )
+            doomed = part if doomed is None else doomed.unionByName(part)
+        if doomed is not None:
+            out = out.join(doomed, self.key_col, "left_anti")
         return out
+
+    def _snapshot_dvs(self, man: dict, version: int) -> dict[str, list[int]]:
+        return dict(man.get("deletes", {}).get(str(version), {}))
 
     def read(self, version: int | None = None) -> DataFrame:
         """The table at ``version`` (default: current). Time travel is
-        just reading an older snapshot's bucket→writer map."""
+        just reading an older snapshot's bucket→writer map (minus its
+        deletion vectors)."""
         man = self.manifest()
         v = man["current"] if version is None else version
         if str(v) not in man["snapshots"]:
             raise FileNotFoundError(f"no snapshot v{v} in {self.path}")
-        df = self._read_snapshot(man["snapshots"][str(v)])
+        df = self._read_snapshot(
+            man["snapshots"][str(v)], dvs=self._snapshot_dvs(man, v)
+        )
         if df is None:  # table emptied at this version
             raise FileNotFoundError(f"snapshot v{v} holds no buckets")
         return df.drop("_bucket")
@@ -403,7 +435,8 @@ class VersionedMergeTable:
             return {"inserted": 0, "updated": 0, "deleted": 0, "buckets": [],
                     "version": man["current"]}
         snap = dict(man["snapshots"].get(str(man["current"]), {}))
-        target = self._read_snapshot(snap, buckets=touched)
+        dvs = self._snapshot_dvs(man, man["current"])
+        target = self._read_snapshot(snap, buckets=touched, dvs=dvs)
         if target is None:
             target = src.filter(F.lit(False))
         cols, new_cols, s_fields = _gate_schema_evolution(target, src)
@@ -411,21 +444,7 @@ class VersionedMergeTable:
             target, src, key, cols, new_cols, s_fields, delete_cond
         )
         new_version = man["current"] + 1
-        # writer-side concurrency control: atomically CLAIM the target
-        # version with an O_EXCL marker before writing any data. Two
-        # concurrent merges both reading current=N would otherwise
-        # write into the SAME data/v{N+1} directory and race the
-        # manifest read-modify-write, silently losing one commit.
-        # First claimer wins; the loser fails loudly here, having
-        # written nothing.
-        claim = os.path.join(self.path, f"v{new_version}.claim")
-        try:
-            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-        except FileExistsError:
-            raise RuntimeError(
-                f"concurrent writer already claimed version {new_version} "
-                f"of {self.path}; re-read the table and retry the merge"
-            ) from None
+        self._claim(new_version)
         (
             merged.repartition("_bucket")
             .write.mode("overwrite")
@@ -443,6 +462,13 @@ class VersionedMergeTable:
             else:
                 snap.pop(str(b), None)
         man["snapshots"][str(new_version)] = snap
+        # a rewritten bucket materializes its tombstones: the new files
+        # hold the post-DV rows, so the new snapshot drops the touched
+        # buckets' DV entries (older snapshots keep theirs — time
+        # travel still applies them).
+        for b in touched:
+            dvs.pop(str(b), None)
+        man.setdefault("deletes", {})[str(new_version)] = dvs
         man["current"] = new_version
         # belt-and-suspenders: the claim already serialized writers,
         # but re-verify nobody else advanced the manifest before the
@@ -454,6 +480,265 @@ class VersionedMergeTable:
             )
         self._swap_manifest(man)  # all-or-nothing across every bucket
         return {**counts, "buckets": touched, "version": new_version}
+
+    def _claim(self, version: int) -> None:
+        """Atomically CLAIM ``version`` with an O_EXCL marker before
+        writing any data. Two concurrent writers that both read
+        current=N would otherwise write into the SAME v{N+1} directory
+        and race the manifest read-modify-write, silently losing one
+        commit. First claimer wins; the loser fails loudly here,
+        having written nothing."""
+        claim = os.path.join(self.path, f"v{version}.claim")
+        try:
+            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent writer already claimed version {version} "
+                f"of {self.path}; re-read the table and retry"
+            ) from None
+
+    def _commit(self, man: dict, new_version: int) -> None:
+        """Re-verify linearity, then swap — shared by every writer."""
+        if self.manifest()["current"] != new_version - 1:
+            raise RuntimeError(
+                f"concurrent commit detected on {self.path}: manifest moved "
+                f"past version {new_version - 1} while this writer was active"
+            )
+        man["current"] = new_version
+        self._swap_manifest(man)
+
+    # -- deletion vectors ---------------------------------------------------
+
+    def delete_where(self, cond: F.Column) -> dict:
+        """Row-level DELETE without rewriting a single data file — the
+        Iceberg v2 position-delete / Delta deletion-vector design on
+        this layout's terms (key deletes; keys are table-unique).
+
+        The matched keys land under an immutable ``deletes/v{N}``
+        directory, bucket-partitioned like the data they tombstone,
+        and the new snapshot maps each touched bucket to its DV list.
+        Readers subtract tombstones with a bucket-pruned key
+        anti-join; a later MERGE or ``compact_deletes`` that rewrites
+        a bucket materializes (and drops) its DVs.
+
+        Why it matters at 100 TB: deleting a thousand rows from a
+        terabyte bucket costs O(matched keys) write — not an O(bucket)
+        rewrite — at the price of a tombstone-sized anti-join per read
+        until compaction. That is the standard lakehouse trade, and
+        GDPR-style point deletes are its canonical workload.
+
+        Scan cost to FIND the keys is one snapshot read filtered by
+        ``cond`` (any predicate); the write is tombstone-sized.
+        Same optimistic single-winner commit as ``merge``.
+        """
+        man = self.manifest()
+        cur = man["current"]
+        snap = dict(man["snapshots"].get(str(cur), {}))
+        dvs = self._snapshot_dvs(man, cur)
+        full = self._read_snapshot(snap, dvs=dvs)
+        if full is None:
+            return {"deleted": 0, "buckets": [], "version": cur}
+        doomed = (
+            full.filter(cond).select(self.key_col, "_bucket").localCheckpoint()
+        )
+        touched = sorted(
+            r._bucket for r in doomed.select("_bucket").distinct().collect()
+        )
+        if not touched:
+            return {"deleted": 0, "buckets": [], "version": cur}
+        n = doomed.count()
+        new_version = cur + 1
+        self._claim(new_version)
+        (
+            doomed.repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(self._dv_dir(new_version))
+        )
+        new_dvs = {b: list(v) for b, v in dvs.items()}
+        for b in touched:
+            new_dvs.setdefault(str(b), []).append(new_version)
+        man["snapshots"][str(new_version)] = snap  # data files UNTOUCHED
+        man.setdefault("deletes", {})[str(new_version)] = new_dvs
+        self._commit(man, new_version)
+        return {"deleted": n, "buckets": touched, "version": new_version}
+
+    def compact_deletes(self) -> dict:
+        """Materialize every outstanding deletion vector: rewrite the
+        DV-carrying buckets (post-tombstone rows) as a new version and
+        clear their DV entries — reads of the new snapshot pay no
+        anti-join. Untouched buckets' files are never rewritten, same
+        as ``merge``."""
+        man = self.manifest()
+        cur = man["current"]
+        snap = dict(man["snapshots"].get(str(cur), {}))
+        dvs = self._snapshot_dvs(man, cur)
+        if not dvs:
+            return {"buckets": [], "version": cur}
+        touched = sorted(int(b) for b in dvs)
+        rows = self._read_snapshot(snap, buckets=touched, dvs=dvs)
+        new_version = cur + 1
+        self._claim(new_version)
+        present: set[int] = set()
+        if rows is not None:
+            rows = rows.localCheckpoint()
+            (
+                rows.repartition("_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(self._data_dir(new_version))
+            )
+            present = {
+                r._bucket for r in rows.select("_bucket").distinct().collect()
+            }
+        for b in touched:
+            if b in present:
+                snap[str(b)] = new_version
+            else:
+                snap.pop(str(b), None)  # bucket fully tombstoned
+        man["snapshots"][str(new_version)] = snap
+        man.setdefault("deletes", {})[str(new_version)] = {}
+        self._commit(man, new_version)
+        return {"buckets": touched, "version": new_version}
+
+    # -- change data feed ---------------------------------------------------
+
+    def read_changes(self, from_version: int, to_version: int) -> DataFrame:
+        """The change-data-feed between two snapshots: one row per
+        inserted / updated / deleted key per commit, tagged
+        ``_change_type`` and ``_commit_version`` — Delta CDF / Iceberg
+        incremental-read semantics derived purely from the snapshots
+        (no change log is stored).
+
+        Walks consecutive version pairs and diffs ONLY the buckets
+        whose writer version or DV list changed between them — i.e.
+        exactly the buckets that commit touched, so the cost of
+        reading N commits' changes is the size of those commits, not
+        N table scans. Within a changed bucket, carried rows appear
+        identically on both sides and are dropped by an all-columns
+        null-safe comparison; updates emit the AFTER image, deletes
+        the BEFORE image.
+
+        Versions are consecutive by construction (the claim protocol
+        admits no gaps), so every commit in (from, to] is walked.
+        """
+        man = self.manifest()
+        for v in (from_version, to_version):
+            if str(v) not in man["snapshots"]:
+                raise FileNotFoundError(f"no snapshot v{v} in {self.path}")
+        if from_version >= to_version:
+            raise ValueError("read_changes requires from_version < to_version")
+        key = self.key_col
+        out = None
+        for v in range(from_version + 1, to_version + 1):
+            snap_a = man["snapshots"][str(v - 1)]
+            snap_b = man["snapshots"][str(v)]
+            dv_a = self._snapshot_dvs(man, v - 1)
+            dv_b = self._snapshot_dvs(man, v)
+            changed = sorted(
+                int(b)
+                for b in set(snap_a) | set(snap_b)
+                if snap_a.get(b) != snap_b.get(b) or dv_a.get(b) != dv_b.get(b)
+            )
+            if not changed:
+                continue
+            before = self._read_snapshot(snap_a, buckets=changed, dvs=dv_a)
+            after = self._read_snapshot(snap_b, buckets=changed, dvs=dv_b)
+            ref = after if after is not None else before
+            cols = [c for c in ref.columns if c != "_bucket"]
+
+            def _aligned(df, alias):
+                if df is None:
+                    df = ref.filter(F.lit(False))
+                return df.select(
+                    *[
+                        (F.col(c) if c in df.columns else F.lit(None)).alias(c)
+                        for c in cols
+                    ]
+                ).alias(alias)
+
+            t = _aligned(before, "t")
+            a = _aligned(after, "a")
+            j = t.join(a, F.col(f"t.{key}") == F.col(f"a.{key}"), "full_outer")
+            t_key, a_key = F.col(f"t.{key}"), F.col(f"a.{key}")
+            same = F.lit(True)
+            for c in cols:
+                same = same & F.col(f"t.{c}").eqNullSafe(F.col(f"a.{c}"))
+            deleted = a_key.isNull()
+            chg = j.filter(~(t_key.isNotNull() & a_key.isNotNull() & same)).select(
+                *[
+                    # delete rows emit the BEFORE image, others AFTER
+                    F.when(deleted, F.col(f"t.{c}"))
+                    .otherwise(F.col(f"a.{c}"))
+                    .alias(c)
+                    for c in cols
+                ],
+                F.when(t_key.isNull(), F.lit("insert"))
+                .when(deleted, F.lit("delete"))
+                .otherwise(F.lit("update"))
+                .alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            )
+            out = chg if out is None else out.unionByName(chg)
+        if out is None:
+            ref = self.read(version=to_version).filter(F.lit(False))
+            return ref.select(
+                "*",
+                F.lit("").alias("_change_type"),
+                F.lit(0).cast("long").alias("_commit_version"),
+            )
+        return out
+
+    # -- retention ----------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and delete
+        every version directory (data and DV) no kept snapshot
+        references — the Iceberg ``expireSnapshots`` retention sweep.
+
+        Commit order is swap-then-delete: the manifest stops
+        advertising the expired versions BEFORE any file dies, so a
+        reader that re-resolves sees only kept snapshots; a reader
+        pinned to an expired manifest is the documented retention
+        trade every lakehouse makes (that is why retention windows
+        exceed query lifetimes). Time travel to kept versions still
+        works because their bucket→writer maps reference only
+        surviving directories (snapshots are cumulative maps, so a
+        kept snapshot may reference an OLD writer version — that
+        directory survives)."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        man = self.manifest()
+        vs = sorted(int(v) for v in man["snapshots"])
+        keep = set(vs[-keep_last:]) | {man["current"]}
+        drop = [v for v in vs if v not in keep]
+        if not drop:
+            return {"dropped": [], "removed_dirs": 0}
+        man["snapshots"] = {
+            v: s for v, s in man["snapshots"].items() if int(v) in keep
+        }
+        man["deletes"] = {
+            v: d
+            for v, d in man.get("deletes", {}).items()
+            if int(v) in keep
+        }
+        live_data = {m for s in man["snapshots"].values() for m in s.values()}
+        live_dv = {
+            m
+            for d in man.get("deletes", {}).values()
+            for vers in d.values()
+            for m in vers
+        }
+        self._swap_manifest(man)  # stop advertising BEFORE deleting
+        removed = 0
+        for v in drop:
+            for d, live in ((self._data_dir(v), live_data), (self._dv_dir(v), live_dv)):
+                if v not in live and os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed += 1
+        return {"dropped": drop, "removed_dirs": removed}
 
     def merge_with_retry(
         self,
@@ -512,3 +797,143 @@ class VersionedMergeTable:
                     except FileNotFoundError:
                         pass
                     break
+
+
+# -- registered demo query: the change data feed as evidence ----------------
+
+_CDF_CUT = "1997-01-01"
+_CDF_END = "1998-01-01"
+
+
+def _cdf_orders_table(spark: SparkSession, sf_dir: str) -> VersionedMergeTable:
+    """A three-version customer-state table built deterministically
+    from orders: v1 = each customer's latest pre-1997 order, v2 = a
+    MERGE of their latest 1997 order (matched 'F' rows delete — and a
+    delete-marked source never inserts), v3 = a deletion-vector
+    ``delete_where`` on a key residue. Built once per sf_dir (marker
+    file); every step is engine-deterministic, so the CDF it yields is
+    oracle-checkable."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from ..operators.ann_index import _index_root, _tag
+    from ..session import load_table
+
+    path = _os.path.join(_index_root(), _tag(sf_dir), "cdf_orders")
+    tbl = VersionedMergeTable(spark, path, "o_custkey", n_buckets=16)
+    done = _os.path.join(path, "_CDF_DONE")
+    if _os.path.exists(done):
+        return tbl
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "o_custkey",
+                F.col("o_orderkey").alias("last_orderkey"),
+                F.col("o_orderstatus").alias("last_status"),
+            )
+        )
+
+    cut = F.lit(_CDF_CUT).cast("timestamp")
+    end = F.lit(_CDF_END).cast("timestamp")
+    v1 = latest(orders.filter(F.col("o_orderdate") < cut))
+    src = latest(
+        orders.filter((F.col("o_orderdate") >= cut) & (F.col("o_orderdate") < end))
+    )
+    tbl.write_full(v1)
+    tbl.merge(src, delete_cond=F.col("s.last_status") == "F")
+    tbl.delete_where(F.col("last_orderkey") % 7 == 3)
+    open(done, "w").close()
+    return tbl
+
+
+def orders_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full change log (1 → 3] of the deterministic customer-state
+    table: MERGE-driven inserts/updates/deletes at v2 plus
+    deletion-vector deletes at v3, each diffed from ONLY the buckets
+    its commit touched. Hash-checked against a DuckDB oracle that
+    replays the same three states from the raw orders table."""
+    tbl = _cdf_orders_table(spark, sf_dir)
+    return tbl.read_changes(1, 3).select(
+        "o_custkey",
+        "last_orderkey",
+        "last_status",
+        "_change_type",
+        "_commit_version",
+    )
+
+
+ORACLES: dict[str, str] = {
+    "orders_cdf_changes": f"""
+        WITH v1 AS MATERIALIZED (
+            SELECT o_custkey, o_orderkey AS last_orderkey,
+                   o_orderstatus AS last_status
+            FROM (
+                SELECT o_custkey, o_orderkey, o_orderstatus,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders WHERE o_orderdate < TIMESTAMP '{_CDF_CUT}'
+            ) WHERE rn = 1
+        ),
+        src AS MATERIALIZED (
+            SELECT o_custkey, o_orderkey AS last_orderkey,
+                   o_orderstatus AS last_status
+            FROM (
+                SELECT o_custkey, o_orderkey, o_orderstatus,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '{_CDF_CUT}'
+                  AND o_orderdate < TIMESTAMP '{_CDF_END}'
+            ) WHERE rn = 1
+        ),
+        v2 AS MATERIALIZED (
+            SELECT CASE WHEN s.o_custkey IS NOT NULL
+                        THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+                   CASE WHEN s.o_custkey IS NOT NULL
+                        THEN s.last_orderkey ELSE t.last_orderkey END AS last_orderkey,
+                   CASE WHEN s.o_custkey IS NOT NULL
+                        THEN s.last_status ELSE t.last_status END AS last_status
+            FROM v1 t FULL OUTER JOIN src s ON t.o_custkey = s.o_custkey
+            WHERE NOT (s.o_custkey IS NOT NULL AND s.last_status = 'F')
+        ),
+        c2 AS (
+            SELECT CASE WHEN a.o_custkey IS NULL
+                        THEN t.o_custkey ELSE a.o_custkey END AS o_custkey,
+                   CASE WHEN a.o_custkey IS NULL
+                        THEN t.last_orderkey ELSE a.last_orderkey END AS last_orderkey,
+                   CASE WHEN a.o_custkey IS NULL
+                        THEN t.last_status ELSE a.last_status END AS last_status,
+                   CASE WHEN t.o_custkey IS NULL THEN 'insert'
+                        WHEN a.o_custkey IS NULL THEN 'delete'
+                        ELSE 'update' END AS _change_type,
+                   CAST(2 AS BIGINT) AS _commit_version
+            FROM v1 t FULL OUTER JOIN v2 a ON t.o_custkey = a.o_custkey
+            WHERE NOT (t.o_custkey IS NOT NULL AND a.o_custkey IS NOT NULL
+                       AND t.last_orderkey IS NOT DISTINCT FROM a.last_orderkey
+                       AND t.last_status IS NOT DISTINCT FROM a.last_status)
+        ),
+        c3 AS (
+            SELECT o_custkey, last_orderkey, last_status,
+                   'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+            FROM v2 WHERE last_orderkey % 7 = 3
+        )
+        SELECT * FROM c2 UNION ALL SELECT * FROM c3
+    """,
+}
+
+QUERIES = {
+    "orders_cdf_changes": orders_cdf_changes,
+}

@@ -601,3 +601,181 @@ def test_merge_with_retry_no_starvation_under_sustained_contention(spark, vtable
     final = {r.k: r.v for r in vtable.read().collect()}
     for name in "ABCD":
         assert final[ord(name)] == f"{name}2", name
+
+
+# -- deletion vectors, change data feed, retention ---------------------------
+
+
+def _data_file_bytes(root):
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(os.path.join(root, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+    return out
+
+
+def test_delete_where_rewrites_no_data_file(spark, vtable):
+    """A DV delete must leave every data file byte-identical — the
+    whole point of the design — while the read subtracts the rows."""
+    before = _data_file_bytes(vtable.path)
+    out = vtable.delete_where(F.col("k") % 10 == 3)
+    assert out["deleted"] == 20 and out["version"] == 2
+    assert _data_file_bytes(vtable.path) == before
+
+    got = sorted(r.k for r in vtable.read().collect())
+    assert got == sorted(k for k in range(200) if k % 10 != 3)
+    # time travel: the pre-delete snapshot still shows every row
+    assert vtable.read(version=1).count() == 200
+
+
+def test_delete_where_composes_and_merge_materializes(spark, vtable):
+    """Stacked DVs subtract cumulatively; a MERGE that rewrites a
+    bucket clears its DV entries and the deleted keys stay deleted
+    (they were subtracted from the merge's target read). A deleted key
+    can then be re-inserted by a later merge."""
+    vtable.delete_where(F.col("k") < 20)
+    vtable.delete_where((F.col("k") >= 20) & (F.col("k") < 30))
+    assert sorted(r.k for r in vtable.read().collect()) == list(range(30, 200))
+
+    src = spark.createDataFrame(
+        [(5, "resurrected", "open"), (150, "updated", "open")],
+        "k long, v string, status string",
+    )
+    out = vtable.merge(src)
+    got = {r.k: r.v for r in vtable.read().collect()}
+    assert got[5] == "resurrected" and got[150] == "updated"
+    assert sorted(got) == [5] + list(range(30, 200))
+    # the touched buckets' DV entries are gone from the new snapshot
+    man = vtable.manifest()
+    dvs = man["deletes"][str(man["current"])]
+    for b in out["buckets"]:
+        assert str(b) not in dvs
+
+
+def test_compact_deletes_materializes_and_preserves_history(spark, vtable):
+    vtable.delete_where(F.col("k") % 2 == 0)
+    want = sorted(r.k for r in vtable.read().collect())
+    out = vtable.compact_deletes()
+    assert out["version"] == 3 and out["buckets"]
+    man = vtable.manifest()
+    assert man["deletes"][str(man["current"])] == {}
+    assert sorted(r.k for r in vtable.read().collect()) == want
+    # pre-compaction snapshots unchanged
+    assert vtable.read(version=1).count() == 200
+    assert vtable.read(version=2).count() == 100
+
+
+def test_compact_deletes_drops_fully_tombstoned_bucket(spark, tmp_path):
+    t = VersionedMergeTable(spark, str(tmp_path / "vt2"), "k", n_buckets=4)
+    t.write_full(
+        spark.createDataFrame([(i, i * 2) for i in range(40)], "k long, x long")
+    )
+    t.delete_where(F.lit(True))  # tombstone everything
+    assert t.read().count() == 0  # rows all subtracted, buckets remain
+    t.compact_deletes()
+    man = t.manifest()
+    assert man["snapshots"][str(man["current"])] == {}
+
+
+def test_read_changes_model_and_bucket_pruning_semantics(spark, vtable):
+    """CDF equals the model diff per commit: v2 = merge (update +
+    insert + conditional delete), v3 = DV delete. Carried rows inside
+    rewritten buckets must NOT appear as changes."""
+    src = spark.createDataFrame(
+        [
+            (0, "u0", "open"),      # update
+            (1, "gone", "closed"),  # matched + cond -> delete
+            (500, "new", "open"),   # insert
+            (501, "skip", "closed"),  # delete-marked, unmatched -> no-op
+        ],
+        "k long, v string, status string",
+    )
+    vtable.merge(src, delete_cond=F.col("s.status") == "closed")
+    vtable.delete_where(F.col("k").isin(2, 3))
+
+    changes = vtable.read_changes(1, 3).collect()
+    got = {(r.k, r._change_type, r._commit_version) for r in changes}
+    assert got == {
+        (0, "update", 2),
+        (1, "delete", 2),
+        (500, "insert", 2),
+        (2, "delete", 3),
+        (3, "delete", 3),
+    }
+    by_key = {(r.k, r._commit_version): r for r in changes}
+    assert by_key[(0, 2)].v == "u0"        # update: AFTER image
+    assert by_key[(1, 2)].v == "v1"        # delete: BEFORE image
+    assert by_key[(2, 3)].v == "v2"
+
+
+def test_read_changes_replay_reconstructs_state(spark, vtable):
+    """Applying the CDF on top of v1 reproduces the current table —
+    the contract a downstream incremental consumer relies on."""
+    vtable.merge(
+        spark.createDataFrame(
+            [(k, f"u{k}", "open") for k in range(0, 50)],
+            "k long, v string, status string",
+        )
+    )
+    vtable.delete_where(F.col("k") % 7 == 0)
+    state = {r.k: r.v for r in vtable.read(version=1).collect()}
+    for r in sorted(
+        vtable.read_changes(1, vtable.manifest()["current"]).collect(),
+        key=lambda r: r._commit_version,
+    ):
+        if r._change_type == "delete":
+            state.pop(r.k)
+        else:
+            state[r.k] = r.v
+    want = {r.k: r.v for r in vtable.read().collect()}
+    assert state == want
+
+
+def test_expire_snapshots_keeps_reachable_dirs(spark, vtable):
+    """Retention drops old snapshots and their unreferenced dirs but
+    MUST keep any old version dir a kept snapshot still references
+    (untouched buckets point at their original writer version)."""
+    import os
+
+    for i in range(3):
+        vtable.merge(
+            spark.createDataFrame(
+                [(i, f"m{i}", "open")], "k long, v string, status string"
+            )
+        )
+    assert vtable.versions() == [1, 2, 3, 4]
+    out = vtable.expire_snapshots(keep_last=2)
+    assert out["dropped"] == [1, 2]
+    assert vtable.versions() == [3, 4]
+    # v1's dir must SURVIVE: v3/v4 still map untouched buckets to it
+    assert os.path.isdir(vtable._data_dir(1))
+    assert vtable.read().count() == 200
+    assert vtable.read(version=3).count() == 200
+    with pytest.raises(FileNotFoundError):
+        vtable.read(version=1)
+
+
+def test_expire_snapshots_removes_unreferenced_dirs(spark, vtable):
+    """A version fully superseded by later rewrites (every bucket
+    rewritten since) is physically reclaimed."""
+    import os
+
+    full = spark.createDataFrame(
+        [(i, "rewrite", "open") for i in range(200)],
+        "k long, v string, status string",
+    )
+    vtable.merge(full)  # v2 rewrites EVERY bucket
+    vtable.merge(
+        spark.createDataFrame(
+            [(0, "tail", "open")], "k long, v string, status string"
+        )
+    )
+    out = vtable.expire_snapshots(keep_last=2)
+    assert out["dropped"] == [1]
+    assert not os.path.isdir(vtable._data_dir(1))  # nothing references v1
+    assert vtable.read().count() == 200
