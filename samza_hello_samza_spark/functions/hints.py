@@ -99,7 +99,9 @@ def maybe_broadcast_counted(
 
 
 def maybe_broadcast_runtime(
-    df: DataFrame, max_bytes: int = DEFAULT_BROADCAST_BUDGET
+    df: DataFrame,
+    max_bytes: int = DEFAULT_BROADCAST_BUDGET,
+    keep_if_big: bool = False,
 ) -> DataFrame:
     """Decide from the OBSERVED size, not Catalyst's estimate.
 
@@ -115,12 +117,17 @@ def maybe_broadcast_runtime(
     and an under-estimated blowup (generator/explode output estimated
     at input size) is NOT shipped to every executor.
 
-    Use when the frame will be reused by the join anyway (the persist
-    is then free); the returned frame is the cached one either way,
-    so callers join against actual materialized batches. The stats
-    must be read through a FRESH QueryExecution (``select("*")``) —
-    a DataFrame whose plan was analyzed before ``persist`` keeps its
-    pre-cache estimate.
+    Storage contract: on the BROADCAST path the frame stays cached —
+    the pin is bounded by ``max_bytes`` and the hint's build side
+    reads the materialized batches. On the too-big / stats-unavailable
+    path the cache is RELEASED by default (``keep_if_big=False``):
+    the measurement already happened and holding an arbitrarily large
+    frame in executor storage for the session lifetime would leak.
+    Pass ``keep_if_big=True`` only when the caller reuses the frame
+    across further actions and owns the eventual ``unpersist()``. The
+    stats must be read through a FRESH QueryExecution
+    (``select("*")``) — a DataFrame whose plan was analyzed before
+    ``persist`` keeps its pre-cache estimate.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -130,4 +137,6 @@ def maybe_broadcast_runtime(
     size = plan_size_bytes(fresh)
     if size is not None and size <= max_bytes:
         return F.broadcast(fresh)
+    if not keep_if_big:
+        cached.unpersist()
     return fresh

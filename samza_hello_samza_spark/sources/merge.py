@@ -444,12 +444,12 @@ class VersionedMergeTable:
             target, src, key, cols, new_cols, s_fields, delete_cond
         )
         new_version = man["current"] + 1
-        self._claim(new_version)
+        nonce = self._claim(new_version)
         (
             merged.repartition("_bucket")
             .write.mode("overwrite")
             .partitionBy("_bucket")
-            .parquet(self._data_dir(new_version))
+            .parquet(self._stage_dir(self._data_dir(new_version), nonce))
         )
         # a touched bucket whose merge deleted every row writes no
         # directory — it must leave the snapshot entirely.
@@ -469,36 +469,90 @@ class VersionedMergeTable:
         for b in touched:
             dvs.pop(str(b), None)
         man.setdefault("deletes", {})[str(new_version)] = dvs
-        man["current"] = new_version
-        # belt-and-suspenders: the claim already serialized writers,
-        # but re-verify nobody else advanced the manifest before the
-        # commit point (covers a claim file removed out-of-band).
-        if self.manifest()["current"] != new_version - 1:
-            raise RuntimeError(
-                f"concurrent commit detected on {self.path}: manifest moved "
-                f"past version {new_version - 1} while this merge was writing"
-            )
-        self._swap_manifest(man)  # all-or-nothing across every bucket
+        self._publish(new_version, nonce, self._data_dir(new_version))
+        self._commit(man, new_version, nonce)  # all-or-nothing swap
         return {**counts, "buckets": touched, "version": new_version}
 
-    def _claim(self, version: int) -> None:
+    def _claim(self, version: int) -> str:
         """Atomically CLAIM ``version`` with an O_EXCL marker before
         writing any data. Two concurrent writers that both read
         current=N would otherwise write into the SAME v{N+1} directory
         and race the manifest read-modify-write, silently losing one
         commit. First claimer wins; the loser fails loudly here,
-        having written nothing."""
+        having written nothing.
+
+        The claim file carries a writer-unique NONCE. Ownership (the
+        file still holding OUR nonce) is re-verified at both commit
+        points — before the staging rename publishes any data and
+        before the manifest swap — so a writer whose claim was broken
+        as stale (``merge_with_retry``) aborts cleanly instead of
+        racing the retaker into the same ``data/v{N}`` directory."""
+        import uuid
+
+        nonce = uuid.uuid4().hex
         claim = os.path.join(self.path, f"v{version}.claim")
         try:
-            os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, nonce.encode())
+            os.close(fd)
         except FileExistsError:
             raise RuntimeError(
                 f"concurrent writer already claimed version {version} "
                 f"of {self.path}; re-read the table and retry"
             ) from None
+        return nonce
 
-    def _commit(self, man: dict, new_version: int) -> None:
-        """Re-verify linearity, then swap — shared by every writer."""
+    def _owns_claim(self, version: int, nonce: str) -> bool:
+        try:
+            with open(os.path.join(self.path, f"v{version}.claim")) as f:
+                return f.read() == nonce
+        except FileNotFoundError:
+            return False
+
+    def _stage_dir(self, final_dir: str, nonce: str) -> str:
+        # same parent as the final dir, so the publish rename is an
+        # atomic same-filesystem rename.
+        return f"{final_dir}.stage-{nonce}"
+
+    def _publish(self, version: int, nonce: str, final_dir: str) -> None:
+        """Atomically publish a claimant-unique staging directory as
+        ``final_dir``. Data reaches the final path ONLY through this
+        rename, and only while the claim file still carries our nonce
+        — a slow writer whose claim was broken removes its staging
+        output and aborts, never contaminating the retaker's commit.
+
+        If the final dir already exists it is an orphan from a dead
+        claimant that renamed but died before its manifest swap (the
+        manifest never references uncommitted versions, checked
+        below): holding the claim, we may safely clear it."""
+        import shutil
+
+        stage = self._stage_dir(final_dir, nonce)
+        if not self._owns_claim(version, nonce):
+            shutil.rmtree(stage, ignore_errors=True)
+            raise RuntimeError(
+                f"claim on version {version} of {self.path} was broken as "
+                "stale while this writer was running; retry against the "
+                "new snapshot"
+            )
+        if os.path.isdir(final_dir):
+            if self.manifest()["current"] >= version:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise RuntimeError(
+                    f"version {version} of {self.path} already committed "
+                    "by another writer; retry against the new snapshot"
+                )
+            shutil.rmtree(final_dir)
+        os.rename(stage, final_dir)
+
+    def _commit(self, man: dict, new_version: int, nonce: str) -> None:
+        """Re-verify ownership + linearity, then swap — shared by
+        every writer."""
+        if not self._owns_claim(new_version, nonce):
+            raise RuntimeError(
+                f"claim on version {new_version} of {self.path} was broken "
+                "as stale before the manifest swap; retry"
+            )
         if self.manifest()["current"] != new_version - 1:
             raise RuntimeError(
                 f"concurrent commit detected on {self.path}: manifest moved "
@@ -548,19 +602,20 @@ class VersionedMergeTable:
             return {"deleted": 0, "buckets": [], "version": cur}
         n = doomed.count()
         new_version = cur + 1
-        self._claim(new_version)
+        nonce = self._claim(new_version)
         (
             doomed.repartition("_bucket")
             .write.mode("overwrite")
             .partitionBy("_bucket")
-            .parquet(self._dv_dir(new_version))
+            .parquet(self._stage_dir(self._dv_dir(new_version), nonce))
         )
         new_dvs = {b: list(v) for b, v in dvs.items()}
         for b in touched:
             new_dvs.setdefault(str(b), []).append(new_version)
         man["snapshots"][str(new_version)] = snap  # data files UNTOUCHED
         man.setdefault("deletes", {})[str(new_version)] = new_dvs
-        self._commit(man, new_version)
+        self._publish(new_version, nonce, self._dv_dir(new_version))
+        self._commit(man, new_version, nonce)
         return {"deleted": n, "buckets": touched, "version": new_version}
 
     def compact_deletes(self) -> dict:
@@ -578,7 +633,7 @@ class VersionedMergeTable:
         touched = sorted(int(b) for b in dvs)
         rows = self._read_snapshot(snap, buckets=touched, dvs=dvs)
         new_version = cur + 1
-        self._claim(new_version)
+        nonce = self._claim(new_version)
         present: set[int] = set()
         if rows is not None:
             rows = rows.localCheckpoint()
@@ -586,11 +641,12 @@ class VersionedMergeTable:
                 rows.repartition("_bucket")
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
-                .parquet(self._data_dir(new_version))
+                .parquet(self._stage_dir(self._data_dir(new_version), nonce))
             )
             present = {
                 r._bucket for r in rows.select("_bucket").distinct().collect()
             }
+            self._publish(new_version, nonce, self._data_dir(new_version))
         for b in touched:
             if b in present:
                 snap[str(b)] = new_version
@@ -598,7 +654,7 @@ class VersionedMergeTable:
                 snap.pop(str(b), None)  # bucket fully tombstoned
         man["snapshots"][str(new_version)] = snap
         man.setdefault("deletes", {})[str(new_version)] = {}
-        self._commit(man, new_version)
+        self._commit(man, new_version, nonce)
         return {"buckets": touched, "version": new_version}
 
     # -- change data feed ---------------------------------------------------
@@ -681,7 +737,20 @@ class VersionedMergeTable:
             )
             out = chg if out is None else out.unionByName(chg)
         if out is None:
-            ref = self.read(version=to_version).filter(F.lit(False))
+            # empty change range: derive the schema from ANY snapshot
+            # holding buckets — read(version=to_version) would raise on
+            # a fully-emptied table, where an empty frame is the answer.
+            ref = None
+            for v in sorted(man["snapshots"], key=int, reverse=True):
+                df = self._read_snapshot(man["snapshots"][v])
+                if df is not None:
+                    ref = df.drop("_bucket").filter(F.lit(False))
+                    break
+            if ref is None:
+                raise FileNotFoundError(
+                    f"no snapshot of {self.path} holds any buckets; "
+                    "cannot infer a change-feed schema"
+                )
             return ref.select(
                 "*",
                 F.lit("").alias("_change_type"),
@@ -744,7 +813,7 @@ class VersionedMergeTable:
         self,
         source: DataFrame,
         delete_cond: F.Column | None = None,
-        max_wait_s: float = 60.0,
+        max_wait_s: float = 600.0,
         poll_s: float = 0.05,
     ) -> dict:
         """The multi-writer MERGE queue: optimistic merge + claim-retry.
@@ -763,11 +832,22 @@ class VersionedMergeTable:
 
         A claim whose writer died before committing never advances the
         manifest; after ``max_wait_s`` without progress the stale claim
-        is broken (the claim file is removed — safe because a LIVE
-        winner past its claim re-verifies ``current`` before its
-        manifest swap and fails loudly rather than double-committing)
-        and the merge retried. Returns the winning merge's audit dict
-        plus the number of retries under ``"retries"``.
+        is broken (the claim file is removed) and the merge retried.
+        Breaking the claim of a writer that is merely SLOW is safe: a
+        writer only stages into a claimant-unique
+        ``data/v{N}.stage-{nonce}`` directory and re-verifies that the
+        claim file still holds ITS nonce both before the atomic rename
+        that publishes the data and before the manifest swap — a
+        broken-claim writer removes its staging output and raises
+        (landing back in this retry loop) without ever touching the
+        retaker's ``data/v{N}``. An orphan ``data/v{N}`` left by a
+        claimant that died between rename and swap is cleared by the
+        next claim owner inside ``_publish`` (the manifest never
+        references uncommitted versions). ``max_wait_s`` therefore
+        only tunes how soon a DEAD claimant's slot is reclaimed; its
+        default sits far above plausible merge durations so live slow
+        writers normally finish first. Returns the winning merge's
+        audit dict plus the number of retries under ``"retries"``.
         """
         import time
 

@@ -110,12 +110,15 @@ def refresh_new_files(
     """
     out = _stats_dir(table_dir)
     # Diff the file LISTING (metadata-only, no data scan) against the
-    # stats table's anti-joined _file column — NOT a collected
-    # isin() literal: at 100 TB the known-file set is millions of
-    # paths and a literal IN-list of that size blows up driver memory
-    # and analysis time. listing ⟕ stats is file-count-sized on both
-    # sides; only the surviving DELTA files are then scanned, so the
-    # data cost really is ∝ delta.
+    # stats table's anti-joined _file column — NOT a collected isin()
+    # literal, which would additionally ship the whole known-file set
+    # through analysis as an IN-list. The listing itself
+    # (inputFiles() → createDataFrame) still materializes one path
+    # string per file on the driver — the same quantity any scan's
+    # file index already holds, fine to tens of millions of files; a
+    # deployment beyond that should maintain a file-index TABLE and
+    # anti-join it distributedly instead. Only the surviving DELTA
+    # files are then scanned, so the data cost is ∝ delta.
     listing = spark.createDataFrame(
         [(f,) for f in spark.read.parquet(table_dir).inputFiles()], "_file string"
     )
@@ -287,13 +290,17 @@ def refresh_merged_buckets(
     number of refreshed file rows.
     """
     out = _stats_dir(table_dir)
+    if not buckets:  # no touched buckets → the stats table is current
+        return 0
     markers = [f"/_bucket={b}/" for b in buckets]
     touched_col = None
     for m in markers:
         c = F.col("_file").contains(m)
         touched_col = c if touched_col is None else (touched_col | c)
     old = spark.read.parquet(out)
-    kept = old.filter(~touched_col).localCheckpoint() if markers else old
+    # materialize BEFORE the overwrite below — the sink is the path
+    # this very plan reads from.
+    kept = old.filter(~touched_col).localCheckpoint()
     dirs = [
         os.path.join(table_dir, f"_bucket={b}")
         for b in buckets

@@ -113,8 +113,32 @@ def test_runtime_hint_corrects_catalyst_both_ways(spark):
     )
     est = plan_size_bytes(under)
     assert est is not None and est <= budget  # Catalyst says tiny
-    declined = maybe_broadcast_runtime(under, max_bytes=budget)
+    declined = maybe_broadcast_runtime(under, max_bytes=budget, keep_if_big=True)
     # no broadcast hint attached: the logical plan carries no hint node
     assert "ResolvedHint" not in declined._jdf.queryExecution().logical().toString()
     assert plan_size_bytes(declined) > budget  # observed truth
     under.unpersist()
+
+
+def test_runtime_hint_releases_cache_on_declined_path(spark):
+    """ADVICE r05: the default decline path must NOT pin the measured
+    frame in executor storage for the session lifetime — the cache is
+    released once the decision is made (keep_if_big=True opts out for
+    callers that reuse the frame and own the unpersist)."""
+    from samza_hello_samza_spark.functions.hints import maybe_broadcast_runtime
+
+    big = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(500_000))).alias("v"))
+        .withColumn("pad", F.concat(F.lit("z" * 60), F.col("v").cast("string")))
+    )
+    maybe_broadcast_runtime(big, max_bytes=1024)
+    lvl = big.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)  # released
+
+    small = spark.range(5)
+    hinted = maybe_broadcast_runtime(small, max_bytes=64 * 1024)
+    # broadcast path keeps the bounded cache the hint's build side reads
+    assert small.storageLevel.useMemory or small.storageLevel.useDisk
+    assert "Hint" in hinted._jdf.queryExecution().analyzed().toString()
+    small.unpersist()

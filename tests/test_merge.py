@@ -565,6 +565,69 @@ def test_merge_with_retry_breaks_stale_claim(spark, vtable):
     assert {r.k: r.v for r in vtable.read().collect()}[7] == "R"
 
 
+def test_broken_claim_writer_never_contaminates_retaker(spark, vtable):
+    """The ADVICE r05 multi-writer hole: a SLOW writer whose claim is
+    broken as stale must never land rows in the retaker's committed
+    ``data/v{N}``. Writers stage into a claimant-unique directory and
+    re-verify claim ownership before the publish rename — simulated
+    here step-by-step: A claims v2 and finishes its staging write,
+    the claim is broken and B commits v2, then A's publish must abort,
+    remove its staging output, and leave B's v2 untouched."""
+    import os
+
+    # writer A: claim v2, stage its data (the slow write completes)
+    nonce_a = vtable._claim(2)
+    rows_a = spark.createDataFrame(
+        [(900, "A-LATE", "open", 0)], "k long, v string, status string, _bucket int"
+    )
+    stage_a = vtable._stage_dir(vtable._data_dir(2), nonce_a)
+    rows_a.write.mode("overwrite").partitionBy("_bucket").parquet(stage_a)
+
+    # the queue breaks A's claim as stale; writer B retakes and commits v2
+    os.remove(os.path.join(vtable.path, "v2.claim"))
+    src_b = spark.createDataFrame(
+        [(901, "B-WIN", "open")], "k long, v string, status string"
+    )
+    stats_b = vtable.merge(src_b)
+    assert stats_b["version"] == 2
+
+    # A wakes up past its claim: publish must abort without touching v2
+    with pytest.raises(RuntimeError, match="broken as stale|already committed"):
+        vtable._publish(2, nonce_a, vtable._data_dir(2))
+    assert not os.path.exists(stage_a)  # staging output removed
+    v2 = {r.k: r.v for r in vtable.read(version=2).collect()}
+    assert v2[901] == "B-WIN" and 900 not in v2  # no contamination
+
+    # and A's ordinary retry path serializes cleanly after B
+    stats_a = vtable.merge_with_retry(
+        spark.createDataFrame([(900, "A-RETRY", "open")],
+                              "k long, v string, status string")
+    )
+    assert stats_a["version"] == 3
+    assert {r.k: r.v for r in vtable.read().collect()}[900] == "A-RETRY"
+
+
+def test_orphan_data_dir_from_dead_claimant_is_cleared(spark, vtable):
+    """A claimant that renamed its staging dir but died before the
+    manifest swap leaves an UNREFERENCED ``data/v{N}``; the next claim
+    owner clears it inside publish instead of wedging or unioning the
+    orphan rows into its commit."""
+    import os
+
+    orphan = vtable._data_dir(2)
+    os.makedirs(os.path.join(orphan, "_bucket=0"))
+    open(os.path.join(orphan, "_bucket=0", "junk.parquet"), "w").close()
+    assert vtable.manifest()["current"] == 1  # never committed
+
+    src = spark.createDataFrame(
+        [(910, "FRESH", "open")], "k long, v string, status string"
+    )
+    stats = vtable.merge(src)
+    assert stats["version"] == 2
+    assert not os.path.exists(os.path.join(orphan, "_bucket=0", "junk.parquet"))
+    assert {r.k: r.v for r in vtable.read().collect()}[910] == "FRESH"
+
+
 def test_merge_with_retry_no_starvation_under_sustained_contention(spark, vtable):
     """Fairness probe: four writers each push three sequential merges
     through the queue concurrently; every one of the 12 merges must
@@ -734,6 +797,31 @@ def test_read_changes_replay_reconstructs_state(spark, vtable):
             state[r.k] = r.v
     want = {r.k: r.v for r in vtable.read().collect()}
     assert state == want
+
+
+def test_read_changes_empty_range_on_fully_emptied_table(spark, vtable):
+    """An empty change range over a FULLY EMPTIED table must return an
+    empty change frame (schema derived from a bucket-holding snapshot),
+    not raise FileNotFoundError (ADVICE r05). The no-op commit is
+    simulated by duplicating the emptied snapshot in the manifest —
+    the writer protocol itself never produces bucket-less diffs."""
+    # v2: delete every row — the snapshot holds no buckets at all
+    src = spark.createDataFrame(
+        [(i, f"v{i}", "closed") for i in range(200)],
+        "k long, v string, status string",
+    )
+    vtable.merge(src, delete_cond=F.col("s.status") == "closed")
+    man = vtable.manifest()
+    assert man["snapshots"][str(man["current"])] == {}
+    man["snapshots"]["3"] = dict(man["snapshots"]["2"])
+    man["current"] = 3
+    vtable._swap_manifest(man)
+
+    out = vtable.read_changes(2, 3)
+    assert out.count() == 0
+    assert {"k", "v", "status", "_change_type", "_commit_version"} <= set(
+        out.columns
+    )
 
 
 def test_expire_snapshots_keeps_reachable_dirs(spark, vtable):

@@ -309,6 +309,15 @@ def test_zonemap_refresh_after_merge_touched_buckets_only(spark, tmp_path):
     )
     assert got == want and got
 
+    # ADVICE r05: an empty touched-bucket list is a no-op (0 refreshed
+    # rows), never a self-overwriting write — and the stats stay intact.
+    assert zonemap.refresh_merged_buckets(spark, t.path, ["v"], []) == 0
+    still = {
+        r._file: (r.n_rows, r.min_v, r.max_v)
+        for r in spark.read.parquet(zonemap._stats_dir(t.path)).collect()
+    }
+    assert still == after
+
 
 def test_string_zonemap_prunes_on_categorical_and_matches_full_scan(spark):
     """String zone-map stats (§7.15): on the (returnflag, ship_day)
