@@ -136,7 +136,107 @@ EXTRA_VOLUME = (
     "epoch_shuffle_plan",
     # r05c: array-column zone-map probe (layout build is warmup).
     "embedding_box_scan",
+    # r06: the three r05 snapshot keys the verdict flagged as
+    # unbenched — Bloom point lookup + posting-list term search
+    # (index builds are warmup, ANN discipline) and the CDF read
+    # (the three-version table build is warmup).
+    "orders_point_lookup_bloom",
+    "term_search_indexed",
+    "orders_cdf_changes",
+    # r06: curriculum-keyed packed-sequence assembly (§7.19 wave).
+    "sequence_packing_curriculum_materialize",
 )
+
+#: Registry keys deliberately NOT in either bench tier, each with the
+#: reason it isn't volume-sensitive enough to earn a frozen baseline.
+#: tests/test_bench_registry.py enforces registry == HEADLINE ∪
+#: EXTRA_VOLUME ∪ UNBENCHED, so a new key cannot land without either
+#: first-bench numbers (BASELINE.md) or an explicit entry here — the
+#: r04→r05 unbenched-key recurrence can't happen a third time.
+_R = {
+    "tpch_rep": "TPC-H scan+join+agg plan family: benched via the q1/q3/"
+    "q5/q6/q10 representatives; same tables, same shuffle shapes",
+    "surface_demo": "reference-surface demo key: constant 1-2 Exchange "
+    "plan over one table, dominated by fixed stage overhead",
+    "family_rep": "same operator family and plan shape as a benched "
+    "representative (shared scan/shuffle structure, different params)",
+    "bounded": "output/state bounded by a constant (dims, grids, "
+    "sketch registers) — timing is fixed stage overhead, not volume",
+    "mapinpandas_stub": "Arrow mapInPandas plumbing over stub codecs: "
+    "real decode cost is library-bound, not plan-bound (TESTDATA gate)",
+    "iter_probe": "iterative/driver-bounded audit op benched through "
+    "its scale-probe ratio (SCALING.md), not wall-clock tiers",
+}
+UNBENCHED: dict[str, str] = {
+    **{k: _R["tpch_rep"] for k in (
+        "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+        "q8_market_share", "q9_product_profit", "q11_important_parts",
+        "q12_priority_lines", "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_variety",
+        "q17_small_quantity_revenue", "q18_large_volume",
+        "q19_disjunctive_revenue", "q20_part_promotion",
+        "q21_suppliers_waiting", "q22_idle_customers",
+        "orders_priority_rollup", "nation_revenue_share", "nation_trade_flow",
+        "nation_month_rank", "supplier_lead_time", "supplier_concentration_hhi",
+        "customer_revenue_rank", "customer_rfm_segments",
+        "customer_value_segments", "parts_skyline", "basket_part_pairs",
+        "repeat_purchase_interval", "revenue_yearly_growth",
+        "orders_seasonality", "orders_dispersion",
+    )},
+    **{k: _R["surface_demo"] for k in (
+        "filter_events", "project_case_when", "casewhen_orders",
+        "merge_streams", "remote_table_join", "top_users_by_value",
+        "wikipedia_parse", "sliding_window_counts", "session_conversion",
+        "stream_table_join_salted", "samza_sql_filter", "samza_sql_casewhen",
+        "samza_sql_groupby", "samza_sql_stream_table_join",
+    )},
+    **{k: _R["family_rep"] for k in (
+        # dedup family: dedup_exact/chunk/window/minhash/simhash benched
+        "dedup_url", "dedup_fuzzy", "dedup_incremental", "dedup_ngram_jaccard",
+        "dedup_clusters", "dedup_cluster_sizes", "dedup_canonical",
+        "dedup_embedding", "dedup_semantic",
+        # ANN family: bruteforce/lsh/pq benched
+        "ann_ivf_topk", "ann_batch_topk", "knn_graph", "hard_negative_mining",
+        # embeddings: quantize_int8 + box_scan benched
+        "embedding_centroids", "embedding_norm_stats", "embedding_outliers",
+        "embedding_pca", "embedding_kmeans",
+        # text family: text_quality/repetition/novelty/corpus_profile benched
+        "text_entropy", "text_langid", "text_tokencount", "text_fingerprint",
+        "text_readability", "text_bigram_topk", "pii_redact", "doc_chunks",
+        "doc_length_histogram", "token_frequency_histogram",
+        "corpus_vocab_stats", "corpus_quality_calibration",
+        "curation_pipeline", "vocab_coverage", "langid_confusion",
+        # retrieval: term_search_indexed benched (the scale path)
+        "term_search", "phrase_search", "bm25_search", "tfidf_top_terms",
+        # LM family: trigram_lm / kneser_ney benched
+        "bigram_lm_nll", "bpe_encode_docs",
+        # sampling: mixture_sample/quality_classifier/dsir benched
+        "sample_stratified", "weighted_sample", "curriculum_assign",
+        "domain_stats", "export_shards", "sequence_packing_grouped",
+        # temporal/olap: benched via rollups/windows/funnels
+        "events_gapfill", "events_heatmap", "events_autocorrelation", "events_props_stats",
+        "events_anomaly_zscore", "user_transition_counts",
+        "user_value_moving_avg", "user_event_pivot", "user_recency_buckets",
+        "decayed_user_value", "time_weighted_value", "value_histogram",
+        "purchase_touch_counts", "funnel_time_to_convert",
+        "daily_rolling_median", "price_equidepth_histogram",
+        "event_value_percentiles",
+    )},
+    **{k: _R["bounded"] for k in (
+        "events_dau", "events_dau_approx", "event_value_percentiles_approx",
+        "value_moments", "benford_deviation", "priority_mix_chi2",
+        "price_mad_outliers", "daily_cusum_changepoint",
+        "revenue_trend_regression", "table_profile",
+        # cursor-gated no-op cycles + a status-cardinality state read;
+        # the CDF volume path is benched via orders_cdf_changes
+        "orders_cdf_downstream",
+    )},
+    **{k: _R["mapinpandas_stub"] for k in (
+        "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
+        "multimodal_features",
+    )},
+    **{k: _R["iter_probe"] for k in ("bpe_train_merges", "unigram_train_vocab")},
+}
 
 #: Excluded from the sf1 (10×-replicated) tier: replication creates
 #: 10-sized exact-duplicate cliques, so the near-dup pair family's
@@ -195,6 +295,10 @@ def main() -> None:
     queries["q19_pruned_scan"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     queries["returned_items_pruned_scan"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     queries["embedding_box_scan"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # builds the Bloom sidecars / posting lists / CDF table if absent.
+    queries["orders_point_lookup_bloom"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    queries["term_search_indexed"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    queries["orders_cdf_changes"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     def _time(names, target_dir, best_of: int = 1) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -211,8 +315,21 @@ def main() -> None:
             out[name] = round(best, 3)
         return out
 
-    timings = _time(HEADLINE, sf_dir)
-    extra_timings = _time(EXTRA_VOLUME, sf_dir)
+    # Contention canary (r05 post-mortem): the driver's single-shot
+    # sf0.1 tier once ran inside a contended window and EVERY number
+    # came out ~2.3× — indistinguishable from a uniform plan
+    # regression without a control. The canary re-times the same
+    # constant one-Exchange plan (groupby_count) first and last; a
+    # last/first ratio > 1.5 stamps the run CONTENDED in the JSON
+    # line, so a poisoned artifact is self-identifying.
+    canary_first = _time(["groupby_count"], sf_dir, best_of=2)["groupby_count"]
+
+    # min-of-2 on the sf0.1 tier too (the sf1 fix, BASELINE.md r03b
+    # note, applied symmetrically): one contended window inflating a
+    # single shot can no longer burn the round's official artifact.
+    spark._jvm.System.gc()
+    timings = _time(HEADLINE, sf_dir, best_of=2)
+    extra_timings = _time(EXTRA_VOLUME, sf_dir, best_of=2)
 
     result = {
         "metric": "headline_query_wall_time",
@@ -249,6 +366,9 @@ def main() -> None:
             "lineitem_pruned_scan",  # cold layout builds for the sf1 tag
             "q6_pruned_scan",
             "q19_pruned_scan",
+            "orders_point_lookup_bloom",
+            "term_search_indexed",
+            "orders_cdf_changes",
         ):
             queries[q](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         sf1_names = [
@@ -277,6 +397,13 @@ def main() -> None:
                 "sf": 1.0,
             }
         }
+
+    canary_last = _time(["groupby_count"], sf_dir, best_of=2)["groupby_count"]
+    ratio = round(canary_last / canary_first, 2) if canary_first else 1.0
+    result["canary"] = {"first": canary_first, "last": canary_last, "ratio": ratio}
+    result["contended"] = ratio > 1.5
+    detail["canary"] = result["canary"]
+    detail["contended"] = result["contended"]
 
     with open(DETAIL_FILE, "w") as fh:
         json.dump(detail, fh, indent=1)
