@@ -78,15 +78,12 @@ def _size_bits(rows_per_file: float) -> int:
     return min(FB_MAX_BITS, max(FB_MIN_BITS, 1 << math.ceil(math.log2(want))))
 
 
-def build_file_blooms(spark: SparkSession, table_dir: str, col: str) -> str:
-    """One-scan per-file Bloom build over every data file. Returns the
-    sidecar dir. ``n_bits`` is derived from the observed rows/file and
-    frozen in the sidecar's ``_META.json`` for the probe side."""
-    df = spark.read.parquet(table_dir)
-    n_files = max(1, len(df.inputFiles()))
-    n_rows = df.count()  # parquet count(*) — metadata-only scan
-    n_bits = _size_bits(n_rows / n_files)
-
+def _file_blooms(df: DataFrame, col: str, n_bits: int) -> DataFrame:
+    """(file, word, bits) sparse Bloom words for every file of ``df``
+    — the shared JVM-side core of the full build and the delta folds.
+    Positions depend only on (key, n_bits), never on which file or
+    batch a row arrived in, which is what makes per-file rows
+    independently rebuildable."""
     h = F.md5(F.col(col).cast("string"))
     base = df.select(F.input_file_name().alias("_file"), h.alias("_h"))
     pos = [
@@ -97,7 +94,7 @@ def build_file_blooms(spark: SparkSession, table_dir: str, col: str) -> str:
         for j in range(FB_K)
     ]
     words = explode_nonempty(base, ["_file"], F.array(*pos), "pos")
-    sidecar = (
+    return (
         words.select(
             "_file",
             F.shiftright(F.col("pos"), 6).cast("int").alias("word"),
@@ -106,11 +103,98 @@ def build_file_blooms(spark: SparkSession, table_dir: str, col: str) -> str:
         .groupBy("_file", "word")
         .agg(F.bit_or("mask").alias("bits"))
     )
+
+
+def build_file_blooms(spark: SparkSession, table_dir: str, col: str) -> str:
+    """One-scan per-file Bloom build over every data file. Returns the
+    sidecar dir. ``n_bits`` is derived from the observed rows/file and
+    frozen in the sidecar's ``_META.json`` for the probe side."""
+    df = spark.read.parquet(table_dir)
+    n_files = max(1, len(df.inputFiles()))
+    n_rows = df.count()  # parquet count(*) — metadata-only scan
+    n_bits = _size_bits(n_rows / n_files)
+
+    sidecar = _file_blooms(df, col, n_bits)
     out = _sidecar_dir(table_dir)
     sidecar.write.mode("overwrite").parquet(out)
     with open(_meta_path(table_dir), "w") as f:
         json.dump({"col": col, "n_bits": n_bits, "k": FB_K}, f)
     return out
+
+
+def refresh_new_files(spark: SparkSession, table_dir: str) -> int:
+    """Fold Bloom words for files missing from the sidecar
+    (post-append). Per-file filters are independent and ``n_bits`` is
+    frozen in ``_META.json`` (probe positions stay file-independent),
+    so an append scans ONLY the new files — cost ∝ delta, never
+    O(table). Returns the number of files added."""
+    with open(_meta_path(table_dir)) as f:
+        meta = json.load(f)
+    listing = spark.createDataFrame(
+        [(f,) for f in spark.read.parquet(table_dir).inputFiles()],
+        "_file string",
+    )
+    known = spark.read.parquet(_sidecar_dir(table_dir)).select("_file").distinct()
+    new_files = [
+        r._file for r in listing.join(known, "_file", "left_anti").collect()
+    ]
+    if not new_files:
+        return 0
+    fresh = _file_blooms(
+        spark.read.parquet(*new_files), meta["col"], meta["n_bits"]
+    )
+    fresh.write.mode("append").parquet(_sidecar_dir(table_dir))
+    return len(new_files)
+
+
+def refresh_merged_buckets(
+    spark: SparkSession, table_dir: str, buckets: list[int]
+) -> int:
+    """Post-MERGE Bloom-sidecar maintenance for a bucketed lakehouse
+    table (``MergeTable``) — the ``zonemap.refresh_merged_buckets``
+    composition on the Bloom layout's terms: a merge dynamic-
+    overwrites exactly its touched ``_bucket=B`` directories (bit-
+    identical elsewhere, pytest-asserted in test_merge.py), so the
+    sidecar rows keyed by the old files there are dead and every
+    other file's filter carries over unchanged. Scan cost ∝ touched
+    buckets; the sidecar rewrite is word-count-sized (KB–MB). Returns
+    the number of refreshed files."""
+    if not buckets:  # no touched buckets → the sidecar is current
+        return 0
+    with open(_meta_path(table_dir)) as f:
+        meta = json.load(f)
+    out = _sidecar_dir(table_dir)
+    markers = [f"/_bucket={b}/" for b in buckets]
+    touched_col = None
+    for m in markers:
+        c = F.col("_file").contains(m)
+        touched_col = c if touched_col is None else (touched_col | c)
+    # materialize BEFORE the overwrite — the sink is the path this
+    # very plan reads from.
+    kept = spark.read.parquet(out).filter(~touched_col).localCheckpoint()
+    dirs = [
+        os.path.join(table_dir, f"_bucket={b}")
+        for b in buckets
+        if os.path.isdir(os.path.join(table_dir, f"_bucket={b}"))
+    ]
+    if dirs:
+        fresh = _file_blooms(
+            spark.read.option("basePath", table_dir)
+            .parquet(*dirs)
+            .drop("_bucket"),
+            meta["col"],
+            meta["n_bits"],
+        )
+        n = fresh.select("_file").distinct().count()
+        kept.unionByName(fresh).write.mode("overwrite").parquet(out)
+    else:  # every touched bucket emptied out — nothing to scan
+        n = 0
+        kept.write.mode("overwrite").parquet(out)
+    # the overwrite cleared the sidecar dir — restore the frozen meta
+    # (same n_bits: probe positions must stay file-independent).
+    with open(_meta_path(table_dir), "w") as f:
+        json.dump(meta, f)
+    return n
 
 
 def _key_positions(key, n_bits: int) -> list[tuple[int, int]]:

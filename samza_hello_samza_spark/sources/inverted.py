@@ -72,6 +72,73 @@ def build_inverted_index(
     return out_dir
 
 
+def append_documents(spark: SparkSession, index_dir: str, docs: DataFrame) -> int:
+    """Fold a NEW document batch's postings into the layout — the
+    ingest path (VERDICT r05 #6). Hash partitioning is stable, so the
+    batch's distinct (word, doc_id) rows append into the same bucket
+    scheme as the original build: new files land inside existing
+    ``tbucket=`` directories, no existing file is rewritten, and a
+    bucket-pruned probe picks the new postings up on its next read.
+    Cost ∝ batch tokens, never O(index).
+
+    Postings are per-document, so appending disjoint batches commutes
+    and a two-batch build equals the full rebuild row-for-row
+    (pytest). RE-appending the same document would duplicate its
+    posting rows — search results stay correct (the probe intersects
+    with ``count_distinct``) but the index grows, so replay protection
+    belongs to the caller: ``postings_updater`` makes redelivered
+    micro-batches a no-op via applied-batch markers. Returns the
+    number of posting rows appended."""
+    words = explode_nonempty(docs, ["doc_id"], _words(F.col("text")), "word")
+    postings = (
+        words.select("word", "doc_id")
+        .distinct()
+        .withColumn(
+            "tbucket", F.pmod(F.xxhash64("word"), F.lit(N_TBUCKETS)).cast("int")
+        )
+        .localCheckpoint()  # count + write without re-tokenizing
+    )
+    n = postings.count()
+    if n:
+        (
+            postings.repartition("tbucket")
+            .write.mode("append")
+            .partitionBy("tbucket")
+            .parquet(index_dir)
+        )
+    return n
+
+
+def postings_updater(docs_stream: DataFrame, index_dir: str, checkpoint_dir: str):
+    """Keep the posting layout current from a stream of (doc_id, text)
+    rows — the ``mv_refresh_job`` idempotent-consumer shape: each
+    micro-batch folds through ``append_documents`` and writes an
+    applied-batch marker AFTER the append lands, so a redelivered
+    batch folds nothing (replay pytest). The remaining crash window
+    (append landed, marker not yet written) re-appends duplicate
+    posting rows on restart — semantically harmless to the probe
+    (count_distinct), reclaimed by the next full rebuild."""
+    import os as _os
+
+    marker_dir = _os.path.join(checkpoint_dir, "_applied")
+    _os.makedirs(marker_dir, exist_ok=True)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        marker = _os.path.join(marker_dir, f"batch-{batch_id}")
+        if _os.path.exists(marker) or batch.isEmpty():
+            return
+        append_documents(batch.sparkSession, index_dir, batch)
+        with open(marker, "w") as fh:
+            fh.write("applied")
+
+    return (
+        docs_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def term_buckets(spark: SparkSession, terms: list[str]) -> list[int]:
     """The layout buckets of the query terms — computed by the engine's
     own xxhash64 on a |terms|-row local relation (no scan; the bucket

@@ -659,7 +659,12 @@ class VersionedMergeTable:
 
     # -- change data feed ---------------------------------------------------
 
-    def read_changes(self, from_version: int, to_version: int) -> DataFrame:
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int,
+        include_preimages: bool = False,
+    ) -> DataFrame:
         """The change-data-feed between two snapshots: one row per
         inserted / updated / deleted key per commit, tagged
         ``_change_type`` and ``_commit_version`` — Delta CDF / Iceberg
@@ -674,6 +679,15 @@ class VersionedMergeTable:
         identically on both sides and are dropped by an all-columns
         null-safe comparison; updates emit the AFTER image, deletes
         the BEFORE image.
+
+        ``include_preimages=True`` switches updates to the Delta CDF
+        retraction encoding — TWO rows per updated key,
+        ``update_preimage`` (before) and ``update_postimage`` (after)
+        — which is what a downstream INCREMENTAL AGGREGATE needs: the
+        preimage retracts the old contribution (-1 weight), the
+        postimage adds the new one (+1), so sums/counts fold with
+        signed deltas and never re-scan the table
+        (``incremental.update_aggregate_signed``).
 
         Versions are consecutive by construction (the claim protocol
         admits no gaps), so every commit in (from, to] is walked.
@@ -721,20 +735,42 @@ class VersionedMergeTable:
             for c in cols:
                 same = same & F.col(f"t.{c}").eqNullSafe(F.col(f"a.{c}"))
             deleted = a_key.isNull()
-            chg = j.filter(~(t_key.isNotNull() & a_key.isNotNull() & same)).select(
-                *[
-                    # delete rows emit the BEFORE image, others AFTER
-                    F.when(deleted, F.col(f"t.{c}"))
-                    .otherwise(F.col(f"a.{c}"))
-                    .alias(c)
-                    for c in cols
-                ],
-                F.when(t_key.isNull(), F.lit("insert"))
-                .when(deleted, F.lit("delete"))
-                .otherwise(F.lit("update"))
-                .alias("_change_type"),
-                F.lit(v).cast("long").alias("_commit_version"),
-            )
+            changed = j.filter(~(t_key.isNotNull() & a_key.isNotNull() & same))
+            if include_preimages:
+                # retraction encoding: AFTER images for inserts and
+                # update postimages, BEFORE images for deletes and
+                # update preimages — same changed-row set, updates
+                # emit two rows.
+                after_rows = changed.filter(a_key.isNotNull()).select(
+                    *[F.col(f"a.{c}").alias(c) for c in cols],
+                    F.when(t_key.isNull(), F.lit("insert"))
+                    .otherwise(F.lit("update_postimage"))
+                    .alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                )
+                before_rows = changed.filter(t_key.isNotNull()).select(
+                    *[F.col(f"t.{c}").alias(c) for c in cols],
+                    F.when(deleted, F.lit("delete"))
+                    .otherwise(F.lit("update_preimage"))
+                    .alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                )
+                chg = after_rows.unionByName(before_rows)
+            else:
+                chg = changed.select(
+                    *[
+                        # delete rows emit the BEFORE image, others AFTER
+                        F.when(deleted, F.col(f"t.{c}"))
+                        .otherwise(F.col(f"a.{c}"))
+                        .alias(c)
+                        for c in cols
+                    ],
+                    F.when(t_key.isNull(), F.lit("insert"))
+                    .when(deleted, F.lit("delete"))
+                    .otherwise(F.lit("update"))
+                    .alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                )
             out = chg if out is None else out.unionByName(chg)
         if out is None:
             # empty change range: derive the schema from ANY snapshot
@@ -807,6 +843,22 @@ class VersionedMergeTable:
                 if v not in live and os.path.isdir(d):
                     shutil.rmtree(d)
                     removed += 1
+        # reclaim abandoned staging dirs of writers that died mid-write:
+        # a stage for version ≤ current can never publish (the owner's
+        # publish/commit re-verify would raise), so it is garbage.
+        cur = man["current"]
+        for parent in (os.path.join(self.path, "data"), os.path.join(self.path, "deletes")):
+            if not os.path.isdir(parent):
+                continue
+            for entry in os.listdir(parent):
+                if ".stage-" in entry:
+                    try:
+                        v = int(entry.split(".stage-")[0].lstrip("v"))
+                    except ValueError:
+                        continue
+                    if v <= cur:
+                        shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+                        removed += 1
         return {"dropped": drop, "removed_dirs": removed}
 
     def merge_with_retry(
@@ -951,6 +1003,57 @@ def orders_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_cdf_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC consumer chain end-to-end, oracle-checked: the
+    deterministic table's committed changes flow
+    CDF (retraction encoding) → ``TopicLog`` → signed incremental
+    fold, and the key returns the FOLDED DOWNSTREAM STATE — one row
+    per ``last_status`` with the customer count and orderkey sum the
+    retractions maintain. Because updates retract their preimage and
+    deletion-vector deletes retract the deleted row, the state equals
+    a plain GROUP BY over the table's FINAL snapshot, which is what
+    the DuckDB oracle computes by replaying the three versions from
+    raw orders. Cycles are cursor-gated (``publish_cdf``) and
+    offset-committed (``fold_cdf_from_topic``), so re-running the key
+    publishes and folds nothing — the same state returns every time.
+    """
+    import os as _os
+
+    from ..operators.ann_index import _index_root, _tag
+    from ..streaming.maintenance import fold_cdf_from_topic, publish_cdf
+    from .topic_log import TopicLog
+
+    tbl = _cdf_orders_table(spark, sf_dir)
+    root = _os.path.join(_index_root(), _tag(sf_dir), "cdf_downstream")
+    topic = TopicLog(spark, _os.path.join(root, "topic"), n_partitions=4)
+    cursor = _os.path.join(root, "cursor.json")
+    state = _os.path.join(root, "state")
+    schema = (
+        "o_custkey BIGINT, last_orderkey BIGINT, last_status STRING, "
+        "_change_type STRING, _commit_version BIGINT"
+    )
+    # cycle 1 bootstraps (v1 full load as inserts), cycle 2 publishes
+    # the (1 → current] changes; further cycles are cursor/offset
+    # no-ops, so the key is idempotent across runs.
+    for _ in range(2):
+        publish_cdf(tbl, topic, cursor, key_col="o_custkey")
+        fold_cdf_from_topic(
+            spark,
+            topic,
+            "downstream",
+            state,
+            schema,
+            keys=["last_status"],
+            value_col="last_orderkey",
+        )
+    st = spark.read.parquet(state)
+    return st.select(
+        "last_status",
+        F.col("n_events").cast("long").alias("n_customers"),
+        F.col("sum_value").cast("long").alias("sum_last_orderkey"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "orders_cdf_changes": f"""
         WITH v1 AS MATERIALIZED (
@@ -1014,6 +1117,23 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# the downstream state is the final snapshot's GROUP BY — v3 = v2
+# minus the deletion-vector residue — replayed from raw orders with
+# the same v1/src/v2 CTE chain as the change-log oracle.
+ORACLES["orders_cdf_downstream"] = (
+    ORACLES["orders_cdf_changes"].split(",\n        c2 AS (")[0]
+    + f""",
+        v3 AS (
+            SELECT * FROM v2 WHERE last_orderkey % 7 != 3
+        )
+        SELECT last_status,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(last_orderkey) AS BIGINT) AS sum_last_orderkey
+        FROM v3 GROUP BY last_status
+    """
+)
+
 QUERIES = {
     "orders_cdf_changes": orders_cdf_changes,
+    "orders_cdf_downstream": orders_cdf_downstream,
 }

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.ann_index import append_lsh_index
-from ..sources.incremental import update_aggregate
+from ..sources.incremental import update_aggregate, update_aggregate_signed
 from ..sources.topic_log import TopicLog
 
 
@@ -1448,3 +1448,151 @@ def maintain_view_from_topic(
         topic.commit(group, {str(r.partition): int(r.end) for r in ends})
     batch.unpersist()
     return n
+
+
+# ---------------------------------------------------------------------------
+# change-data-feed consumer: CDF → topic → signed incremental fold
+# ---------------------------------------------------------------------------
+#
+# The lakehouse completion of the reference's changelog pattern (a
+# Samza job's KeyValueStore changelog feeds downstream consumers):
+# one table's COMMITTED changes — derived by
+# ``VersionedMergeTable.read_changes`` with the retraction encoding —
+# are published to a ``TopicLog``, and a downstream aggregate folds
+# the signed deltas with ``incremental.update_aggregate_signed``.
+# Cost per cycle is ∝ the commits since the cursor (the CDF diffs only
+# touched buckets), never ∝ the table; the downstream equals the batch
+# recompute at every published version (pytest).
+
+
+def publish_cdf(table, topic: TopicLog, cursor_path: str, key_col: str) -> dict:
+    """Publish the table's committed changes since the cursor.
+
+    Bootstrap (cursor absent): version 1's rows are published as
+    ``insert`` changes — the initial full load every CDC pipeline
+    performs. Thereafter each call publishes
+    ``read_changes(cursor, current, include_preimages=True)`` and
+    advances the cursor AFTER the produce lands, so a crash between
+    produce and cursor write replays the same changes — at-least-once,
+    made exact downstream by the consumer's offset commit (the fold
+    reads each topic record exactly once per group).
+    """
+    import json as _json
+    import os as _os
+
+    cur = 0
+    if _os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            cur = _json.load(fh)["version"]
+    current = table.manifest()["current"]
+    if cur == 0:
+        changes = table.read(version=1).select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(1).cast("long").alias("_commit_version"),
+        )
+        published_to = 1
+    elif current > cur:
+        changes = table.read_changes(cur, current, include_preimages=True)
+        published_to = current
+    else:
+        return {"published": 0, "from": cur, "to": cur}
+    payload = changes.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.to_json(F.struct(*changes.columns)).alias("v"),
+    )
+    n = payload.count()
+    topic.produce(payload, "k", "v")
+    with open(cursor_path, "w") as fh:
+        _json.dump({"version": published_to}, fh)
+    return {"published": n, "from": cur, "to": published_to}
+
+
+def fold_cdf_from_topic(
+    spark: SparkSession,
+    topic: TopicLog,
+    group: str,
+    state_path: str,
+    change_schema: str,
+    keys: list[str],
+    value_col: str,
+) -> int:
+    """One downstream maintenance cycle: drain the group's uncommitted
+    CDF records, fold the signed deltas into the aggregate state,
+    commit offsets AFTER the state swap (``maintain_view_from_topic``'s
+    ordering). Inserts and update postimages weigh +1, deletes and
+    update preimages -1 — so updates retract their old contribution
+    and the state tracks the table exactly. Returns records folded."""
+    batch = topic.read_batch(group).cache()
+    n = batch.count()
+    if n:
+        changes = batch.select(
+            F.from_json(F.col("value"), change_schema).alias("c")
+        ).select("c.*")
+        signed = changes.withColumn(
+            "_sign",
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        update_aggregate_signed(
+            spark, state_path, signed, keys=keys, value_col=value_col
+        )
+        ends = (
+            batch.groupBy("partition").agg((F.max("offset") + 1).alias("end")).collect()
+        )
+        topic.commit(group, {str(r.partition): int(r.end) for r in ends})
+    batch.unpersist()
+    return n
+
+
+# ---------------------------------------------------------------------------
+# composed ANN drift maintenance: IVF rebalance + PQ retrain in one job
+# ---------------------------------------------------------------------------
+
+
+def ann_drift_maintenance(
+    spark: SparkSession,
+    ivf_index_dir: str,
+    pq_index_dir: str,
+    vectors: DataFrame,
+    vacuum: bool = False,
+) -> dict:
+    """One maintenance cycle closing the drift story (§7.19): re-train
+    the IVF partitioning, then re-fit the PQ codes, against the SAME
+    current corpus — the two serving projections a vector store keeps
+    over one base table.
+
+    Each pass publishes its own retire-commit
+    (``rebalance_ivf_index`` / ``retrain_pq_index`` — new files +
+    centroid/codebook pointer swapped atomically, old file set
+    retired), so a probe pinned to either index's pre-cycle manifest
+    keeps its coherent old layout (pytest-asserted across BOTH
+    indexes), and a crash between the passes leaves two
+    independently-consistent indexes — the IVF one maintained, the PQ
+    one simply still due. ``vacuum=True`` additionally reclaims both
+    retired file sets; leave it False (default) unless no reader can
+    be pinned to a pre-cycle manifest (the Delta VACUUM grace-period
+    contract). Single-maintainer, like its two component passes.
+
+    Cost: the rebalance is one corpus pass + nlist×dim driver rows;
+    the retrain is one bounded KMV sample collect + one Arrow-batched
+    re-encode pass — both ∝ corpus, never corpus², and nothing
+    driver-side scales with the corpus.
+    """
+    from ..operators.ann_index import (
+        rebalance_ivf_index,
+        retrain_pq_index,
+        vacuum_index,
+    )
+
+    ivf_stats = rebalance_ivf_index(spark, ivf_index_dir)
+    pq_stats = retrain_pq_index(spark, pq_index_dir, vectors)
+    out = {"ivf": ivf_stats, "pq": pq_stats, "vacuumed": 0}
+    if vacuum:
+        import os as _os
+
+        out["vacuumed"] = vacuum_index(
+            _os.path.join(ivf_index_dir, "corpus")
+        ) + vacuum_index(_os.path.join(pq_index_dir, "codes"))
+    return out

@@ -1421,3 +1421,138 @@ def test_pq_retrain_pinned_probe_and_vacuum(spark, tmp_path):
     # the fresh probe ranks against the NEW books+codes coherently
     fresh = ann_index.probe_pq_snapshot(spark, idx, qvec, 20).collect()
     assert len(fresh) == 20
+
+
+def test_cdf_topic_fold_tracks_table_at_every_version(spark, tmp_path):
+    """VERDICT r05 #7: one table's committed changes incrementally
+    maintain a downstream aggregate (CDF → topic_log → signed fold).
+    After every publish+fold cycle the state equals the batch
+    recompute over the table's CURRENT snapshot — inserts add,
+    updates retract-then-add (preimage encoding), deletes retract."""
+    from samza_hello_samza_spark.sources.merge import VersionedMergeTable
+
+    tbl = VersionedMergeTable(spark, str(tmp_path / "t"), "k", n_buckets=8)
+    base = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(60)],
+        "k long, grp string, value double",
+    )
+    tbl.write_full(base)
+
+    topic = TopicLog(spark, str(tmp_path / "cdf_topic"), n_partitions=2)
+    cursor = str(tmp_path / "cursor.json")
+    state = str(tmp_path / "agg_state")
+    schema = (
+        "k BIGINT, grp STRING, value DOUBLE, "
+        "_change_type STRING, _commit_version BIGINT"
+    )
+
+    def cycle():
+        maintenance.publish_cdf(tbl, topic, cursor, key_col="k")
+        return maintenance.fold_cdf_from_topic(
+            spark, topic, "downstream", state, schema, keys=["grp"], value_col="value"
+        )
+
+    def state_now():
+        return {
+            r.grp: (r.n_events, round(r.sum_value, 6))
+            for r in spark.read.parquet(state).collect()
+        }
+
+    def recompute():
+        return {
+            r.grp: (r.n, round(r.s, 6))
+            for r in tbl.read()
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+
+    # v1 bootstrap: full load as inserts
+    assert cycle() == 60
+    assert state_now() == recompute()
+
+    # v2: updates (retraction must fire), inserts, and MERGE deletes
+    src = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i) + 1000.0) for i in range(0, 20)]  # updates
+        + [(100 + i, "g_new", 7.5) for i in range(5)]  # inserts
+        + [(i, "del", 0.0) for i in range(50, 55)],  # deletes
+        "k long, grp string, value double",
+    )
+    tbl.merge(src, delete_cond=F.col("s.grp") == "del")
+    assert cycle() > 0
+    assert state_now() == recompute()
+
+    # v3: deletion-vector deletes flow through the same feed
+    tbl.delete_where(F.col("k") % 7 == 3)
+    assert cycle() > 0
+    assert state_now() == recompute()
+
+    # quiescent cycle folds nothing and changes nothing
+    before = state_now()
+    assert cycle() == 0
+    assert state_now() == before
+
+
+def test_ann_drift_maintenance_composes_rebalance_and_retrain(spark, tmp_path):
+    """§7.19 composed job: ONE drifted vector batch lands in both
+    serving projections (IVF corpus + PQ codes); the cycle rebalances
+    lists then retrains codes — imbalance and train-MSE both drop,
+    probes pinned to EITHER pre-cycle manifest stay green, and the
+    vacuum pass reclaims both retired file sets without touching the
+    live snapshots."""
+    ivf = ann_index.build_ivf_index(
+        spark, SF_DIR, similarity.IVF_NLIST, out_dir=str(tmp_path / "ivf")
+    )
+    pq = ann_index.build_pq_index(spark, SF_DIR, out_dir=str(tmp_path / "pq"))
+    corpus_dir = os.path.join(ivf, "corpus")
+    codes_dir = os.path.join(pq, "codes")
+    ann_index.commit_index_snapshot(corpus_dir)
+    ann_index.commit_index_snapshot(codes_dir)
+
+    # one drifted batch, far outside the build distribution → it both
+    # piles into one IVF list AND inflates PQ quantization error
+    drift = spark.createDataFrame(
+        [
+            (3_000_000 + i, [5.0 + 0.01 * ((i * 7 + d) % 13) for d in range(64)])
+            for i in range(300)
+        ],
+        "vec_id BIGINT, v ARRAY<DOUBLE>",
+    )
+    ann_index.append_ivf_index(spark, ivf, drift)
+    ann_index.commit_index_snapshot(corpus_dir)
+    ann_index.append_pq_index(spark, pq, drift)
+    ann_index.commit_index_snapshot(codes_dir)
+    vectors = (
+        similarity._embeddings(spark, SF_DIR).select("vec_id", "v").unionByName(drift)
+    )
+    n_vec = vectors.count()
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+    pinned_ivf = ann_index.snapshot_scan(spark, corpus_dir)  # pins pre-cycle files
+    pinned_ivf_rows = {(r.vec_id, r.list_id) for r in pinned_ivf.collect()}
+    pinned_pq = ann_index.probe_pq_snapshot(spark, pq, qvec, 20)
+    pinned_pq_rows = [(r.vec_id, r.adc_score) for r in pinned_pq.collect()]
+
+    out = maintenance.ann_drift_maintenance(spark, ivf, pq, vectors, vacuum=False)
+    assert out["ivf"]["imbalance_after"] < out["ivf"]["imbalance_before"]
+    assert out["pq"]["train_mse_after"] < out["pq"]["train_mse_before"]
+    assert out["ivf"]["n_vectors"] == n_vec
+    assert out["vacuumed"] == 0
+
+    # pinned readers across BOTH indexes still see the pre-cycle layout
+    assert {(r.vec_id, r.list_id) for r in pinned_ivf.collect()} == pinned_ivf_rows
+    assert [(r.vec_id, r.adc_score) for r in pinned_pq.collect()] == pinned_pq_rows
+
+    # fresh probes resolve the maintained snapshots coherently
+    assert ann_index.snapshot_scan(spark, corpus_dir).count() == n_vec
+    assert ann_index.snapshot_scan(spark, codes_dir).count() == n_vec
+    fresh = ann_index.probe_pq_snapshot(spark, pq, qvec, 20).collect()
+    assert len(fresh) == 20
+
+    # second cycle with vacuum: reclaims BOTH retired sets, live intact
+    out2 = maintenance.ann_drift_maintenance(spark, ivf, pq, vectors, vacuum=True)
+    assert out2["vacuumed"] > 0
+    assert ann_index.read_index_manifest(corpus_dir)["retired"] == []
+    assert ann_index.read_index_manifest(codes_dir)["retired"] == []
+    assert ann_index.snapshot_scan(spark, corpus_dir).count() == n_vec
+    assert ann_index.snapshot_scan(spark, codes_dir).count() == n_vec

@@ -799,6 +799,29 @@ def test_read_changes_replay_reconstructs_state(spark, vtable):
     assert state == want
 
 
+def test_expire_snapshots_reclaims_abandoned_staging_dirs(spark, vtable):
+    """A writer that died mid-staging leaves a `data/v{N}.stage-*`
+    orphan; the retention sweep reclaims any stage whose version is
+    ≤ current (it can never publish — ownership re-verify would
+    raise), without touching live data."""
+    import os
+
+    for i in range(2):
+        vtable.merge(
+            spark.createDataFrame(
+                [(700 + i, f"m{i}", "open")], "k long, v string, status string"
+            )
+        )
+    stale = os.path.join(vtable.path, "data", "v2.stage-deadbeef")
+    os.makedirs(stale)
+    open(os.path.join(stale, "junk.parquet"), "w").close()
+
+    out = vtable.expire_snapshots(keep_last=2)
+    assert not os.path.exists(stale)
+    assert out["removed_dirs"] >= 1
+    assert {r.k for r in vtable.read().collect()} >= {700, 701}
+
+
 def test_read_changes_empty_range_on_fully_emptied_table(spark, vtable):
     """An empty change range over a FULLY EMPTIED table must return an
     empty change frame (schema derived from a bucket-holding snapshot),
