@@ -166,6 +166,154 @@ def read_packed_range(
     )
 
 
+def packed_sequences_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble the CURRICULUM packing (§7.19: packing_io ×
+    curriculum_assign): one row per (lang, stage, seq_id) with the
+    sequence's ``input_ids`` and per-document boundaries — the
+    training-mixture shape where each (language, quality-stage) cell
+    packs its own fixed-budget sequences and a trainer consumes stages
+    in order.
+
+    Identical slice-based span assembly as ``packed_sequences`` (a
+    boundary-crossing doc ships only the token slice each sequence
+    needs; shuffle rows = O(docs + crossings)), keyed one level wider:
+    the explode, the slicing arithmetic, and the assembly groupBy all
+    carry (lang, stage), so cells assemble independently and in
+    parallel — no cell funnels anywhere.
+    """
+    from .text_filters import sequence_packing_curriculum
+
+    budget = F.lit(SEQ_BUDGET)
+    asg = sequence_packing_curriculum(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.col("text"), F.lit(f"({BPE_TOKEN_REGEX})"), 1
+        ).alias("_toks"),
+    )
+    tids = docs.select(
+        "doc_id",
+        F.transform(F.col("_toks"), _md5_slice32).alias("_tids"),
+    )
+    spans = (
+        asg.filter(F.col("n_tokens") > 0)
+        .join(tids, "doc_id")
+        .withColumn("_start", F.col("seq_id") * budget + F.col("offset_in_seq"))
+        .withColumn(
+            "_seq",
+            F.explode(
+                F.sequence(
+                    F.col("seq_id"),
+                    F.floor((F.col("_start") + F.col("n_tokens") - 1) / budget),
+                )
+            ),
+        )
+    )
+    in_seq_start = F.greatest(F.lit(0), F.col("_seq") * budget - F.col("_start"))
+    in_seq_stop = F.least(
+        F.col("n_tokens"), (F.col("_seq") + 1) * budget - F.col("_start")
+    )
+    slices = spans.select(
+        "lang",
+        "stage",
+        F.col("_seq").alias("seq_id"),
+        "doc_id",
+        F.greatest(F.lit(0), F.col("_start") - F.col("_seq") * budget)
+        .cast("long")
+        .alias("_seq_off"),
+        F.slice(
+            F.col("_tids"),
+            (in_seq_start + 1).cast("int"),
+            (in_seq_stop - in_seq_start).cast("int"),
+        ).alias("_tok_slice"),
+    )
+    parts = F.sort_array(F.collect_list(F.struct("_seq_off", "doc_id", "_tok_slice")))
+    return (
+        slices.groupBy("lang", "stage", "seq_id")
+        .agg(parts.alias("_parts"))
+        .select(
+            "lang",
+            F.col("stage").cast("int").alias("stage"),
+            F.col("seq_id").cast("long").alias("seq_id"),
+            F.col("_parts.doc_id").alias("doc_ids"),
+            F.col("_parts._seq_off").alias("doc_offsets"),
+            F.flatten(F.col("_parts._tok_slice")).alias("input_ids"),
+        )
+    )
+
+
+def write_packed_shards_curriculum(
+    packed: DataFrame, path: str, seqs_per_shard: int = SEQS_PER_SHARD
+) -> None:
+    """Curriculum shards: ``lang=?/stage=?/_shard=k/`` holds that
+    cell's seq_ids [k·per, (k+1)·per) in order — a trainer walking
+    stage s of language l reads ONE partition subtree sequentially,
+    and stage boundaries are directory boundaries (no scan ever mixes
+    stages)."""
+    (
+        packed.withColumn(
+            "_shard", F.floor(F.col("seq_id") / seqs_per_shard).cast("long")
+        )
+        .repartition("lang", "stage", "_shard")
+        .sortWithinPartitions("seq_id")
+        .write.mode("overwrite")
+        .partitionBy("lang", "stage", "_shard")
+        .parquet(path)
+    )
+
+
+def read_packed_stage(
+    spark: SparkSession,
+    path: str,
+    lang: str,
+    stage: int,
+    seq_lo: int,
+    seq_hi: int,
+    seqs_per_shard: int = SEQS_PER_SHARD,
+) -> DataFrame:
+    """Curriculum-loader seam: one (lang, stage) cell's sequences with
+    seq_id in [lo, hi) — all three predicates are PARTITION filters
+    (plan-asserted), so only that cell's overlapping shard dirs are
+    listed, independent of corpus size."""
+    lo_shard = seq_lo // seqs_per_shard
+    hi_shard = (seq_hi - 1) // seqs_per_shard
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("lang") == lang) & (F.col("stage") == stage))
+        .filter(F.col("_shard").between(lo_shard, hi_shard))
+        .filter(F.col("seq_id").between(seq_lo, seq_hi - 1))
+        .drop("_shard")
+    )
+
+
+def sequence_packing_curriculum_materialize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(lang, stage, sequence) audit of the materialized curriculum
+    packing — same position-weighted checksum discipline as
+    ``sequence_packing_materialize``, so any mis-ordered slice, wrong
+    split point, or cross-cell leak changes the hash. The DuckDB
+    oracle rebuilds the numbers from first principles (curriculum
+    stage CTEs + per-cell prefix sum + token explode)."""
+    ps = packed_sequences_curriculum(spark, sf_dir)
+    n = F.size("input_ids")
+    weighted = F.zip_with(
+        F.col("input_ids"),
+        F.sequence(F.lit(1), n),
+        lambda t, i: t * i.cast("long"),
+    )
+    return ps.select(
+        "lang",
+        "stage",
+        "seq_id",
+        F.size("doc_ids").cast("long").alias("n_docs"),
+        n.cast("long").alias("n_tokens"),
+        F.aggregate(
+            weighted, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("token_checksum"),
+    )
+
+
 def sequence_packing_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sequence audit of the MATERIALIZED packing — doc count,
     token count, and a position-weighted checksum computed FROM the
@@ -223,6 +371,50 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def _curriculum_materialize_oracle() -> str:
+    from .sampling import CURRICULUM_STAGE_CASE, CURRICULUM_STAGE_CTES
+
+    return f"""
+        WITH {CURRICULUM_STAGE_CTES},
+        st AS MATERIALIZED (
+            SELECT doc_id, {CURRICULUM_STAGE_CASE} AS stage
+            FROM scored CROSS JOIN cuts
+        ),
+        toks AS MATERIALIZED (
+            SELECT d.doc_id AS doc_id, lang, stage,
+                   regexp_extract_all(text, '({BPE_TOKEN_REGEX})', 1) AS tl
+            FROM documents d JOIN st ON d.doc_id = st.doc_id
+        ),
+        c AS (
+            SELECT doc_id, lang, stage, tl,
+                   coalesce(sum(len(tl)) OVER (PARTITION BY lang, stage
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM toks
+        ),
+        tok AS (
+            SELECT doc_id, lang, stage,
+                   cum_before + unnest(range(0, len(tl))) AS gpos,
+                   unnest(tl) AS w
+            FROM c
+            WHERE len(tl) > 0
+        )
+        SELECT lang, stage,
+               CAST(gpos // {SEQ_BUDGET} AS BIGINT) AS seq_id,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum((gpos % {SEQ_BUDGET} + 1)
+                        * CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT))
+                    AS BIGINT) AS token_checksum
+        FROM tok
+        GROUP BY 1, 2, 3
+    """
+
+
+ORACLES["sequence_packing_curriculum_materialize"] = _curriculum_materialize_oracle()
+
 QUERIES = {
     "sequence_packing_materialize": sequence_packing_materialize,
+    "sequence_packing_curriculum_materialize": sequence_packing_curriculum_materialize,
 }

@@ -202,8 +202,194 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer training (SentencePiece flavor)
+# ---------------------------------------------------------------------------
+#
+# The other mainstream subword trainer (Kudo 2018): a vocabulary of
+# PIECES with unigram probabilities, fit by EM over the corpus and
+# pruned to a target size. Same 100 TB shape as BPE training — the
+# corpus is scanned exactly once for the word-frequency table;
+# every EM round is vocabulary-sized (distinct words), the piece
+# state is bounded by the target vocab (broadcast to an Arrow UDF),
+# and expected counts come back through one groupBy(piece).
+#
+# Deterministic HARD-EM variant: the E-step takes each word's single
+# best (Viterbi) segmentation — ties broken toward the longer piece,
+# then lexicographically — instead of full forward-backward expected
+# counts. That keeps every count an integer multiple of word
+# frequencies (stable across partitionings and replays, which is what
+# the pure-python parity pytest pins down) at the cost of the
+# soft-count refinement; the honest trade is documented here, and the
+# plan shape (bounded broadcast state + vocab-sized rounds) is
+# identical to what full EM would need.
+
+SEED_SUBSTR_MAX_LEN = 6
+SEED_WORD_MAX_LEN = 20
+SEED_K = 200
+UNIGRAM_EM_ITERS = 2
+UNIGRAM_VOCAB_K = 120
+
+
+def _viterbi_segment(word: str, logp: dict[str, float], max_len: int):
+    """Best segmentation of ``word`` under piece log-probs — shared by
+    the distributed E-step UDF and the pure-python parity reference.
+    dp[i] = best score of word[:i]; ties prefer the LONGER last piece,
+    then the lexicographically smaller one (deterministic)."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back: list[tuple[int, str] | None] = [None] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for l in range(1, min(max_len, i) + 1):
+            piece = word[i - l : i]
+            lp = logp.get(piece)
+            if lp is None or best[i - l] == NEG:
+                continue
+            score = best[i - l] + lp
+            cur = back[i]
+            if (
+                best[i] < score
+                or (
+                    best[i] == score
+                    and cur is not None
+                    and (l > cur[0] or (l == cur[0] and piece < cur[1]))
+                )
+            ):
+                best[i] = score
+                back[i] = (l, piece)
+    if back[n] is None:
+        return None  # unsegmentable (cannot happen: single chars covered)
+    out = []
+    i = n
+    while i > 0:
+        l, piece = back[i]
+        out.append(piece)
+        i -= l
+    return out[::-1]
+
+
+def _unigram_estep(vocab: DataFrame, logp: dict[str, float]) -> DataFrame:
+    """Distributed hard-EM E-step: Viterbi-segment every distinct word
+    (one Arrow-batched pass over the vocabulary table), then aggregate
+    freq-weighted piece counts — output bounded by the piece vocab."""
+    items = sorted(logp.items())  # deterministic closure content
+    probs = dict(items)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def segment(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: _viterbi_segment(w, probs, SEED_SUBSTR_MAX_LEN) or []
+        )
+
+    segs = vocab.select("freq", segment(F.col("word")).alias("pieces"))
+    return (
+        explode_nonempty(segs, ["freq"], F.col("pieces"), "piece")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _normalize(counts: dict[str, int]) -> dict[str, float]:
+    import math
+
+    total = sum(counts.values())
+    return {p: math.log(c / total) for p, c in counts.items() if c > 0}
+
+
+def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a unigram-LM piece vocabulary (SentencePiece flavor).
+
+    1. SEED: every single character (coverage guarantee) plus the
+       top-``SEED_K`` frequent substrings (length ≤ 6, freq-weighted)
+       — one vocabulary-sized explode, never corpus-sized.
+    2. EM (``UNIGRAM_EM_ITERS`` hard-EM rounds): broadcast piece
+       log-probs → Arrow Viterbi per distinct word → freq-weighted
+       piece counts → renormalize (piece-vocab-sized collect).
+    3. PRUNE to ``UNIGRAM_VOCAB_K``: keep every single char + the
+       top multi-char pieces by expected count, then one final EM
+       round over the pruned vocab.
+
+    Returns (rank, piece, n_chars, piece_count, logprob_micronats) — the
+    log-prob is truncated to integer micro-nats so the row content is
+    replay-exact. Rows-only driver check (float-iterative, like
+    ``bpe_train_merges``); the pytest pins exact parity against a
+    pure-python reference on the same frequency table plus coverage /
+    round-trip properties.
+    """
+    vocab = _word_freq(spark, sf_dir).localCheckpoint()  # ONE corpus scan
+
+    # seed: EVERY single character from EVERY position (the coverage
+    # guarantee — a char only appearing past the substring window
+    # must still be segmentable) + top-K multi-char substrings from a
+    # bounded start window, by freq·occurrences.
+    char_col = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    chars = {
+        r.piece: int(r.cnt)
+        for r in explode_nonempty(vocab, ["freq"], char_col, "piece")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .collect()
+    }
+    # sequence(a, b) DESCENDS when a > b, so the inner range is gated
+    # (a last-position start has no length-≥2 substring).
+    subs = F.expr(
+        f"""flatten(transform(sequence(1, least(length(word), {SEED_WORD_MAX_LEN})),
+             i -> CASE WHEN i + 1 <= least(length(word),
+                                           i + {SEED_SUBSTR_MAX_LEN} - 1)
+                  THEN transform(sequence(i + 1, least(length(word),
+                                          i + {SEED_SUBSTR_MAX_LEN} - 1)),
+                       j -> substring(word, i, j - i + 1))
+                  ELSE CAST(array() AS array<string>) END))"""
+    )
+    top_multi = {
+        r.piece: int(r.cnt)
+        for r in explode_nonempty(vocab, ["freq"], subs, "piece")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(SEED_K)
+        .collect()
+    }
+    logp = _normalize({**chars, **top_multi})
+
+    counts: dict[str, int] = {}
+    for _ in range(UNIGRAM_EM_ITERS):
+        counts = {r.piece: int(r.cnt) for r in _unigram_estep(vocab, logp).collect()}
+        # chars must survive with nonzero mass even when never chosen
+        # (coverage for unseen words at encode time)
+        for c in chars:
+            counts.setdefault(c, 1)
+        logp = _normalize(counts)
+
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )
+    keep_multi = dict(multi[: max(0, UNIGRAM_VOCAB_K - len(chars))])
+    pruned = {p: c for p, c in counts.items() if len(p) == 1 or p in keep_multi}
+    logp = _normalize(pruned)
+    counts = {r.piece: int(r.cnt) for r in _unigram_estep(vocab, logp).collect()}
+    for c in chars:
+        counts.setdefault(c, 1)
+    logp = _normalize(counts)
+
+    rows = sorted(counts.items(), key=lambda x: (-x[1], x[0]))
+    return spark.createDataFrame(
+        [
+            (i, p, len(p), c, int(logp[p] * 1e6))
+            for i, (p, c) in enumerate(rows)
+        ],
+        "rank int, piece string, n_chars int, piece_count long, logprob_micronats long",
+    )
+
+
 ORACLES: dict[str, str] = {}
 
 QUERIES = {
     "bpe_train_merges": bpe_train_merges,
+    "unigram_train_vocab": unigram_train_vocab,
 }

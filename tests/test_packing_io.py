@@ -154,3 +154,101 @@ def test_read_packed_range_prunes_shards(spark, tmp_path):
         spark.read.parquet(out).filter(F.col("_shard").between(1, 3))
     )
     assert n_parts == 3, f"expected 3 shard partitions, scanned {n_parts}"
+
+
+# -- curriculum-keyed packing (§7.19) ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def packed_cur(spark):
+    return packing_io.packed_sequences_curriculum(spark, SF_DIR).collect()
+
+
+def test_curriculum_cells_pack_independently_to_budget(spark, packed_cur):
+    """Within every (lang, stage) cell: contiguous seq ids from 0 and
+    every sequence but the cell's last exactly at budget — and no
+    token ever crosses a cell boundary (cells tile the corpus)."""
+    from samza_hello_samza_spark.operators.text_filters import (
+        sequence_packing_curriculum,
+    )
+
+    cells: dict[tuple, list] = {}
+    for r in packed_cur:
+        cells.setdefault((r.lang, r.stage), []).append(r)
+    assert len(cells) > 4  # a real multi-cell corpus
+    for (lang, stage), rows in cells.items():
+        max_seq = max(r.seq_id for r in rows)
+        assert sorted(r.seq_id for r in rows) == list(range(max_seq + 1))
+        for r in rows:
+            if r.seq_id < max_seq:
+                assert len(r.input_ids) == SEQ_BUDGET, (lang, stage, r.seq_id)
+            else:
+                assert 0 < len(r.input_ids) <= SEQ_BUDGET
+
+    # token conservation against the assignment, per cell
+    asg = sequence_packing_curriculum(spark, SF_DIR).collect()
+    want = {}
+    for a in asg:
+        want[(a.lang, a.stage)] = want.get((a.lang, a.stage), 0) + a.n_tokens
+    got = {
+        cell: sum(len(r.input_ids) for r in rows) for cell, rows in cells.items()
+    }
+    assert got == {c: n for c, n in want.items() if n > 0}
+
+
+def test_curriculum_materialize_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        spark,
+        duck,
+        packing_io.sequence_packing_curriculum_materialize,
+        packing_io.ORACLES["sequence_packing_curriculum_materialize"],
+    )
+
+
+def test_read_packed_stage_prunes_to_one_cell(spark, tmp_path):
+    """The curriculum loader lists only the requested (lang, stage)
+    cell's overlapping shard dirs — partition pruning on all three
+    keys — and returns exactly that cell's seq range."""
+    ps = packing_io.packed_sequences_curriculum(spark, SF_DIR)
+    out = str(tmp_path / "cur_shards")
+    packing_io.write_packed_shards_curriculum(ps, out, seqs_per_shard=2)
+
+    # pick the widest cell so the range test is meaningful
+    top = (
+        ps.groupBy("lang", "stage")
+        .agg(F.max("seq_id").alias("m"))
+        .orderBy(F.desc("m"))
+        .first()
+    )
+    lang, stage, m = top.lang, top.stage, int(top.m)
+    assert m >= 5, "fixture corpus too small for a multi-shard cell"
+
+    got = packing_io.read_packed_stage(
+        spark, out, lang, stage, 2, 6, seqs_per_shard=2
+    )
+    rows = got.collect()
+    assert sorted(r.seq_id for r in rows) == list(range(2, 6))
+    assert all(r.lang == lang and r.stage == stage for r in rows)
+
+    total_parts = _scanned_partitions(spark.read.parquet(out))
+    pruned_parts = _scanned_partitions(
+        spark.read.parquet(out)
+        .filter((F.col("lang") == lang) & (F.col("stage") == stage))
+        .filter(F.col("_shard").between(1, 2))
+    )
+    assert pruned_parts == 2 and total_parts > pruned_parts
+
+    # round-trip: the cell's shard content equals the assembled frame
+    a = {
+        r.seq_id: (list(r.input_ids), list(r.doc_ids))
+        for r in spark.read.parquet(out)
+        .filter((F.col("lang") == lang) & (F.col("stage") == stage))
+        .collect()
+    }
+    b = {
+        r.seq_id: (list(r.input_ids), list(r.doc_ids))
+        for r in ps.filter(
+            (F.col("lang") == lang) & (F.col("stage") == stage)
+        ).collect()
+    }
+    assert a == b

@@ -47,6 +47,7 @@ NONEQUI_OK = {
     "sequence_packing",     # triangular join over tiny bucket totals (prefix sum)
     "sequence_packing_curriculum",  # inherits curriculum_assign's 1-row cuts broadcast (its own triangular join IS equi on (lang, stage))
     "sequence_packing_materialize",  # inherits sequence_packing's triangular bucket-totals join (assembly itself is equi on doc_id/seq_id)
+    "sequence_packing_curriculum_materialize",  # inherits curriculum cuts broadcast + triangular totals join (assembly equi on doc_id / (lang,stage,seq_id))
     "corpus_vocab_stats",   # two 1-row aggregates broadcast-crossed
     "bm25_search",          # 1-row corpus-stats (N, avgdl) broadcast
     "tfidf_top_terms",      # 1-row corpus-count broadcast

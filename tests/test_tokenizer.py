@@ -130,3 +130,116 @@ def test_bpe_batched_rounds_use_fewer_jobs_than_one_per_merge(spark):
     sc.setJobGroup("bpe_done", "")
     assert new == old  # identical merge list, counts included
     assert n_new < n_old, (n_new, n_old)
+
+
+# -- unigram-LM trainer (SentencePiece flavor, r06) --------------------------
+
+
+def _reference_unigram(word_freq: dict[str, int]):
+    """Single-machine replay of the distributed trainer: same seed
+    enumeration, same hard-EM rounds (sharing ``_viterbi_segment`` so
+    the parity claim targets the DISTRIBUTED aggregation), same prune
+    and final normalize."""
+    from collections import Counter
+
+    t = tokenizer
+    chars: Counter = Counter()
+    subs: Counter = Counter()
+    for w, f in word_freq.items():
+        for ch in w:
+            chars[ch] += f
+        for i in range(min(len(w), t.SEED_WORD_MAX_LEN)):
+            for j in range(i + 2, min(len(w), i + t.SEED_SUBSTR_MAX_LEN) + 1):
+                subs[w[i:j]] += f
+    top_multi = dict(
+        sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[: t.SEED_K]
+    )
+    logp = t._normalize({**chars, **top_multi})
+
+    def estep(lp):
+        counts: Counter = Counter()
+        for w, f in word_freq.items():
+            for piece in t._viterbi_segment(w, lp, t.SEED_SUBSTR_MAX_LEN) or []:
+                counts[piece] += f
+        out = dict(counts)
+        for c in chars:
+            out.setdefault(c, 1)
+        return out
+
+    counts: dict[str, int] = {}
+    for _ in range(t.UNIGRAM_EM_ITERS):
+        counts = estep(logp)
+        logp = t._normalize(counts)
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )
+    keep = dict(multi[: max(0, t.UNIGRAM_VOCAB_K - len(chars))])
+    logp = t._normalize(
+        {p: c for p, c in counts.items() if len(p) == 1 or p in keep}
+    )
+    counts = estep(logp)
+    logp = t._normalize(counts)
+    rows = sorted(counts.items(), key=lambda x: (-x[1], x[0]))
+    return [
+        (i, p, len(p), c, int(logp[p] * 1e6)) for i, (p, c) in enumerate(rows)
+    ]
+
+
+def _word_freq_dict(spark):
+    from samza_hello_samza_spark.operators.dedup import _words
+
+    docs = load_table(spark, SF_DIR, "documents")
+    return {
+        r.word: r.freq
+        for r in docs.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+
+
+def test_unigram_matches_reference(spark):
+    want = _reference_unigram(_word_freq_dict(spark))
+    got = [
+        (r.rank, r.piece, r.n_chars, r.piece_count, r.logprob_micronats)
+        for r in sorted(
+            tokenizer.unigram_train_vocab(spark, SF_DIR).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert got == want
+
+
+def test_unigram_covers_every_corpus_char_and_roundtrips(spark):
+    """Coverage: every character of every corpus word is a vocab piece
+    (so no word is unsegmentable — including chars past the substring
+    seed window); round-trip: Viterbi pieces concatenate back to the
+    word for a sample of words."""
+    import math
+
+    rows = tokenizer.unigram_train_vocab(spark, SF_DIR).collect()
+    pieces = {r.piece for r in rows}
+    logp = {
+        r.piece: r.logprob_micronats / 1e6 for r in rows
+    }
+    freq = _word_freq_dict(spark)
+    corpus_chars = {ch for w in freq for ch in w}
+    assert corpus_chars <= pieces
+
+    multi = [r for r in rows if r.n_chars > 1]
+    assert multi, "no multi-char piece survived — vocab degenerate"
+    sample = sorted(freq, key=lambda w: (-freq[w], w))[:50]
+    for w in sample:
+        seg = tokenizer._viterbi_segment(w, logp, tokenizer.SEED_SUBSTR_MAX_LEN)
+        assert seg and "".join(seg) == w
+
+    # probabilities form a distribution (micronat truncation slack)
+    total = sum(math.exp(r.logprob_micronats / 1e6) for r in rows)
+    assert abs(total - 1.0) < 1e-3
+
+
+def test_unigram_is_deterministic(spark):
+    a = [tuple(r) for r in tokenizer.unigram_train_vocab(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in tokenizer.unigram_train_vocab(spark, SF_DIR).collect()]
+    assert a == b

@@ -118,6 +118,28 @@ PROBE_OPS = (
     "sequence_packing_materialize",
     "quantile_kmv_calibration",
     "epoch_shuffle_plan",
+    # r06 addition: curriculum-keyed packed-sequence assembly.
+    "sequence_packing_curriculum_materialize",
+)
+
+#: index/layout-backed keys whose per-sf_dir build is a one-time
+#: cache (ANN discipline: the build is warmup, the query is the
+#: steady-state serving read). Previously these were EXCLUDED because
+#: the single-shot 1× (warm) vs N× (cold build) comparison timed
+#: building against serving; each now gets one UNCOUNTED run per dir
+#: before its timed run, so the ratio compares steady-state serving —
+#: which is exactly the claim a file-skipping layout makes (near-flat
+#: across data growth).
+WARMED_PROBE_OPS = (
+    "lineitem_pruned_scan",
+    "q6_pruned_scan",
+    "q19_pruned_scan",
+    "returned_items_pruned_scan",
+    "embedding_box_scan",
+    "orders_point_lookup_bloom",
+    "term_search_indexed",
+    "orders_cdf_changes",
+    "mv_event_type_stats",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
@@ -390,10 +412,15 @@ def build_scaled(spark, repl: int) -> str:
 
 def time_ops(spark, queries, sf_dir: str) -> dict[str, float]:
     out = {}
-    for name in PROBE_OPS:
+    for name in (*PROBE_OPS, *WARMED_PROBE_OPS):
         fn = queries.get(name)
         if fn is None:
             continue
+        if name in WARMED_PROBE_OPS:
+            # uncounted: builds the per-sf_dir layout/index/MV cache
+            # (and compiles codegen), so the timed run below measures
+            # steady-state serving on BOTH dirs.
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         out[name] = round(time.perf_counter() - t0, 3)
@@ -449,6 +476,13 @@ def main() -> None:
         "N×-replicating documents creates N-sized duplicate cliques, so",
         "their pair output grows quadratically by construction — an",
         "artifact of the synthetic replication, not of the band-join plans.",
+        "",
+        "Index/layout-backed keys (the pruned-scan family, the Bloom point",
+        "lookup, the posting-list search, the CDF read, MV serving) are",
+        "probed WARMED: one uncounted run per dir builds the per-dir",
+        "layout cache, the timed run measures steady-state serving — the",
+        "file-skipping claim is precisely that serving stays near-flat as",
+        "data grows.",
     ]
     skew_block = _read_skew_block()  # keep an existing skew section
     with open(_scaling_md_path(), "w") as f:
