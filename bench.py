@@ -209,7 +209,7 @@ UNBENCHED: dict[str, str] = {
         # retrieval: term_search_indexed benched (the scale path)
         "term_search", "phrase_search", "bm25_search", "tfidf_top_terms",
         # LM family: trigram_lm / kneser_ney benched
-        "bigram_lm_nll", "bpe_encode_docs",
+        "bigram_lm_nll", "bpe_encode_docs", "unigram_encode_docs",
         # sampling: mixture_sample/quality_classifier/dsir benched
         "sample_stratified", "weighted_sample", "curriculum_assign",
         "domain_stats", "export_shards", "sequence_packing_grouped",

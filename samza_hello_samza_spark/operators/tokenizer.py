@@ -387,9 +387,62 @@ def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the trained unigram-LM vocabulary
+    (the encode twin of ``unigram_train_vocab``, mirroring
+    ``bpe_encode_docs``'s shape).
+
+    The piece vocabulary is the bounded training artifact
+    (``UNIGRAM_VOCAB_K`` + alphabet rows) collected once and shipped
+    as a closure constant; encoding is one Arrow-batched pass over the
+    corpus — embarrassingly parallel, zero shuffle, per-word memoized.
+    Viterbi scores use the artifact's INTEGER micro-nat log-probs, so
+    segmentation is replay-exact across partitionings (no float-sum
+    order sensitivity). Output per doc: piece count, multi-char piece
+    count, chars-per-piece compression. Rows-only for the driver (the
+    lattice DP is not SQL-expressible); pytest asserts parity with a
+    pure-python reference encode and char conservation.
+    """
+    art = sorted(unigram_train_vocab(spark, sf_dir).collect(), key=lambda r: r.rank)
+    logp = {r.piece: int(r.logprob_micronats) for r in art}
+    max_len = max(len(p) for p in logp)
+
+    @F.pandas_udf("n_pieces long, n_multi long")
+    def encode(texts: pd.Series) -> pd.DataFrame:
+        cache: dict[str, tuple[int, int]] = {}
+
+        def stats(text: str) -> tuple[int, int]:
+            n_p = n_m = 0
+            for w in text.lower().split():
+                if w not in cache:
+                    pieces = _viterbi_segment(w, logp, max_len) or list(w)
+                    cache[w] = (
+                        len(pieces),
+                        sum(1 for p in pieces if len(p) > 1),
+                    )
+                p, m = cache[w]
+                n_p += p
+                n_m += m
+            return n_p, n_m
+
+        return pd.DataFrame(
+            [stats(t) for t in texts], columns=["n_pieces", "n_multi"]
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = docs.select("doc_id", "n_chars", encode(F.col("text")).alias("e"))
+    return enc.select(
+        "doc_id",
+        F.col("e.n_pieces").alias("n_pieces"),
+        F.col("e.n_multi").alias("n_multi"),
+        F.round(F.col("n_chars") / F.col("e.n_pieces"), 4).alias("chars_per_piece"),
+    )
+
+
 ORACLES: dict[str, str] = {}
 
 QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "unigram_train_vocab": unigram_train_vocab,
+    "unigram_encode_docs": unigram_encode_docs,
 }

@@ -1508,6 +1508,21 @@ def publish_cdf(table, topic: TopicLog, cursor_path: str, key_col: str) -> dict:
     return {"published": n, "from": cur, "to": published_to}
 
 
+def _cdf_watermark_path(state_path: str) -> str:
+    return state_path.rstrip("/") + ".watermark.json"
+
+
+def _cdf_watermark(state_path: str) -> int:
+    import json as _json
+    import os as _os
+
+    p = _cdf_watermark_path(state_path)
+    if _os.path.exists(p):
+        with open(p) as fh:
+            return _json.load(fh)["version"]
+    return 0
+
+
 def fold_cdf_from_topic(
     spark: SparkSession,
     topic: TopicLog,
@@ -1522,22 +1537,50 @@ def fold_cdf_from_topic(
     commit offsets AFTER the state swap (``maintain_view_from_topic``'s
     ordering). Inserts and update postimages weigh +1, deletes and
     update preimages -1 — so updates retract their old contribution
-    and the state tracks the table exactly. Returns records folded."""
+    and the state tracks the table exactly.
+
+    Exactly-once against BOTH replay modes: the offset commit dedupes
+    re-CONSUMPTION of the same records, and a COMMIT-VERSION
+    WATERMARK dedupes re-PUBLICATION — a publisher that crashed
+    between its topic produce and its cursor write re-publishes the
+    same versions as fresh records (``publish_cdf`` is at-least-once
+    by design), which offsets alone would double-fold. Versions are
+    monotone per table and ``publish_cdf`` ships whole versions per
+    produce, so filtering to ``_commit_version > watermark`` and
+    advancing the watermark after the state swap makes duplicated
+    publishes fold nothing (pytest simulates the cursor-loss crash).
+    Returns records folded (pre-watermark-filter drain size).
+    """
+    import json as _json
+
     batch = topic.read_batch(group).cache()
     n = batch.count()
     if n:
-        changes = batch.select(
-            F.from_json(F.col("value"), change_schema).alias("c")
-        ).select("c.*")
-        signed = changes.withColumn(
-            "_sign",
-            F.when(
-                F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-            ).otherwise(F.lit(-1)),
+        wm = _cdf_watermark(state_path)
+        # a re-publication drained in the SAME batch as the original
+        # sits above the watermark too; a version's rows are unique on
+        # (key, change_type), so an exact row dedupe collapses the
+        # duplicates without touching legitimate changes.
+        changes = (
+            batch.select(F.from_json(F.col("value"), change_schema).alias("c"))
+            .select("c.*")
+            .filter(F.col("_commit_version") > wm)
+            .dropDuplicates()
         )
-        update_aggregate_signed(
-            spark, state_path, signed, keys=keys, value_col=value_col
-        )
+        new_wm = changes.agg(F.max("_commit_version")).first()[0]
+        if new_wm is not None:
+            signed = changes.withColumn(
+                "_sign",
+                F.when(
+                    F.col("_change_type").isin("insert", "update_postimage"),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+            update_aggregate_signed(
+                spark, state_path, signed, keys=keys, value_col=value_col
+            )
+            with open(_cdf_watermark_path(state_path), "w") as fh:
+                _json.dump({"version": int(new_wm)}, fh)
         ends = (
             batch.groupBy("partition").agg((F.max("offset") + 1).alias("end")).collect()
         )

@@ -1492,6 +1492,18 @@ def test_cdf_topic_fold_tracks_table_at_every_version(spark, tmp_path):
     assert cycle() == 0
     assert state_now() == before
 
+    # publisher crash-replay: losing the cursor AFTER a produce makes
+    # the next publish re-ship already-published versions as fresh
+    # records — offsets alone would double-fold them; the fold's
+    # commit-version watermark must make the replay a no-op.
+    os.remove(cursor)
+    assert cycle() == 60  # v1 bootstrap re-published and drained...
+    assert state_now() == before  # ...but folded nothing (watermark)
+    assert cycle() > 0  # (1→3] re-published: drained, still no-op
+    assert state_now() == before
+    assert cycle() == 0
+    assert state_now() == recompute()
+
 
 def test_ann_drift_maintenance_composes_rebalance_and_retrain(spark, tmp_path):
     """§7.19 composed job: ONE drifted vector batch lands in both

@@ -90,6 +90,7 @@ ARROW_OK = {
     "ann_ivf_topk",
     "ann_pq_topk",        # PQ encode is an Arrow-batched numpy matmul
     "bpe_encode_docs",    # greedy BPE merge loop, Arrow-batched
+    "unigram_encode_docs",  # Viterbi lattice DP, Arrow-batched
     "embedding_pca",      # Gramian + projection are Arrow-batched matmuls
     "multimodal_decode",
     "multimodal_resize",

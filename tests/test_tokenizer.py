@@ -243,3 +243,79 @@ def test_unigram_is_deterministic(spark):
     a = [tuple(r) for r in tokenizer.unigram_train_vocab(spark, SF_DIR).collect()]
     b = [tuple(r) for r in tokenizer.unigram_train_vocab(spark, SF_DIR).collect()]
     assert a == b
+
+
+# -- unigram encode twin (r06) ----------------------------------------------
+
+
+def test_unigram_encode_matches_pure_python_reference(spark):
+    """The distributed Arrow encode pass must agree doc-for-doc with a
+    single-machine replay using the SAME trained artifact and the same
+    integer-micronat Viterbi — the parity claim targets the
+    distributed plumbing (batching, memo cache, null handling), not
+    the DP itself (shared helper)."""
+    art = sorted(
+        tokenizer.unigram_train_vocab(spark, SF_DIR).collect(), key=lambda r: r.rank
+    )
+    logp = {r.piece: int(r.logprob_micronats) for r in art}
+    max_len = max(len(p) for p in logp)
+
+    docs = {
+        r.doc_id: (r.text, r.n_chars)
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "n_chars")
+        .collect()
+    }
+
+    def ref_stats(text):
+        n_p = n_m = 0
+        for w in text.lower().split():
+            pieces = tokenizer._viterbi_segment(w, logp, max_len) or list(w)
+            assert "".join(pieces) == w  # char conservation, every word
+            n_p += len(pieces)
+            n_m += sum(1 for p in pieces if len(p) > 1)
+        return n_p, n_m
+
+    got = {
+        r.doc_id: (r.n_pieces, r.n_multi, r.chars_per_piece)
+        for r in tokenizer.unigram_encode_docs(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, (text, n_chars) in docs.items():
+        n_p, n_m, cpp = *ref_stats(text), got[doc_id][2]
+        assert got[doc_id][:2] == (n_p, n_m), doc_id
+        # integer counts carry the parity claim; the ratio is only
+        # sanity-checked (Spark HALF_UP vs python banker's rounding)
+        if n_p:
+            assert abs(cpp - n_chars / n_p) < 1e-3, doc_id
+
+
+def test_unigram_encode_compresses_vs_chars(spark):
+    """A trained subword vocab must beat char-level tokenization in
+    aggregate: total pieces < total chars, and some multi-char pieces
+    are actually used."""
+    agg = (
+        tokenizer.unigram_encode_docs(spark, SF_DIR)
+        .agg(
+            F.sum("n_pieces").alias("p"),
+            F.sum("n_multi").alias("m"),
+        )
+        .first()
+    )
+    assert agg.m > 0
+    n_word_chars = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            F.aggregate(
+                F.transform(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda w: F.length(w),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("c")
+        )
+        .agg(F.sum("c"))
+        .first()[0]
+    )
+    assert agg.p < n_word_chars
