@@ -72,7 +72,9 @@ def _fraction_kept(spark, table_dir, boxes):
 def main() -> None:
     spark = get_spark("pca-box-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "v")
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
 
     # corpus Gramian → top-2 PCA directions (driver sees dim×dim only)
     mat = np.stack([np.asarray(r.v) for r in emb.limit(4096).collect()])
