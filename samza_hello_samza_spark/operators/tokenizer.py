@@ -28,7 +28,13 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..session import load_table
 from .dedup import _words, explode_nonempty
@@ -439,10 +445,193 @@ def unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# full-EM (forward-backward) unigram refinement (§7.22 → r06)
+# ---------------------------------------------------------------------------
+#
+# The hard-EM trainer above takes each word's single Viterbi
+# segmentation per round; Kudo 2018's actual E-step uses EXPECTED
+# piece counts over ALL segmentations (forward-backward on the
+# segmentation lattice). Soft counts are floats, which would normally
+# cost the replay-exactness the hard trainer guarantees — a
+# freq-weighted float shuffle-sum depends on partition order. The
+# dsir_importance trick restores it: per-word expected counts are
+# TRUNCATED TO INTEGER MICRO-UNITS inside the Arrow UDF (deterministic
+# single-machine float path per word), and everything after the
+# truncation — the freq multiply and the groupBy(piece) sum — is
+# integer-exact and order-insensitive. Plan shape is identical to the
+# hard trainer: corpus scanned once, rounds vocabulary-sized, state
+# bounded by the piece vocab.
+
+
+def _logsumexp(xs: list[float]) -> float:
+    import math
+
+    if not xs:
+        return float("-inf")
+    m = max(xs)
+    if m == float("-inf"):
+        return m
+    return m + math.log(sum(math.exp(x - m) for x in xs))
+
+
+def _fb_expected_micro(
+    word: str, logp: dict[str, float], max_len: int
+) -> list[tuple[str, int]]:
+    """Expected piece counts of ``word`` over ALL segmentations under
+    piece log-probs, truncated to integer micro-units — the
+    forward-backward E-step shared by the distributed UDF and the
+    pure-python parity reference. Arc (i, l) posterior is
+    exp(alpha[i] + logp(piece) + beta[i+l] - alpha[n]); accumulation
+    order (i asc, l asc) is fixed, so the float path is deterministic
+    before truncation."""
+    import math
+
+    n = len(word)
+    NEG = float("-inf")
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        acc = []
+        for l in range(1, min(max_len, i) + 1):
+            lp = logp.get(word[i - l : i])
+            if lp is not None and alpha[i - l] != NEG:
+                acc.append(alpha[i - l] + lp)
+        alpha[i] = _logsumexp(acc)
+    if alpha[n] == NEG:
+        return []
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        acc = []
+        for l in range(1, min(max_len, n - i) + 1):
+            lp = logp.get(word[i : i + l])
+            if lp is not None and beta[i + l] != NEG:
+                acc.append(lp + beta[i + l])
+        beta[i] = _logsumexp(acc)
+    out: dict[str, float] = {}
+    for i in range(n):
+        if alpha[i] == NEG:
+            continue
+        for l in range(1, min(max_len, n - i) + 1):
+            piece = word[i : i + l]
+            lp = logp.get(piece)
+            if lp is None or beta[i + l] == NEG:
+                continue
+            e = math.exp(alpha[i] + lp + beta[i + l] - alpha[n])
+            out[piece] = out.get(piece, 0.0) + e
+    trunc = [(p, int(e * 1e6)) for p, e in sorted(out.items())]
+    return [(p, m) for p, m in trunc if m > 0]
+
+
+def _unigram_estep_em(vocab: DataFrame, logp: dict[str, float]) -> DataFrame:
+    """Distributed full-EM E-step: forward-backward expected counts per
+    distinct word (one Arrow-batched pass over the vocabulary table,
+    micro-truncated BEFORE the shuffle), then integer freq-weighted
+    aggregation — output bounded by the piece vocab, replay-exact."""
+    items = sorted(logp.items())
+    probs = dict(items)
+
+    @F.pandas_udf(ArrayType(StructType([
+        StructField("piece", StringType()),
+        StructField("micro", LongType()),
+    ])))
+    def expected(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: _fb_expected_micro(w, probs, SEED_SUBSTR_MAX_LEN)
+        )
+
+    segs = vocab.select("freq", expected(F.col("word")).alias("pm"))
+    return (
+        explode_nonempty(segs, ["freq"], F.col("pm"), "e")
+        .select(
+            F.col("e.piece").alias("piece"),
+            (F.col("e.micro") * F.col("freq")).alias("wmicro"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("wmicro").alias("cnt"))
+    )
+
+
+def unigram_train_vocab_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-EM unigram-LM trainer — the forward-backward refinement of
+    ``unigram_train_vocab`` (§7.22): identical seed, prune and round
+    structure, but the E-step aggregates EXPECTED counts over all
+    segmentations instead of the single Viterbi path, which is Kudo
+    2018's actual estimator (soft counts let marginal pieces keep
+    mass a hard argmax would starve). Counts are integer micro-units
+    (truncated per word before the shuffle), so the whole train is
+    replay-exact despite the float lattice math. Returns
+    (rank, piece, n_chars, expected_micro, logprob_micronats);
+    rows-only for the driver (float-iterative), pytests pin exact
+    pure-python parity, coverage, and a corpus marginal-likelihood
+    win over the hard-EM vocabulary."""
+    vocab = _word_freq(spark, sf_dir).localCheckpoint()  # ONE corpus scan
+
+    char_col = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    chars = {
+        r.piece: int(r.cnt) * 1_000_000
+        for r in explode_nonempty(vocab, ["freq"], char_col, "piece")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .collect()
+    }
+    subs = F.expr(
+        f"""flatten(transform(sequence(1, least(length(word), {SEED_WORD_MAX_LEN})),
+             i -> CASE WHEN i + 1 <= least(length(word),
+                                           i + {SEED_SUBSTR_MAX_LEN} - 1)
+                  THEN transform(sequence(i + 1, least(length(word),
+                                          i + {SEED_SUBSTR_MAX_LEN} - 1)),
+                       j -> substring(word, i, j - i + 1))
+                  ELSE CAST(array() AS array<string>) END))"""
+    )
+    top_multi = {
+        r.piece: int(r.cnt) * 1_000_000
+        for r in explode_nonempty(vocab, ["freq"], subs, "piece")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(SEED_K)
+        .collect()
+    }
+    logp = _normalize({**chars, **top_multi})
+
+    counts: dict[str, int] = {}
+    for _ in range(UNIGRAM_EM_ITERS):
+        counts = {
+            r.piece: int(r.cnt) for r in _unigram_estep_em(vocab, logp).collect()
+        }
+        for c in chars:  # coverage floor: 1 micro-unit
+            counts.setdefault(c, 1)
+        logp = _normalize(counts)
+
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )
+    keep_multi = dict(multi[: max(0, UNIGRAM_VOCAB_K - len(chars))])
+    pruned = {p: c for p, c in counts.items() if len(p) == 1 or p in keep_multi}
+    logp = _normalize(pruned)
+    counts = {r.piece: int(r.cnt) for r in _unigram_estep_em(vocab, logp).collect()}
+    for c in chars:
+        counts.setdefault(c, 1)
+    logp = _normalize(counts)
+
+    rows = sorted(counts.items(), key=lambda x: (-x[1], x[0]))
+    return spark.createDataFrame(
+        [(i, p, len(p), c, int(logp[p] * 1e6)) for i, (p, c) in enumerate(rows)],
+        "rank int, piece string, n_chars int, expected_micro long,"
+        " logprob_micronats long",
+    )
+
+
 ORACLES: dict[str, str] = {}
 
 QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "unigram_train_vocab": unigram_train_vocab,
+    "unigram_train_vocab_em": unigram_train_vocab_em,
     "unigram_encode_docs": unigram_encode_docs,
 }

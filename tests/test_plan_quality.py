@@ -91,6 +91,7 @@ ARROW_OK = {
     "ann_pq_topk",        # PQ encode is an Arrow-batched numpy matmul
     "bpe_encode_docs",    # greedy BPE merge loop, Arrow-batched
     "unigram_encode_docs",  # Viterbi lattice DP, Arrow-batched
+    "unigram_train_vocab_em",  # forward-backward E-step, Arrow-batched
     "embedding_pca",      # Gramian + projection are Arrow-batched matmuls
     "multimodal_decode",
     "multimodal_resize",

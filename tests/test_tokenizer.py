@@ -319,3 +319,112 @@ def test_unigram_encode_compresses_vs_chars(spark):
         .first()[0]
     )
     assert agg.p < n_word_chars
+
+
+# -- full-EM unigram refinement (r06) ---------------------------------------
+
+
+def _reference_unigram_em(word_freq: dict[str, int]):
+    """Single-machine replay of the FULL-EM trainer: same seed, same
+    forward-backward micro-truncated E-step (sharing
+    ``_fb_expected_micro`` so the parity claim targets the distributed
+    integer aggregation), same prune and final normalize."""
+    from collections import Counter
+
+    t = tokenizer
+    chars: Counter = Counter()
+    subs: Counter = Counter()
+    for w, f in word_freq.items():
+        for ch in w:
+            chars[ch] += f
+        for i in range(min(len(w), t.SEED_WORD_MAX_LEN)):
+            for j in range(i + 2, min(len(w), i + t.SEED_SUBSTR_MAX_LEN) + 1):
+                subs[w[i:j]] += f
+    chars_m = {p: c * 1_000_000 for p, c in chars.items()}
+    top_multi = {
+        p: c * 1_000_000
+        for p, c in sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[: t.SEED_K]
+    }
+    logp = t._normalize({**chars_m, **top_multi})
+
+    def estep(lp):
+        counts: Counter = Counter()
+        for w, f in word_freq.items():
+            for piece, micro in t._fb_expected_micro(w, lp, t.SEED_SUBSTR_MAX_LEN):
+                counts[piece] += f * micro
+        out = dict(counts)
+        for c in chars:
+            out.setdefault(c, 1)
+        return out
+
+    counts: dict[str, int] = {}
+    for _ in range(t.UNIGRAM_EM_ITERS):
+        counts = estep(logp)
+        logp = t._normalize(counts)
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )
+    keep = dict(multi[: max(0, t.UNIGRAM_VOCAB_K - len(chars))])
+    logp = t._normalize(
+        {p: c for p, c in counts.items() if len(p) == 1 or p in keep}
+    )
+    counts = estep(logp)
+    logp = t._normalize(counts)
+    rows = sorted(counts.items(), key=lambda x: (-x[1], x[0]))
+    return [
+        (i, p, len(p), c, int(logp[p] * 1e6)) for i, (p, c) in enumerate(rows)
+    ]
+
+
+def test_unigram_em_matches_pure_python_reference(spark):
+    want = _reference_unigram_em(_word_freq_dict(spark))
+    got = [
+        (r.rank, r.piece, r.n_chars, r.expected_micro, r.logprob_micronats)
+        for r in sorted(
+            tokenizer.unigram_train_vocab_em(spark, SF_DIR).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert got == want
+
+
+def test_unigram_em_beats_hard_on_marginal_likelihood(spark):
+    """The refinement claim: expected-count (soft) EM yields a vocab
+    with LOWER freq-weighted corpus marginal NLL (forward-algorithm
+    likelihood over all segmentations) than the Viterbi hard-EM vocab
+    trained with the identical seed/rounds/prune structure."""
+    freq = _word_freq_dict(spark)
+
+    def nll(rows):
+        logp = {r.piece: r.logprob_micronats / 1e6 for r in rows}
+        tot = 0.0
+        for w, f in freq.items():
+            n = len(w)
+            NEG = float("-inf")
+            a = [NEG] * (n + 1)
+            a[0] = 0.0
+            for i in range(1, n + 1):
+                acc = [
+                    a[i - l] + logp[w[i - l : i]]
+                    for l in range(1, min(tokenizer.SEED_SUBSTR_MAX_LEN, i) + 1)
+                    if w[i - l : i] in logp and a[i - l] != NEG
+                ]
+                a[i] = tokenizer._logsumexp(acc)
+            assert a[n] != NEG, w  # coverage in BOTH vocabs
+            tot -= f * a[n]
+        return tot
+
+    em = nll(tokenizer.unigram_train_vocab_em(spark, SF_DIR).collect())
+    hard = nll(tokenizer.unigram_train_vocab(spark, SF_DIR).collect())
+    assert em < hard, (em, hard)
+
+
+def test_unigram_em_covers_chars_and_is_deterministic(spark):
+    rows_a = tokenizer.unigram_train_vocab_em(spark, SF_DIR).collect()
+    rows_b = tokenizer.unigram_train_vocab_em(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows_a] == [tuple(r) for r in rows_b]
+    pieces = {r.piece for r in rows_a}
+    corpus_chars = {ch for w in _word_freq_dict(spark) for ch in w}
+    assert corpus_chars <= pieces
+    assert any(r.n_chars > 1 for r in rows_a)
