@@ -145,6 +145,10 @@ EXTRA_VOLUME = (
     "orders_cdf_changes",
     # r06: curriculum-keyed packed-sequence assembly (§7.19 wave).
     "sequence_packing_curriculum_materialize",
+    # r06b: filtered vector search — the exact anchor and the
+    # attr-bearing IVF probe (index build is warmup, ANN discipline).
+    "ann_filtered_topk",
+    "ann_filtered_ivf_topk",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the
@@ -299,6 +303,8 @@ def main() -> None:
     queries["orders_point_lookup_bloom"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     queries["term_search_indexed"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     queries["orders_cdf_changes"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # builds the attr-bearing IVF layout for filtered search if absent.
+    queries["ann_filtered_ivf_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     def _time(names, target_dir, best_of: int = 1) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -369,6 +375,7 @@ def main() -> None:
             "orders_point_lookup_bloom",
             "term_search_indexed",
             "orders_cdf_changes",
+            "ann_filtered_ivf_topk",  # attr-bearing IVF layout
         ):
             queries[q](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         sf1_names = [

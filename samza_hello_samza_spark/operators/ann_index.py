@@ -196,19 +196,32 @@ def build_ivf_index(
     sf_dir: str,
     nlist: int,
     out_dir: str | None = None,
+    attrs: tuple[str, ...] = (),
 ) -> str:
     """Assign every vector to its nearest centroid; write by list_id.
 
     Centroids are the first ``nlist`` vectors by vec_id (deterministic
     seed set, bounded collect). The corpus lands partitioned by
     ``list_id`` with the centroid table alongside at ``centroids/``.
+
+    ``attrs`` names extra scalar columns of the embeddings table to
+    store ALONGSIDE the vectors (the filtered-search layout: a
+    metadata predicate can then be pushed into the pruned list scan
+    instead of joining back to the base table per probe). Attr-bearing
+    layouts live in their own directory (``ivf_<attrs>``) so the plain
+    index and its cached builds are untouched.
     """
-    out_dir = out_dir or os.path.join(_index_root(), _tag(sf_dir), "ivf")
+    tag = "ivf" + ("_" + "_".join(attrs) if attrs else "")
+    out_dir = out_dir or os.path.join(_index_root(), _tag(sf_dir), tag)
     corpus_dir = os.path.join(out_dir, "corpus")
     cent_dir = os.path.join(out_dir, "centroids")
     if _is_built(corpus_dir) and _is_built(cent_dir):
         return out_dir
-    e = _embeddings(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        *attrs,
+    )
     seed = e.filter(F.col("vec_id") < nlist).orderBy("vec_id").collect()
     cmat = np.stack([np.asarray(r.v) for r in seed])
     cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
@@ -768,17 +781,26 @@ def _ivf_probe_lists(
 
 
 def probe_ivf_index(
-    spark: SparkSession, index_dir: str, qvec: np.ndarray, nprobe: int
+    spark: SparkSession,
+    index_dir: str,
+    qvec: np.ndarray,
+    nprobe: int,
+    where: F.Column | None = None,
 ) -> DataFrame:
     """Read only the ``nprobe`` nearest lists — partition pruning.
 
     List selection happens driver-side; the corpus scan carries a
     ``list_id IN (...)`` partition filter so non-probed directories
-    are never opened.
-    """
+    are never opened. ``where`` (a predicate over attr columns stored
+    by an attr-bearing build) is applied INSIDE the pruned scan — a
+    parquet data filter pushed to the reader, so filtered search
+    never rehydrates non-matching vectors."""
     probe = _ivf_probe_lists(spark, index_dir, qvec, nprobe)
     corpus = spark.read.parquet(os.path.join(index_dir, "corpus"))
-    return corpus.filter(F.col("list_id").isin(probe)).select("vec_id", "v")
+    scan = corpus.filter(F.col("list_id").isin(probe))
+    if where is not None:
+        scan = scan.filter(where)
+    return scan.select("vec_id", "v")
 
 
 def probe_ivf_snapshot(

@@ -185,6 +185,53 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank(cand, qvec)
 
 
+#: filtered-search predicate: candidates must carry this label. The
+#: query vector (vec_id 0) has label 5, so the filter is a genuine
+#: cross-label constraint, not a same-class search.
+FILTER_LABEL = 2
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact FILTERED vector search: cosine top-10 of vec_id 0 among
+    vectors with ``label = FILTER_LABEL`` — the metadata-predicate +
+    similarity serving shape (every real vector store exposes it).
+
+    Correctness anchor of the filtered family: one corpus scan with
+    the label equality pushed to the parquet reader (predicate
+    pushdown — non-matching rows never rehydrate their vectors), then
+    the same inlined-literal re-rank as the unfiltered baseline.
+    Oracle-checked against DuckDB's list_cosine_similarity."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cand = e.filter(F.col("label") == FILTER_LABEL).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return _rerank(cand, _query_vector(spark, sf_dir))
+
+
+def ann_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN over the attr-bearing IVF layout — the scale path
+    of ``ann_filtered_topk``.
+
+    The index stores ``label`` ALONGSIDE each vector (the filtered-
+    search layout decision: metadata lives with the codes, so a probe
+    never joins back to the base table). The probe composes BOTH
+    prunings: ``list_id IN (nprobe lists)`` cuts files at listing,
+    and the label equality is a parquet data filter inside the pruned
+    scan — each plan-asserted in tests. Pre-filtering (filter, then
+    rank survivors) keeps top-k semantics exact within the probed
+    lists; recall vs the exact filtered baseline is property-tested.
+    Rows-only (float argmax near list boundaries, like ann_ivf_topk).
+    """
+    from . import ann_index
+
+    idx = ann_index.build_ivf_index(spark, sf_dir, IVF_NLIST, attrs=("label",))
+    qvec = _query_vector(spark, sf_dir)
+    cand = ann_index.probe_ivf_index(
+        spark, idx, qvec, IVF_NPROBE, where=F.col("label") == FILTER_LABEL
+    )
+    return _rerank(cand, qvec)
+
+
 N_BATCH_QUERIES = 5
 BATCH_TOP_K = 5
 
@@ -812,11 +859,23 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine DESC, e.vec_id ASC
         LIMIT {TOP_K}
     """,
+    "ann_filtered_topk": f"""
+        WITH e AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+        FROM e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label = {FILTER_LABEL}
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT {TOP_K}
+    """,
 }
 
 QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_filtered_topk": ann_filtered_topk,
+    "ann_filtered_ivf_topk": ann_filtered_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,

@@ -12,6 +12,9 @@ from samza_hello_samza_spark.operators import (
     similarity,
     text_analysis,
 )
+from pyspark.sql import functions as F
+
+from samza_hello_samza_spark.session import load_table
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 ORACLED = {
@@ -666,3 +669,105 @@ def test_minhash_estimate_calibration(spark):
         if r.exact_jaccard == 1.0:
             assert r.n_match_perms == 24 and r.est_jaccard == 1.0
         assert 0.0 <= r.est_jaccard <= 1.0
+
+
+# -- filtered vector search (r06) -------------------------------------------
+
+
+def test_ann_filtered_exact_obeys_predicate_and_matches_postfilter(spark):
+    """The oracle-checked exact filtered search returns only
+    FILTER_LABEL vectors, and equals re-ranking the label-filtered
+    brute-force scoring by hand (top-k over the filtered candidate
+    set, not a post-filter of the unfiltered top-k — the classic
+    filtered-ANN correctness trap)."""
+    got = similarity.ann_filtered_topk(spark, SF_DIR).collect()
+    assert len(got) == similarity.TOP_K
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    assert all(labels[r.vec_id] == similarity.FILTER_LABEL for r in got)
+
+    # hand-built reference: score EVERYTHING, filter, then take top-k
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # (_rerank limits to TOP_K before the filter could apply — rebuild
+    # the unlimited scoring expression by hand)
+    qvec = similarity._query_vector(spark, SF_DIR)
+    qv = F.array(*[F.lit(float(x)) for x in qvec])
+    import numpy as np
+
+    qnorm = float(np.linalg.norm(qvec))
+    full = (
+        e.filter(F.col("vec_id") != similarity.QUERY_VEC_ID)
+        .withColumn(
+            "cosine",
+            F.round(
+                similarity._dot(F.col("v"), qv)
+                / (similarity._norm(F.col("v")) * F.lit(qnorm)),
+                6,
+            ),
+        )
+        .filter(F.col("label") == similarity.FILTER_LABEL)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(similarity.TOP_K)
+        .collect()
+    )
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in full
+    ]
+
+
+def test_ann_filtered_ivf_recall_and_predicate(spark):
+    """Filtered IVF: every result carries the filter label, scores are
+    sorted, and recall vs the exact filtered baseline is healthy."""
+    exact = [r.vec_id for r in similarity.ann_filtered_topk(spark, SF_DIR).collect()]
+    got = similarity.ann_filtered_ivf_topk(spark, SF_DIR).collect()
+    assert 0 < len(got) <= similarity.TOP_K
+    cosines = [r.cosine for r in got]
+    assert cosines == sorted(cosines, reverse=True)
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    assert all(labels[r.vec_id] == similarity.FILTER_LABEL for r in got)
+    overlap = len(set(exact) & {r.vec_id for r in got}) / len(exact)
+    assert overlap >= 0.2, f"filtered-IVF recall {overlap:.2f} suspiciously low"
+
+
+def test_ann_filtered_ivf_probe_prunes_and_pushes_label(spark):
+    """The filtered probe composes BOTH prunings: list_id partition
+    filters cut files at listing (≤ NPROBE of NLIST partitions) and
+    the label equality is pushed to the parquet reader inside the
+    pruned scan (PushedFilters, not a post-scan Filter-only plan)."""
+    from samza_hello_samza_spark.operators import ann_index
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+    idx = ann_index.build_ivf_index(
+        spark, SF_DIR, similarity.IVF_NLIST, attrs=("label",)
+    )
+    cand = ann_index.probe_ivf_index(
+        spark,
+        idx,
+        qvec,
+        similarity.IVF_NPROBE,
+        where=F.col("label") == similarity.FILTER_LABEL,
+    )
+    plan = _executed_plan(cand, spark)
+    assert "PartitionFilters" in plan and "list_id" in plan
+    assert "PushedFilters" in plan and "EqualTo(label," in plan
+    n = _scanned_partitions(cand)
+    assert 0 < n <= similarity.IVF_NPROBE, (
+        f"filtered probe read {n} partitions; expected ≤{similarity.IVF_NPROBE}"
+    )
+
+
+def test_ann_filtered_ivf_deterministic(spark):
+    a = [tuple(r) for r in similarity.ann_filtered_ivf_topk(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in similarity.ann_filtered_ivf_topk(spark, SF_DIR).collect()]
+    assert a == b

@@ -88,6 +88,7 @@ NONEQUI_OK = {
 ARROW_OK = {
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_filtered_ivf_topk",  # shares the IVF assign/build stage
     "ann_pq_topk",        # PQ encode is an Arrow-batched numpy matmul
     "bpe_encode_docs",    # greedy BPE merge loop, Arrow-batched
     "unigram_encode_docs",  # Viterbi lattice DP, Arrow-batched
@@ -102,6 +103,8 @@ ARROW_OK = {
 #: queries ending in a global ORDER BY ... LIMIT k.
 TOPK = {
     "q3_shipping_priority",
+    "ann_filtered_topk",
+    "ann_filtered_ivf_topk",
     "q10_returned_items",
     "q18_large_volume",
     "top_users_by_value",
