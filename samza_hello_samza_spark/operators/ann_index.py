@@ -257,7 +257,25 @@ def append_ivf_index(spark: SparkSession, index_dir: str, vectors: DataFrame) ->
     re-training centroids is an offline rebuild) and appended into
     their ``list_id`` partitions as new files. Existing files are never
     rewritten; probes see appended vectors on the next pruned read.
+
+    The appended payload mirrors the EXISTING corpus schema: on an
+    attr-bearing layout (``build_ivf_index(attrs=...)``) the delta
+    must carry every stored attr column — otherwise appended rows
+    would land attr-null and a filtered probe's equality predicate
+    would silently drop them forever. A missing column fails loudly
+    here instead (pytest).
     """
+    payload = [
+        f.name
+        for f in spark.read.parquet(os.path.join(index_dir, "corpus")).schema
+        if f.name != "list_id"
+    ]
+    missing = [c for c in payload if c not in vectors.columns]
+    if missing:
+        raise ValueError(
+            f"append delta lacks stored attr column(s) {missing}; the "
+            f"layout at {index_dir} stores {payload} per vector"
+        )
     cent = sorted(
         spark.read.parquet(_centroid_dir(index_dir)).collect(),
         key=lambda r: r.centroid_id,
@@ -273,7 +291,7 @@ def append_ivf_index(spark: SparkSession, index_dir: str, vectors: DataFrame) ->
         return pd.Series(ids[np.argmax(mat @ cnorm.T, axis=1)].astype(np.int64))
 
     (
-        vectors.select("vec_id", "v")
+        vectors.select(*payload)
         .withColumn("list_id", assign(F.col("v")))
         .repartition("list_id")
         .write.mode("append")

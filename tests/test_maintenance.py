@@ -1568,3 +1568,45 @@ def test_ann_drift_maintenance_composes_rebalance_and_retrain(spark, tmp_path):
     assert ann_index.read_index_manifest(codes_dir)["retired"] == []
     assert ann_index.snapshot_scan(spark, corpus_dir).count() == n_vec
     assert ann_index.snapshot_scan(spark, codes_dir).count() == n_vec
+
+
+def test_append_ivf_attr_layout_carries_attrs_or_fails_loudly(spark, tmp_path):
+    """Appending to an attr-bearing IVF layout must mirror the stored
+    schema: a delta WITH the attr lands visible to the filtered probe
+    (same label), and a delta WITHOUT it raises instead of writing
+    attr-null rows a filtered probe would silently drop forever."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    idx = ann_index.build_ivf_index(
+        spark,
+        SF_DIR,
+        similarity.IVF_NLIST,
+        out_dir=str(tmp_path / "ivf_label"),
+        attrs=("label",),
+    )
+    qvec = similarity._query_vector(spark, SF_DIR)
+    pred = F.col("label") == similarity.FILTER_LABEL
+
+    with _pytest.raises(ValueError, match="label"):
+        ann_index.append_ivf_index(spark, idx, _query_clone_df(spark))
+
+    delta = _query_clone_df(spark).withColumn(
+        "label", F.lit(similarity.FILTER_LABEL)
+    )
+    ann_index.append_ivf_index(spark, idx, delta)
+    got = {
+        r.vec_id
+        for r in ann_index.probe_ivf_index(
+            spark, idx, qvec, similarity.IVF_NPROBE, where=pred
+        ).collect()
+    }
+    assert NEW_VEC_ID in got, "appended attr-bearing vector must be filterable"
+    other = {
+        r.vec_id
+        for r in ann_index.probe_ivf_index(
+            spark, idx, qvec, similarity.IVF_NPROBE,
+            where=F.col("label") == similarity.FILTER_LABEL + 1,
+        ).collect()
+    }
+    assert NEW_VEC_ID not in other
