@@ -314,7 +314,25 @@ def append_ivf_index(spark: SparkSession, index_dir: str, vectors: DataFrame) ->
 
 
 def _index_manifest_path(index_dir: str) -> str:
+    # underscore-prefixed so Spark's file listing IGNORES it: the
+    # manifest lives inside the corpus directory, and a raw
+    # ``spark.read.parquet(corpus_dir)`` must not trip over a JSON
+    # file when inferring schema/partitions (latent until a committed
+    # layout was raw-probed; caught by the tombstone pytest).
+    return os.path.join(index_dir, "_MANIFEST.json")
+
+
+def _legacy_manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "MANIFEST.json")
+
+
+def _drop_legacy_manifest(index_dir: str) -> None:
+    """A commit under the new name supersedes any pre-rename manifest;
+    removing it keeps raw directory reads clean on old cached dirs."""
+    try:
+        os.remove(_legacy_manifest_path(index_dir))
+    except FileNotFoundError:
+        pass
 
 
 def _list_parquet_files(index_dir: str) -> list[str]:
@@ -332,6 +350,10 @@ def read_index_manifest(index_dir: str) -> dict:
     path = _index_manifest_path(index_dir)
     if os.path.exists(path):
         with open(path) as f:
+            return json.load(f)
+    legacy = _legacy_manifest_path(index_dir)  # pre-rename cached dirs
+    if os.path.exists(legacy):
+        with open(legacy) as f:
             return json.load(f)
     return {"version": 0, "files": []}
 
@@ -357,6 +379,7 @@ def commit_index_snapshot(index_dir: str) -> dict:
     with open(tmp, "w") as f:
         json.dump(man, f)
     os.replace(tmp, _index_manifest_path(index_dir))  # the atomic commit
+    _drop_legacy_manifest(index_dir)
     return man
 
 
@@ -377,7 +400,65 @@ def commit_index_files(
     with open(tmp, "w") as f:
         json.dump(man, f)
     os.replace(tmp, _index_manifest_path(index_dir))
+    _drop_legacy_manifest(index_dir)
     return man
+
+
+def _tombstone_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def delete_ivf_vectors(spark: SparkSession, index_dir: str, vec_ids) -> int:
+    """Logically delete vectors from an IVF layout — the missing CRUD
+    member (build/append/rebalance/retrain/vacuum already exist).
+
+    Deletes are TOMBSTONES: a tiny (vec_id) parquet appended next to
+    the corpus; no committed data file is touched and appenders are
+    not blocked. Probes mask tombstoned ids with one broadcast
+    anti-join (tombstone-sized, bounded — deletes are rare relative
+    to corpus). The next ``rebalance_ivf_index`` applies them
+    PHYSICALLY (deleted rows are dropped from the rewritten snapshot);
+    ``compact_ivf_tombstones`` then retires entries no longer present
+    in any committed file. Replay-idempotent: re-deleting an id only
+    grows the sidecar, never changes probe results."""
+    ids = sorted({int(x) for x in vec_ids})
+    (
+        spark.createDataFrame([(i,) for i in ids], "vec_id BIGINT")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(_tombstone_dir(index_dir))
+    )
+    return len(ids)
+
+
+def _apply_tombstones(
+    spark: SparkSession, index_dir: str, df: DataFrame
+) -> DataFrame:
+    tomb = _tombstone_dir(index_dir)
+    if not _is_built(tomb):
+        return df
+    t = spark.read.parquet(tomb).select("vec_id").distinct()
+    return df.join(F.broadcast(t), "vec_id", "left_anti")
+
+
+def compact_ivf_tombstones(spark: SparkSession, index_dir: str) -> int:
+    """Drop tombstone entries whose rows no longer exist in the
+    CURRENT committed snapshot (a rebalance applied them physically).
+    Entries still live in a committed file are kept — they are the
+    masking state for deletes since the last rebalance. Same
+    grace-period contract as ``vacuum_index``: run only once no
+    reader is pinned to a pre-rebalance manifest (those manifests'
+    files still contain the physically-deleted rows, and this compact
+    removes their mask). Returns entries dropped."""
+    tomb = _tombstone_dir(index_dir)
+    if not _is_built(tomb):
+        return 0
+    t = spark.read.parquet(tomb).select("vec_id").distinct().localCheckpoint()
+    live = snapshot_scan(spark, os.path.join(index_dir, "corpus")).select("vec_id")
+    keep = t.join(live, "vec_id", "left_semi").localCheckpoint()
+    dropped = t.count() - keep.count()
+    keep.coalesce(1).write.mode("overwrite").parquet(tomb)
+    return int(dropped)
 
 
 def vacuum_index(index_dir: str) -> int:
@@ -812,13 +893,24 @@ def probe_ivf_index(
     are never opened. ``where`` (a predicate over attr columns stored
     by an attr-bearing build) is applied INSIDE the pruned scan — a
     parquet data filter pushed to the reader, so filtered search
-    never rehydrates non-matching vectors."""
+    never rehydrates non-matching vectors.
+
+    File resolution: a layout WITH a committed manifest reads through
+    it (a rebalance retires superseded files that stay on disk for
+    pinned readers — a raw listing would double-read every vector and
+    resurrect physically-deleted rows); an uncommitted layout (plain
+    build/append, no snapshot protocol engaged) reads the raw
+    listing, where appends are visible immediately."""
     probe = _ivf_probe_lists(spark, index_dir, qvec, nprobe)
-    corpus = spark.read.parquet(os.path.join(index_dir, "corpus"))
+    corpus_dir = os.path.join(index_dir, "corpus")
+    if read_index_manifest(corpus_dir)["files"]:
+        corpus = snapshot_scan(spark, corpus_dir)
+    else:
+        corpus = spark.read.parquet(corpus_dir)
     scan = corpus.filter(F.col("list_id").isin(probe))
     if where is not None:
         scan = scan.filter(where)
-    return scan.select("vec_id", "v")
+    return _apply_tombstones(spark, index_dir, scan.select("vec_id", "v"))
 
 
 def probe_ivf_snapshot(
@@ -832,7 +924,9 @@ def probe_ivf_snapshot(
     raw read is snapshot-safe."""
     probe = _ivf_probe_lists(spark, index_dir, qvec, nprobe)
     scan = snapshot_scan(spark, os.path.join(index_dir, "corpus"))
-    return scan.filter(F.col("list_id").isin(probe)).select("vec_id", "v")
+    return _apply_tombstones(
+        spark, index_dir, scan.filter(F.col("list_id").isin(probe)).select("vec_id", "v")
+    )
 
 
 def rebalance_ivf_index(spark: SparkSession, index_dir: str) -> dict:
@@ -869,9 +963,12 @@ def rebalance_ivf_index(spark: SparkSession, index_dir: str) -> dict:
     man = read_index_manifest(corpus_dir)
     if not man["files"]:
         raise FileNotFoundError(f"no committed snapshot in {corpus_dir}")
+    # the rewrite carries EVERY stored payload column (attr-bearing
+    # layouts keep their metadata filterable across rebalances), and
+    # applies outstanding tombstones PHYSICALLY — the rewritten
+    # snapshot simply omits deleted rows.
     scan = (
-        snapshot_scan(spark, corpus_dir)
-        .select("vec_id", "v", "list_id")
+        _apply_tombstones(spark, index_dir, snapshot_scan(spark, corpus_dir))
         .localCheckpoint()  # 3 downstream jobs; also breaks lineage to
         # the files the rewrite appends next to
     )
@@ -909,13 +1006,13 @@ def rebalance_ivf_index(spark: SparkSession, index_dir: str) -> dict:
         return pd.Series(np.argmax(mat @ cnorm.T, axis=1).astype(np.int64))
 
     assigned = (
-        scan.select("vec_id", "v")
+        scan.drop("list_id")
         .withColumn("list_id", assign(F.col("v")))
         .localCheckpoint()
     )
     moved = (
-        assigned.alias("a")
-        .join(scan.alias("o"), "vec_id")
+        assigned.select("vec_id", "list_id").alias("a")
+        .join(scan.select("vec_id", "list_id").alias("o"), "vec_id")
         .filter(F.col("a.list_id") != F.col("o.list_id"))
         .count()
     )

@@ -1610,3 +1610,63 @@ def test_append_ivf_attr_layout_carries_attrs_or_fails_loudly(spark, tmp_path):
         ).collect()
     }
     assert NEW_VEC_ID not in other
+
+
+def test_ivf_delete_tombstones_mask_probes_and_rebalance_applies(spark, tmp_path):
+    """IVF deletes: tombstoned ids vanish from raw AND snapshot probes
+    immediately (broadcast anti-join mask), re-deleting is a no-op on
+    results, rebalance drops the rows PHYSICALLY (and keeps attr
+    columns intact through the rewrite), and compact_ivf_tombstones
+    retires exactly the applied entries while keeping fresh ones."""
+    from pyspark.sql import functions as F
+
+    idx = ann_index.build_ivf_index(
+        spark,
+        SF_DIR,
+        similarity.IVF_NLIST,
+        out_dir=str(tmp_path / "ivf_del"),
+        attrs=("label",),
+    )
+    corpus_dir = str(tmp_path / "ivf_del" / "corpus")
+    ann_index.commit_index_snapshot(corpus_dir)
+    qvec = similarity._query_vector(spark, SF_DIR)
+
+    def probe_ids():
+        return {
+            r.vec_id
+            for r in ann_index.probe_ivf_index(
+                spark, idx, qvec, similarity.IVF_NLIST  # probe ALL lists
+            ).collect()
+        }
+
+    before = probe_ids()
+    victims = sorted(before)[:3]
+    ann_index.delete_ivf_vectors(spark, idx, victims)
+    after = probe_ids()
+    assert after == before - set(victims)
+    snap = {
+        r.vec_id
+        for r in ann_index.probe_ivf_snapshot(
+            spark, idx, qvec, similarity.IVF_NLIST
+        ).collect()
+    }
+    assert not (snap & set(victims)), "snapshot probe must mask tombstones"
+
+    ann_index.delete_ivf_vectors(spark, idx, victims)  # replay: no change
+    assert probe_ids() == after
+
+    stats = ann_index.rebalance_ivf_index(spark, idx)
+    assert stats["n_vectors"] == len(after), "rebalance must drop deleted rows"
+    live = ann_index.snapshot_scan(spark, corpus_dir)
+    assert "label" in live.columns, "attrs must survive the rewrite"
+    assert live.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert live.filter(F.col("label").isNull()).count() == 0
+
+    # a fresh delete AFTER the rebalance must survive the compact
+    fresh = sorted(probe_ids())[0]
+    ann_index.delete_ivf_vectors(spark, idx, [fresh])
+    dropped = ann_index.compact_ivf_tombstones(spark, idx)
+    assert dropped == len(victims)
+    remaining = probe_ids()
+    assert fresh not in remaining
+    assert not (remaining & set(victims)), "applied deletes stay deleted"
