@@ -183,7 +183,11 @@ def probe_lsh_index(
     for band, code in enumerate(codes):
         cond = (F.col("band") == band) & (F.col("code") == code)
         hit = cond if hit is None else (hit | cond)
-    return scan.filter(hit).dropDuplicates(["vec_id"]).select("vec_id", "v")
+    return _apply_tombstones(
+        spark,
+        index_dir,
+        scan.filter(hit).dropDuplicates(["vec_id"]).select("vec_id", "v"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -337,7 +341,11 @@ def _drop_legacy_manifest(index_dir: str) -> None:
 
 def _list_parquet_files(index_dir: str) -> list[str]:
     out = []
-    for dirpath, _dirs, files in os.walk(index_dir):
+    for dirpath, dirs, files in os.walk(index_dir):
+        # sidecars (the tombstone set) are metadata, not data: they
+        # must never enter a snapshot's file list — an explicit file
+        # list overrides Spark's underscore-ignoring convention.
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
         for f in files:
             if f.endswith(".parquet"):
                 out.append(os.path.join(dirpath, f))
@@ -405,12 +413,17 @@ def commit_index_files(
 
 
 def _tombstone_dir(index_dir: str) -> str:
-    return os.path.join(index_dir, "tombstones")
+    # underscore-prefixed: for the LSH layout the sidecar lives INSIDE
+    # the raw-read band-table directory, where Spark must ignore it.
+    return os.path.join(index_dir, "_tombstones")
 
 
-def delete_ivf_vectors(spark: SparkSession, index_dir: str, vec_ids) -> int:
-    """Logically delete vectors from an IVF layout — the missing CRUD
+def delete_index_vectors(spark: SparkSession, index_dir: str, vec_ids) -> int:
+    """Logically delete vectors from an ANN layout — the missing CRUD
     member (build/append/rebalance/retrain/vacuum already exist).
+    Works on any of the three layouts: pass the IVF root, the PQ
+    root, or the LSH band-table dir; every probe of that layout masks
+    the tombstoned ids.
 
     Deletes are TOMBSTONES: a tiny (vec_id) parquet appended next to
     the corpus; no committed data file is touched and appenders are
@@ -429,6 +442,10 @@ def delete_ivf_vectors(spark: SparkSession, index_dir: str, vec_ids) -> int:
         .parquet(_tombstone_dir(index_dir))
     )
     return len(ids)
+
+
+#: IVF-named alias kept for the maintenance-suite vocabulary.
+delete_ivf_vectors = delete_index_vectors
 
 
 def _apply_tombstones(
@@ -511,7 +528,11 @@ def probe_lsh_snapshot(
     for band, code in enumerate(codes):
         cond = (F.col("band") == band) & (F.col("code") == code)
         hit = cond if hit is None else (hit | cond)
-    return scan.filter(hit).dropDuplicates(["vec_id"]).select("vec_id", "v")
+    return _apply_tombstones(
+        spark,
+        index_dir,
+        scan.filter(hit).dropDuplicates(["vec_id"]).select("vec_id", "v"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -681,7 +702,9 @@ def probe_pq_index(
     """
     books = _load_codebooks(spark, index_dir)
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
-    return _adc_rank(codes, books, qvec, n_candidates)
+    return _apply_tombstones(
+        spark, index_dir, _adc_rank(codes, books, qvec, n_candidates)
+    )
 
 
 def probe_pq_snapshot(
@@ -702,7 +725,9 @@ def probe_pq_snapshot(
         raise FileNotFoundError(f"no committed snapshot in {codes_dir}")
     books = _load_codebooks(spark, index_dir, _codebook_dir(index_dir, man))
     codes = spark.read.option("basePath", codes_dir).parquet(*man["files"])
-    return _adc_rank(codes, books, qvec, n_candidates)
+    return _apply_tombstones(
+        spark, index_dir, _adc_rank(codes, books, qvec, n_candidates)
+    )
 
 
 def append_pq_index(spark: SparkSession, index_dir: str, vectors: DataFrame) -> None:

@@ -1670,3 +1670,52 @@ def test_ivf_delete_tombstones_mask_probes_and_rebalance_applies(spark, tmp_path
     remaining = probe_ids()
     assert fresh not in remaining
     assert not (remaining & set(victims)), "applied deletes stay deleted"
+
+
+def test_delete_masks_lsh_and_pq_probes(spark, tmp_path):
+    """Tombstone deletes are layout-generic: the same sidecar masks
+    LSH band probes (raw and snapshot) and PQ ADC candidate scans."""
+    lsh = ann_index.build_lsh_index(
+        spark, SF_DIR, similarity.PLANES, similarity.LSH_BAND_BITS,
+        out_dir=str(tmp_path / "lsh"),
+    )
+    qvec = similarity._query_vector(spark, SF_DIR)
+
+    def lsh_ids():
+        return {
+            r.vec_id
+            for r in ann_index.probe_lsh_index(
+                spark, lsh, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+            ).collect()
+        }
+
+    before = lsh_ids()
+    victim = sorted(before)[0]
+    ann_index.delete_index_vectors(spark, lsh, [victim])
+    assert lsh_ids() == before - {victim}
+    ann_index.commit_index_snapshot(lsh)
+    snap = {
+        r.vec_id
+        for r in ann_index.probe_lsh_snapshot(
+            spark, lsh, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+        ).collect()
+    }
+    assert victim not in snap
+
+    pq = ann_index.build_pq_index(
+        spark, SF_DIR, similarity.PQ_M, similarity.PQ_KSUB,
+        out_dir=str(tmp_path / "pq"),
+    )
+
+    def pq_ids():
+        return {
+            r.vec_id
+            for r in ann_index.probe_pq_index(
+                spark, pq, qvec, similarity.PQ_CANDIDATES
+            ).collect()
+        }
+
+    pq_before = pq_ids()
+    pq_victim = sorted(pq_before)[0]
+    ann_index.delete_index_vectors(spark, pq, [pq_victim])
+    assert pq_ids() == pq_before - {pq_victim}
