@@ -140,6 +140,10 @@ WARMED_PROBE_OPS = (
     "term_search_indexed",
     "orders_cdf_changes",
     "mv_event_type_stats",
+    # r06b: filtered vector search (attr-bearing IVF layout build is
+    # the warmed step; serving reads nprobe lists + pushed filter)
+    "ann_filtered_topk",
+    "ann_filtered_ivf_topk",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
