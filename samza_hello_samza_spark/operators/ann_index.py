@@ -352,9 +352,102 @@ def _list_parquet_files(index_dir: str) -> list[str]:
     return sorted(out)
 
 
-def read_index_manifest(index_dir: str) -> dict:
+def _sidecar_tombstone_files(data_dir: str) -> list[str]:
+    """The tombstone sidecar's current parquet files, resolved from a
+    layout's DATA dir: the sidecar lives beside the data dir for IVF
+    (``root/corpus`` + ``root/_tombstones``) and PQ (``root/codes``),
+    and inside it for the LSH band table — both locations are checked
+    so every commit function can capture the mask regardless of
+    layout."""
+    out: list[str] = []
+    for cand in (
+        os.path.join(data_dir, "_tombstones"),
+        os.path.join(os.path.dirname(data_dir), "_tombstones"),
+    ):
+        if os.path.isdir(cand):
+            for dirpath, _dirs, files in os.walk(cand):
+                out.extend(
+                    os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+                )
+    return sorted(set(out))
+
+
+def _layout_data_dir(index_dir: str) -> str | None:
+    """The manifest-bearing data dir of a layout root (``corpus`` for
+    IVF, ``codes`` for PQ, the dir itself for an LSH band table), or
+    None when no snapshot has been committed anywhere — the signal
+    that the layout runs raw-listing reads and deletes need no
+    commit."""
+    for sub in ("corpus", "codes", ""):
+        d = os.path.join(index_dir, sub) if sub else index_dir
+        if read_index_manifest(d)["files"]:
+            return d
+    return None
+
+
+def _history_dir(index_dir: str) -> str:
+    # underscore-prefixed: lives inside the data dir, invisible to
+    # Spark's file listing like the manifest itself.
+    return os.path.join(index_dir, "_manifest_history")
+
+
+def index_versions(index_dir: str) -> list[int]:
+    """Committed snapshot versions still readable via
+    ``read_index_manifest(version=...)`` — the Delta `DESCRIBE
+    HISTORY` analog. Empty for layouts committed before history
+    retention existed (only new commits append history)."""
+    hist = _history_dir(index_dir)
+    if not os.path.isdir(hist):
+        return []
+    out = []
+    for f in os.listdir(hist):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def expire_index_versions(index_dir: str, keep_last: int = 10) -> int:
+    """Drop the oldest history manifests beyond ``keep_last`` — the
+    retention pass (`expire_snapshots` for the vector store). The
+    CURRENT manifest is untouched; only time-travel reads of expired
+    versions stop resolving. Returns manifests removed."""
+    versions = index_versions(index_dir)
+    removed = 0
+    for v in versions[:-keep_last] if keep_last else versions:
+        try:
+            os.remove(os.path.join(_history_dir(index_dir), f"v{v}.json"))
+            removed += 1
+        except FileNotFoundError:
+            pass
+    return removed
+
+
+def _record_history(index_dir: str, man: dict) -> None:
     import json
 
+    hist = _history_dir(index_dir)
+    os.makedirs(hist, exist_ok=True)
+    tmp = os.path.join(hist, f"v{man['version']}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(hist, f"v{man['version']}.json"))
+
+
+def read_index_manifest(index_dir: str, version: int | None = None) -> dict:
+    """The CURRENT committed manifest, or — with ``version`` — a
+    historical one (time travel: pass the result as ``man=`` to the
+    snapshot probes to read the index exactly as of that commit;
+    note ``vacuum_index`` may have reclaimed a retired version's data
+    files, the same post-VACUUM caveat as Delta time travel)."""
+    import json
+
+    if version is not None:
+        path = os.path.join(_history_dir(index_dir), f"v{version}.json")
+        with open(path) as f:  # FileNotFoundError: expired or never committed
+            return json.load(f)
     path = _index_manifest_path(index_dir)
     if os.path.exists(path):
         with open(path) as f:
@@ -382,11 +475,23 @@ def commit_index_snapshot(index_dir: str) -> dict:
     # extra manifest keys (e.g. the centroid-table pointer) carry over.
     retired = set(man.get("retired", []))
     files = [f for f in _list_parquet_files(index_dir) if f not in retired]
-    man = {**man, "version": man["version"] + 1, "files": files}
+    # the delete mask is VERSIONED STATE: each snapshot records the
+    # tombstone files that existed at commit time, so a reader pinned
+    # to version N never sees a delete committed at N+1 (snapshot
+    # isolation for deletes, not just appends).
+    man = {
+        **man,
+        "version": man["version"] + 1,
+        "files": files,
+        "tombstones": _sidecar_tombstone_files(index_dir),
+    }
     tmp = _index_manifest_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(man, f)
     os.replace(tmp, _index_manifest_path(index_dir))  # the atomic commit
+    _record_history(index_dir, man)  # time-travel copy (post-commit:
+    # a crash here loses at most this version's history entry, never
+    # the commit itself)
     _drop_legacy_manifest(index_dir)
     return man
 
@@ -403,11 +508,13 @@ def commit_index_files(
 
     man = read_index_manifest(index_dir)
     man = {**man, "version": man["version"] + 1, "files": sorted(files),
+           "tombstones": _sidecar_tombstone_files(index_dir),
            **(extra or {})}
     tmp = _index_manifest_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(man, f)
     os.replace(tmp, _index_manifest_path(index_dir))
+    _record_history(index_dir, man)
     _drop_legacy_manifest(index_dir)
     return man
 
@@ -433,7 +540,16 @@ def delete_index_vectors(spark: SparkSession, index_dir: str, vec_ids) -> int:
     PHYSICALLY (deleted rows are dropped from the rewritten snapshot);
     ``compact_ivf_tombstones`` then retires entries no longer present
     in any committed file. Replay-idempotent: re-deleting an id only
-    grows the sidecar, never changes probe results."""
+    grows the sidecar, never changes probe results.
+
+    On a layout with a committed snapshot the delete COMMITS a new
+    version (the manifest records the sidecar's file set per
+    snapshot), so readers pinned to the pre-delete manifest keep an
+    unmasked view — snapshot isolation — while fresh probes mask
+    immediately. Uncommitted layouts keep raw-sidecar semantics.
+    Single-maintainer contract (shared with rebalance/retrain): the
+    listing-based commit would publish a concurrent append's
+    half-landed files."""
     ids = sorted({int(x) for x in vec_ids})
     (
         spark.createDataFrame([(i,) for i in ids], "vec_id BIGINT")
@@ -441,6 +557,9 @@ def delete_index_vectors(spark: SparkSession, index_dir: str, vec_ids) -> int:
         .write.mode("append")
         .parquet(_tombstone_dir(index_dir))
     )
+    data_dir = _layout_data_dir(index_dir)
+    if data_dir is not None:
+        commit_index_snapshot(data_dir)
     return len(ids)
 
 
@@ -449,8 +568,21 @@ delete_ivf_vectors = delete_index_vectors
 
 
 def _apply_tombstones(
-    spark: SparkSession, index_dir: str, df: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    df: DataFrame,
+    tomb_files: list[str] | None = None,
 ) -> DataFrame:
+    """Mask deleted ids. ``tomb_files`` is the MANIFEST'S tombstone
+    file list for snapshot-resolved reads: an empty list means "this
+    snapshot has no deletes" (NOT fallback), so a pinned reader never
+    sees a later delete. ``None`` means raw semantics — uncommitted
+    layouts and pre-versioning manifests read the live sidecar dir."""
+    if tomb_files is not None:
+        if not tomb_files:
+            return df
+        t = spark.read.parquet(*tomb_files).select("vec_id").distinct()
+        return df.join(F.broadcast(t), "vec_id", "left_anti")
     tomb = _tombstone_dir(index_dir)
     if not _is_built(tomb):
         return df
@@ -475,7 +607,116 @@ def compact_ivf_tombstones(spark: SparkSession, index_dir: str) -> int:
     keep = t.join(live, "vec_id", "left_semi").localCheckpoint()
     dropped = t.count() - keep.count()
     keep.coalesce(1).write.mode("overwrite").parquet(tomb)
+    # the overwrite replaced the sidecar's files; commit so the
+    # manifest's versioned tombstone list points at the rewritten set
+    # (pre-compact manifests reference deleted sidecar files — the
+    # documented no-pinned-readers grace contract above).
+    data_dir = _layout_data_dir(index_dir)
+    if data_dir is not None:
+        commit_index_snapshot(data_dir)
     return int(dropped)
+
+
+def upsert_ivf_vectors(spark: SparkSession, index_dir: str, vectors: DataFrame) -> dict:
+    """Atomically replace vectors by id — copy-on-write upsert.
+
+    A delete+append pair is two visibility events: a probe between
+    them would see the id missing entirely. This is the one-commit
+    version (the Delta/Iceberg MERGE shape): files containing the
+    upserted ids are REWRITTEN without them (copy-on-write — cost ∝
+    touched files, never corpus), the replacement rows stage through
+    ``append_ivf_index`` (quantized against the current centroids,
+    attr schema enforced), and ONE ``commit_index_files`` swap
+    publishes {untouched + rewritten + delta} while retiring the
+    touched files. Readers see the old vector or the new vector,
+    never neither; readers pinned to the pre-upsert manifest keep the
+    old rows (``vacuum_index`` reclaims them after the grace period).
+
+    An upserted id that was previously DELETED is resurrected: its
+    sidecar tombstone entries are dropped (bounded sidecar rewrite,
+    same no-pinned-readers grace contract as
+    ``compact_ivf_tombstones`` — skipped entirely when no upserted id
+    is tombstoned, the common case).
+
+    Scale shape: touched-file discovery is a broadcast semi-join over
+    the snapshot scan collecting FILE NAMES (bounded by batch size ×
+    rows-per-file, never corpus rows); the rewrite moves only touched
+    files' rows; nothing driver-side scales with the corpus.
+    Single-maintainer contract, like rebalance.
+    """
+    from urllib.parse import unquote, urlparse
+
+    corpus_dir = os.path.join(index_dir, "corpus")
+    man = read_index_manifest(corpus_dir)
+    if not man["files"]:
+        raise FileNotFoundError(
+            f"upsert requires a committed snapshot in {corpus_dir}; "
+            "run commit_index_snapshot after the initial build"
+        )
+    # schema check FIRST — a failed upsert must abort before any write
+    # (the same loud-attr contract as append_ivf_index, re-checked here
+    # so the COW rewrite can't run ahead of a doomed append)
+    payload = [
+        f.name
+        for f in spark.read.parquet(corpus_dir).schema
+        if f.name != "list_id"
+    ]
+    missing = [c for c in payload if c not in vectors.columns]
+    if missing:
+        raise ValueError(
+            f"upsert delta lacks stored attr column(s) {missing}; the "
+            f"layout at {index_dir} stores {payload} per vector"
+        )
+    ids = vectors.select("vec_id").distinct().localCheckpoint()
+
+    # files whose rows are being replaced (URI → plain path to match
+    # the manifest's os.walk paths)
+    scan = snapshot_scan(spark, corpus_dir, man=man)
+    touched = sorted(
+        unquote(urlparse(r.f).path)
+        for r in scan.join(F.broadcast(ids), "vec_id", "left_semi")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+
+    before = set(_list_parquet_files(corpus_dir))
+    if touched:
+        keep = (
+            spark.read.option("basePath", corpus_dir)
+            .parquet(*touched)
+            .join(F.broadcast(ids), "vec_id", "left_anti")
+        )
+        (
+            keep.repartition("list_id")
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(corpus_dir)
+        )
+    append_ivf_index(spark, index_dir, vectors)
+    new_files = [f for f in _list_parquet_files(corpus_dir) if f not in before]
+
+    # resurrect previously-deleted ids: drop them from the sidecar so
+    # the versioned mask captured by the commit below excludes them
+    tomb = _tombstone_dir(index_dir)
+    if _is_built(tomb):
+        t = spark.read.parquet(tomb).select("vec_id").distinct().localCheckpoint()
+        overlap = t.join(F.broadcast(ids), "vec_id", "left_semi").count()
+        if overlap:
+            survivors = (
+                t.join(F.broadcast(ids), "vec_id", "left_anti").localCheckpoint()
+            )
+            survivors.coalesce(1).write.mode("overwrite").parquet(tomb)
+
+    touched_set = set(touched)
+    files = [f for f in man["files"] if f not in touched_set] + new_files
+    retired = man.get("retired", []) + touched
+    new_man = commit_index_files(corpus_dir, files, extra={"retired": retired})
+    return {
+        "version": new_man["version"],
+        "n_touched_files": len(touched),
+        "n_new_files": len(new_files),
+    }
 
 
 def vacuum_index(index_dir: str) -> int:
@@ -502,12 +743,18 @@ def vacuum_index(index_dir: str) -> int:
     return removed
 
 
-def snapshot_scan(spark: SparkSession, index_dir: str) -> DataFrame:
+def snapshot_scan(
+    spark: SparkSession, index_dir: str, man: dict | None = None
+) -> DataFrame:
     """Read the index AT ITS COMMITTED SNAPSHOT — uncommitted appended
     files are excluded. ``basePath`` keeps the (band, code)/(list_id)
     partition columns parsed from the file paths, so partition pruning
-    on the manifest's file subset works exactly as on a raw read."""
-    man = read_index_manifest(index_dir)
+    on the manifest's file subset works exactly as on a raw read.
+    Pass ``man`` to pin a previously-read manifest (one consistent
+    resolve per probe — the caller's tombstone mask and file set then
+    come from the SAME version)."""
+    if man is None:
+        man = read_index_manifest(index_dir)
     if not man["files"]:
         raise FileNotFoundError(f"no committed snapshot in {index_dir}")
     return spark.read.option("basePath", index_dir).parquet(*man["files"])
@@ -523,7 +770,8 @@ def probe_lsh_snapshot(
     """``probe_lsh_index`` against the committed snapshot: identical
     pruned (band, code) read, torn-append-proof."""
     codes = band_codes(qvec, planes, band_bits)
-    scan = snapshot_scan(spark, index_dir)
+    man = read_index_manifest(index_dir)
+    scan = snapshot_scan(spark, index_dir, man=man)
     hit = None
     for band, code in enumerate(codes):
         cond = (F.col("band") == band) & (F.col("code") == code)
@@ -532,6 +780,7 @@ def probe_lsh_snapshot(
         spark,
         index_dir,
         scan.filter(hit).dropDuplicates(["vec_id"]).select("vec_id", "v"),
+        tomb_files=man.get("tombstones"),
     )
 
 
@@ -726,7 +975,10 @@ def probe_pq_snapshot(
     books = _load_codebooks(spark, index_dir, _codebook_dir(index_dir, man))
     codes = spark.read.option("basePath", codes_dir).parquet(*man["files"])
     return _apply_tombstones(
-        spark, index_dir, _adc_rank(codes, books, qvec, n_candidates)
+        spark,
+        index_dir,
+        _adc_rank(codes, books, qvec, n_candidates),
+        tomb_files=man.get("tombstones"),
     )
 
 
@@ -879,22 +1131,28 @@ def retrain_pq_index(
     }
 
 
-def _centroid_dir(index_dir: str) -> str:
+def _centroid_dir(index_dir: str, man: dict | None = None) -> str:
     """The CURRENT centroid table: the corpus manifest's ``centroids``
     pointer when a rebalance has re-trained them, else the build-time
     default — so probes and appenders always quantize against the
-    centroids that produced the committed assignment."""
-    man = read_index_manifest(os.path.join(index_dir, "corpus"))
+    centroids that produced the committed assignment. Pass ``man`` to
+    resolve against a pinned manifest version."""
+    if man is None:
+        man = read_index_manifest(os.path.join(index_dir, "corpus"))
     return os.path.join(index_dir, man.get("centroids", "centroids"))
 
 
 def _ivf_probe_lists(
-    spark: SparkSession, index_dir: str, qvec: np.ndarray, nprobe: int
+    spark: SparkSession,
+    index_dir: str,
+    qvec: np.ndarray,
+    nprobe: int,
+    man: dict | None = None,
 ) -> list[int]:
     """The query's ``nprobe`` nearest centroid lists (driver-side over
     the nlist-row centroid table — a dim-table read)."""
     cent = sorted(
-        spark.read.parquet(_centroid_dir(index_dir)).collect(),
+        spark.read.parquet(_centroid_dir(index_dir, man)).collect(),
         key=lambda r: r.centroid_id,
     )  # parquet row order is not contractual; list choice must be stable
     cmat = np.stack([np.asarray(r.centroid) for r in cent])
@@ -928,29 +1186,46 @@ def probe_ivf_index(
     listing, where appends are visible immediately."""
     probe = _ivf_probe_lists(spark, index_dir, qvec, nprobe)
     corpus_dir = os.path.join(index_dir, "corpus")
-    if read_index_manifest(corpus_dir)["files"]:
-        corpus = snapshot_scan(spark, corpus_dir)
+    man = read_index_manifest(corpus_dir)
+    if man["files"]:
+        corpus = snapshot_scan(spark, corpus_dir, man=man)
+        tomb_files = man.get("tombstones")
     else:
         corpus = spark.read.parquet(corpus_dir)
+        tomb_files = None
     scan = corpus.filter(F.col("list_id").isin(probe))
     if where is not None:
         scan = scan.filter(where)
-    return _apply_tombstones(spark, index_dir, scan.select("vec_id", "v"))
+    return _apply_tombstones(
+        spark, index_dir, scan.select("vec_id", "v"), tomb_files=tomb_files
+    )
 
 
 def probe_ivf_snapshot(
-    spark: SparkSession, index_dir: str, qvec: np.ndarray, nprobe: int
+    spark: SparkSession,
+    index_dir: str,
+    qvec: np.ndarray,
+    nprobe: int,
+    man: dict | None = None,
 ) -> DataFrame:
     """``probe_ivf_index`` against the committed corpus snapshot: the
     pruned (list_id) read resolves the manifest's file set, so a
     concurrent ``append_ivf_index`` is invisible until its commit —
-    the same torn-append contract as the LSH and PQ routes. Centroids
-    are frozen at build time (appends assign against them), so their
-    raw read is snapshot-safe."""
-    probe = _ivf_probe_lists(spark, index_dir, qvec, nprobe)
-    scan = snapshot_scan(spark, os.path.join(index_dir, "corpus"))
+    the same torn-append contract as the LSH and PQ routes. Pass
+    ``man`` to pin a version: files, centroid pointer AND tombstone
+    mask all resolve from that one manifest, so a pinned reader sees
+    the index exactly as of its commit — later deletes/upserts
+    included."""
+    corpus_dir = os.path.join(index_dir, "corpus")
+    if man is None:
+        man = read_index_manifest(corpus_dir)
+    probe = _ivf_probe_lists(spark, index_dir, qvec, nprobe, man=man)
+    scan = snapshot_scan(spark, corpus_dir, man=man)
     return _apply_tombstones(
-        spark, index_dir, scan.filter(F.col("list_id").isin(probe)).select("vec_id", "v")
+        spark,
+        index_dir,
+        scan.filter(F.col("list_id").isin(probe)).select("vec_id", "v"),
+        tomb_files=man.get("tombstones"),
     )
 
 
