@@ -1639,3 +1639,99 @@ def ann_drift_maintenance(
             _os.path.join(ivf_index_dir, "corpus")
         ) + vacuum_index(_os.path.join(pq_index_dir, "codes"))
     return out
+
+
+def ann_cdc_apply(
+    spark: SparkSession,
+    table,
+    index_dir: str,
+    from_version: int | None = None,
+    to_version: int | None = None,
+    transform=None,
+) -> dict:
+    """Fold a base table's committed changes into its IVF index — the
+    CDC consumer for the vector store (embeddings live in a
+    ``VersionedMergeTable``; every MERGE/DELETE commit flows into the
+    serving index incrementally, never via full rebuild).
+
+    Protocol: the index manifest carries a ``cdc_cursor`` (the last
+    table version applied). Each apply reads
+    ``table.read_changes(cursor, to_version)``, reduces the range to
+    ONE net change per key (latest ``_commit_version`` wins — an id
+    updated five times upserts once; inserted-then-deleted deletes
+    once), applies deletes as a tombstone commit and inserts/updates
+    as ONE copy-on-write ``upsert_ivf_vectors`` commit, then advances
+    the cursor in a final commit. Exactly-once under replay: a crash
+    anywhere re-applies the same net changes (tombstones and COW
+    upserts are idempotent) and only the final commit moves the
+    cursor; a replay at or behind the cursor is a no-op.
+
+    ``transform`` (optional) maps the change frame's payload onto the
+    index layout (column renames / array casts); it must yield the
+    stored payload columns (``vec_id``, ``v``, attrs). The first
+    apply must pass ``from_version`` (the table version the index was
+    built from); later applies resume from the stored cursor.
+
+    Scale shape: everything is change-batch-sized — read_changes
+    reads only touched buckets, the net-change window partitions by
+    key over the change rows, deletes collect a batch-bounded id
+    list, and the upsert's COW rewrite touches only files holding
+    changed ids. Single-maintainer, like every index writer.
+    """
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from ..operators.ann_index import (
+        commit_index_files,
+        delete_ivf_vectors,
+        read_index_manifest,
+        upsert_ivf_vectors,
+    )
+
+    corpus_dir = _os.path.join(index_dir, "corpus")
+    man = read_index_manifest(corpus_dir)
+    if not man["files"]:
+        raise FileNotFoundError(f"no committed snapshot in {corpus_dir}")
+    cursor = man.get("cdc_cursor", from_version)
+    if cursor is None:
+        raise ValueError(
+            "index has no cdc_cursor yet; pass from_version (the table "
+            "version the index was built from) on the first apply"
+        )
+    if to_version is None:
+        to_version = table.versions()[-1]
+    if to_version <= cursor:
+        return {"applied": 0, "cursor": cursor, "n_deleted": 0, "n_upserted": 0}
+
+    key = table.key_col
+    ch = table.read_changes(cursor, to_version)
+    w = Window.partitionBy(key).orderBy(F.col("_commit_version").desc())
+    last = (
+        ch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint()  # two consumers below; also bounds lineage
+    )
+
+    dels = [r[0] for r in last.filter(F.col("_change_type") == "delete").select(key).collect()]
+    ups = last.filter(F.col("_change_type") != "delete").drop(
+        "_change_type", "_commit_version"
+    )
+    if transform is not None:
+        ups = transform(ups)
+
+    n_deleted = delete_ivf_vectors(spark, index_dir, dels) if dels else 0
+    n_upserted = 0
+    if ups.limit(1).count():
+        upsert_ivf_vectors(spark, index_dir, ups)
+        n_upserted = ups.count()
+
+    cur = read_index_manifest(corpus_dir)
+    commit_index_files(corpus_dir, cur["files"], extra={"cdc_cursor": to_version})
+    return {
+        "applied": to_version - cursor,
+        "cursor": to_version,
+        "n_deleted": n_deleted,
+        "n_upserted": n_upserted,
+    }
