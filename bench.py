@@ -149,6 +149,10 @@ EXTRA_VOLUME = (
     # attr-bearing IVF probe (index build is warmup, ANN discipline).
     "ann_filtered_topk",
     "ann_filtered_ivf_topk",
+    # r06c: published-ruleset quality gates (single-scan column math
+    # + the CCNet tercile composition over the LM scorer).
+    "gopher_quality_filters",
+    "ccnet_perplexity_buckets",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the

@@ -915,6 +915,147 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# gopher_quality_filters — the full published ruleset, per-rule evidence
+# ---------------------------------------------------------------------------
+
+#: Gopher document-quality rule thresholds (Rae et al. 2021, appendix A1).
+#: The reference's quality gates are stream filters over a score
+#: (cookbook filter jobs); this is the batch analog carrying the WHOLE
+#: ruleset with per-rule evidence columns, so a pipeline owner can see
+#: WHICH rule drops a document rather than just that one did.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.10
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.80
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_BULLET_LINE_RATIO = 0.90
+GOPHER_MAX_ELLIPSIS_LINE_RATIO = 0.30
+#: same tiny public function-word list text_quality votes with.
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+
+
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule evaluation: signals, fail count, keep.
+
+    Every signal is a single-pass array/regex expression over the
+    ``text`` column — one column-pruned scan, zero shuffles, fully
+    inside whole-stage codegen; at 100 TB this is embarrassingly
+    partition-parallel (the classic map-only corpus pass). Ratios are
+    rounded to 6dp BEFORE threshold comparison so the keep decision is
+    identical in both engines (float-boundary discipline, same as the
+    zone-map round rule).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    sum_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = F.round(
+        F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0)), 6
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_ratio = F.round(
+        F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0)), 6
+    )
+    n_sym = (
+        F.regexp_count(F.col("text"), F.lit("#"))
+        + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+        + F.regexp_count(F.col("text"), F.lit("…"))
+    )
+    sym_ratio = F.round(
+        F.when(n_words > 0, n_sym / n_words).otherwise(F.lit(0.0)), 6
+    )
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*GOPHER_STOPWORDS)))
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    bullet_ratio = F.round(
+        F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0)), 6
+    )
+    ellipsis_ratio = F.round(
+        F.when(n_lines > 0, n_ellipsis / n_lines).otherwise(F.lit(0.0)), 6
+    )
+
+    def _fail(cond: F.Column) -> F.Column:
+        return F.when(cond, F.lit(0)).otherwise(F.lit(1))
+
+    staged = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        sym_ratio.alias("symbol_word_ratio"),
+        n_stop.cast("long").alias("n_stop_hits"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+    )
+    n_failed = (
+        _fail(F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS))
+        + _fail(
+            F.col("mean_word_len").between(
+                GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+            )
+        )
+        + _fail(F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        + _fail(F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_WORD_RATIO)
+        + _fail(F.col("n_stop_hits") >= GOPHER_MIN_STOPWORD_HITS)
+        + _fail(F.col("bullet_line_ratio") <= GOPHER_MAX_BULLET_LINE_RATIO)
+        + _fail(F.col("ellipsis_line_ratio") <= GOPHER_MAX_ELLIPSIS_LINE_RATIO)
+    )
+    return staged.select(
+        "*",
+        n_failed.cast("long").alias("n_rules_failed"),
+        F.when(n_failed == 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+    )
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split by LM perplexity.
+
+    Wenzek et al. 2020 (CCNet) bucket Common Crawl per language into
+    perplexity terciles and train on the head. Composition: the
+    ``perplexity_proxy`` per-doc NLL joins the document's language,
+    per-language tercile thresholds come from one exact-percentile
+    aggregate (languages-sized output → broadcast back), and the
+    bucket label is a threshold comparison. Thresholds round to 6dp
+    before comparison (percentile ≡ quantile_cont at 6dp — the
+    cross-engine bridge), and the doc NLL is already rounded to 4dp,
+    so bucket assignment is engine-exact.
+
+    Scale shape: the corpus passes once through the LM scorer (two
+    hash aggregates + one vocabulary join), thresholds are a
+    languages × 2 relation (broadcast), and the final rollup is a
+    (lang, bucket) hash agg — no windows, no sorts, nothing
+    corpus-sized on the driver.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    p = perplexity_proxy(spark, sf_dir).select("doc_id", "avg_nll")
+    j = docs.join(p, "doc_id")
+    th = j.groupBy("lang").agg(
+        F.round(F.percentile("avg_nll", F.lit(1.0 / 3)), 6).alias("t1"),
+        F.round(F.percentile("avg_nll", F.lit(2.0 / 3)), 6).alias("t2"),
+    )
+    bucketed = j.join(maybe_broadcast(th), "lang").withColumn(
+        "bucket",
+        F.when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("avg_nll"), 4).alias("mean_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -1325,6 +1466,95 @@ ORACLES["zipf_slope"] = f"""
     FROM xy
 """
 
+ORACLES["gopher_quality_filters"] = f"""
+    WITH base AS (
+        SELECT doc_id, text, {_WORDS_SQL} AS words,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               CASE WHEN len(words) > 0 THEN
+                   round(CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                              AS DOUBLE) / len(words), 6)
+               ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(words) > 0 THEN
+                   round(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                              AS DOUBLE) / len(words), 6)
+               ELSE 0.0 END AS alpha_word_ratio,
+               CASE WHEN len(words) > 0 THEN
+                   round(CAST(len(regexp_extract_all(text, '#'))
+                            + len(regexp_extract_all(text, '\\.\\.\\.'))
+                            + len(regexp_extract_all(text, '…'))
+                              AS DOUBLE) / len(words), 6)
+               ELSE 0.0 END AS symbol_word_ratio,
+               len(list_filter(words,
+                   x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x)))
+                   AS n_stop_hits,
+               CASE WHEN len(lines) > 0 THEN
+                   round(CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))
+                              AS DOUBLE) / len(lines), 6)
+               ELSE 0.0 END AS bullet_line_ratio,
+               CASE WHEN len(lines) > 0 THEN
+                   round(CAST(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+                              AS DOUBLE) / len(lines), 6)
+               ELSE 0.0 END AS ellipsis_line_ratio
+        FROM base
+    ),
+    scored AS (
+        SELECT *,
+               (CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} THEN 0 ELSE 1 END)
+             + (CASE WHEN mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN} THEN 0 ELSE 1 END)
+             + (CASE WHEN symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO} THEN 0 ELSE 1 END)
+             + (CASE WHEN alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO} THEN 0 ELSE 1 END)
+             + (CASE WHEN n_stop_hits >= {GOPHER_MIN_STOPWORD_HITS} THEN 0 ELSE 1 END)
+             + (CASE WHEN bullet_line_ratio <= {GOPHER_MAX_BULLET_LINE_RATIO} THEN 0 ELSE 1 END)
+             + (CASE WHEN ellipsis_line_ratio <= {GOPHER_MAX_ELLIPSIS_LINE_RATIO} THEN 0 ELSE 1 END)
+               AS n_rules_failed
+        FROM m
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           alpha_word_ratio, symbol_word_ratio,
+           CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+           bullet_line_ratio, ellipsis_line_ratio,
+           CAST(n_rules_failed AS BIGINT) AS n_rules_failed,
+           CAST(CASE WHEN n_rules_failed = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM scored
+"""
+
+ORACLES["ccnet_perplexity_buckets"] = f"""
+    WITH words AS MATERIALIZED (
+        SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+    ),
+    freq AS MATERIALIZED (
+        SELECT word, count(*) AS cnt FROM words GROUP BY word
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+    p AS MATERIALIZED (
+        SELECT w.doc_id, round(ln(max(t.total)) - avg(ln(f.cnt)), 4) AS avg_nll
+        FROM words w JOIN freq f USING (word) CROSS JOIN tot t
+        GROUP BY w.doc_id
+    ),
+    j AS MATERIALIZED (
+        SELECT d.lang, p.avg_nll FROM p JOIN documents d USING (doc_id)
+    ),
+    th AS (
+        SELECT lang,
+               round(quantile_cont(avg_nll, 1.0/3), 6) AS t1,
+               round(quantile_cont(avg_nll, 2.0/3), 6) AS t2
+        FROM j GROUP BY lang
+    )
+    SELECT j.lang,
+           CASE WHEN avg_nll <= t1 THEN 'head'
+                WHEN avg_nll <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(avg_nll), 4) AS mean_nll
+    FROM j JOIN th USING (lang)
+    GROUP BY 1, 2
+"""
+
 QUERIES = {
     "corpus_profile": corpus_profile,
     "corpus_vocab_stats": corpus_vocab_stats,
@@ -1338,6 +1568,8 @@ QUERIES = {
     "text_contamination": text_contamination,
     "contamination_bloom": contamination_bloom,
     "perplexity_proxy": perplexity_proxy,
+    "gopher_quality_filters": gopher_quality_filters,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "corpus_quality_calibration": corpus_quality_calibration,
     "vocab_coverage": vocab_coverage,
     "boilerplate_lines": boilerplate_lines,

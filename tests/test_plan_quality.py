@@ -42,6 +42,7 @@ NONEQUI_OK = {
     "ann_bruteforce_topk",  # 1-row query-vector broadcast
     "perplexity_proxy",     # 1-row corpus-total broadcast
     "corpus_quality_calibration",  # inherits perplexity's 1-row total broadcast
+    "ccnet_perplexity_buckets",  # inherits perplexity's 1-row total broadcast
     "decayed_user_value",   # 1-row decay-anchor broadcast
     "price_equidepth_histogram",  # 1-row quantile-bounds broadcast
     "sequence_packing",     # triangular join over tiny bucket totals (prefix sum)

@@ -120,6 +120,9 @@ PROBE_OPS = (
     "epoch_shuffle_plan",
     # r06 addition: curriculum-keyed packed-sequence assembly.
     "sequence_packing_curriculum_materialize",
+    # r06c additions: single-scan ruleset + LM-tercile composition.
+    "gopher_quality_filters",
+    "ccnet_perplexity_buckets",
 )
 
 #: index/layout-backed keys whose per-sf_dir build is a one-time
