@@ -153,6 +153,11 @@ EXTRA_VOLUME = (
     # + the CCNet tercile composition over the LM scorer).
     "gopher_quality_filters",
     "ccnet_perplexity_buckets",
+    # r06d: C4 line/page ruleset (synthetic-page map-only scan).
+    "c4_quality_filters",
+    # r06d: composed IVFADC probe (index build is warmup, ANN
+    # discipline — timed run measures the pruned codes-only serve).
+    "ann_ivfpq_topk",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the
@@ -218,6 +223,7 @@ UNBENCHED: dict[str, str] = {
         "term_search", "phrase_search", "bm25_search", "tfidf_top_terms",
         # LM family: trigram_lm / kneser_ney benched
         "bigram_lm_nll", "bpe_encode_docs", "unigram_encode_docs",
+        "wordpiece_encode_docs",
         # sampling: mixture_sample/quality_classifier/dsir benched
         "sample_stratified", "weighted_sample", "curriculum_assign",
         "domain_stats", "export_shards", "sequence_packing_grouped",
@@ -243,7 +249,7 @@ UNBENCHED: dict[str, str] = {
         "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
         "multimodal_features",
     )},
-    **{k: _R["iter_probe"] for k in ("bpe_train_merges", "unigram_train_vocab", "unigram_train_vocab_em")},
+    **{k: _R["iter_probe"] for k in ("bpe_train_merges", "unigram_train_vocab", "unigram_train_vocab_em", "wordpiece_train_vocab")},
 }
 
 #: Excluded from the sf1 (10×-replicated) tier: replication creates
@@ -309,6 +315,8 @@ def main() -> None:
     queries["orders_cdf_changes"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     # builds the attr-bearing IVF layout for filtered search if absent.
     queries["ann_filtered_ivf_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # builds the composed IVFPQ layout if absent.
+    queries["ann_ivfpq_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     def _time(names, target_dir, best_of: int = 1) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -380,6 +388,7 @@ def main() -> None:
             "term_search_indexed",
             "orders_cdf_changes",
             "ann_filtered_ivf_topk",  # attr-bearing IVF layout
+            "ann_ivfpq_topk",  # composed IVFADC layout
         ):
             queries[q](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         sf1_names = [

@@ -1350,3 +1350,230 @@ def rebalance_ivf_index(spark: SparkSession, index_dir: str) -> dict:
         "imbalance_before": round(imbalance_before, 4),
         "imbalance_after": round(imbalance_after, 4),
     }
+
+
+# --------------------------------------------------------------------------
+# IVFPQ — the composed FAISS-style index: coarse IVF lists + PQ residual
+# codes within each list (Jégou et al. 2011's IVFADC)
+# --------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int,
+    m: int = 8,
+    ksub: int = 16,
+    out_dir: str | None = None,
+) -> str:
+    """Coarse-quantize to ``nlist`` IVF lists, then PQ-encode each
+    vector's RESIDUAL (v - coarse centroid) into ``m`` one-byte codes.
+
+    The canonical large-scale serving layout (FAISS's IVFADC): probes
+    compose BOTH prunings — the coarse step cuts the candidate set to
+    nprobe/nlist of the corpus at file-listing time (partition
+    pruning), and within the probed lists the scan reads only the code
+    columns (a few bytes per vector; raw vectors never leave disk).
+    Residual encoding beats plain PQ because residuals concentrate
+    near 0 once the coarse component is removed, so the same ksub
+    codebook resolution covers a much smaller cell.
+
+    Layout: ``codes/`` partitioned by ``list_id`` holding
+    (vec_id, code_0..code_{m-1}) — NO raw vectors; ``centroids/`` the
+    coarse table; ``codebooks/`` the SHARED residual codebooks
+    ((sub, k, centroid) rows — shared across lists, the standard
+    IVFPQ choice: the ADC lookup table is then query-global and the
+    per-list term is a single scalar q·c_l).
+
+    Determinism discipline (matches build_ivf_index/build_pq_index):
+    coarse centroids are the first ``nlist`` vectors by vec_id,
+    codebooks are fit on the first ``PQ_TRAIN_ROWS`` residuals with
+    first-k init and fixed Lloyd iterations — bounded collects, no RNG.
+    """
+    out_dir = out_dir or os.path.join(_index_root(), _tag(sf_dir), "ivfpq")
+    codes_dir = os.path.join(out_dir, "codes")
+    cent_dir = os.path.join(out_dir, "centroids")
+    books_dir = os.path.join(out_dir, "codebooks")
+    if _is_built(codes_dir) and _is_built(cent_dir) and _is_built(books_dir):
+        return out_dir
+    e = _embeddings(spark, sf_dir)
+    seed = e.filter(F.col("vec_id") < nlist).orderBy("vec_id").collect()
+    cmat = np.stack([np.asarray(r.v) for r in seed])
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    train_rows = e.filter(F.col("vec_id") < PQ_TRAIN_ROWS).orderBy("vec_id").collect()
+    tmat = np.stack([np.asarray(r.v) for r in train_rows])
+    tassign = np.argmax(
+        (tmat / np.linalg.norm(tmat, axis=1, keepdims=True)) @ cnorm.T, axis=1
+    )
+    books = _fit_codebooks(tmat - cmat[tassign], m, ksub)
+    dsub = tmat.shape[1] // m
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        lid = np.argmax(
+            (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ cnorm.T, axis=1
+        )
+        resid = mat - cmat[lid]
+        out = np.empty((len(emb), m + 1), dtype=np.int32)
+        out[:, 0] = lid
+        for sub in range(m):
+            x = resid[:, sub * dsub : (sub + 1) * dsub]
+            d2 = ((x[:, None, :] - books[sub][None, :, :]) ** 2).sum(axis=2)
+            out[:, sub + 1] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    coded = e.withColumn("enc", encode(F.col("v")))
+    (
+        coded.select(
+            "vec_id",
+            F.element_at(F.col("enc"), 1).cast("long").alias("list_id"),
+            *[
+                F.element_at(F.col("enc"), i + 2).cast("int").alias(f"code_{i}")
+                for i in range(m)
+            ],
+        )
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(codes_dir)
+    )
+    (
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in cmat[i]]) for i in range(nlist)],
+            "centroid_id BIGINT, centroid ARRAY<DOUBLE>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(cent_dir)
+    )
+    book_rows = [
+        (sub, k, [float(x) for x in books[sub][k]])
+        for sub in range(m)
+        for k in range(ksub)
+    ]
+    (
+        spark.createDataFrame(book_rows, "sub int, k int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(books_dir)
+    )
+    return out_dir
+
+
+def probe_ivfpq_index(
+    spark: SparkSession,
+    index_dir: str,
+    qvec: np.ndarray,
+    nprobe: int,
+    n_candidates: int,
+) -> DataFrame:
+    """IVFADC probe: prune to the ``nprobe`` nearest lists, ADC-rank
+    their residual codes, return (vec_id, adc_score) candidates.
+
+    score(v) ≈ q·v = q·c_{list(v)} + q·residual(v): the first term is
+    one scalar per probed list (driver-computed, inlined as a CASE),
+    the second is the shared-codebook ADC sum — M ``element_at`` table
+    lookups per row against query-global LUTs (residual codebooks are
+    shared across lists, so the LUT does NOT fork per list). The scan
+    carries ``list_id IN (...)`` (partition pruning at file listing)
+    and reads only the code columns (column pruning); both are
+    plan-asserted in tests. Exact re-rank of the candidates is the
+    caller's job (same contract as ``probe_pq_index``).
+    """
+    cent = sorted(
+        spark.read.parquet(os.path.join(index_dir, "centroids")).collect(),
+        key=lambda r: r.centroid_id,
+    )
+    cmat = np.stack([np.asarray(r.centroid) for r in cent])
+    ids = np.array([r.centroid_id for r in cent])
+    qn = qvec / np.linalg.norm(qvec)
+    sims = (cmat / np.linalg.norm(cmat, axis=1, keepdims=True)) @ qn
+    order = np.argsort(-sims)[:nprobe]
+    probed = [int(ids[i]) for i in order]
+    base = {int(ids[i]): float(cmat[i] @ qvec) for i in order}
+
+    books = _load_codebooks(spark, index_dir, os.path.join(index_dir, "codebooks"))
+    m, _ksub, dsub = books.shape
+    luts = [books[sub] @ qvec[sub * dsub : (sub + 1) * dsub] for sub in range(m)]
+
+    codes = spark.read.parquet(os.path.join(index_dir, "codes")).filter(
+        F.col("list_id").isin(probed)
+    )
+    base_expr = None
+    for lid, b in base.items():
+        cond = F.col("list_id") == lid
+        base_expr = (
+            F.when(cond, F.lit(b))
+            if base_expr is None
+            else base_expr.when(cond, F.lit(b))
+        )
+    score = base_expr
+    for sub in range(m):
+        lut = F.array(*[F.lit(float(x)) for x in luts[sub]])
+        score = score + F.element_at(lut, F.col(f"code_{sub}") + 1)
+    return (
+        codes.select("vec_id", score.alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(n_candidates)
+    )
+
+
+def append_ivfpq_index(spark: SparkSession, index_dir: str, vectors: DataFrame) -> None:
+    """Incrementally index (vec_id, v) vectors into the IVFPQ layout.
+
+    New vectors coarse-quantize against the FROZEN centroids and
+    PQ-encode their residuals with the FROZEN codebooks (the standard
+    live-index contract — re-training either is an offline rebuild,
+    and with residual codes a centroid move would invalidate every
+    code in the list, so drift repair is rebuild-shaped by design).
+    Cost ∝ |batch|; existing files never rewritten; probes see the
+    appended rows on the next pruned read. Note the asymmetry with
+    ``append_ivf_index``: codes-only storage means the delta's raw
+    vectors are consumed at encode time and never land on disk.
+    """
+    cent = sorted(
+        spark.read.parquet(os.path.join(index_dir, "centroids")).collect(),
+        key=lambda r: r.centroid_id,
+    )
+    cmat = np.stack([np.asarray(r.centroid) for r in cent])
+    ids = np.array([r.centroid_id for r in cent])
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    books = _load_codebooks(spark, index_dir, os.path.join(index_dir, "codebooks"))
+    m, _ksub, dsub = books.shape
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        pos = np.argmax(
+            (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ cnorm.T, axis=1
+        )
+        resid = mat - cmat[pos]
+        out = np.empty((len(emb), m + 1), dtype=np.int32)
+        out[:, 0] = ids[pos]
+        for sub in range(m):
+            x = resid[:, sub * dsub : (sub + 1) * dsub]
+            d2 = ((x[:, None, :] - books[sub][None, :, :]) ** 2).sum(axis=2)
+            out[:, sub + 1] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    coded = vectors.withColumn("enc", encode(F.col("v")))
+    (
+        coded.select(
+            "vec_id",
+            F.element_at(F.col("enc"), 1).cast("long").alias("list_id"),
+            *[
+                F.element_at(F.col("enc"), i + 2).cast("int").alias(f"code_{i}")
+                for i in range(m)
+            ],
+        )
+        .repartition("list_id")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(os.path.join(index_dir, "codes"))
+    )

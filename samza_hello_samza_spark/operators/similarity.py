@@ -185,6 +185,37 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank(cand, qvec)
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ (FAISS IVFADC) ANN: coarse-pruned lists × residual-PQ ADC.
+
+    The composed serving index — what a 100 TB vector deployment
+    actually runs: the coarse step reads ``IVF_NPROBE``/``IVF_NLIST``
+    of the corpus at FILE-LISTING time (partition pruning), the ADC
+    step reads only the one-byte residual-code columns inside those
+    lists (column pruning, ~m bytes/vector), and the raw vectors are
+    touched just for the ``PQ_CANDIDATES`` finalists' exact-cosine
+    re-rank (broadcast semi-join). Compared to its components: probe
+    cost is ~nprobe/nlist of ``ann_pq_topk``'s whole-corpus ADC scan,
+    with better quantization than plain PQ at equal code budget
+    because residuals concentrate near zero (Jégou et al. 2011).
+
+    Rows-only check (float argmax/argmin in the coarse assign and
+    encoder aren't bit-stable across engines); recall vs brute force,
+    determinism, and BOTH prunings are pytest-asserted.
+    """
+    from . import ann_index
+
+    idx = ann_index.build_ivfpq_index(spark, sf_dir, IVF_NLIST, PQ_M, PQ_KSUB)
+    qvec = _query_vector(spark, sf_dir)
+    cand_ids = ann_index.probe_ivfpq_index(
+        spark, idx, qvec, IVF_NPROBE, PQ_CANDIDATES
+    ).select("vec_id")
+    cand = _embeddings(spark, sf_dir).join(
+        F.broadcast(cand_ids), "vec_id", "left_semi"
+    )
+    return _rerank(cand, qvec)
+
+
 #: filtered-search predicate: candidates must carry this label. The
 #: query vector (vec_id 0) has label 5, so the filter is a genuine
 #: cross-label constraint, not a same-class search.
@@ -879,6 +910,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_batch_topk": ann_batch_topk,
     "embedding_centroids": embedding_centroids,
     "embedding_pca": embedding_pca,

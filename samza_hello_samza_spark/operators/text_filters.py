@@ -1056,6 +1056,120 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# c4_quality_filters — the C4 line/page ruleset (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+#: C4's page-level dirty-word rule (Raffel et al. use the public
+#: "List of Dirty, Naughty, Obscene..." list; a 3-token stand-in keeps
+#: the rule mechanics testable without committing that list).
+C4_BADWORDS = ("verboten1", "verboten2", "nsfw1")
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+#: deterministic synthetic-page knobs (see docstring)
+_C4_LINE_BASE = 7
+_C4_PERIOD_MOD = 4
+_C4_BRACE_MOD = 17
+_C4_JS_MOD = 23
+_C4_BADWORD_MOD = 11
+_C4_LOREM_MOD = 13
+
+
+def c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document C4 rule evaluation: line filters, page filters,
+    cleaned text.
+
+    Raffel et al. 2020 §2.2 (the C4 pipeline): keep only lines ending
+    in terminal punctuation, drop lines with <5 words or the word
+    "javascript"; drop whole pages containing a dirty word, the phrase
+    "lorem ipsum", a curly brace (code marker), or fewer than 3
+    sentences; keep English pages only. (C4's three-sentence-span
+    corpus dedup is the separate ``dedup_window_exact`` operator.)
+
+    The synthetic corpus has no newlines or punctuation, so — the same
+    convention as ``pii_redact``'s injected contacts — a deterministic
+    page is derived in-row from the word array: lines of
+    ``7 + doc_id % 5`` words; line *i* ends with '.' unless
+    ``(doc_id + i) % 4 == 0``; a ``{`` marker lands on lines where
+    ``(doc_id*31 + i) % 17 == 0``; a "javascript" token where
+    ``(doc_id*7 + i) % 23 == 0``; docs with ``doc_id % 11 == 0`` carry
+    a dirty word on line 0 and ``doc_id % 13 == 0`` an extra
+    "lorem ipsum" line. Both engines build the identical page, so
+    every rule fires on real positives and the keep decision is
+    engine-exact (all-integer/boolean math — no float discipline
+    needed).
+
+    Scale shape: one column-pruned scan, all array/regex column math
+    in whole-stage codegen, zero shuffles — the same embarrassingly
+    partition-parallel map-only pass as ``gopher_quality_filters``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    words = _words(F.col("text"))
+    base = docs.select("doc_id", "lang", words.alias("words")).filter(
+        F.size("words") > 0
+    )
+    line_w = (F.lit(_C4_LINE_BASE) + did % 5).cast("int")
+    n_lines = F.expr(
+        f"(size(words) + {_C4_LINE_BASE} + doc_id % 5 - 1) "
+        f"div ({_C4_LINE_BASE} + doc_id % 5)"
+    ).cast("int")
+
+    def _line(i: F.Column) -> F.Column:
+        body = F.concat_ws(" ", F.slice("words", i * line_w + 1, line_w))
+        body = F.when(
+            (did % _C4_BADWORD_MOD == 0) & (i == 0),
+            F.concat(body, F.lit(" " + C4_BADWORDS[0])),
+        ).otherwise(body)
+        body = F.when(
+            (did * 7 + i) % _C4_JS_MOD == 0, F.concat(body, F.lit(" javascript"))
+        ).otherwise(body)
+        body = F.when(
+            (did * 31 + i) % _C4_BRACE_MOD == 0, F.concat(body, F.lit(" {"))
+        ).otherwise(body)
+        return F.when(
+            (did + i) % _C4_PERIOD_MOD != 0, F.concat(body, F.lit("."))
+        ).otherwise(body)
+
+    lines0 = F.transform(F.sequence(F.lit(0), n_lines - 1), _line)
+    lines = F.when(
+        did % _C4_LOREM_MOD == 0, F.concat(lines0, F.array(F.lit("lorem ipsum")))
+    ).otherwise(lines0)
+
+    staged = base.select("doc_id", "lang", lines.alias("lines"))
+    line_kept = lambda l: (  # noqa: E731 — shared by two expressions below
+        l.rlike('[.!?"]$')
+        & (F.size(F.split(l, " ")) >= C4_MIN_LINE_WORDS)
+        & ~l.contains("javascript")
+    )
+    page = F.concat_ws("\n", F.col("lines"))
+    # word-boundary regex, not token equality: the synthetic page may
+    # suffix a terminal '.' onto the planted dirty word, and C4's rule
+    # is word-level ("contains any word on the list"), not token-exact
+    has_badword = page.rlike(r"\b(" + "|".join(C4_BADWORDS) + r")\b")
+    flags = staged.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(F.filter("lines", line_kept)).cast("long").alias("n_kept_lines"),
+        F.size(F.filter("lines", lambda l: l.rlike('[.!?"]$')))
+        .cast("long")
+        .alias("n_sentences"),
+        page.contains("{").cast("long").alias("has_brace"),
+        page.contains("lorem ipsum").cast("long").alias("has_lorem_ipsum"),
+        has_badword.cast("long").alias("has_badword"),
+        (F.col("lang") == "en").cast("long").alias("lang_en"),
+        F.concat_ws("\n", F.filter("lines", line_kept)).alias("clean_text"),
+    )
+    keep = (
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & (F.col("has_brace") == 0)
+        & (F.col("has_lorem_ipsum") == 0)
+        & (F.col("has_badword") == 0)
+        & (F.col("lang_en") == 1)
+    )
+    return flags.select("*", keep.cast("long").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
 
@@ -1555,6 +1669,68 @@ ORACLES["ccnet_perplexity_buckets"] = f"""
     GROUP BY 1, 2
 """
 
+ORACLES["c4_quality_filters"] = f"""
+    WITH base AS (
+        SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, lang, words,
+               {_C4_LINE_BASE} + doc_id % 5 AS L
+        FROM base WHERE len(words) > 0
+    ),
+    lined AS (
+        SELECT doc_id, lang,
+               list_transform(
+                   generate_series(0, (len(words) + L - 1) // L - 1),
+                   i -> array_to_string(words[i*L+1 : i*L+L], ' ')
+                        || CASE WHEN doc_id % {_C4_BADWORD_MOD} = 0 AND i = 0
+                                THEN ' {C4_BADWORDS[0]}' ELSE '' END
+                        || CASE WHEN (doc_id*7 + i) % {_C4_JS_MOD} = 0
+                                THEN ' javascript' ELSE '' END
+                        || CASE WHEN (doc_id*31 + i) % {_C4_BRACE_MOD} = 0
+                                THEN ' {{' ELSE '' END
+                        || CASE WHEN (doc_id + i) % {_C4_PERIOD_MOD} <> 0
+                                THEN '.' ELSE '' END
+               ) AS lines0
+        FROM sized
+    ),
+    paged AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % {_C4_LOREM_MOD} = 0
+                    THEN list_append(lines0, 'lorem ipsum')
+                    ELSE lines0 END AS lines
+        FROM lined
+    ),
+    scored AS (
+        SELECT doc_id, lang, lines,
+               array_to_string(lines, chr(10)) AS page,
+               list_filter(lines, l ->
+                   regexp_matches(l, '[.!?"]$')
+                   AND len(string_split(l, ' ')) >= {C4_MIN_LINE_WORDS}
+                   AND NOT contains(l, 'javascript')) AS kept_lines
+        FROM paged
+    ),
+    flags AS (
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept_lines) AS BIGINT) AS n_kept_lines,
+               CAST(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$')))
+                    AS BIGINT) AS n_sentences,
+               CAST(contains(page, '{{') AS BIGINT) AS has_brace,
+               CAST(contains(page, 'lorem ipsum') AS BIGINT) AS has_lorem_ipsum,
+               CAST(regexp_matches(page, '\\b({'|'.join(C4_BADWORDS)})\\b')
+                    AS BIGINT) AS has_badword,
+               CAST(lang = 'en' AS BIGINT) AS lang_en,
+               coalesce(array_to_string(kept_lines, chr(10)), '') AS clean_text
+        FROM scored
+    )
+    SELECT *,
+           CAST(n_sentences >= {C4_MIN_SENTENCES}
+                AND has_brace = 0 AND has_lorem_ipsum = 0
+                AND has_badword = 0 AND lang_en = 1 AS BIGINT) AS keep
+    FROM flags
+"""
+
 QUERIES = {
     "corpus_profile": corpus_profile,
     "corpus_vocab_stats": corpus_vocab_stats,
@@ -1570,6 +1746,7 @@ QUERIES = {
     "perplexity_proxy": perplexity_proxy,
     "gopher_quality_filters": gopher_quality_filters,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+    "c4_quality_filters": c4_quality_filters,
     "corpus_quality_calibration": corpus_quality_calibration,
     "vocab_coverage": vocab_coverage,
     "boilerplate_lines": boilerplate_lines,

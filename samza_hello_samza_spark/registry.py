@@ -34,6 +34,7 @@ _MODULES = (
     "samza_hello_samza_spark.operators.sketches",
     "samza_hello_samza_spark.operators.graph",
     "samza_hello_samza_spark.operators.tokenizer",
+    "samza_hello_samza_spark.operators.tokenizer_wp",
     "samza_hello_samza_spark.operators.lm",
     "samza_hello_samza_spark.operators.multimodal",
     "samza_hello_samza_spark.operators.asof",
@@ -52,6 +53,7 @@ _OPTIONAL_MODULES = frozenset(
         "samza_hello_samza_spark.operators.multimodal",
         # module-level pandas import (merge UDF); optional like the others
         "samza_hello_samza_spark.operators.tokenizer",
+        "samza_hello_samza_spark.operators.tokenizer_wp",
         "samza_hello_samza_spark.operators.lm",
     }
 )

@@ -48,6 +48,51 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKETS = 32
 
 
+class ConstraintViolation(ValueError):
+    """A write would land rows that fail a table CHECK constraint."""
+
+
+def _check_constraints(df: DataFrame, constraints: dict[str, str] | None) -> None:
+    """Enforce Delta-style CHECK constraints on the rows a write is
+    about to land: every expression must evaluate to TRUE for every
+    row (NULL counts as a violation — Delta's strictness, NOT the
+    SQL-standard CHECK which passes on UNKNOWN; a quality gate that
+    lets NULLs through silently is how bad rows reach a 100 TB table).
+
+    Cost: ONE map-side conditional-count aggregate over the write set
+    (all constraints fused into a single job — no per-constraint
+    scans); example rows are fetched only on failure. Raises
+    ``ConstraintViolation`` BEFORE any data or manifest is touched, so
+    the table state is unchanged on rejection.
+    """
+    if not constraints:
+        return
+    viol = {
+        name: (~F.coalesce(F.expr(expr), F.lit(False))).cast("long")
+        for name, expr in constraints.items()
+    }
+    counts = df.agg(
+        *[F.sum(v).alias(name) for name, v in viol.items()]
+    ).collect()[0]
+    failed = {name: int(counts[name] or 0) for name in constraints}
+    failed = {n: c for n, c in failed.items() if c > 0}
+    if not failed:
+        return
+    name = sorted(failed)[0]
+    examples = (
+        df.filter(~F.coalesce(F.expr(constraints[name]), F.lit(False)))
+        .drop("_bucket")
+        .limit(3)
+        .collect()
+    )
+    raise ConstraintViolation(
+        f"CHECK constraint(s) violated: "
+        f"{ {n: f'{c} row(s)' for n, c in sorted(failed.items())} } — "
+        f"first examples for {name!r} ({constraints[name]}): "
+        f"{[r.asDict() for r in examples]}"
+    )
+
+
 def _validate_merge_source(source: DataFrame, key: str) -> None:
     # one aggregate job validates both cardinality rules: key-unique
     # AND no NULL keys (count_distinct ignores NULLs, so either
@@ -156,7 +201,14 @@ def _merge_rows(
 
 
 class MergeTable:
-    """A hash-bucketed parquet table with MERGE INTO support."""
+    """A hash-bucketed parquet table with MERGE INTO support.
+
+    ``constraints`` (optional): Delta-style CHECK constraints —
+    {name: SQL boolean expression over the table columns}. Every
+    write path (``write_full``, ``merge``) validates the rows it is
+    about to land and raises ``ConstraintViolation`` before touching
+    the table; see ``_check_constraints`` for semantics and cost.
+    """
 
     def __init__(
         self,
@@ -164,11 +216,13 @@ class MergeTable:
         path: str,
         key_col: str,
         n_buckets: int = DEFAULT_BUCKETS,
+        constraints: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.n_buckets = n_buckets
+        self.constraints = dict(constraints or {})
 
     def _bucket(self) -> F.Column:
         return F.pmod(
@@ -176,6 +230,7 @@ class MergeTable:
         ).cast("int")
 
     def write_full(self, df: DataFrame) -> None:
+        _check_constraints(df, self.constraints)
         (
             df.withColumn("_bucket", self._bucket())
             .repartition("_bucket")
@@ -232,6 +287,10 @@ class MergeTable:
         merged, counts = _merge_rows(
             target, src, key, cols, new_cols, s_fields, delete_cond
         )
+        # constraints gate the rows ABOUT TO LAND (the rewritten
+        # buckets' post-merge state) — Delta's contract: incoming
+        # writes are validated, untouched buckets are grandfathered.
+        _check_constraints(merged, self.constraints)
         (
             merged.repartition("_bucket")
             .write.mode("overwrite")
@@ -297,11 +356,13 @@ class VersionedMergeTable:
         path: str,
         key_col: str,
         n_buckets: int = DEFAULT_BUCKETS,
+        constraints: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.n_buckets = n_buckets
+        self.constraints = dict(constraints or {})
         os.makedirs(path, exist_ok=True)
 
     # -- manifest ---------------------------------------------------------
@@ -335,9 +396,17 @@ class VersionedMergeTable:
     def _dv_dir(self, version: int) -> str:
         return os.path.join(self.path, "deletes", f"v{version}")
 
-    def _bucket(self) -> F.Column:
+    def _spec(self, man: dict, version: int) -> int:
+        """The bucket count a snapshot was written under (the table's
+        partition SPEC — Iceberg's term). Recorded per version and
+        copied forward on every commit; pre-spec manifests fall back
+        to the constructor value (backward compatible)."""
+        return int(man.get("spec", {}).get(str(version), self.n_buckets))
+
+    def _bucket(self, n_buckets: int | None = None) -> F.Column:
         return F.pmod(
-            F.xxhash64(F.col(self.key_col).cast("string")), F.lit(self.n_buckets)
+            F.xxhash64(F.col(self.key_col).cast("string")),
+            F.lit(n_buckets or self.n_buckets),
         ).cast("int")
 
     # -- read -------------------------------------------------------------
@@ -407,6 +476,7 @@ class VersionedMergeTable:
     # -- write ------------------------------------------------------------
 
     def write_full(self, df: DataFrame) -> None:
+        _check_constraints(df, self.constraints)
         src = df.withColumn("_bucket", self._bucket())
         (
             src.repartition("_bucket")
@@ -418,7 +488,11 @@ class VersionedMergeTable:
             r._bucket for r in src.select("_bucket").distinct().collect()
         )
         self._swap_manifest(
-            {"current": 1, "snapshots": {"1": {str(b): 1 for b in present}}}
+            {
+                "current": 1,
+                "snapshots": {"1": {str(b): 1 for b in present}},
+                "spec": {"1": self.n_buckets},
+            }
         )
 
     def merge(self, source: DataFrame, delete_cond: F.Column | None = None) -> dict:
@@ -426,11 +500,14 @@ class VersionedMergeTable:
         semantics (identical — same shared core)."""
         key = self.key_col
         _validate_merge_source(source, key)
-        src = source.withColumn("_bucket", self._bucket()).localCheckpoint()
+        man = self.manifest()
+        # route the source by the CURRENT snapshot's partition spec —
+        # after a rebucket the constructor's n_buckets may be stale.
+        spec = self._spec(man, man["current"])
+        src = source.withColumn("_bucket", self._bucket(spec)).localCheckpoint()
         touched = sorted(
             r._bucket for r in src.select("_bucket").distinct().collect()
         )
-        man = self.manifest()
         if not touched:
             return {"inserted": 0, "updated": 0, "deleted": 0, "buckets": [],
                     "version": man["current"]}
@@ -443,6 +520,9 @@ class VersionedMergeTable:
         merged, counts = _merge_rows(
             target, src, key, cols, new_cols, s_fields, delete_cond
         )
+        # validated BEFORE the version claim: a rejected write must
+        # leave no claim file behind for other writers to wait on.
+        _check_constraints(merged, self.constraints)
         new_version = man["current"] + 1
         nonce = self._claim(new_version)
         (
@@ -462,6 +542,7 @@ class VersionedMergeTable:
             else:
                 snap.pop(str(b), None)
         man["snapshots"][str(new_version)] = snap
+        man.setdefault("spec", {})[str(new_version)] = spec
         # a rewritten bucket materializes its tombstones: the new files
         # hold the post-DV rows, so the new snapshot drops the touched
         # buckets' DV entries (older snapshots keep theirs — time
@@ -614,6 +695,7 @@ class VersionedMergeTable:
             new_dvs.setdefault(str(b), []).append(new_version)
         man["snapshots"][str(new_version)] = snap  # data files UNTOUCHED
         man.setdefault("deletes", {})[str(new_version)] = new_dvs
+        man.setdefault("spec", {})[str(new_version)] = self._spec(man, cur)
         self._publish(new_version, nonce, self._dv_dir(new_version))
         self._commit(man, new_version, nonce)
         return {"deleted": n, "buckets": touched, "version": new_version}
@@ -654,8 +736,75 @@ class VersionedMergeTable:
                 snap.pop(str(b), None)  # bucket fully tombstoned
         man["snapshots"][str(new_version)] = snap
         man.setdefault("deletes", {})[str(new_version)] = {}
+        man.setdefault("spec", {})[str(new_version)] = self._spec(man, cur)
         self._commit(man, new_version, nonce)
         return {"buckets": touched, "version": new_version}
+
+    # -- partition-spec evolution -------------------------------------------
+
+    def rebucket(self, n_buckets: int) -> dict:
+        """Change the table's bucket count as ONE committed version —
+        Iceberg's partition-spec evolution on this layout's terms.
+
+        A table bucketed for yesterday's volume skews today's: too few
+        buckets and each merge rewrites giant partitions, too many and
+        small files proliferate. ``rebucket`` rewrites the CURRENT
+        snapshot under the new spec into an immutable ``data/v{N}``
+        dir and commits it with the same claim/stage/swap protocol as
+        ``merge`` — readers of older versions keep their own spec's
+        files (time travel intact; each snapshot records the spec it
+        was written under), later merges route sources by the NEW spec
+        (read from the manifest, never the constructor), and deletion
+        vectors are materialized by the rewrite exactly like a
+        bucket-rewriting merge.
+
+        Cost is honestly table-sized (one read + one write — this IS
+        the rewrite), and the CDF step across the boundary compares
+        the full before/after images but nets to ZERO changes (carried
+        rows are value-identical; pytest-asserted) — a rebucket is
+        metadata motion, not data change.
+        """
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        man = self.manifest()
+        cur = man["current"]
+        if cur == 0:
+            raise FileNotFoundError(f"no snapshot to rebucket in {self.path}")
+        old_spec = self._spec(man, cur)
+        if n_buckets == old_spec:
+            return {"version": cur, "n_buckets": n_buckets, "rewritten": False}
+        full = self._read_snapshot(
+            dict(man["snapshots"][str(cur)]), dvs=self._snapshot_dvs(man, cur)
+        )
+        rows = (
+            full.drop("_bucket")
+            .withColumn("_bucket", self._bucket(n_buckets))
+            .localCheckpoint()  # source reads the dirs the commit supersedes
+        )
+        new_version = cur + 1
+        nonce = self._claim(new_version)
+        (
+            rows.repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(self._stage_dir(self._data_dir(new_version), nonce))
+        )
+        present = sorted(
+            r._bucket for r in rows.select("_bucket").distinct().collect()
+        )
+        man["snapshots"][str(new_version)] = {
+            str(b): new_version for b in present
+        }
+        man.setdefault("deletes", {})[str(new_version)] = {}
+        man.setdefault("spec", {})[str(new_version)] = int(n_buckets)
+        self._publish(new_version, nonce, self._data_dir(new_version))
+        self._commit(man, new_version, nonce)
+        return {
+            "version": new_version,
+            "n_buckets": int(n_buckets),
+            "rewritten": True,
+            "buckets": present,
+        }
 
     # -- change data feed ---------------------------------------------------
 

@@ -3,6 +3,8 @@ hash-family ops DuckDB can't mirror (minhash, simhash, LSH, multimodal)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from samza_hello_samza_spark.operators import (
@@ -771,3 +773,104 @@ def test_ann_filtered_ivf_deterministic(spark):
     a = [tuple(r) for r in similarity.ann_filtered_ivf_topk(spark, SF_DIR).collect()]
     b = [tuple(r) for r in similarity.ann_filtered_ivf_topk(spark, SF_DIR).collect()]
     assert a == b
+
+
+def test_ann_ivfpq_recall(spark):
+    """IVFPQ top-k overlaps brute-force top-k; scores sorted. With
+    residual encoding + 64-candidate exact re-rank, recall should be
+    in the same band as the component indexes."""
+    brute = [r.vec_id for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect()]
+    ivfpq = similarity.ann_ivfpq_topk(spark, SF_DIR).collect()
+    ids = [r.vec_id for r in ivfpq]
+    assert len(ids) == similarity.TOP_K
+    cosines = [r.cosine for r in ivfpq]
+    assert cosines == sorted(cosines, reverse=True)
+    overlap = len(set(brute) & set(ids)) / len(brute)
+    assert overlap >= 0.2, f"IVFPQ recall {overlap:.2f} suspiciously low"
+
+
+def test_ann_ivfpq_deterministic(spark):
+    a = [tuple(r) for r in similarity.ann_ivfpq_topk(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in similarity.ann_ivfpq_topk(spark, SF_DIR).collect()]
+    assert a == b
+
+
+def test_ann_ivfpq_probe_composes_both_prunings(spark):
+    """The IVFADC probe must cut files at listing (≤ NPROBE of NLIST
+    list_id partitions) AND read only the code columns inside them —
+    the raw vectors never enter the scan (codes/ stores none)."""
+    from samza_hello_samza_spark.operators import ann_index
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+    idx = ann_index.build_ivfpq_index(
+        spark, SF_DIR, similarity.IVF_NLIST, similarity.PQ_M, similarity.PQ_KSUB
+    )
+    cand = ann_index.probe_ivfpq_index(
+        spark, idx, qvec, similarity.IVF_NPROBE, similarity.PQ_CANDIDATES
+    )
+    plan = _executed_plan(cand, spark)
+    assert "PartitionFilters" in plan and "list_id" in plan
+    n = _scanned_partitions(cand)
+    assert 0 < n <= similarity.IVF_NPROBE, (
+        f"IVFPQ probe read {n} partitions; expected ≤{similarity.IVF_NPROBE}"
+    )
+    # column pruning: the scan reads vec_id + code columns only
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "code_0" in m.group(1) and "v:" not in m.group(1), m and m.group(1)
+    # top-k is distributed, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_ivfpq_residuals_beat_no_rerank_floor(spark):
+    """The ADC candidate set itself (before exact re-rank) must already
+    contain most of the final answer — the re-rank is a refinement,
+    not a rescue: every returned id is one of the probe's candidates."""
+    from samza_hello_samza_spark.operators import ann_index
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+    idx = ann_index.build_ivfpq_index(
+        spark, SF_DIR, similarity.IVF_NLIST, similarity.PQ_M, similarity.PQ_KSUB
+    )
+    cand = {
+        r.vec_id
+        for r in ann_index.probe_ivfpq_index(
+            spark, idx, qvec, similarity.IVF_NPROBE, similarity.PQ_CANDIDATES
+        ).collect()
+    }
+    final = {r.vec_id for r in similarity.ann_ivfpq_topk(spark, SF_DIR).collect()}
+    assert final <= cand
+
+
+def test_ann_ivfpq_append_is_probe_visible_and_batch_consistent(spark, tmp_path):
+    """Appends encode against the FROZEN centroids/codebooks: an
+    appended copy of an existing vector must land in the same list
+    with the same codes, and a probe near it must surface the new id."""
+    import numpy as np
+    from samza_hello_samza_spark.operators import ann_index
+
+    idx = ann_index.build_ivfpq_index(
+        spark, SF_DIR, similarity.IVF_NLIST, similarity.PQ_M, similarity.PQ_KSUB
+    )
+    codes_dir = idx + "/codes"
+    base = spark.read.parquet(codes_dir)
+    # clone vector 7 under a fresh id and append it
+    src = similarity._embeddings(spark, SF_DIR).filter(F.col("vec_id") == 7)
+    delta = src.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "v")
+    ann_index.append_ivfpq_index(spark, idx, delta)
+    after = spark.read.parquet(codes_dir)
+    assert after.count() == base.count() + 1
+    orig = base.filter(F.col("vec_id") == 7).collect()[0]
+    new = after.filter(F.col("vec_id") == 1_000_007).collect()[0]
+    code_cols = [c for c in base.columns if c.startswith("code_")]
+    assert new.list_id == orig.list_id
+    assert [new[c] for c in code_cols] == [orig[c] for c in code_cols]
+    # the probe ranks the clone identically to its original (ADC
+    # scores are code-determined) — both appear among candidates for
+    # a query at vector 7 itself
+    qvec = np.asarray(src.collect()[0].v, dtype=float)
+    cand = ann_index.probe_ivfpq_index(
+        spark, idx, qvec, similarity.IVF_NPROBE, similarity.PQ_CANDIDATES
+    ).collect()
+    by_id = {r.vec_id: r.adc_score for r in cand}
+    assert 7 in by_id and 1_000_007 in by_id
+    assert by_id[7] == by_id[1_000_007]

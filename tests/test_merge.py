@@ -890,3 +890,149 @@ def test_expire_snapshots_removes_unreferenced_dirs(spark, vtable):
     assert out["dropped"] == [1]
     assert not os.path.isdir(vtable._data_dir(1))  # nothing references v1
     assert vtable.read().count() == 200
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (r06: Delta-style write-time validation)
+# ---------------------------------------------------------------------------
+
+
+def test_constraints_reject_bad_write_full_and_leave_table_absent(spark, tmp_path):
+    from samza_hello_samza_spark.sources.merge import ConstraintViolation
+
+    t = MergeTable(
+        spark, str(tmp_path / "c"), "k", n_buckets=4,
+        constraints={"v_nonnull": "v IS NOT NULL", "k_pos": "k >= 0"},
+    )
+    bad = spark.createDataFrame(
+        [(1, "a"), (-2, "b"), (3, None)], "k long, v string"
+    )
+    with pytest.raises(ConstraintViolation) as ei:
+        t.write_full(bad)
+    msg = str(ei.value)
+    assert "k_pos" in msg and "v_nonnull" in msg and "1 row(s)" in msg
+    # nothing landed
+    import os
+    assert not any(e.startswith("_bucket=") for e in os.listdir(t.path)) \
+        if os.path.exists(t.path) else True
+
+
+def test_constraints_gate_merge_and_null_counts_as_violation(spark, tmp_path):
+    from samza_hello_samza_spark.sources.merge import ConstraintViolation
+
+    t = MergeTable(
+        spark, str(tmp_path / "c2"), "k", n_buckets=4,
+        constraints={"qty_pos": "qty > 0"},
+    )
+    t.write_full(spark.createDataFrame([(1, 5), (2, 7)], "k long, qty long"))
+    ok = spark.createDataFrame([(3, 1)], "k long, qty long")
+    t.merge(ok)
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+    # a NULL qty is NOT true under the check → rejected (Delta strictness)
+    bad = spark.createDataFrame([(4, None), (5, 0)], "k long, qty long")
+    with pytest.raises(ConstraintViolation):
+        t.merge(bad)
+    # table unchanged by the rejected merge
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_constraints_versioned_rejection_leaves_no_claim_or_version(spark, tmp_path):
+    from samza_hello_samza_spark.sources.merge import (
+        ConstraintViolation,
+        VersionedMergeTable,
+    )
+
+    t = VersionedMergeTable(
+        spark, str(tmp_path / "vc"), "k", n_buckets=4,
+        constraints={"status_known": "status IN ('open','closed')"},
+    )
+    t.write_full(
+        spark.createDataFrame([(1, "open"), (2, "closed")], "k long, status string")
+    )
+    v1 = t.manifest()["current"]
+    with pytest.raises(ConstraintViolation):
+        t.merge(spark.createDataFrame([(3, "weird")], "k long, status string"))
+    man = t.manifest()
+    assert man["current"] == v1  # no version committed
+    import os
+    leftovers = [f for f in os.listdir(t.path) if f.endswith(".claim")]
+    assert not leftovers, leftovers
+    # a clean merge still goes through afterwards
+    t.merge(spark.createDataFrame([(3, "open")], "k long, status string"))
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# partition-spec evolution (r06: rebucket as a committed version)
+# ---------------------------------------------------------------------------
+
+
+def _vt_rows(t, version=None):
+    return {r.k: r.v for r in t.read(version=version).collect()}
+
+
+def test_rebucket_preserves_rows_and_time_travel(spark, tmp_path):
+    from samza_hello_samza_spark.sources.merge import VersionedMergeTable
+
+    t = VersionedMergeTable(spark, str(tmp_path / "rb"), "k", n_buckets=4)
+    t.write_full(
+        spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k long, v string")
+    )
+    before = _vt_rows(t)
+    stats = t.rebucket(16)
+    assert stats["rewritten"] and stats["n_buckets"] == 16
+    assert _vt_rows(t) == before                     # same table
+    assert _vt_rows(t, version=1) == before          # time travel intact
+    # physical layout actually changed spec
+    import os
+    v2 = os.path.join(t.path, "data", "v2")
+    n_dirs = sum(1 for e in os.listdir(v2) if e.startswith("_bucket="))
+    assert 4 < n_dirs <= 16
+    # no-op when the spec already matches
+    again = t.rebucket(16)
+    assert again == {"version": 2, "n_buckets": 16, "rewritten": False}
+
+
+def test_merges_after_rebucket_route_by_new_spec(spark, tmp_path):
+    from samza_hello_samza_spark.sources.merge import VersionedMergeTable
+
+    t = VersionedMergeTable(spark, str(tmp_path / "rb2"), "k", n_buckets=2)
+    t.write_full(
+        spark.createDataFrame([(i, f"v{i}") for i in range(50)], "k long, v string")
+    )
+    t.rebucket(8)
+    # a handle constructed with the STALE bucket count must still
+    # route correctly — the spec comes from the manifest, not __init__
+    from samza_hello_samza_spark.sources.merge import VersionedMergeTable as VT
+
+    stale = VT(spark, t.path, "k", n_buckets=2)
+    stale.merge(
+        spark.createDataFrame([(7, "NEW7"), (999, "ins")], "k long, v string")
+    )
+    got = _vt_rows(stale)
+    assert got[7] == "NEW7" and got[999] == "ins" and len(got) == 51
+    # lookups across the whole keyspace still see every row
+    assert {r.k for r in stale.read().collect()} == set(range(50)) | {999}
+
+
+def test_rebucket_nets_zero_cdf_changes_and_materializes_dvs(spark, tmp_path):
+    from samza_hello_samza_spark.sources.merge import VersionedMergeTable
+    from pyspark.sql import functions as F
+
+    t = VersionedMergeTable(spark, str(tmp_path / "rb3"), "k", n_buckets=4)
+    t.write_full(
+        spark.createDataFrame([(i, f"v{i}") for i in range(60)], "k long, v string")
+    )
+    t.delete_where(F.col("k") < 10)          # v2: DVs over v1 files
+    assert set(_vt_rows(t)) == set(range(10, 60))
+    t.rebucket(9)                             # v3: rewrite under new spec
+    assert set(_vt_rows(t)) == set(range(10, 60))
+    # deleted keys stay deleted and DVs were materialized by the rewrite
+    man = t.manifest()
+    assert man["deletes"]["3"] == {}
+    # the rebucket commit itself is change-free in the CDF
+    ch = t.read_changes(2, 3)
+    assert ch.count() == 0
+    # while the delete commit still reports its deletes
+    ch12 = t.read_changes(1, 2)
+    assert ch12.filter(F.col("_change_type") == "delete").count() == 10

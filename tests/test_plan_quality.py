@@ -57,6 +57,7 @@ NONEQUI_OK = {
     "ann_batch_topk",       # query-batch broadcast scoring
     "hard_negative_mining",  # anchor-batch broadcast scoring
     "ann_pq_topk",          # 1-row query re-rank over ADC candidates
+    "ann_ivfpq_topk",       # 1-row query re-rank over IVFADC candidates
     "mixture_sample",       # 1-row min-count broadcast into the rate table
     "basket_rules",         # 1-row basket-total broadcast (basket_pmi shape)
     "export_shards",        # 1-row corpus-total broadcast (share report)
@@ -91,8 +92,11 @@ ARROW_OK = {
     "ann_ivf_topk",
     "ann_filtered_ivf_topk",  # shares the IVF assign/build stage
     "ann_pq_topk",        # PQ encode is an Arrow-batched numpy matmul
+    "ann_ivfpq_topk",     # coarse-assign + residual encode, Arrow-batched
     "bpe_encode_docs",    # greedy BPE merge loop, Arrow-batched
     "unigram_encode_docs",  # Viterbi lattice DP, Arrow-batched
+    "wordpiece_encode_docs",  # greedy longest-match encode, Arrow-batched
+    "wordpiece_train_vocab",  # per-round merge rewrite, Arrow-batched
     "unigram_train_vocab_em",  # forward-backward E-step, Arrow-batched
     "embedding_pca",      # Gramian + projection are Arrow-batched matmuls
     "multimodal_decode",

@@ -239,3 +239,32 @@ def test_sequence_packing_curriculum_packs_each_cell_independently(spark):
             assert r.seq_id == cum // text_filters.SEQ_BUDGET, (cell, r)
             assert r.offset_in_seq == cum % text_filters.SEQ_BUDGET, (cell, r)
             cum += r.n_tokens
+
+
+def test_c4_rules_fire_on_planted_markers(spark):
+    """The deterministic synthetic page plants every C4 violation on a
+    known doc_id schedule — assert each page rule fires exactly on its
+    schedule, kept lines all satisfy the line rules, and keep == the
+    conjunction of the page rules (Raffel et al. 2020 §2.2)."""
+    rows = text_filters.c4_quality_filters(spark, SF_DIR).collect()
+    assert rows
+    saw_keep = saw_drop = 0
+    for r in rows:
+        assert r.has_lorem_ipsum == (1 if r.doc_id % 13 == 0 else 0)
+        assert r.has_badword == (1 if r.doc_id % 11 == 0 else 0)
+        for line in (r.clean_text.split("\n") if r.clean_text else []):
+            assert line[-1] in '.!?"', (r.doc_id, line)
+            assert len(line.split(" ")) >= text_filters.C4_MIN_LINE_WORDS
+            assert "javascript" not in line
+        assert r.n_kept_lines == (
+            len(r.clean_text.split("\n")) if r.clean_text else 0
+        )
+        expect_keep = (
+            r.n_sentences >= text_filters.C4_MIN_SENTENCES
+            and not (r.has_brace or r.has_lorem_ipsum or r.has_badword)
+            and r.lang_en == 1
+        )
+        assert r.keep == int(expect_keep), r
+        saw_keep += r.keep
+        saw_drop += 1 - r.keep
+    assert saw_keep > 0 and saw_drop > 0  # both branches exercised

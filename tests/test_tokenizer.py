@@ -428,3 +428,88 @@ def test_unigram_em_covers_chars_and_is_deterministic(spark):
     corpus_chars = {ch for w in _word_freq_dict(spark) for ch in w}
     assert corpus_chars <= pieces
     assert any(r.n_chars > 1 for r in rows_a)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_matches_reference(spark):
+    from samza_hello_samza_spark.operators import tokenizer_wp
+
+    freq = _word_freq_dict(spark)
+    want = tokenizer_wp.wordpiece_reference_train(freq, tokenizer_wp.N_WP_MERGES)
+    got = [
+        (r.left, r.right, r.merged, r.pair_count, r.left_count, r.right_count)
+        for r in sorted(
+            tokenizer_wp.wordpiece_train_vocab(spark, SF_DIR).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert got == want
+
+
+def test_wordpiece_is_deterministic(spark):
+    from samza_hello_samza_spark.operators import tokenizer_wp
+
+    a = [tuple(r) for r in tokenizer_wp.wordpiece_train_vocab(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in tokenizer_wp.wordpiece_train_vocab(spark, SF_DIR).collect()]
+    assert a == b and len(a) == tokenizer_wp.N_WP_MERGES
+
+
+def test_wordpiece_merges_are_continuation_joins(spark):
+    """Every merged piece must splice out exactly one ## and the score
+    numerator can never exceed either denominator count."""
+    from samza_hello_samza_spark.operators import tokenizer_wp
+
+    rows = tokenizer_wp.wordpiece_train_vocab(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.right.startswith("##")
+        assert r.merged == tokenizer_wp._wp_join(r.left, r.right)
+        assert r.pair_count <= r.left_count
+        assert r.pair_count <= r.right_count
+
+
+def test_wordpiece_encode_matches_reference_and_covers(spark):
+    """Distributed encode ≡ pure-python greedy longest-match on every
+    doc; alphabet coverage means zero UNKs; token chars reassemble the
+    word (round-trip conservation)."""
+    from samza_hello_samza_spark.operators import tokenizer_wp
+
+    freq = _word_freq_dict(spark)
+    merges = tokenizer_wp.wordpiece_reference_train(freq, tokenizer_wp.N_WP_MERGES)
+    alphabet = set()
+    for w in freq:
+        alphabet.update(tokenizer_wp._wp_symbols(w))
+    vocab = alphabet | {m[2] for m in merges}
+    max_piece = max(len(p) - (2 if p.startswith("##") else 0) for p in vocab)
+
+    # round-trip + reference stats per word
+    per_word = {}
+    for w in freq:
+        toks = tokenizer_wp.wordpiece_encode_word(w, vocab, max_piece)
+        assert toks != [tokenizer_wp.WP_UNK]
+        assert "".join(t[2:] if t.startswith("##") else t for t in toks) == w
+        per_word[w] = (
+            len(toks),
+            sum(1 for t in toks if t.startswith("##")),
+        )
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.n_continuations, r.n_unk)
+        for r in tokenizer_wp.wordpiece_encode_docs(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        nt = nc = 0
+        for w in text.lower().split():
+            t, c = per_word[w]
+            nt += t
+            nc += c
+        assert got[doc_id] == (nt, nc, 0), doc_id

@@ -123,6 +123,8 @@ PROBE_OPS = (
     # r06c additions: single-scan ruleset + LM-tercile composition.
     "gopher_quality_filters",
     "ccnet_perplexity_buckets",
+    "c4_quality_filters",
+    "ann_ivfpq_topk",
 )
 
 #: index/layout-backed keys whose per-sf_dir build is a one-time
