@@ -158,6 +158,9 @@ EXTRA_VOLUME = (
     # r06d: composed IVFADC probe (index build is warmup, ANN
     # discipline — timed run measures the pruned codes-only serve).
     "ann_ivfpq_topk",
+    # r06e: hybrid lexical+vector retrieval (RRF fusion of the BM25
+    # pass and the exact-cosine top-k — both corpus-sized stages).
+    "hybrid_search",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the
@@ -219,8 +222,12 @@ UNBENCHED: dict[str, str] = {
         "doc_length_histogram", "token_frequency_histogram",
         "corpus_vocab_stats", "corpus_quality_calibration",
         "curation_pipeline", "vocab_coverage", "langid_confusion",
-        # retrieval: term_search_indexed benched (the scale path)
+        # retrieval: term_search_indexed benched (the scale path);
+        # hybrid_search benched (it contains the bm25 pass whole)
         "term_search", "phrase_search", "bm25_search", "tfidf_top_terms",
+        # ruleset venn: composes three benched scans (gopher/c4/
+        # repetition) + an 8-row-bounded fusion
+        "curation_ruleset_venn",
         # LM family: trigram_lm / kneser_ney benched
         "bigram_lm_nll", "bpe_encode_docs", "unigram_encode_docs",
         "wordpiece_encode_docs",

@@ -97,6 +97,93 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP)
 
 
+#: reciprocal-rank-fusion constant (Cormack et al. 2009's k=60) and
+#: the fused cut; each modality contributes its top-``BM25_TOP`` list.
+RRF_K = 60
+HYBRID_TOP = 10
+
+
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval: RRF-fuse BM25 and cosine ranks.
+
+    The serving shape every modern RAG/search stack runs: the lexical
+    list is ``bm25_search``'s top-20, the vector list is the exact
+    cosine top-20 for the standard query vector (vec_id 0 — embeddings
+    and documents share the id space), and the fusion is reciprocal
+    rank fusion, score = Σ_lists 1/(k + rank) with k=60 — rank-only,
+    so the two incomparable score scales never need calibration.
+
+    Scale shape: each candidate list is built by its own pruned path
+    (BM25's stages are query-term-sized after the pre-explode filter;
+    the vector side is one column-pruned scan into
+    TakeOrderedAndProject) and the fusion joins two 20-row frames —
+    bounded, broadcast, trivially cheap at any corpus size. The rank
+    windows order CANDIDATE-LIST-sized input (≤20 rows), not the
+    corpus.
+
+    Cross-engine discipline: both per-list scores are rounded (4dp
+    bm25 / 6dp cosine) BEFORE ranking with id tiebreaks, ranks are
+    integers, the RRF sum of two 1/(60+r) doubles is identical IEEE
+    math in both engines and is rounded to 6dp before the final
+    cut; absent-from-list sides coalesce to rank -1 / score 0.0
+    (sentinels, never NULL — nullable-int hash discipline).
+    """
+    lex = bm25_search(spark, sf_dir).select("doc_id", "bm25")
+    lex = lex.withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    import numpy as np
+
+    qrow = e.filter(F.col("vec_id") == 0).collect()[0]
+    qvec = np.asarray(qrow.v, dtype=float)
+    qv = F.array(*[F.lit(float(x)) for x in qvec])
+    qnorm = float(np.linalg.norm(qvec))
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), qv, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    vec = (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (norm * F.lit(qnorm)), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+    vec = vec.withColumn(
+        "vec_rank",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("doc_id"))),
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(-1)).cast("long").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(-1)).cast("long").alias("vec_rank"),
+        F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+        F.coalesce("cosine", F.lit(0.0)).alias("cosine"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(HYBRID_TOP)
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by tf-idf (idf = ln(N/df)).
 
@@ -260,8 +347,49 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["hybrid_search"] = (
+    """
+    WITH lex0 AS MATERIALIZED (
+"""
+    + ORACLES["bm25_search"]
+    + f"""
+    ),
+    lex AS (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM lex0
+    ),
+    vec0 AS MATERIALIZED (
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+        FROM e, q WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id LIMIT {BM25_TOP}
+    ),
+    vec AS (
+        SELECT doc_id, cosine,
+               row_number() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
+        FROM vec0
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               CAST(coalesce(l.lex_rank, -1) AS BIGINT) AS lex_rank,
+               CAST(coalesce(v.vec_rank, -1) AS BIGINT) AS vec_rank,
+               coalesce(l.bm25, 0.0) AS bm25,
+               coalesce(v.cosine, 0.0) AS cosine,
+               round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + v.vec_rank), 0.0), 6) AS rrf
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOP}
+"""
+)
+
+
 QUERIES = {
     "bm25_search": bm25_search,
+    "hybrid_search": hybrid_search,
     "tfidf_top_terms": tfidf_top_terms,
     "bigram_lm_nll": bigram_lm_nll,
 }

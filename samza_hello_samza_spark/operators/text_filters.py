@@ -1169,6 +1169,42 @@ def c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.select("*", keep.cast("long").alias("keep"))
 
 
+def curation_ruleset_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement report across the three published quality rulesets.
+
+    A pipeline owner choosing between Gopher, C4 and the repetition
+    gate needs to know whether they drop the SAME documents or
+    different ones — the 2³ keep-pattern histogram (the Venn cells) is
+    the standard comparison artifact. Composition: the three existing
+    per-doc keep columns joined on doc_id (inner — all three score any
+    doc with ≥1 word), one (g, c4, rep) hash aggregate, shares against
+    a 1-row broadcast total. Everything after the three scans is
+    8-row-bounded; integer counts make the share division engine-exact
+    at 6dp.
+    """
+    g = gopher_quality_filters(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    c = c4_quality_filters(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("c4_keep")
+    )
+    r = text_repetition(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("repetition_keep")
+    )
+    j = g.join(c, "doc_id").join(r, "doc_id")
+    cells = j.groupBy("gopher_keep", "c4_keep", "repetition_keep").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    total = j.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "gopher_keep",
+        "c4_keep",
+        "repetition_keep",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
@@ -1731,6 +1767,41 @@ ORACLES["c4_quality_filters"] = f"""
     FROM flags
 """
 
+ORACLES["curation_ruleset_venn"] = (
+    """
+    WITH g AS MATERIALIZED (
+"""
+    + ORACLES["gopher_quality_filters"]
+    + """
+    ),
+    c AS MATERIALIZED (
+"""
+    + ORACLES["c4_quality_filters"]
+    + """
+    ),
+    r AS MATERIALIZED (
+"""
+    + ORACLES["text_repetition"]
+    + """
+    ),
+    j AS (
+        SELECT g.keep AS gopher_keep, c.keep AS c4_keep,
+               r.keep AS repetition_keep
+        FROM g JOIN c USING (doc_id) JOIN r USING (doc_id)
+    ),
+    cells AS (
+        SELECT gopher_keep, c4_keep, repetition_keep,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM j GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM j)
+    SELECT gopher_keep, c4_keep, repetition_keep, n_docs,
+           round(n_docs / total, 6) AS share
+    FROM cells CROSS JOIN tot
+"""
+)
+
+
 QUERIES = {
     "corpus_profile": corpus_profile,
     "corpus_vocab_stats": corpus_vocab_stats,
@@ -1747,6 +1818,7 @@ QUERIES = {
     "gopher_quality_filters": gopher_quality_filters,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "c4_quality_filters": c4_quality_filters,
+    "curation_ruleset_venn": curation_ruleset_venn,
     "corpus_quality_calibration": corpus_quality_calibration,
     "vocab_coverage": vocab_coverage,
     "boilerplate_lines": boilerplate_lines,

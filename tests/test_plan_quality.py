@@ -51,6 +51,8 @@ NONEQUI_OK = {
     "sequence_packing_curriculum_materialize",  # inherits curriculum cuts broadcast + triangular totals join (assembly equi on doc_id / (lang,stage,seq_id))
     "corpus_vocab_stats",   # two 1-row aggregates broadcast-crossed
     "bm25_search",          # 1-row corpus-stats (N, avgdl) broadcast
+    "hybrid_search",        # inherits bm25's stats broadcast; fusion joins 20-row frames
+    "curation_ruleset_venn",  # 1-row total broadcast over the 8-cell venn
     "tfidf_top_terms",      # 1-row corpus-count broadcast
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -125,6 +125,7 @@ PROBE_OPS = (
     "ccnet_perplexity_buckets",
     "c4_quality_filters",
     "ann_ivfpq_topk",
+    "hybrid_search",
 )
 
 #: index/layout-backed keys whose per-sf_dir build is a one-time
