@@ -209,7 +209,8 @@ UNBENCHED: dict[str, str] = {
     **{k: _R["family_rep"] for k in (
         # dedup family: dedup_exact/chunk/window/minhash/simhash benched
         "dedup_url", "dedup_fuzzy", "dedup_incremental", "dedup_ngram_jaccard",
-        "dedup_clusters", "dedup_cluster_sizes", "dedup_canonical",
+        "dedup_clusters", "dedup_clusters_twostar", "dedup_cluster_sizes",
+        "dedup_canonical",
         "dedup_embedding", "dedup_semantic",
         # ANN family: bruteforce/lsh/pq benched
         "ann_ivf_topk", "ann_batch_topk", "knn_graph", "hard_negative_mining",

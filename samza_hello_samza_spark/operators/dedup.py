@@ -552,6 +552,129 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+#: hard cap on alternating star rounds — the algorithm converges in
+#: O(log n) rounds with high probability; 40 covers n ≈ 2^40 nodes
+#: with a wide margin, so hitting the cap means a logic bug, not a
+#: big graph, and we fail loudly instead of returning partial labels.
+_TWOSTAR_MAX_ROUNDS = 40
+
+
+def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star / small-star.
+
+    Same output contract as :func:`dedup_clusters` (every doc in a
+    near-dup pair labelled with its component's min doc_id) but the
+    round count is O(log n) in the NODE count instead of O(diameter):
+    each round contracts the component trees toward their minima, so
+    a path of length 2^k collapses in ~k rounds where min-label
+    propagation needs 2^k. Dup clusters are usually near-cliques
+    (diameter 2-3) where both converge fast — this variant is the one
+    that survives the pathological chain topologies a 100 TB corpus
+    will eventually contain (serial re-posts, quote chains).
+
+    Per round, each phase is groupBy-min + join-back — no
+    collect_list, so a hub node with millions of neighbours never
+    materialises one giant row; the shuffle key is the node id and
+    AQE handles the skew. Lineage is cut per round (localCheckpoint);
+    convergence is detected by an order-insensitive edge-set
+    signature (count + sum of xxhash64), one tiny aggregate per round.
+
+    Reference: Kiveris et al., "Connected Components in MapReduce and
+    Beyond" (SoCC'14) — the production-scale CC algorithm.
+
+    Oracle: identical to dedup_clusters (DuckDB recursive CTE) — the
+    two implementations must agree bit-for-bit.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return star_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def star_components(pairs: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star CC over a (doc_a, doc_b) pair
+    frame → (id, label) with label = component min. The reusable core
+    of :func:`dedup_clusters_twostar`; see its docstring for the
+    algorithm and scale contract. Sets ``star_components.last_rounds``
+    for test introspection of the round count."""
+    nodes = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical child>parent edges (string order matches the oracle's)
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(e: DataFrame) -> tuple:
+        # bit_xor is order-insensitive and overflow-free (edges are
+        # distinct, so xor-cancellation of duplicates can't occur)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    prev = _signature(edges)
+    rounds = 0
+    for _ in range(_TWOSTAR_MAX_ROUNDS):
+        rounds += 1
+        # large-star: around every centre c, hook each LARGER
+        # neighbour to min(N(c) ∪ {c})
+        bidir = edges.select(F.col("u").alias("c"), F.col("v").alias("n")).union(
+            edges.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        )
+        mins = bidir.groupBy("c").agg(F.min("n").alias("mn"))
+        mins = mins.select("c", F.least("mn", "c").alias("m"))
+        edges = (
+            bidir.join(mins, "c")
+            .filter(F.col("n") > F.col("c"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: around every centre c, hook c and all its
+        # SMALLER neighbours to the minimum among them
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            edges.join(mins, "u")
+            .select(F.col("v").alias("x"), "m", "u")
+            .select(
+                F.explode(F.array(F.col("x"), F.col("u"))).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = _signature(edges)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"two-star CC did not converge in {_TWOSTAR_MAX_ROUNDS} rounds"
+        )
+    star_components.last_rounds = rounds
+    # at the star fixpoint every non-root is edged directly to its
+    # component's min; roots appear only on the v side
+    return (
+        nodes.join(edges, nodes.id == edges.u, "left")
+        .select(
+            "id",
+            F.coalesce(F.col("v"), F.col("id")).alias("label"),
+        )
+    )
+
+
 CHUNK_WORDS = 10
 
 
@@ -1287,6 +1410,13 @@ ORACLES: dict[str, str] = {
     + """
     SELECT doc_id, cluster_id FROM clusters
     """,
+    # the two-star variant computes the SAME relation by a different
+    # algorithm — identical oracle, so both are hash-checked against
+    # the same ground truth (and therefore against each other)
+    "dedup_clusters_twostar": _CLUSTERS_CTE
+    + """
+    SELECT doc_id, cluster_id FROM clusters
+    """,
     "dedup_canonical": _CLUSTERS_CTE
     + """
     , j AS (
@@ -1371,6 +1501,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_twostar": dedup_clusters_twostar,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_chunk_exact": dedup_chunk_exact,
     "dedup_window_exact": dedup_window_exact,

@@ -175,6 +175,51 @@ def test_dedup_clusters_consistent_with_pairs(spark):
         assert c == min(docs)
 
 
+def test_dedup_clusters_twostar_matches_min_label(spark):
+    """The O(log n)-round two-star algorithm computes exactly the
+    relation the min-label-propagation version does."""
+    a = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dedup_clusters(spark, SF_DIR).collect()
+    }
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.dedup_clusters_twostar(spark, SF_DIR).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_star_components_chain_topology(spark):
+    """A 64-node path — the topology where min-label propagation needs
+    O(diameter)=63 rounds — collapses to ONE component in O(log n)
+    star rounds. This is the scale case the two-star variant exists
+    for; the round count is asserted, not just the labels."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(n - 1)],
+        ["doc_a", "doc_b"],
+    )
+    rows = dedup.star_components(pairs).collect()
+    assert len(rows) == n
+    assert {r.label for r in rows} == {"d000"}
+    assert dedup.star_components.last_rounds <= 10  # log2(64)=6 + slack
+
+
+def test_star_components_forest_and_roots(spark):
+    """Multiple components + self-pairs: labels are component minima,
+    roots self-labelled, self-loops ignored."""
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("z", "z"), ("q", "q")],
+        ["doc_a", "doc_b"],
+    )
+    labels = {r.id: r.label for r in dedup.star_components(pairs).collect()}
+    assert labels == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x",
+        "z": "z", "q": "q",
+    }
+
+
 def test_ann_ivf_recall(spark):
     """IVF top-k overlaps brute-force top-k and candidates come only
     from probed lists (NPROBE/NLIST of the corpus on uniform data)."""
