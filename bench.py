@@ -209,6 +209,9 @@ UNBENCHED: dict[str, str] = {
     **{k: _R["family_rep"] for k in (
         # dedup family: dedup_exact/chunk/window/minhash/simhash benched
         "dedup_url", "dedup_fuzzy", "dedup_incremental", "dedup_ngram_jaccard",
+        # cross-split band probe + candidates-only exact verify: both
+        # stages are the benched minhash_jaccard_estimate's shapes
+        "contamination_minhash",
         "dedup_clusters", "dedup_clusters_twostar", "dedup_cluster_sizes",
         "dedup_canonical",
         "dedup_embedding", "dedup_semantic",

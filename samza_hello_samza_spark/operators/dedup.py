@@ -402,6 +402,91 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: "held-out benchmark" stand-in for cross-corpus decontamination:
+#: doc_id ≡ 7 (mod 13) — disjoint-by-construction from nothing, just a
+#: deterministic ~7.7% slice distinct from the NEW_BATCH_MOD split.
+DECON_MOD = 13
+DECON_REM = 7
+#: exact-Jaccard threshold above which a train doc is contaminated.
+DECON_TAU = 0.5
+
+
+def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fuzzy decontamination: find TRAIN docs that
+    near-duplicate any held-out BENCHMARK doc.
+
+    The exact-n-gram contamination keys (``text_contamination``,
+    ``contamination_bloom``) catch verbatim benchmark leakage; this is
+    the fuzzy tier every published decontamination pipeline layers on
+    top (GPT-3 §C, Llama, FineWeb): paraphrased or lightly-edited
+    benchmark copies that exact 13-gram matching misses.
+
+    Shape: benchmark-side LSH bands equi-join train-side bands (cost
+    |bench|·bands + true collisions, never |train|×|bench|), then the
+    candidate pairs — and ONLY the candidates — are verified with
+    exact shingle Jaccard (semi-join restriction before the shingle
+    join, the ``minhash_jaccard_estimate`` discipline). Output: one
+    row per (train_doc, bench_doc) with exact_jaccard ≥ τ — the train
+    docs to quarantine before an epoch is cut.
+
+    Fully oracle-checked: md5-slice band family + exact-set Jaccard
+    are both SQL-expressible.
+    """
+    bands = _minhash_bands(spark, sf_dir).localCheckpoint()
+    is_bench = F.col("doc_id") % DECON_MOD == DECON_REM
+    bench = bands.filter(is_bench).select(
+        "band", "sig", F.col("doc_id").alias("bench_doc")
+    )
+    train = bands.filter(~is_bench).select(
+        "band", "sig", F.col("doc_id").alias("train_doc")
+    )
+    cand = (
+        train.join(bench, ["band", "sig"])
+        .select("train_doc", "bench_doc")
+        .distinct()
+        .localCheckpoint()  # reused for the semi-join AND the verify
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    cand_docs = (
+        cand.select(F.explode(F.array("train_doc", "bench_doc")).alias("doc_id"))
+        .distinct()
+    )
+    tokenized = docs.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", _words(F.col("text")).alias("words")
+    )
+    shd = explode_nonempty(
+        tokenized, ["doc_id"], _shingles(F.col("words"), 3), "shingle"
+    ).distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(
+            shd.alias("sa"), F.col("train_doc") == F.col("sa.doc_id")
+        )
+        .join(
+            shd.alias("sb"),
+            (F.col("bench_doc") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.round(
+        F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("na")),
+            "train_doc",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("bench_doc"), F.col("n").alias("nb")),
+            "bench_doc",
+        )
+        .filter(jac >= DECON_TAU)
+        .select("train_doc", "bench_doc", jac.alias("exact_jaccard"))
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit signature, 4×8-bit bands, hamming ≤ 6.
 
@@ -577,7 +662,8 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialises one giant row; the shuffle key is the node id and
     AQE handles the skew. Lineage is cut per round (localCheckpoint);
     convergence is detected by an order-insensitive edge-set
-    signature (count + sum of xxhash64), one tiny aggregate per round.
+    signature (count + bit_xor of xxhash64), one tiny aggregate per
+    round.
 
     Reference: Kiveris et al., "Connected Components in MapReduce and
     Beyond" (SoCC'14) — the production-scale CC algorithm.
@@ -1202,6 +1288,31 @@ _MINHASH_INCREMENTAL_SQL = f"""{_MINHASH_BANDS_CTE}
     WHERE n.doc_id % {NEW_BATCH_MOD} = 0 AND c.doc_id % {NEW_BATCH_MOD} <> 0
 """
 
+_CONTAM_MINHASH_SQL = f"""{_MINHASH_BANDS_CTE}
+    , cand AS (
+        SELECT DISTINCT t.doc_id AS train_doc, b.doc_id AS bench_doc
+        FROM bands t
+        JOIN bands b ON t.band = b.band AND t.sig = b.sig
+        WHERE b.doc_id % {DECON_MOD} = {DECON_REM}
+          AND t.doc_id % {DECON_MOD} <> {DECON_REM}
+    ),
+    shd AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM shm),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+        SELECT c.train_doc, c.bench_doc, count(*) AS i
+        FROM cand c
+        JOIN shd a ON a.doc_id = c.train_doc
+        JOIN shd b ON b.doc_id = c.bench_doc AND a.shingle = b.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.train_doc, i.bench_doc,
+           round(i.i / (na.n + nb.n - i.i), 6) AS exact_jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.train_doc
+    JOIN sizes nb ON nb.doc_id = i.bench_doc
+    WHERE round(i.i / (na.n + nb.n - i.i), 6) >= {DECON_TAU}
+"""
+
 _MATCH_TERMS = " + ".join(
     f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(N_PERMS)
 )
@@ -1332,6 +1443,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
     "minhash_jaccard_estimate": _MINHASH_EST_SQL,
     "dedup_incremental": _MINHASH_INCREMENTAL_SQL,
+    "contamination_minhash": _CONTAM_MINHASH_SQL,
     "dedup_fuzzy": _SHINGLES_SQL
     + f"""
     , cand AS (
@@ -1498,6 +1610,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "dedup_incremental": dedup_incremental,
+    "contamination_minhash": contamination_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_clusters": dedup_clusters,

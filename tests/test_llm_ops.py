@@ -205,6 +205,34 @@ def test_star_components_chain_topology(spark):
     assert dedup.star_components.last_rounds <= 10  # log2(64)=6 + slack
 
 
+def test_contamination_minhash_crosses_split(spark):
+    """Every reported pair crosses the train/benchmark split, clears
+    the exact-Jaccard threshold, and is a true LSH candidate (bands
+    collide — i.e. no pair was invented outside the probe)."""
+    rows = dedup.contamination_minhash(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    cand = {
+        (r.train_doc, r.bench_doc)
+        for r in dedup._minhash_bands(spark, SF_DIR)
+        .filter(f"doc_id % {dedup.DECON_MOD} = {dedup.DECON_REM}")
+        .selectExpr("band", "sig", "doc_id AS bench_doc")
+        .join(
+            dedup._minhash_bands(spark, SF_DIR)
+            .filter(f"doc_id % {dedup.DECON_MOD} <> {dedup.DECON_REM}")
+            .selectExpr("band", "sig", "doc_id AS train_doc"),
+            ["band", "sig"],
+        )
+        .select("train_doc", "bench_doc")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r.bench_doc % dedup.DECON_MOD == dedup.DECON_REM
+        assert r.train_doc % dedup.DECON_MOD != dedup.DECON_REM
+        assert r.exact_jaccard >= dedup.DECON_TAU
+        assert (r.train_doc, r.bench_doc) in cand
+
+
 def test_star_components_forest_and_roots(spark):
     """Multiple components + self-pairs: labels are component minima,
     roots self-labelled, self-loops ignored."""
