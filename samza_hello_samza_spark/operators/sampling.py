@@ -1044,8 +1044,147 @@ ORACLES["epoch_shuffle_plan"] = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# train_quality_classifier
+# ---------------------------------------------------------------------------
+
+#: trained-model feature set (bounded K — driver state is K+1 floats).
+QC_FEATURES = ("log_words", "avg_word_len", "punct_ratio", "stopword_ratio", "ttr")
+QC_ITERS = 20
+QC_LR = 1.0
+#: score-histogram resolution for the distributed AUC (bounded window).
+QC_AUC_BINS = 3
+
+
+def _qc_training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, features..., y) — the labelled training set.
+
+    Labels are a synthetic deterministic teacher (the heuristic
+    ``quality_cols`` score plus md5-derived noise that flips
+    borderline docs), standing in for the human/LLM judgments a real
+    FineWeb-Edu-style run would join in; the deliverable is the
+    distributed trainer, and the teacher makes its convergence
+    testable without external labels.
+    """
+    from .text_analysis import quality_cols
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_cols(F.col("text"))
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    ttr = F.when(
+        n_words > 0, F.size(F.array_distinct(words)) / n_words
+    ).otherwise(F.lit(0.0))
+    noise = (
+        (_md5_bucket(F.col("doc_id"), 1000) / F.lit(1000.0)) - F.lit(0.5)
+    ) * F.lit(0.4)
+    label = (q["quality_score"] + noise > F.lit(0.75)).cast("double")
+    return docs.select(
+        "doc_id",
+        F.log1p(q["n_words"]).alias("log_words"),
+        q["avg_word_len"].alias("avg_word_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        label.alias("y"),
+    ).filter(n_words > 0)
+
+
+def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-batch logistic regression for document quality.
+
+    The FineWeb-Edu shape: train a linear quality classifier over the
+    corpus, then use its scores to gate or mix training data. Each
+    gradient-descent iteration is ONE DataFrame aggregate — per-row
+    gradient contributions x_j·(σ(w·x) − y) summed JVM-side via
+    ``avg`` over a localCheckpoint'd standardized feature frame — so
+    an iteration's cost is a single map-side-combined pass over the
+    corpus and the driver state is K+1 floats, never rows. At 100 TB
+    this is exactly the treeAggregate shape MLlib uses, expressed
+    declaratively; 20 fixed iterations ≈ 20 scans, each
+    whole-stage-codegen'd.
+
+    The reported train AUC is computed WITHOUT a global sort: scores
+    are binned (round to 10^-{QC_AUC_BINS}), the bin histogram is a
+    bounded relation, and the rank-sum runs as a window over bins —
+    ties-within-bin get the standard 0.5 credit.
+
+    Output (bounded): one row per feature weight, plus ``__bias__``,
+    ``__train_auc__`` and ``__n_docs__``. Registered rows-only (float
+    iterative, like kmeans/pca); numpy-parity + AUC-floor pytests.
+    """
+    feats = _qc_training_frame(spark, sf_dir)
+    stats = feats.agg(
+        *[F.avg(c).alias(f"mu_{c}") for c in QC_FEATURES],
+        *[F.stddev_pop(c).alias(f"sd_{c}") for c in QC_FEATURES],
+    ).collect()[0]
+    std = feats.select(
+        "doc_id",
+        "y",
+        *[
+            (
+                (F.col(c) - F.lit(float(stats[f"mu_{c}"])))
+                / F.lit(max(float(stats[f"sd_{c}"] or 0.0), 1e-9))
+            ).alias(c)
+            for c in QC_FEATURES
+        ],
+    ).localCheckpoint()
+
+    w = {c: 0.0 for c in QC_FEATURES}
+    bias = 0.0
+    for _ in range(QC_ITERS):
+        margin = F.lit(bias)
+        for c in QC_FEATURES:
+            margin = margin + F.col(c) * F.lit(w[c])
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        g = std.agg(
+            *[F.avg((p - F.col("y")) * F.col(c)).alias(c) for c in QC_FEATURES],
+            F.avg(p - F.col("y")).alias("__bias__"),
+        ).collect()[0]
+        for c in QC_FEATURES:
+            w[c] -= QC_LR * float(g[c])
+        bias -= QC_LR * float(g["__bias__"])
+
+    margin = F.lit(bias)
+    for c in QC_FEATURES:
+        margin = margin + F.col(c) * F.lit(w[c])
+    from pyspark.sql import Window
+
+    bins = (
+        std.select(F.round(margin, QC_AUC_BINS).alias("s"), "y")
+        .groupBy("s")
+        .agg(
+            F.sum("y").alias("pos"),
+            F.sum(F.lit(1.0) - F.col("y")).alias("neg"),
+        )
+    )
+    win = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    auc_row = (
+        bins.withColumn("neg_below", F.coalesce(F.sum("neg").over(win), F.lit(0.0)))
+        .agg(
+            (
+                F.sum(F.col("pos") * F.col("neg_below"))
+                + F.lit(0.5) * F.sum(F.col("pos") * F.col("neg"))
+            ).alias("num"),
+            F.sum("pos").alias("npos"),
+            F.sum("neg").alias("nneg"),
+        )
+        .select(
+            (F.col("num") / (F.col("npos") * F.col("nneg"))).alias("auc"),
+            (F.col("npos") + F.col("nneg")).alias("n"),
+        )
+        .collect()[0]
+    )
+    out = [(c, round(w[c], 6)) for c in QC_FEATURES]
+    out.append(("__bias__", round(bias, 6)))
+    out.append(("__train_auc__", round(float(auc_row.auc), 6)))
+    out.append(("__n_docs__", float(int(auc_row.n))))
+    return spark.createDataFrame(out, ["term", "value"])
+
+
 QUERIES = {
     "curriculum_assign": curriculum_assign,
+    "train_quality_classifier": train_quality_classifier,
     "epoch_shuffle_plan": epoch_shuffle_plan,
     "dsir_importance": dsir_importance,
     "domain_kl_divergence": domain_kl_divergence,

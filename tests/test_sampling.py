@@ -311,3 +311,41 @@ def test_epoch_shuffle_orders_differ_across_epochs(spark):
         )
         assert total == n_docs, e
     assert by_epoch[0] != by_epoch[1], "epoch 1 repeated epoch 0's order"
+
+
+def test_train_quality_classifier_numpy_parity(spark):
+    """The distributed GD trainer must match a straight numpy
+    re-implementation of the same standardization + full-batch loop
+    (the aggregates only change summation order, so agreement is to
+    float-noise tolerance)."""
+    import numpy as np
+
+    feats = sampling._qc_training_frame(spark, SF_DIR).collect()
+    X = np.array([[r[c] for c in sampling.QC_FEATURES] for r in feats])
+    y = np.array([r.y for r in feats])
+    mu, sd = X.mean(axis=0), np.maximum(X.std(axis=0), 1e-9)
+    Xs = (X - mu) / sd
+    w = np.zeros(len(sampling.QC_FEATURES))
+    b = 0.0
+    for _ in range(sampling.QC_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(Xs @ w + b)))
+        w -= sampling.QC_LR * (Xs * (p - y)[:, None]).mean(axis=0)
+        b -= sampling.QC_LR * (p - y).mean()
+    got = {
+        r.term: r.value
+        for r in sampling.train_quality_classifier(spark, SF_DIR).collect()
+    }
+    for j, c in enumerate(sampling.QC_FEATURES):
+        assert abs(got[c] - w[j]) < 1e-5, (c, got[c], w[j])
+    assert abs(got["__bias__"] - b) < 1e-5
+    assert got["__n_docs__"] == len(feats)
+
+
+def test_train_quality_classifier_learns(spark):
+    """Sanity floor: the trained model separates the teacher labels
+    far better than chance (binned-histogram AUC, no global sort)."""
+    got = {
+        r.term: r.value
+        for r in sampling.train_quality_classifier(spark, SF_DIR).collect()
+    }
+    assert got["__train_auc__"] >= 0.85
