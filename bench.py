@@ -255,6 +255,9 @@ UNBENCHED: dict[str, str] = {
         # cursor-gated no-op cycles + a status-cardinality state read;
         # the CDF volume path is benched via orders_cdf_changes
         "orders_cdf_downstream",
+        # manifest-only read (KB); the table build is the same warmup
+        # as orders_cdf_changes
+        "orders_table_history",
     )},
     **{k: _R["mapinpandas_stub"] for k in (
         "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",

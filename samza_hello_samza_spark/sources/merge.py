@@ -484,14 +484,23 @@ class VersionedMergeTable:
             .partitionBy("_bucket")
             .parquet(self._data_dir(1))
         )
-        present = sorted(
-            r._bucket for r in src.select("_bucket").distinct().collect()
+        per_bucket = (
+            src.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
         )
+        present = sorted(r._bucket for r in per_bucket)
         self._swap_manifest(
             {
                 "current": 1,
                 "snapshots": {"1": {str(b): 1 for b in present}},
                 "spec": {"1": self.n_buckets},
+                "ops": {
+                    "1": {
+                        "operation": "WRITE",
+                        "inserted": int(sum(r.n for r in per_bucket)),
+                        "updated": 0,
+                        "deleted": 0,
+                    }
+                },
             }
         )
 
@@ -550,6 +559,10 @@ class VersionedMergeTable:
         for b in touched:
             dvs.pop(str(b), None)
         man.setdefault("deletes", {})[str(new_version)] = dvs
+        man.setdefault("ops", {})[str(new_version)] = {
+            "operation": "MERGE",
+            **counts,
+        }
         self._publish(new_version, nonce, self._data_dir(new_version))
         self._commit(man, new_version, nonce)  # all-or-nothing swap
         return {**counts, "buckets": touched, "version": new_version}
@@ -696,6 +709,12 @@ class VersionedMergeTable:
         man["snapshots"][str(new_version)] = snap  # data files UNTOUCHED
         man.setdefault("deletes", {})[str(new_version)] = new_dvs
         man.setdefault("spec", {})[str(new_version)] = self._spec(man, cur)
+        man.setdefault("ops", {})[str(new_version)] = {
+            "operation": "DELETE",
+            "inserted": 0,
+            "updated": 0,
+            "deleted": int(n),
+        }
         self._publish(new_version, nonce, self._dv_dir(new_version))
         self._commit(man, new_version, nonce)
         return {"deleted": n, "buckets": touched, "version": new_version}
@@ -737,8 +756,43 @@ class VersionedMergeTable:
         man["snapshots"][str(new_version)] = snap
         man.setdefault("deletes", {})[str(new_version)] = {}
         man.setdefault("spec", {})[str(new_version)] = self._spec(man, cur)
+        # logically a no-op: tombstones materialize, row set unchanged
+        man.setdefault("ops", {})[str(new_version)] = {
+            "operation": "COMPACT",
+            "inserted": 0,
+            "updated": 0,
+            "deleted": 0,
+        }
         self._commit(man, new_version, nonce)
         return {"buckets": touched, "version": new_version}
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY: one row per committed version with the
+        operation kind and its audited row counts — Delta's
+        ``DESCRIBE HISTORY`` / Iceberg's ``snapshots`` metadata table
+        on this layout's terms. Reads only the manifest (KB), so cost
+        is O(versions) driver work regardless of table size; versions
+        committed by a pre-ops writer surface as ``UNKNOWN`` rather
+        than failing the read."""
+        man = self.manifest()
+        ops = man.get("ops", {})
+        rows = []
+        for v in sorted(int(x) for x in man["snapshots"]):
+            o = ops.get(str(v), {})
+            rows.append(
+                (
+                    v,
+                    str(o.get("operation", "UNKNOWN")),
+                    int(o.get("inserted", 0)),
+                    int(o.get("updated", 0)),
+                    int(o.get("deleted", 0)),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, operation string, inserted long, "
+            "updated long, deleted long",
+        )
 
     # -- partition-spec evolution -------------------------------------------
 
@@ -797,6 +851,13 @@ class VersionedMergeTable:
         }
         man.setdefault("deletes", {})[str(new_version)] = {}
         man.setdefault("spec", {})[str(new_version)] = int(n_buckets)
+        # spec evolution nets zero row changes (pytest-asserted)
+        man.setdefault("ops", {})[str(new_version)] = {
+            "operation": "REBUCKET",
+            "inserted": 0,
+            "updated": 0,
+            "deleted": 0,
+        }
         self._publish(new_version, nonce, self._data_dir(new_version))
         self._commit(man, new_version, nonce)
         return {
@@ -1086,7 +1147,9 @@ _CDF_CUT = "1997-01-01"
 _CDF_END = "1998-01-01"
 
 
-def _cdf_orders_table(spark: SparkSession, sf_dir: str) -> VersionedMergeTable:
+def _cdf_orders_table(
+    spark: SparkSession, sf_dir: str, name: str = "cdf_orders"
+) -> VersionedMergeTable:
     """A three-version customer-state table built deterministically
     from orders: v1 = each customer's latest pre-1997 order, v2 = a
     MERGE of their latest 1997 order (matched 'F' rows delete — and a
@@ -1101,7 +1164,7 @@ def _cdf_orders_table(spark: SparkSession, sf_dir: str) -> VersionedMergeTable:
     from ..operators.ann_index import _index_root, _tag
     from ..session import load_table
 
-    path = _os.path.join(_index_root(), _tag(sf_dir), "cdf_orders")
+    path = _os.path.join(_index_root(), _tag(sf_dir), name)
     tbl = VersionedMergeTable(spark, path, "o_custkey", n_buckets=16)
     done = _os.path.join(path, "_CDF_DONE")
     if _os.path.exists(done):
@@ -1269,6 +1332,17 @@ ORACLES: dict[str, str] = {
 # the downstream state is the final snapshot's GROUP BY — v3 = v2
 # minus the deletion-vector residue — replayed from raw orders with
 # the same v1/src/v2 CTE chain as the change-log oracle.
+def orders_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over the deterministic three-version customer
+    table: WRITE/MERGE/DELETE rows with audited counts. The table is
+    built deterministically from orders (its own cached instance, so
+    the ops ledger is always present), and every count is replayable
+    from raw orders — the oracle re-derives the same history with the
+    v1/src/v2 CTE chain the CDF oracle uses."""
+    tbl = _cdf_orders_table(spark, sf_dir, name="cdf_orders_hist")
+    return tbl.history()
+
+
 ORACLES["orders_cdf_downstream"] = (
     ORACLES["orders_cdf_changes"].split(",\n        c2 AS (")[0]
     + f""",
@@ -1282,7 +1356,40 @@ ORACLES["orders_cdf_downstream"] = (
     """
 )
 
+# the history ledger replayed from raw orders: v1 row count, the
+# MERGE's matched/unmatched × delete-flag split, and the DV delete's
+# key-residue count over the v2 state.
+ORACLES["orders_table_history"] = (
+    ORACLES["orders_cdf_changes"].split(",\n        c2 AS (")[0]
+    + """,
+        m AS (
+            SELECT
+              CAST(coalesce(sum(CASE WHEN t.o_custkey IS NOT NULL
+                                      AND s.last_status <> 'F'
+                                     THEN 1 END), 0) AS BIGINT) AS upd,
+              CAST(coalesce(sum(CASE WHEN t.o_custkey IS NOT NULL
+                                      AND s.last_status = 'F'
+                                     THEN 1 END), 0) AS BIGINT) AS del,
+              CAST(coalesce(sum(CASE WHEN t.o_custkey IS NULL
+                                      AND s.last_status <> 'F'
+                                     THEN 1 END), 0) AS BIGINT) AS ins
+            FROM src s LEFT JOIN v1 t ON t.o_custkey = s.o_custkey
+        )
+        SELECT CAST(1 AS BIGINT) AS version, 'WRITE' AS operation,
+               (SELECT CAST(count(*) AS BIGINT) FROM v1) AS inserted,
+               CAST(0 AS BIGINT) AS updated, CAST(0 AS BIGINT) AS deleted
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'MERGE', ins, upd, del FROM m
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'DELETE', CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT),
+               (SELECT CAST(count(*) AS BIGINT) FROM v2
+                WHERE last_orderkey % 7 = 3)
+    """
+)
+
 QUERIES = {
     "orders_cdf_changes": orders_cdf_changes,
     "orders_cdf_downstream": orders_cdf_downstream,
+    "orders_table_history": orders_table_history,
 }

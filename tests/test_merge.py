@@ -1036,3 +1036,35 @@ def test_rebucket_nets_zero_cdf_changes_and_materializes_dvs(spark, tmp_path):
     # while the delete commit still reports its deletes
     ch12 = t.read_changes(1, 2)
     assert ch12.filter(F.col("_change_type") == "delete").count() == 10
+
+
+def test_history_ledger_records_every_operation(spark, vtable):
+    """DESCRIBE HISTORY: one row per version, operation names and
+    audited counts match what each commit actually did, and a version
+    committed by a pre-ops writer degrades to UNKNOWN, not a crash."""
+    src = spark.createDataFrame(
+        [(i, f"N{i}", "open") for i in range(30)]      # 30 updates
+        + [(i, f"v{i}", "closed") for i in range(100, 105)]  # 5 deletes
+        + [(i, f"i{i}", "open") for i in range(500, 510)],   # 10 inserts
+        "k long, v string, status string",
+    )
+    vtable.merge(src, delete_cond=F.col("s.status") == "closed")
+    vtable.delete_where(F.col("k") % 50 == 1)
+    vtable.compact_deletes()
+    vtable.rebucket(4)
+    hist = {r.version: r for r in vtable.history().collect()}
+    assert [hist[v].operation for v in sorted(hist)] == [
+        "WRITE", "MERGE", "DELETE", "COMPACT", "REBUCKET"
+    ]
+    assert (hist[1].inserted, hist[1].updated, hist[1].deleted) == (200, 0, 0)
+    assert (hist[2].inserted, hist[2].updated, hist[2].deleted) == (10, 30, 5)
+    # post-v2 keys ≡1 (mod 50): from 0..199 minus deleted 100-104,
+    # plus inserts 500-519 → recompute from the actual v2 state
+    expect_del = vtable.read(version=2).filter(F.col("k") % 50 == 1).count()
+    assert (hist[3].inserted, hist[3].updated, hist[3].deleted) == (0, 0, expect_del)
+    assert hist[4].operation == "COMPACT" and hist[5].operation == "REBUCKET"
+    # UNKNOWN fallback: drop one ops entry as a pre-ops manifest would
+    man = vtable.manifest()
+    del man["ops"]["2"]
+    vtable._swap_manifest(man)
+    assert {r.version: r.operation for r in vtable.history().collect()}[2] == "UNKNOWN"
