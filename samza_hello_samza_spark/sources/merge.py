@@ -867,6 +867,86 @@ class VersionedMergeTable:
             "buckets": present,
         }
 
+    def optimize_zorder(
+        self,
+        col_a: str,
+        col_b: str,
+        bits: int = 6,
+        files_per_bucket: int = 4,
+    ) -> dict:
+        """Delta's OPTIMIZE ZORDER as ONE committed version: rewrite
+        the current snapshot with every bucket's rows clustered along
+        the (col_a, col_b) Morton curve, split into
+        ``files_per_bucket`` curve-block files per bucket dir.
+
+        Layout motion only — the row set is unchanged (CDF across the
+        boundary nets zero; pytest) and the bucket column is untouched
+        so merge routing and time travel are unaffected. What changes
+        is data skipping: before, a bucket's single unsorted file has
+        min/max stats spanning the whole domain; after, each file is a
+        contiguous curve block with tight stats on BOTH interleaved
+        dimensions, so a box predicate prunes most files at the scan
+        (and parquet row-group stats tighten identically inside each
+        file). At 100 TB this is the difference between a 2-column
+        point query reading GB and reading the table.
+
+        Same claim/stage/swap commit as ``rebucket``; deletion vectors
+        are materialized by the rewrite (the new snapshot carries no
+        DVs). Cost is honestly table-sized — this IS the rewrite — and
+        it runs as maintenance, never on the ingest path.
+        """
+        from .zorder import zorder_code
+
+        man = self.manifest()
+        cur = man["current"]
+        if cur == 0:
+            raise FileNotFoundError(f"no snapshot to optimize in {self.path}")
+        spec = self._spec(man, cur)
+        full = self._read_snapshot(
+            dict(man["snapshots"][str(cur)]), dvs=self._snapshot_dvs(man, cur)
+        )
+        if full is None:
+            return {"version": cur, "rewritten": False}
+        shift = max(0, 2 * bits - max(1, (files_per_bucket - 1).bit_length()))
+        rows = (
+            zorder_code(full, col_a, col_b, bits)
+            .withColumn("_zblock", F.shiftright("_zcode", shift).cast("int"))
+            .repartition(
+                max(spec * files_per_bucket, 1), "_bucket", "_zblock"
+            )
+            .sortWithinPartitions("_bucket", "_zblock", "_zcode")
+            .drop("_zcode", "_zblock")
+            .localCheckpoint()
+        )
+        new_version = cur + 1
+        nonce = self._claim(new_version)
+        (
+            rows.write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(self._stage_dir(self._data_dir(new_version), nonce))
+        )
+        present = sorted(
+            r._bucket for r in rows.select("_bucket").distinct().collect()
+        )
+        man["snapshots"][str(new_version)] = {
+            str(b): new_version for b in present
+        }
+        man.setdefault("deletes", {})[str(new_version)] = {}
+        man.setdefault("spec", {})[str(new_version)] = spec
+        man.setdefault("ops", {})[str(new_version)] = {
+            "operation": "OPTIMIZE",
+            "inserted": 0,
+            "updated": 0,
+            "deleted": 0,
+        }
+        self._publish(new_version, nonce, self._data_dir(new_version))
+        self._commit(man, new_version, nonce)
+        return {
+            "version": new_version,
+            "rewritten": True,
+            "buckets": present,
+        }
+
     # -- change data feed ---------------------------------------------------
 
     def read_changes(

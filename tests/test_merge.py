@@ -1068,3 +1068,51 @@ def test_history_ledger_records_every_operation(spark, vtable):
     del man["ops"]["2"]
     vtable._swap_manifest(man)
     assert {r.version: r.operation for r in vtable.history().collect()}[2] == "UNKNOWN"
+
+
+def _file_stats(df, col):
+    """(file, min, max) per physical parquet file of a read."""
+    return (
+        df.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        .collect()
+    )
+
+
+def test_optimize_zorder_preserves_rows_and_tightens_stats(spark, tmp_path):
+    """OPTIMIZE ZORDER is layout motion only: identical row set, zero
+    net CDF, OPTIMIZE in the history ledger — and the per-file min/max
+    stats on BOTH clustered columns tighten enough that a narrow box
+    probe overlaps at most half the file fraction it did before."""
+    t = VersionedMergeTable(spark, str(tmp_path / "z"), "k", n_buckets=4)
+    base = spark.range(4000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 1000).alias("a"),
+        ((F.col("id") * 91) % 1000).alias("b"),
+    )
+    t.write_full(base)
+
+    def overlap_fraction(stats, lo, hi):
+        return sum(1 for r in stats if r.lo <= hi and r.hi >= lo) / len(stats)
+
+    before = overlap_fraction(_file_stats(t.read(), "a"), 100, 120)
+    res = t.optimize_zorder("a", "b", bits=6, files_per_bucket=8)
+    assert res["rewritten"] and res["version"] == 2
+
+    got = {(r.k, r.a, r.b) for r in t.read().collect()}
+    want = {(r.k, r.a, r.b) for r in base.collect()}
+    assert got == want
+    assert t.read_changes(1, 2).count() == 0  # pure layout motion
+    hist = {r.version: r.operation for r in t.history().collect()}
+    assert hist[2] == "OPTIMIZE"
+
+    stats_after = _file_stats(t.read(), "a")
+    assert len(stats_after) > len(_file_stats(t.read(version=1), "a"))
+    after = overlap_fraction(stats_after, 100, 120)
+    assert after <= 0.5 * before, (before, after)
+
+    # the table stays a normal merge target afterwards
+    src = spark.createDataFrame([(1, 5, 5), (9999, 1, 1)], "k long, a long, b long")
+    stats = t.merge(src)
+    assert (stats["inserted"], stats["updated"]) == (1, 1)
+    assert t.read().filter("k = 9999").count() == 1
