@@ -262,6 +262,75 @@ def decontamination_job(
     )
 
 
+def fuzzy_decontamination_job(
+    docs: DataFrame, bench_bands: DataFrame
+) -> DataFrame:
+    """Streaming FUZZY decontamination: each arriving train doc's
+    minhash bands probe the standing benchmark band table — the live
+    twin of ``dedup.contamination_minhash``'s candidate stage.
+
+    The per-doc signature is computed IN-ROW (``array_min`` over the
+    permuted shingle-hash array — min over the multiset equals min
+    over the set, the ``_doc_shingle_hashes`` argument), so there is
+    no groupBy and the job is STATELESS: bands explode (24 rows/doc)
+    and equi-join the broadcast benchmark band table (benchmark suites
+    are bounded — MB, not TB). Output is one row per (doc, bench_doc,
+    band) collision in append mode with no watermark or state;
+    within-doc duplicate flags across bands are semantically harmless
+    (quarantine is a set union — the lsh_index_updater honesty), and
+    the exact-Jaccard confirm runs batch-side on the quarantine set,
+    exactly like the bloom screen's exact pass.
+    """
+    from ..operators.dedup import (
+        MERSENNE_P,
+        N_BANDS,
+        N_PERMS,
+        _PERM_A,
+        _PERM_B,
+        _md5_slice32,
+        _shingles,
+        _words,
+    )
+
+    tokenized = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    hashed = tokenized.select(
+        "doc_id",
+        F.transform(
+            _shingles(F.col("words"), 3),
+            lambda s: F.pmod(_md5_slice32(s), F.lit(MERSENNE_P)),
+        ).alias("h1"),
+    ).filter(F.size("h1") > 0)
+    sigs = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("h1"),
+                    lambda h: F.pmod(
+                        F.lit(_PERM_A[i]) * h + F.lit(_PERM_B[i]),
+                        F.lit(MERSENNE_P),
+                    ),
+                )
+            ).alias(f"m{i}")
+            for i in range(N_PERMS)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    return bands.join(F.broadcast(bench_bands), ["band", "sig"]).select(
+        F.col("doc_id").alias("train_doc"), "bench_doc", "band"
+    )
+
+
 def dau_approx_job(events: DataFrame) -> DataFrame:
     """Daily approximate distinct users over the stream.
 

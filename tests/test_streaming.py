@@ -433,3 +433,47 @@ def test_decontamination_stream_screen(spark):
     for r in got:
         if r.doc_id in exact and r.clean:
             assert exact[r.doc_id] == 0
+
+
+def test_fuzzy_decontamination_stream_matches_batch_candidates(spark):
+    """The stateless streaming LSH probe flags exactly the batch
+    candidate set: distinct (train, bench) flags ≡ the band-collision
+    stage of contamination_minhash, and every CONFIRMED contamination
+    pair is flagged (the probe is a superset of the confirmed set)."""
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.operators import dedup
+
+    bands = dedup._minhash_bands(spark, SF_DIR)
+    is_bench = F.col("doc_id") % dedup.DECON_MOD == dedup.DECON_REM
+    bench_bands = (
+        bands.filter(is_bench)
+        .select("band", "sig", F.col("doc_id").alias("bench_doc"))
+        .localCheckpoint()
+    )
+
+    got = run_stream_to_memory(
+        jobs.fuzzy_decontamination_job(
+            sources.documents_stream(spark, SF_DIR).filter(~is_bench),
+            bench_bands,
+        ),
+        mode="append",
+    )
+    got_pairs = {(r.train_doc, r.bench_doc) for r in got}
+
+    want_pairs = {
+        (r.train_doc, r.bench_doc)
+        for r in bands.filter(~is_bench)
+        .select("band", "sig", F.col("doc_id").alias("train_doc"))
+        .join(bench_bands, ["band", "sig"])
+        .select("train_doc", "bench_doc")
+        .distinct()
+        .collect()
+    }
+    assert got_pairs == want_pairs and len(got_pairs) > 0
+
+    confirmed = {
+        (r.train_doc, r.bench_doc)
+        for r in dedup.contamination_minhash(spark, SF_DIR).collect()
+    }
+    assert confirmed <= got_pairs
