@@ -161,6 +161,9 @@ EXTRA_VOLUME = (
     # r06e: hybrid lexical+vector retrieval (RRF fusion of the BM25
     # pass and the exact-cosine top-k — both corpus-sized stages).
     "hybrid_search",
+    # r06f: PPJoin prefix-filter exact similarity join (uncapped
+    # universe; sf0.1 only — pair family replication artifact).
+    "dedup_prefix_filter",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the
@@ -286,6 +289,9 @@ SF1_EXCLUDE = {
     "graph_kcore",
     "minhash_jaccard_estimate",
     "leakage_safe_split",
+    # r06: prefix-filter pairs inherit the same quadratic-output
+    # replication artifact as the other near-dup pair keys.
+    "dedup_prefix_filter",
 }
 
 #: full two-tier per-query timings land here every run (the committed

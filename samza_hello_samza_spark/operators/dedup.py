@@ -241,6 +241,97 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin family,
+    Xiao et al., WWW'08) — same relation as ``dedup_ngram_jaccard``,
+    different candidate generation with a PROVABLE completeness
+    guarantee (LSH recall is probabilistic; this misses nothing).
+
+    Order every doc's shingles by a global total order (ascending
+    document frequency, then shingle — rarest first), and join docs
+    only on their first ``n − ceil(τ·n) + 1`` shingles: any pair with
+    Jaccard ≥ τ must share a prefix token (if the prefixes were
+    disjoint the overlap could not reach ceil(τ·n)), so the candidate
+    superset is exact-by-theorem while the join touches only the RARE
+    end of each doc. A length filter (2·min(n) ≥ max(n),
+    integer-exact for τ = 0.5) prunes size-incompatible pairs inside
+    the join condition; candidates are then verified with the same
+    candidates-only exact-Jaccard pass as ``contamination_minhash``.
+
+    Semantics note — this runs on the UNCAPPED shingle universe,
+    unlike ``dedup_ngram_jaccard``, whose ``SHINGLE_MAX_DF`` cap
+    keeps its Σ df² join tractable by DROPPING hot boilerplate
+    shingles (an approximation of the similarity itself). Prefix
+    filtering is the algorithm you reach for when the TRUE Jaccard is
+    required and hot shingles can't be capped away: boilerplate never
+    enters a prefix unless a doc consists mostly of it, so the
+    candidate join stays rare-token-sized while the full uncapped
+    join degenerates on exactly those corpora.
+
+    Oracle: exact Jaccard ≥ 0.5 over the uncapped distinct-shingle
+    sets (the ``minhash_jaccard_estimate`` exact-side universe).
+    """
+    docs_t = load_table(spark, sf_dir, "documents")
+    tokenized = docs_t.select("doc_id", _words(F.col("text")).alias("words"))
+    sh = explode_nonempty(
+        tokenized, ["doc_id"], _shingles(F.col("words"), 3), "shingle"
+    ).distinct()
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    docs = (
+        sh.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("arr"))
+        .localCheckpoint()  # reused by prefix explode AND size lookup
+    )
+    n = F.size("arr")
+    # τ = 1/2 prefix: p = n − ceil(n/2) + 1, integer-exact
+    p = (n - ((n + F.lit(1)) / 2).cast("int") + F.lit(1)).cast("int")
+    pre = docs.select(
+        "doc_id",
+        n.alias("n"),
+        F.explode(F.slice("arr", F.lit(1), p)).alias("s"),
+    ).select("doc_id", "n", F.col("s.shingle").alias("shingle"))
+    cand = (
+        pre.alias("x")
+        .join(
+            pre.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            # length filter: jaccard ≥ 1/2 needs 2·min(n) ≥ max(n)
+            & (F.least("x.n", "y.n") * 2 >= F.greatest("x.n", "y.n")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = docs.select("doc_id", n.alias("n_shingles"))
+    shd = sh  # already distinct per doc
+    inter = (
+        cand.join(shd.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            shd.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")),
+            "doc_b",
+        )
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, m0..m23) minhash signatures: 24 pinned-constant
     permutations of md5-slice32(shingle) reduced mod 2^31-1, as
@@ -1604,12 +1695,34 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# exact Jaccard ≥ 0.5 over the UNCAPPED universe (sh_all) — the
+# relation prefix filtering computes without ngram_jaccard's df cap.
+ORACLES["dedup_prefix_filter"] = (
+    _SHINGLES_SQL
+    + """
+    , counts AS (SELECT doc_id, count(*) AS n FROM sh_all GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh_all a
+        JOIN sh_all b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+    """
+)
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "dedup_incremental": dedup_incremental,
+    "dedup_prefix_filter": dedup_prefix_filter,
     "contamination_minhash": contamination_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,

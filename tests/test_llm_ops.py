@@ -233,6 +233,37 @@ def test_contamination_minhash_crosses_split(spark):
         assert (r.train_doc, r.bench_doc) in cand
 
 
+def test_dedup_prefix_filter_exact_uncapped(spark):
+    """Prefix filtering must produce EXACTLY the uncapped Jaccard ≥ 0.5
+    pair relation — verified against a brute-force python computation
+    over every doc pair (completeness is the whole point: unlike LSH
+    there is no recall to tune)."""
+    import itertools
+    import re
+
+    from samza_hello_samza_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    sets = {}
+    for r in docs:
+        ws = [w for w in re.split(r"\s+", r.text.lower()) if w]
+        sh = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        if sh:
+            sets[r.doc_id] = sh
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        if i:
+            j = round(i / (len(sets[a]) + len(sets[b]) - i), 6)
+            if j >= 0.5:
+                want[(a, b)] = j
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_prefix_filter(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_star_components_forest_and_roots(spark):
     """Multiple components + self-pairs: labels are component minima,
     roots self-labelled, self-loops ignored."""
