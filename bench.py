@@ -266,7 +266,7 @@ UNBENCHED: dict[str, str] = {
         "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
         "multimodal_features",
     )},
-    **{k: _R["iter_probe"] for k in ("bpe_train_merges", "unigram_train_vocab", "unigram_train_vocab_em", "wordpiece_train_vocab", "train_quality_classifier")},
+    **{k: _R["iter_probe"] for k in ("bpe_train_merges", "unigram_train_vocab", "unigram_train_vocab_em", "wordpiece_train_vocab", "train_quality_classifier", "kcenter_coreset")},
 }
 
 #: Excluded from the sf1 (10×-replicated) tier: replication creates

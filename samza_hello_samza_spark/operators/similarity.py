@@ -773,6 +773,71 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: k-center coreset size — driver state is K × DIM floats, constant.
+KCENTER_K = 10
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset: K maximally-spread embeddings — the
+    classic diversity-selection pass for training data (coreset /
+    active-learning seeding; 2-approximation of the optimal k-center
+    cover by Gonzalez' theorem).
+
+    Greedy loop: seed with vec_id 0, then K−1 times pick the point
+    FARTHEST from its nearest chosen center. The per-row state is one
+    ``mind`` column (squared L2 to the nearest center so far) carried
+    in a localCheckpoint'd frame and tightened each round with
+    ``least(mind, dist-to-newest-center)`` — one zip_with fold per
+    round against a DIM-literal array (64 doubles, a normal
+    expression tree), so each round is ONE scan with a 1-row argmax
+    aggregate (``max(struct(dist, -vec_id))`` — deterministic
+    tiebreak), and driver state is the K×DIM center list. At 100 TB:
+    K scans, no shuffle beyond the argmax combine, nothing
+    corpus-sized ever leaves the executors.
+
+    Output: (rank, vec_id, dist) — dist is the point's distance to
+    the nearest EARLIER center (the coverage radius achieved as each
+    center lands; non-increasing in expectation, the seed row is 0).
+    Rows-only (float iterative, like kmeans/pca); numpy-parity +
+    farthest-point property pytests.
+    """
+    e = _embeddings(spark, sf_dir).localCheckpoint()
+    center = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0].v
+    ]
+    picked = [(0, QUERY_VEC_ID, 0.0)]
+    state = e.withColumn("mind", F.lit(float("inf")))
+    for rank in range(1, KCENTER_K):
+        c = F.array(*[F.lit(x) for x in center])
+        d = F.aggregate(
+            F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        state = state.withColumn(
+            "mind", F.least(F.col("mind"), d)
+        ).localCheckpoint()
+        far = state.agg(
+            F.max(
+                F.struct(
+                    F.round(F.sqrt("mind"), 6).alias("dist"),
+                    (-F.col("vec_id")).alias("neg_id"),
+                )
+            ).alias("m")
+        ).collect()[0].m
+        vec_id = -far.neg_id
+        picked.append((rank, vec_id, float(far.dist)))
+        center = [
+            float(x)
+            for x in state.filter(F.col("vec_id") == vec_id).collect()[0].v
+        ]
+    return spark.createDataFrame(
+        [(r, v, round(d, 6)) for r, v, d in picked],
+        "rank long, vec_id long, dist double",
+    )
+
+
 ORACLES: dict[str, str] = {
     "embedding_quantize_int8": f"""
         WITH v AS (
@@ -920,4 +985,5 @@ QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "knn_graph": knn_graph,
     "embedding_kmeans": embedding_kmeans,
+    "kcenter_coreset": kcenter_coreset,
 }

@@ -233,6 +233,46 @@ def test_contamination_minhash_crosses_split(spark):
         assert (r.train_doc, r.bench_doc) in cand
 
 
+def test_kcenter_coreset_numpy_parity(spark):
+    """The distributed greedy k-center must select the exact sequence
+    a straight numpy implementation of the same greedy (same seed,
+    same rounding, same tiebreak) selects — and each pick must be the
+    true farthest point from the centers chosen before it."""
+    import numpy as np
+
+    from samza_hello_samza_spark.session import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) v")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.v for r in rows])
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    centers = [int(np.where(ids == similarity.QUERY_VEC_ID)[0][0])]
+    mind = np.full(len(ids), np.inf)
+    want = [(0, similarity.QUERY_VEC_ID, 0.0)]
+    for rank in range(1, similarity.KCENTER_K):
+        d = ((X - X[centers[-1]]) ** 2).sum(axis=1)
+        mind = np.minimum(mind, d)
+        key = [(round(float(np.sqrt(m)), 6), -int(i)) for m, i in zip(mind, ids)]
+        far = max(range(len(ids)), key=lambda j: key[j])
+        want.append((rank, int(ids[far]), key[far][0]))
+        centers.append(far)
+    got = [
+        (r.rank, r.vec_id, r.dist)
+        for r in similarity.kcenter_coreset(spark, SF_DIR)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+    # coverage property: picked distances are non-increasing
+    dists = [d for _, _, d in got[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
 def test_dedup_prefix_filter_exact_uncapped(spark):
     """Prefix filtering must produce EXACTLY the uncapped Jaccard ≥ 0.5
     pair relation — verified against a brute-force python computation

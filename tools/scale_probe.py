@@ -126,6 +126,15 @@ PROBE_OPS = (
     "c4_quality_filters",
     "ann_ivfpq_topk",
     "hybrid_search",
+    # r06f addition: iterative GD trainer (20 aggregate scans — the
+    # ratio shows per-scan growth; dedup_clusters_twostar,
+    # contamination_minhash and dedup_prefix_filter sit with the
+    # excluded pair-graph family: replication manufactures duplicate
+    # cliques so their OUTPUT grows quadratically by construction;
+    # orders_table_history is a manifest-only read — bounded).
+    "train_quality_classifier",
+    # r06f addition: K one-scan argmax rounds, driver state K×DIM.
+    "kcenter_coreset",
 )
 
 #: index/layout-backed keys whose per-sf_dir build is a one-time
