@@ -504,12 +504,41 @@ class VersionedMergeTable:
             }
         )
 
-    def merge(self, source: DataFrame, delete_cond: F.Column | None = None) -> dict:
+    def merge(
+        self,
+        source: DataFrame,
+        delete_cond: F.Column | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
         """Atomic multi-bucket MERGE; see MergeTable.merge for the row
-        semantics (identical — same shared core)."""
+        semantics (identical — same shared core).
+
+        ``txn=(app_id, version)`` makes the merge IDEMPOTENT per
+        writer application — the Delta ``txnAppId``/``txnVersion``
+        pattern: the manifest records each app's highest applied
+        transaction version IN THE SAME atomic swap as the data
+        commit, and a merge whose version is ≤ the recorded watermark
+        returns ``{"applied": False}`` having written nothing. That
+        closes the crash window every marker-file consumer has
+        (commit landed, marker didn't): here the watermark IS part of
+        the commit, so a replayed micro-batch can never fold twice —
+        true exactly-once for streaming foreachBatch sinks.
+        """
         key = self.key_col
         _validate_merge_source(source, key)
         man = self.manifest()
+        if txn is not None:
+            app_id, txn_version = txn
+            applied = int(man.get("txn", {}).get(app_id, -1))
+            if txn_version <= applied:
+                return {
+                    "applied": False,
+                    "inserted": 0,
+                    "updated": 0,
+                    "deleted": 0,
+                    "buckets": [],
+                    "version": man["current"],
+                }
         # route the source by the CURRENT snapshot's partition spec —
         # after a rebucket the constructor's n_buckets may be stale.
         spec = self._spec(man, man["current"])
@@ -518,8 +547,11 @@ class VersionedMergeTable:
             r._bucket for r in src.select("_bucket").distinct().collect()
         )
         if not touched:
-            return {"inserted": 0, "updated": 0, "deleted": 0, "buckets": [],
-                    "version": man["current"]}
+            # nothing to write ⇒ nothing to make idempotent: an empty
+            # replay is already a no-op, so the txn watermark is not
+            # advanced (no commit happens here)
+            return {"applied": False, "inserted": 0, "updated": 0,
+                    "deleted": 0, "buckets": [], "version": man["current"]}
         snap = dict(man["snapshots"].get(str(man["current"]), {}))
         dvs = self._snapshot_dvs(man, man["current"])
         target = self._read_snapshot(snap, buckets=touched, dvs=dvs)
@@ -563,9 +595,19 @@ class VersionedMergeTable:
             "operation": "MERGE",
             **counts,
         }
+        if txn is not None:
+            # the watermark rides the SAME swap as the data commit —
+            # there is no state where the data landed but the
+            # watermark didn't (or vice versa)
+            man.setdefault("txn", {})[txn[0]] = int(txn[1])
         self._publish(new_version, nonce, self._data_dir(new_version))
         self._commit(man, new_version, nonce)  # all-or-nothing swap
-        return {**counts, "buckets": touched, "version": new_version}
+        return {
+            **counts,
+            "applied": True,
+            "buckets": touched,
+            "version": new_version,
+        }
 
     def _claim(self, version: int) -> str:
         """Atomically CLAIM ``version`` with an O_EXCL marker before

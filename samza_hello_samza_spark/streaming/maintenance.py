@@ -154,6 +154,48 @@ def cdc_apply_job(
     )
 
 
+def versioned_merge_sink(
+    stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    app_id: str,
+    delete_col: str | None = None,
+) -> StreamingQuery:
+    """Exactly-once streaming MERGE into a ``VersionedMergeTable`` —
+    the Delta ``foreachBatch`` + ``txnAppId``/``txnVersion`` upsert
+    sink on this layout's terms.
+
+    Each micro-batch MERGEs with ``txn=(app_id, batch_id)``: the
+    table records the app's highest applied batch id IN the same
+    atomic manifest swap as the data, so a redelivered batch (crash
+    between commit and checkpoint, rewound checkpoint, duplicate
+    trigger) is refused by the TABLE itself — no marker files, no
+    crash window between "data landed" and "marker written". This is
+    strictly stronger than ``cdc_apply_job``'s
+    idempotent-by-construction convergence: arbitrary (even
+    non-idempotent) merge sources fold exactly once.
+
+    ``delete_col``: optional int column in the stream; rows with 1
+    delete their key (and never insert — the MERGE's tombstone
+    clause).
+    """
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cond = (
+            F.col(f"s.{delete_col}") == 1 if delete_col is not None else None
+        )
+        table.merge(batch, delete_cond=cond, txn=(app_id, int(batch_id)))
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def windowed_topk_job(
     events: DataFrame,
     table,

@@ -1116,3 +1116,82 @@ def test_optimize_zorder_preserves_rows_and_tightens_stats(spark, tmp_path):
     stats = t.merge(src)
     assert (stats["inserted"], stats["updated"]) == (1, 1)
     assert t.read().filter("k = 9999").count() == 1
+
+
+def test_merge_txn_watermark_exactly_once(spark, vtable):
+    """txn=(app_id, version) makes MERGE idempotent per app: a replay
+    at or below the recorded watermark writes NOTHING (no new version,
+    table byte-identical), higher versions apply, and watermarks are
+    per-app."""
+    src = spark.createDataFrame(
+        [(0, "T0", "open"), (900, "new", "open")], "k long, v string, status string"
+    )
+    r1 = vtable.merge(src, txn=("app", 0))
+    assert r1["applied"] and r1["version"] == 2
+    assert vtable.manifest()["txn"] == {"app": 0}
+    state = {(r.k, r.v) for r in vtable.read().collect()}
+
+    # replay (same txn version, even with DIFFERENT rows) is refused
+    replay = spark.createDataFrame(
+        [(0, "EVIL", "open")], "k long, v string, status string"
+    )
+    r2 = vtable.merge(replay, txn=("app", 0))
+    assert not r2["applied"] and r2["version"] == 2
+    assert {(r.k, r.v) for r in vtable.read().collect()} == state
+    assert vtable.manifest()["current"] == 2
+
+    # the next batch applies; an unrelated app has its own watermark
+    r3 = vtable.merge(
+        spark.createDataFrame([(901, "b1", "open")], "k long, v string, status string"),
+        txn=("app", 1),
+    )
+    assert r3["applied"] and vtable.manifest()["txn"]["app"] == 1
+    r4 = vtable.merge(
+        spark.createDataFrame([(902, "o0", "open")], "k long, v string, status string"),
+        txn=("other", 0),
+    )
+    assert r4["applied"] and vtable.manifest()["txn"] == {"app": 1, "other": 0}
+
+
+def test_versioned_merge_sink_refuses_full_redelivery(spark, tmp_path):
+    """The streaming exactly-once sink: a run folds each micro-batch
+    once; restarting the SAME app over a fresh checkpoint (total
+    redelivery from the source) changes nothing — the table's txn
+    watermark, not a marker file, refuses every replayed batch."""
+    from samza_hello_samza_spark.streaming.maintenance import versioned_merge_sink
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    for i in range(3):
+        spark.createDataFrame(
+            [(j, f"f{i}", 0) for j in range(i * 10, i * 10 + 10)],
+            "k long, v string, del int",
+        ).coalesce(1).write.parquet(str(src_dir / f"batch{i}"))
+
+    t = VersionedMergeTable(spark, str(tmp_path / "vt2"), "k", n_buckets=4)
+    t.write_full(
+        spark.createDataFrame([(999, "seed", 0)], "k long, v string, del int")
+    )
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("k long, v string, del int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir) + "/*")
+        )
+        q = versioned_merge_sink(
+            stream, t, str(tmp_path / ckpt), app_id="loader", delete_col="del"
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ckpt1")
+    state = {(r.k, r.v) for r in t.read().collect()}
+    assert len(state) == 31  # 30 streamed + seed
+    version = t.manifest()["current"]
+    wm = t.manifest()["txn"]["loader"]
+
+    run("ckpt2")  # fresh checkpoint: batches 0.. redeliver from scratch
+    assert {(r.k, r.v) for r in t.read().collect()} == state
+    assert t.manifest()["current"] == version
+    assert t.manifest()["txn"]["loader"] == wm
