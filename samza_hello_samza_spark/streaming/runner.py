@@ -44,3 +44,17 @@ def last_update_per_key(rows: list[Row], key_cols: list[str]) -> dict:
 
 def describe_active_streams(spark: SparkSession) -> list[str]:
     return [q.name or q.id for q in spark.streams.active]
+
+
+def watermark_drops(query) -> int:
+    """Total late rows DROPPED by watermarks across a query's recent
+    progress — the observability counter a production watermark
+    pipeline must alarm on (silent late-data loss is the classic
+    streaming correctness failure: results look fine, a slice of the
+    input simply never arrived). Sums ``numRowsDroppedByWatermark``
+    over every state operator in every progress event."""
+    total = 0
+    for p in query.recentProgress:
+        for op in (p.get("stateOperators") or []):
+            total += int(op.get("numRowsDroppedByWatermark", 0) or 0)
+    return total

@@ -477,3 +477,66 @@ def test_fuzzy_decontamination_stream_matches_batch_candidates(spark):
         for r in dedup.contamination_minhash(spark, SF_DIR).collect()
     }
     assert confirmed <= got_pairs
+
+
+def test_watermark_drops_counts_late_data(spark, tmp_path):
+    """Late-data audit: rows older than the watermark are dropped
+    SILENTLY by the engine — watermark_drops() surfaces the count so
+    a pipeline can alarm instead of quietly losing a slice of input."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from samza_hello_samza_spark.streaming.runner import watermark_drops
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    base = "2024-06-01 12:{m:02d}:00"
+    write_batch(
+        "on_time",
+        [(i, __import__("datetime").datetime(2024, 6, 1, 12, i), 1.0) for i in range(5)],
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert watermark_drops(q) == 0
+        # two days earlier — far below the watermark the first batch set
+        write_batch(
+            "late",
+            [(99, __import__("datetime").datetime(2024, 5, 30, 12, 0), 1.0)] * 3,
+        )
+        q.processAllAvailable()
+        drops = watermark_drops(q)
+    finally:
+        q.stop()
+    # map-side partial aggregation combines the 3 late rows into one
+    # pre-aggregated row per partition before the stateful operator,
+    # so the engine reports the COMBINED late rows it dropped (≥1),
+    # not the raw input count — the counter still alarms.
+    assert drops >= 1, drops
+    starts = {r.start for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert all(s.year == 2024 and s.month == 6 for s in starts)  # no late window
