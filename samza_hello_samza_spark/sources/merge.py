@@ -808,6 +808,63 @@ class VersionedMergeTable:
         self._commit(man, new_version, nonce)
         return {"buckets": touched, "version": new_version}
 
+    def clone_to(self, dest_path: str) -> "VersionedMergeTable":
+        """Zero-copy CLONE: an independent table sharing this one's
+        data files — Delta's ``SHALLOW CLONE`` on a filesystem
+        layout's terms.
+
+        Every committed data/DV file is HARDLINKED into ``dest_path``
+        (O(files) metadata work, zero bytes moved) and the manifest is
+        copied, so the clone reads every historical version the
+        source had at clone time, and commits on either side diverge
+        independently from then on. Safe by the layout's immutability
+        discipline: files are never modified in place — commits only
+        add new version dirs, and ``expire_snapshots`` unlinks, which
+        with hardlinks just drops one reference (pytest: expiring the
+        source leaves the clone's reads intact). The per-app ``txn``
+        watermarks are NOT copied — a clone is a new table; a loader
+        replaying into it must fold from scratch. On object storage
+        the same design is expressed as manifest file-references
+        instead of hardlinks; the commit protocol is unchanged.
+        """
+        import json
+        import shutil
+
+        man = self.manifest()
+        if man["current"] == 0:
+            raise FileNotFoundError(f"no snapshot to clone in {self.path}")
+        if os.path.exists(os.path.join(dest_path, "MANIFEST.json")):
+            raise FileExistsError(f"clone target {dest_path} already exists")
+        os.makedirs(dest_path, exist_ok=True)
+        for sub in ("data", "deletes"):
+            src_root = os.path.join(self.path, sub)
+            if not os.path.isdir(src_root):
+                continue
+            for dirpath, _dirs, files in os.walk(src_root):
+                rel = os.path.relpath(dirpath, self.path)
+                tgt = os.path.join(dest_path, rel)
+                os.makedirs(tgt, exist_ok=True)
+                for f in files:
+                    src_f = os.path.join(dirpath, f)
+                    dst_f = os.path.join(tgt, f)
+                    try:
+                        os.link(src_f, dst_f)
+                    except OSError:
+                        shutil.copy2(src_f, dst_f)  # cross-device fallback
+        man.pop("txn", None)  # a clone is a NEW table for loaders
+        clone = VersionedMergeTable(
+            self.spark,
+            dest_path,
+            self.key_col,
+            n_buckets=self.n_buckets,
+            constraints=self.constraints,
+        )
+        tmp = clone._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(tmp, clone._manifest_path())
+        return clone
+
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY: one row per committed version with the
         operation kind and its audited row counts — Delta's

@@ -1195,3 +1195,46 @@ def test_versioned_merge_sink_refuses_full_redelivery(spark, tmp_path):
     assert {(r.k, r.v) for r in t.read().collect()} == state
     assert t.manifest()["current"] == version
     assert t.manifest()["txn"]["loader"] == wm
+
+
+def test_clone_is_zero_copy_and_independent(spark, vtable):
+    """CLONE: the clone reads every version the source had, commits on
+    either side diverge independently, txn watermarks do not carry
+    over, and expiring the source's old snapshots does not break the
+    clone (hardlinks keep the bytes alive)."""
+    src = spark.createDataFrame(
+        [(i, f"N{i}", "open") for i in range(20)], "k long, v string, status string"
+    )
+    import os
+
+    vtable.merge(src, txn=("loader", 5))
+    base = os.path.dirname(vtable.path)
+    clone = vtable.clone_to(os.path.join(base, "vt_clone"))
+
+    for ver in (1, 2):
+        a = {(r.k, r.v) for r in vtable.read(version=ver).collect()}
+        b = {(r.k, r.v) for r in clone.read(version=ver).collect()}
+        assert a == b and len(a) > 0
+    assert "txn" not in clone.manifest()  # a clone is a new table
+
+    # divergence: a commit on the clone is invisible to the source
+    clone.merge(
+        spark.createDataFrame([(777, "c", "open")], "k long, v string, status string")
+    )
+    assert clone.read().filter("k = 777").count() == 1
+    assert vtable.read().filter("k = 777").count() == 0
+    assert vtable.manifest()["current"] == 2 and clone.manifest()["current"] == 3
+
+    # and vice versa
+    vtable.merge(
+        spark.createDataFrame([(888, "s", "open")], "k long, v string, status string")
+    )
+    assert clone.read().filter("k = 888").count() == 0
+
+    # source retention cannot strand the clone: hardlinked bytes live
+    vtable.expire_snapshots(keep_last=1)
+    assert {r.k for r in clone.read(version=1).collect()} == set(range(200))
+
+    # refuse to overwrite an existing table
+    with pytest.raises(FileExistsError):
+        vtable.clone_to(clone.path)
