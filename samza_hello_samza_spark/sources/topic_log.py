@@ -164,6 +164,20 @@ class TopicLog:
     def end_offsets(self) -> dict[str, int]:
         return self._next_offsets()
 
+    def consumer_lag(self, group: str) -> dict[str, int]:
+        """Per-partition lag (end offset − committed offset) for a
+        consumer group — Kafka's `kafka-consumer-groups --describe`
+        number, the metric every ingest pipeline alarms on: a stuck
+        consumer shows as monotonically growing lag long before any
+        downstream table looks stale. Metadata-only (two JSON reads);
+        partitions the group never committed count their full depth."""
+        end = self.end_offsets()
+        committed = self.committed(group)
+        return {
+            p: int(end[p]) - int(committed.get(p, 0))
+            for p in sorted(end)
+        }
+
     def read_stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
         """Structured Streaming source over the log — the live path."""
         reader = self.spark.readStream.schema(StructType.fromDDL(RECORD_SCHEMA)).option(

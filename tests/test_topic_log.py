@@ -328,3 +328,27 @@ def test_sorted_run_lookup_prunes_row_groups(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
     assert rows_read < n / 4, f"scan emitted {rows_read} of {n} rows — no pruning"
+
+
+def test_consumer_lag_tracks_commits(spark, tmp_path):
+    """consumer_lag = end − committed per partition: full depth for a
+    never-committed group, shrinks to zero as the group commits, and
+    grows again when producers outrun the consumer."""
+    topic = TopicLog(spark, str(tmp_path / "tlag"), n_partitions=2)
+    topic.produce(_events(spark, 0, 100), "k", "v")
+    end = topic.end_offsets()
+
+    lag0 = topic.consumer_lag("g")
+    assert lag0 == {p: end[p] for p in end}
+    assert sum(lag0.values()) == 100
+
+    # consume + commit everything → zero lag
+    topic.read_batch("g")
+    topic.commit("g", topic.end_offsets())
+    assert sum(topic.consumer_lag("g").values()) == 0
+
+    # producer runs ahead → lag reappears, exactly the new records
+    topic.produce(_events(spark, 100, 130), "k", "v")
+    assert sum(topic.consumer_lag("g").values()) == 30
+    # an unrelated group still sees full depth
+    assert sum(topic.consumer_lag("fresh").values()) == 130
