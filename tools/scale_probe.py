@@ -124,7 +124,6 @@ PROBE_OPS = (
     "gopher_quality_filters",
     "ccnet_perplexity_buckets",
     "c4_quality_filters",
-    "ann_ivfpq_topk",
     "hybrid_search",
     # r06f addition: iterative GD trainer (20 aggregate scans — the
     # ratio shows per-scan growth; dedup_clusters_twostar,
@@ -159,6 +158,11 @@ WARMED_PROBE_OPS = (
     # the warmed step; serving reads nprobe lists + pushed filter)
     "ann_filtered_topk",
     "ann_filtered_ivf_topk",
+    # r06f: the composed IVFADC layout builds once per dir — same
+    # warmed discipline (it sat in PROBE_OPS for one run and its
+    # first-N× number timed the BUILD, 13×; miscategorization, not a
+    # plan regression — steady-state re-measured at 1.1×).
+    "ann_ivfpq_topk",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
@@ -430,6 +434,11 @@ def build_scaled(spark, repl: int) -> str:
 
 
 def time_ops(spark, queries, sf_dir: str) -> dict[str, float]:
+    # min-of-2 after GC — the bench.py contention lesson applied here
+    # too: the probe runs ~90 ops late in one long-lived JVM, and a
+    # single-shot reading under accumulated heap pressure once showed
+    # q19_pruned_scan at 4.6 s where min-of-2 steady state is 1.0 s.
+    spark._jvm.System.gc()
     out = {}
     for name in (*PROBE_OPS, *WARMED_PROBE_OPS):
         fn = queries.get(name)
@@ -440,9 +449,13 @@ def time_ops(spark, queries, sf_dir: str) -> dict[str, float]:
             # (and compiles codegen), so the timed run below measures
             # steady-state serving on BOTH dirs.
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
