@@ -458,11 +458,18 @@ class VersionedMergeTable:
     def _snapshot_dvs(self, man: dict, version: int) -> dict[str, list[int]]:
         return dict(man.get("deletes", {}).get(str(version), {}))
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, tag: str | None = None
+    ) -> DataFrame:
         """The table at ``version`` (default: current). Time travel is
         just reading an older snapshot's bucket→writer map (minus its
-        deletion vectors)."""
+        deletion vectors). ``tag=`` resolves a named ref created by
+        :meth:`create_tag` — ``VERSION AS OF`` by name."""
         man = self.manifest()
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version= or tag=, not both")
+            version = self.resolve_tag(tag, man=man)
         v = man["current"] if version is None else version
         if str(v) not in man["snapshots"]:
             raise FileNotFoundError(f"no snapshot v{v} in {self.path}")
@@ -893,6 +900,126 @@ class VersionedMergeTable:
             "updated long, deleted long",
         )
 
+    # -- named refs: tags + branches ----------------------------------------
+
+    def tags(self) -> dict[str, int]:
+        """Every named tag → the version it pins (Iceberg's ``refs``
+        metadata table; manifest-only, O(tags) driver work)."""
+        return {
+            n: int(v) for n, v in self.manifest().get("tags", {}).items()
+        }
+
+    def resolve_tag(self, name: str, man: dict | None = None) -> int:
+        man = self.manifest() if man is None else man
+        refs = man.get("tags", {})
+        if name not in refs:
+            raise KeyError(f"no tag {name!r} on {self.path}")
+        return int(refs[name])
+
+    def _commit_metadata(self, man: dict, operation: str) -> int:
+        """Commit a metadata-only change as a table version through
+        the SAME claim/stage/swap protocol data writes use — Delta's
+        model, where every action (including ref changes) is a
+        numbered commit in the log, so tag operations serialize with
+        concurrent merges instead of racing their manifest swaps.
+        The new version's snapshot/spec/DV state is the previous
+        version's, carried forward verbatim: no data dir is written,
+        time travel to the new version reads the same files, and
+        ``read_changes`` across it reports zero net change (the
+        ``rebucket`` precedent). Caller mutates ``man`` (tags map)
+        BEFORE calling; validation must happen before that so a
+        rejected op leaves no claim behind."""
+        cur = man["current"]
+        if cur == 0:
+            raise FileNotFoundError(f"no snapshot in {self.path}")
+        new_version = cur + 1
+        nonce = self._claim(new_version)
+        man["snapshots"][str(new_version)] = dict(
+            man["snapshots"][str(cur)]
+        )
+        man.setdefault("spec", {})[str(new_version)] = self._spec(man, cur)
+        prev_dvs = man.get("deletes", {}).get(str(cur), {})
+        man.setdefault("deletes", {})[str(new_version)] = {
+            b: list(v) for b, v in prev_dvs.items()
+        }
+        man.setdefault("ops", {})[str(new_version)] = {
+            "operation": operation,
+            "inserted": 0,
+            "updated": 0,
+            "deleted": 0,
+        }
+        self._commit(man, new_version, nonce)
+        return new_version
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: current) under an immutable name —
+        ``ALTER TABLE CREATE TAG``. Tagged versions survive
+        ``expire_snapshots`` regardless of the retention window, so a
+        tag is the durable audit handle ("the corpus we trained v3
+        on") the raw version numbers are not. Returns the metadata
+        commit's version."""
+        man = self.manifest()
+        target = man["current"] if version is None else int(version)
+        if str(target) not in man["snapshots"]:
+            raise FileNotFoundError(
+                f"cannot tag v{target}: no such snapshot in {self.path}"
+            )
+        if name in man.get("tags", {}):
+            raise FileExistsError(
+                f"tag {name!r} already exists on {self.path} "
+                f"(-> v{man['tags'][name]}); delete it first"
+            )
+        man.setdefault("tags", {})[name] = target
+        return self._commit_metadata(man, f"CREATE TAG {name}")
+
+    def delete_tag(self, name: str) -> int:
+        """Drop a tag (the pinned version becomes expirable again).
+        Returns the metadata commit's version."""
+        man = self.manifest()
+        if name not in man.get("tags", {}):
+            raise KeyError(f"no tag {name!r} on {self.path}")
+        del man["tags"][name]
+        return self._commit_metadata(man, f"DROP TAG {name}")
+
+    def _branch_dir(self, name: str) -> str:
+        return os.path.join(self.path, "_branches", name)
+
+    def create_branch(self, name: str) -> "VersionedMergeTable":
+        """A named mutable fork of the table at its current state —
+        branches on this layout are zero-copy shallow clones kept
+        under ``_branches/`` (hardlinked data, independent manifest),
+        so branch commits diverge from the main line and neither
+        side's ``expire_snapshots`` can break the other's reads.
+        WAP (write-audit-publish) is branch → validate → merge the
+        branch's read() back via ``merge``."""
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"bad branch name {name!r}")
+        return self.clone_to(self._branch_dir(name))
+
+    def branch(self, name: str) -> "VersionedMergeTable":
+        """Handle on an existing branch created by
+        :meth:`create_branch`."""
+        d = self._branch_dir(name)
+        if not os.path.exists(os.path.join(d, "MANIFEST.json")):
+            raise KeyError(f"no branch {name!r} on {self.path}")
+        return VersionedMergeTable(
+            self.spark,
+            d,
+            self.key_col,
+            n_buckets=self.n_buckets,
+            constraints=self.constraints,
+        )
+
+    def branches(self) -> list[str]:
+        root = os.path.join(self.path, "_branches")
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(root)
+            if os.path.exists(os.path.join(root, n, "MANIFEST.json"))
+        )
+
     # -- partition-spec evolution -------------------------------------------
 
     def rebucket(self, n_buckets: int) -> dict:
@@ -1206,7 +1333,13 @@ class VersionedMergeTable:
             raise ValueError("keep_last must be >= 1")
         man = self.manifest()
         vs = sorted(int(v) for v in man["snapshots"])
-        keep = set(vs[-keep_last:]) | {man["current"]}
+        # tagged versions are retention-exempt: a tag is a promise
+        # that this exact snapshot stays readable (Iceberg semantics)
+        keep = (
+            set(vs[-keep_last:])
+            | {man["current"]}
+            | {int(v) for v in man.get("tags", {}).values()}
+        )
         drop = [v for v in vs if v not in keep]
         if not drop:
             return {"dropped": [], "removed_dirs": 0}

@@ -1238,3 +1238,122 @@ def test_clone_is_zero_copy_and_independent(spark, vtable):
     # refuse to overwrite an existing table
     with pytest.raises(FileExistsError):
         vtable.clone_to(clone.path)
+
+
+# -- named refs: tags + branches --------------------------------------------
+
+
+def _rows(df):
+    return sorted((r.k, r.v, r.status) for r in df.collect())
+
+
+def test_tag_pins_snapshot_through_expiry(spark, vtable):
+    """A tagged version stays readable (by tag AND by number) after a
+    retention sweep that drops every other historical version — the
+    Iceberg ref contract ("the corpus we trained on" survives)."""
+    vtable.merge(
+        spark.createDataFrame([(1, "T2", "open")], "k long, v string, status string")
+    )  # v2
+    want = _rows(vtable.read())
+    tag_commit = vtable.create_tag("train-v1")  # pins v2, commits v3
+    assert tag_commit == 3 and vtable.tags() == {"train-v1": 2}
+    # the CREATE TAG commit is in the ledger (history is itself
+    # retention-scoped, so check before the sweep below)
+    ops = {r.version: r.operation for r in vtable.history().collect()}
+    assert ops[3] == "CREATE TAG train-v1"
+    for i in range(3):  # v4..v6 rewrite every tagged bucket's entry
+        vtable.merge(
+            spark.createDataFrame(
+                [(k, f"R{i}", "open") for k in range(200)],
+                "k long, v string, status string",
+            )
+        )
+    dropped = vtable.expire_snapshots(keep_last=1)["dropped"]
+    assert 2 not in dropped and 1 in dropped
+    assert _rows(vtable.read(tag="train-v1")) == want
+    assert _rows(vtable.read(version=2)) == want
+
+
+def test_tag_commit_is_metadata_only(spark, vtable):
+    """CREATE TAG commits a version but writes no data dir, carries
+    the snapshot forward verbatim, and nets zero CDF changes."""
+    import os
+
+    before = _rows(vtable.read())
+    v = vtable.create_tag("t0", version=1)  # v2
+    assert not os.path.isdir(vtable._data_dir(v))
+    man = vtable.manifest()
+    assert man["snapshots"]["2"] == man["snapshots"]["1"]
+    assert _rows(vtable.read()) == before
+    net = vtable.read_changes(1, 2)
+    assert net.count() == 0
+
+
+def test_tag_ops_validate_before_claim(spark, vtable):
+    """A rejected tag op leaves NO claim file and NO version behind
+    (same contract as constraint-rejected writes)."""
+    import os
+
+    with pytest.raises(FileNotFoundError):
+        vtable.create_tag("ghost", version=99)
+    vtable.create_tag("once")  # v2
+    with pytest.raises(FileExistsError):
+        vtable.create_tag("once")
+    with pytest.raises(KeyError):
+        vtable.delete_tag("never-made")
+    with pytest.raises(ValueError):
+        vtable.read(version=1, tag="once")
+    assert vtable.manifest()["current"] == 2
+    assert not os.path.exists(os.path.join(vtable.path, "v3.claim"))
+
+
+def test_delete_tag_releases_retention_pin(spark, vtable):
+    """After DROP TAG the previously-pinned version expires normally
+    and the tag name no longer resolves."""
+    vtable.create_tag("tmp", version=1)  # v2
+    vtable.merge(
+        spark.createDataFrame(
+            [(k, "X", "open") for k in range(200)],
+            "k long, v string, status string",
+        )
+    )  # v3
+    vtable.delete_tag("tmp")  # v4
+    dropped = vtable.expire_snapshots(keep_last=1)["dropped"]
+    assert 1 in dropped and vtable.tags() == {}
+    with pytest.raises(KeyError):
+        vtable.read(tag="tmp")
+
+
+def test_branch_diverges_and_survives_source_expiry(spark, vtable):
+    """Branches are zero-copy forks: commits on either side are
+    invisible to the other, the source's retention sweep cannot break
+    the branch's reads, and the WAP loop (branch → validate → merge
+    back) lands the branch's state on main."""
+    main_before = _rows(vtable.read())
+    br = vtable.create_branch("wap")
+    assert vtable.branches() == ["wap"]
+    # write on the branch only
+    br.merge(
+        spark.createDataFrame(
+            [(999, "BR", "open")], "k long, v string, status string"
+        )
+    )
+    assert _rows(vtable.read()) == main_before
+    assert (999, "BR", "open") in _rows(br.read())
+    # write on main only; branch (re-opened by name) does not see it
+    vtable.merge(
+        spark.createDataFrame(
+            [(k, "M", "open") for k in range(200)],
+            "k long, v string, status string",
+        )
+    )
+    br2 = vtable.branch("wap")
+    assert (0, "M", "open") not in _rows(br2.read())
+    # expire main hard; branch reads stay intact (hardlinked files)
+    vtable.expire_snapshots(keep_last=1)
+    assert (999, "BR", "open") in _rows(br2.read())
+    # publish: merge the audited branch state back onto main
+    vtable.merge(br2.read())
+    assert (999, "BR", "open") in _rows(vtable.read())
+    with pytest.raises(KeyError):
+        vtable.branch("nope")
