@@ -164,6 +164,10 @@ EXTRA_VOLUME = (
     # r06f: PPJoin prefix-filter exact similarity join (uncapped
     # universe; sf0.1 only — pair family replication artifact).
     "dedup_prefix_filter",
+    # r06g: binary-quantization ANN — integer Hamming ranking over
+    # packed sign bits, and the oversample+exact-rerank serving loop.
+    "ann_binary_topk",
+    "ann_binary_rerank_topk",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the

@@ -263,6 +263,135 @@ def ann_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank(cand, qvec)
 
 
+# -- binary quantization: sign bits + popcount Hamming -------------------
+
+#: DIM sign bits packed little-endian-by-dimension into 32-bit words
+#: (32 so each word's 2^i stays exactly representable in double; two
+#: longs cover DIM=64).
+BINARY_WORD_BITS = 32
+BINARY_WORDS = DIM // BINARY_WORD_BITS
+BINARY_RERANK_M = 50
+
+
+def _sign_word_cols(v: F.Column) -> list[F.Column]:
+    """The vector's sign signature (bit i set ⟺ v[i] > 0) as
+    ``BINARY_WORDS`` long columns ``w0..``. A pure JVM fold — the
+    per-bit weight ``2^(i-lo)`` is exact in double for i-lo < 32, so
+    the packing is integer-exact and oracle-reproducible."""
+    def _fold(lo: int):
+        # closure (not a default arg: pyspark counts lambda params)
+        return lambda acc, i: acc + F.when(
+            F.element_at(v, i + F.lit(1)) > 0,
+            F.pow(F.lit(2.0), i - F.lit(lo)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    cols = []
+    for w in range(BINARY_WORDS):
+        lo = w * BINARY_WORD_BITS
+        cols.append(
+            F.aggregate(
+                F.sequence(F.lit(lo), F.lit(lo + BINARY_WORD_BITS - 1)),
+                F.lit(0).cast("long"),
+                _fold(lo),
+            ).alias(f"w{w}")
+        )
+    return cols
+
+
+def _sign_words_py(qvec: np.ndarray) -> list[int]:
+    return [
+        sum(
+            1 << (i - w * BINARY_WORD_BITS)
+            for i in range(w * BINARY_WORD_BITS, (w + 1) * BINARY_WORD_BITS)
+            if qvec[i] > 0
+        )
+        for w in range(BINARY_WORDS)
+    ]
+
+
+def _hamming_col(qwords: list[int]) -> F.Column:
+    """popcount(sig XOR query-sig) summed over the packed words."""
+    h: F.Column = F.lit(0)
+    for w, qw in enumerate(qwords):
+        h = h + F.bit_count(F.col(f"w{w}").bitwiseXOR(F.lit(qw)))
+    return h.cast("long")
+
+
+def _binary_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings(spark, sf_dir)
+    return e.select("vec_id", "v", *_sign_word_cols(F.col("v")))
+
+
+def ann_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: rank by Hamming distance between sign
+    signatures — the 1-bit-per-dimension compression every large
+    vector store ships (FAISS binary indexes, Elasticsearch BBQ).
+
+    Sign bits (x > 0) pack into DIM/8 bytes per vector; distance is
+    popcount(xor) over two longs — whole-stage-codegen integer ops,
+    no float math in the ranking. At scale the signature column is
+    materialized next to the vectors (``ann_index`` layout
+    discipline), so a probe scans 16 bytes/vector instead of 512 —
+    a 32× I/O cut before any pruning, and the reason the technique
+    survives at 100 TB: the whole signature file set fits page cache
+    where raw vectors cannot. Here the signatures are derived in the
+    same single scan the query reads (build-on-read keeps the key
+    self-contained; the materialized path is the store's).
+
+    Integer-exact end-to-end (sign compare + popcount + vec_id
+    tiebreak), hence ORACLE-CHECKED — unlike the float LSH/IVF/PQ
+    probe families. Recall vs exact cosine is property-tested.
+    """
+    qwords = _sign_words_py(_query_vector(spark, sf_dir))
+    return (
+        _binary_signatures(spark, sf_dir)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("hamming", _hamming_col(qwords))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "hamming")
+    )
+
+
+def ann_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full binary-quantization serving loop: Hamming top-M
+    shortlist (integer ranking over packed sign bits), then exact
+    cosine re-rank of the M finalists against the raw vectors — the
+    oversample-and-rerank pattern (Elasticsearch BBQ, FAISS
+    IndexBinaryFlat + refine).
+
+    Scale shape: stage 1 touches signatures only (32× lighter scan);
+    stage 2 rehydrates exactly M=50 raw vectors via a broadcast
+    semi-join — per-query float work is O(M·DIM) regardless of corpus
+    size. Both stages deterministic (vec_id tiebreaks at the M cut
+    and the final round-6 cosine), so the composition is
+    ORACLE-CHECKED.
+    """
+    qvec = _query_vector(spark, sf_dir)
+    qwords = _sign_words_py(qvec)
+    shortlist = (
+        _binary_signatures(spark, sf_dir)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("hamming", _hamming_col(qwords))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(BINARY_RERANK_M)
+        .select("vec_id", "hamming")
+    )
+    qv = F.array(*[F.lit(float(x)) for x in qvec])
+    qnorm = float(np.linalg.norm(qvec))
+    return (
+        _embeddings(spark, sf_dir)
+        .join(F.broadcast(shortlist), "vec_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("v"), qv) / (_norm(F.col("v")) * F.lit(qnorm)), 6),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "hamming", "cosine")
+    )
+
+
 N_BATCH_QUERIES = 5
 BATCH_TOP_K = 5
 
@@ -965,11 +1094,49 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine DESC, e.vec_id ASC
         LIMIT {TOP_K}
     """,
+    # Hamming distance re-derived dimension-wise: a sign mismatch per
+    # dimension ≡ a set bit in sig XOR qsig, so no packing is needed
+    # oracle-side — the comparison is integer-exact either way.
+    "ann_binary_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id,
+               CAST(len(list_filter(range({DIM}),
+                        i -> (e.v[i + 1] > 0) <> (q.qv[i + 1] > 0))) AS BIGINT)
+                   AS hamming
+        FROM e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY hamming ASC, e.vec_id ASC
+        LIMIT {TOP_K}
+    """,
+    "ann_binary_rerank_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+        h AS (
+            SELECT e.vec_id, e.v,
+                   CAST(len(list_filter(range({DIM}),
+                            i -> (e.v[i + 1] > 0) <> (q.qv[i + 1] > 0))) AS BIGINT)
+                       AS hamming
+            FROM e, q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        ),
+        cand AS (
+            SELECT * FROM h ORDER BY hamming ASC, vec_id ASC
+            LIMIT {BINARY_RERANK_M}
+        )
+        SELECT c.vec_id, c.hamming,
+               round(list_cosine_similarity(c.v, q.qv), 6) AS cosine
+        FROM cand c, q
+        ORDER BY cosine DESC, c.vec_id ASC
+        LIMIT {TOP_K}
+    """,
 }
 
 QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_binary_topk": ann_binary_topk,
+    "ann_binary_rerank_topk": ann_binary_rerank_topk,
     "ann_filtered_topk": ann_filtered_topk,
     "ann_filtered_ivf_topk": ann_filtered_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,

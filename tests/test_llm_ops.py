@@ -1018,3 +1018,45 @@ def test_ann_ivfpq_append_is_probe_visible_and_batch_consistent(spark, tmp_path)
     by_id = {r.vec_id: r.adc_score for r in cand}
     assert 7 in by_id and 1_000_007 in by_id
     assert by_id[7] == by_id[1_000_007]
+
+
+def test_binary_signature_packing_matches_numpy(spark):
+    """Packed sign words and popcount Hamming agree with a direct
+    numpy computation for every vector (integer-exactness is the
+    whole contract of the binary family)."""
+    import numpy as np
+
+    sig = similarity._binary_signatures(spark, SF_DIR).collect()
+    qvec = similarity._query_vector(spark, SF_DIR)
+    qwords = similarity._sign_words_py(qvec)
+    qbits = np.asarray(qvec) > 0
+    for r in sig[:200]:
+        bits = np.asarray(r.v) > 0
+        want_words = similarity._sign_words_py(np.asarray(r.v))
+        assert [r.w0, r.w1] == want_words, f"packing mismatch vec {r.vec_id}"
+        want_h = int((bits != qbits).sum())
+        got_h = sum(
+            bin(gw ^ qw).count("1") for gw, qw in zip(want_words, qwords)
+        )
+        assert got_h == want_h, f"hamming mismatch vec {r.vec_id}"
+
+
+def test_ann_binary_recall_and_rerank_superset(spark):
+    """Hamming ranking overlaps exact-cosine top-k (sign bits keep
+    angular structure), and the reranked results are drawn from the
+    Hamming top-M shortlist with exact-cosine scores."""
+    brute = {r.vec_id for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect()}
+    binary = [r.vec_id for r in similarity.ann_binary_topk(spark, SF_DIR).collect()]
+    assert len(binary) == similarity.TOP_K
+    rerank = similarity.ann_binary_rerank_topk(spark, SF_DIR).collect()
+    assert len(rerank) == similarity.TOP_K
+    overlap = len(brute & {r.vec_id for r in rerank}) / len(brute)
+    assert overlap >= 0.2, f"binary rerank recall {overlap:.2f} suspiciously low"
+    # rerank rows carry true hamming + cosine consistent with brute order
+    exact = {
+        r.vec_id: r.cosine
+        for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect()
+    }
+    for r in rerank:
+        if r.vec_id in exact:
+            assert abs(r.cosine - exact[r.vec_id]) < 1e-9
