@@ -1,0 +1,210 @@
+"""WebDataset-style tar shards: the multimodal training-loader format.
+
+Large multimodal training jobs read POSIX-tar shards of named sample
+files (``{key}.{ext}``) streamed sequentially — the WebDataset
+convention (Aizman et al., "High Performance I/O For Large Scale Deep
+Learning"; the format PyTorch's ``webdataset`` loader and NVIDIA DALI
+consume). This module closes the last mile between the engine's
+curated parquet corpora and that loader contract:
+
+- ``write_webdataset_shards``: DataFrame → ``shard-{k:06d}.tar``
+  files plus a ``_manifest.json``. Shard assignment is DETERMINISTIC
+  (``key // samples_per_shard`` — content-addressed, append-stable:
+  re-exporting after new keys arrive never reshuffles old shards,
+  the ``train_val_test_split`` membership discipline). Each shard is
+  written by the executor that holds its rows after one hash
+  repartition on shard id — tars stream straight to shard-local
+  files; nothing funnels through the driver. At 100 TB the same plan
+  shape holds: one shuffle, then embarrassingly parallel sequential
+  writes, which is exactly what object stores want.
+- ``read_webdataset_shards``: tar shards → (key, ext, payload) rows
+  via Spark's built-in ``binaryFile`` source + an Arrow-batched untar
+  (``mapInPandas``) — shard files are the unit of parallelism, so a
+  loader resuming at shard k prunes every other file at listing time.
+
+Payload columns are opaque ``binary``/string (multimodal.py's
+discipline); per-row extensions (e.g. mixed png/wav corpora) come
+from an ``ext_col``. Pure stdlib ``tarfile`` — no codec deps.
+
+Reference parity note: the reference ships no multimodal loader; this
+is part of the beyond-reference training-pipeline surface (brief §
+"multimodal columns" / "export").
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SAMPLES_PER_SHARD = 64
+
+_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("key_min", LongType()),
+        StructField("key_max", LongType()),
+    ]
+)
+
+SAMPLE_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("ext", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    payload_col: str = "payload",
+    ext_col: str | None = None,
+    ext: str = "bin",
+    samples_per_shard: int = SAMPLES_PER_SHARD,
+) -> dict:
+    """Export ``df`` as WebDataset tar shards under ``path``.
+
+    Sample member names are ``{key:012d}.{ext}`` (zero-padded so tar
+    listing order is key order); fixed mtime/uid keep shard bytes
+    deterministic, so re-exports of unchanged data are byte-identical
+    (the MergeTable untouched-bucket discipline, applied to tars).
+    Returns the manifest dict (also written as ``_manifest.json``).
+    """
+    os.makedirs(path, exist_ok=True)
+    sel = [
+        F.col(key_col).cast("long").alias("key"),
+        F.col(payload_col).cast("binary").alias("payload"),
+        (
+            F.col(ext_col).cast("string") if ext_col else F.lit(ext)
+        ).alias("ext"),
+        (F.col(key_col).cast("long") / samples_per_shard)
+        .cast("long")
+        .alias("shard_id"),
+    ]
+    rows = df.select(*sel)
+
+    def _write_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        by_shard: dict[int, list[tuple[int, str, bytes]]] = {}
+        for pdf in batches:
+            for k, e, p, s in zip(
+                pdf["key"], pdf["ext"], pdf["payload"], pdf["shard_id"]
+            ):
+                by_shard.setdefault(int(s), []).append(
+                    (int(k), str(e), bytes(p))
+                )
+        out = []
+        for shard_id, samples in by_shard.items():
+            samples.sort()  # key order inside the tar
+            fname = os.path.join(path, f"shard-{shard_id:06d}.tar")
+            tmp = fname + ".tmp"
+            with tarfile.open(tmp, "w") as tf:
+                for k, e, payload in samples:
+                    info = tarfile.TarInfo(name=f"{k:012d}.{e}")
+                    info.size = len(payload)
+                    info.mtime = 0  # deterministic shard bytes
+                    tf.addfile(info, io.BytesIO(payload))
+            os.replace(tmp, fname)  # readers never see partial tars
+            out.append(
+                (
+                    shard_id,
+                    len(samples),
+                    os.path.getsize(fname),
+                    min(k for k, _, _ in samples),
+                    max(k for k, _, _ in samples),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["shard_id", "n_samples", "n_bytes", "key_min", "key_max"],
+        )
+
+    # one shuffle co-locates each shard's samples, then every shard
+    # tar streams from exactly one task.
+    stats = (
+        rows.repartition("shard_id")
+        .mapInPandas(_write_partition, _MANIFEST_SCHEMA)
+        .collect()  # bounded: one row PER SHARD, not per sample
+    )
+    manifest = {
+        "samples_per_shard": samples_per_shard,
+        "shards": {
+            str(r.shard_id): {
+                "file": f"shard-{r.shard_id:06d}.tar",
+                "n_samples": int(r.n_samples),
+                "n_bytes": int(r.n_bytes),
+                "key_min": int(r.key_min),
+                "key_max": int(r.key_max),
+            }
+            for r in sorted(stats, key=lambda r: r.shard_id)
+        },
+    }
+    tmp = os.path.join(path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    return manifest
+
+
+def _untar_partition(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        keys: list[int] = []
+        exts: list[str] = []
+        payloads: list[bytes] = []
+        for blob in pdf["content"]:
+            with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                for member in tf.getmembers():
+                    stem, _, e = member.name.rpartition(".")
+                    keys.append(int(stem))
+                    exts.append(e)
+                    payloads.append(tf.extractfile(member).read())
+        yield pd.DataFrame({"key": keys, "ext": exts, "payload": payloads})
+
+
+def read_webdataset_shards(
+    spark: SparkSession,
+    path: str,
+    shard_ids: list[int] | None = None,
+) -> DataFrame:
+    """Tar shards → (key, ext, payload) rows.
+
+    ``shard_ids`` prunes at FILE LISTING time (``pathGlobFilter`` for
+    one shard, explicit paths for several) — a loader resuming
+    mid-epoch reads only its remaining shards, never the corpus. One
+    task unpacks one shard (binaryFile rows are whole files), so read
+    parallelism equals shard count.
+    """
+    reader = spark.read.format("binaryFile")
+    if shard_ids is None:
+        src = reader.option("pathGlobFilter", "shard-*.tar").load(path)
+    else:
+        src = reader.load(
+            [os.path.join(path, f"shard-{s:06d}.tar") for s in shard_ids]
+        )
+    return src.select("content").mapInPandas(_untar_partition, SAMPLE_SCHEMA)
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, "_manifest.json")) as f:
+        return json.load(f)
