@@ -79,6 +79,7 @@ def write_webdataset_shards(
     ext_col: str | None = None,
     ext: str = "bin",
     samples_per_shard: int = SAMPLES_PER_SHARD,
+    write_manifest: bool = True,
 ) -> dict:
     """Export ``df`` as WebDataset tar shards under ``path``.
 
@@ -158,10 +159,11 @@ def write_webdataset_shards(
             for r in sorted(stats, key=lambda r: r.shard_id)
         },
     }
-    tmp = os.path.join(path, "_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    if write_manifest:
+        tmp = os.path.join(path, "_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(path, "_manifest.json"))
     return manifest
 
 
@@ -208,3 +210,83 @@ def read_webdataset_shards(
 def read_manifest(path: str) -> dict:
     with open(os.path.join(path, "_manifest.json")) as f:
         return json.load(f)
+
+
+def seal_webdataset_shards(
+    spark: SparkSession,
+    staging_path: str,
+    out_path: str,
+    key_col: str = "doc_id",
+    payload_col: str = "payload",
+    ext_col: str | None = None,
+    ext: str = "bin",
+    samples_per_shard: int = SAMPLES_PER_SHARD,
+) -> dict:
+    """Incremental shard sealing — the streaming-ingest path.
+
+    A live pipeline can't write tars per micro-batch: a shard's
+    samples arrive across batches, and rewriting a tar from one
+    batch's rows would drop the earlier ones. The composition that
+    works (and the one object-store loaders expect) is
+    stage-then-seal: micro-batches land in a parquet STAGING area
+    through the existing idempotent sink (`streaming/sinks.py` —
+    replay-safe by `_batch_id`), and this call seals staging into
+    tar shards, rewriting ONLY shards whose sample count changed
+    since the recorded manifest (samples are append-only and
+    immutable, so per-shard count is a sufficient change signal —
+    the zonemap `refresh_merged_buckets` discipline; the per-shard
+    count collect is one row per shard, so size shards ~1 GB and it
+    stays O(10^5) rows at 100 TB). Untouched
+    shards keep byte-identical files; cost is ∝ touched shards, not
+    corpus. Re-sealing with no new data rewrites nothing.
+    """
+    staged = spark.read.parquet(staging_path)
+    counts = {
+        int(r.shard_id): int(r.n)
+        for r in staged.select(
+            (F.col(key_col).cast("long") / samples_per_shard)
+            .cast("long")
+            .alias("shard_id")
+        )
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per shard
+    }
+    try:
+        man = read_manifest(out_path)
+        if man.get("samples_per_shard") != samples_per_shard:
+            raise ValueError(
+                f"existing manifest at {out_path} was sealed with "
+                f"samples_per_shard={man.get('samples_per_shard')}"
+            )
+    except FileNotFoundError:
+        man = {"samples_per_shard": samples_per_shard, "shards": {}}
+    touched = [
+        s
+        for s, n in counts.items()
+        if man["shards"].get(str(s), {}).get("n_samples") != n
+    ]
+    if not touched:
+        return {"rebuilt": [], "manifest": man}
+    sub = staged.filter(
+        (F.col(key_col).cast("long") / samples_per_shard)
+        .cast("long")
+        .isin(touched)
+    )
+    new_man = write_webdataset_shards(
+        sub,
+        out_path,
+        key_col=key_col,
+        payload_col=payload_col,
+        ext_col=ext_col,
+        ext=ext,
+        samples_per_shard=samples_per_shard,
+        write_manifest=False,  # the merged manifest below is the commit
+    )
+    # merge: rebuilt shards' fresh entries over the carried-over rest
+    man["shards"].update(new_man["shards"])
+    tmp = os.path.join(out_path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, os.path.join(out_path, "_manifest.json"))
+    return {"rebuilt": sorted(touched), "manifest": man}

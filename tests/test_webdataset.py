@@ -67,3 +67,45 @@ def test_webdataset_shard_pruning(spark, tmp_path):
     assert len(rows) == man["shards"][str(sid)]["n_samples"]
     assert all(r.key // 32 == sid for r in rows)
     assert all(r.ext == "bin" for r in rows)
+
+
+def test_seal_matches_batch_export_and_is_incremental(spark, tmp_path):
+    """Stage-then-seal across two batches produces byte-identical
+    shards to a one-shot batch export; re-sealing with no new data
+    rebuilds nothing; an appending batch rewrites ONLY its shard."""
+    payloads = media_payloads(spark, SF_DIR)
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "sealed")
+    ref = str(tmp_path / "ref")
+
+    lo = payloads.filter(F.col("doc_id") < 40)
+    hi = payloads.filter(F.col("doc_id") >= 40)
+    lo.write.mode("append").parquet(staging)
+    r1 = wd.seal_webdataset_shards(spark, staging, out, samples_per_shard=32)
+    hi.write.mode("append").parquet(staging)
+    r2 = wd.seal_webdataset_shards(spark, staging, out, samples_per_shard=32)
+    # shard 0 (keys 0..31) was complete after batch 1 → not rebuilt
+    assert 0 in r1["rebuilt"] and 0 not in r2["rebuilt"]
+    assert 1 in r1["rebuilt"] and 1 in r2["rebuilt"]  # split across batches
+
+    wd.write_webdataset_shards(payloads, ref, samples_per_shard=32)
+    ref_man = wd.read_manifest(ref)
+    out_man = wd.read_manifest(out)
+    assert out_man == ref_man
+    for s in ref_man["shards"].values():
+        a = open(os.path.join(ref, s["file"]), "rb").read()
+        b = open(os.path.join(out, s["file"]), "rb").read()
+        assert a == b, f"sealed shard {s['file']} differs from batch export"
+
+    # idempotent re-seal: nothing rebuilt, bytes untouched
+    before = {
+        s["file"]: os.path.getmtime(os.path.join(out, s["file"]))
+        for s in out_man["shards"].values()
+    }
+    r3 = wd.seal_webdataset_shards(spark, staging, out, samples_per_shard=32)
+    assert r3["rebuilt"] == []
+    after = {
+        s["file"]: os.path.getmtime(os.path.join(out, s["file"]))
+        for s in wd.read_manifest(out)["shards"].values()
+    }
+    assert after == before
