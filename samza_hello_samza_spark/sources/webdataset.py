@@ -239,6 +239,12 @@ def seal_webdataset_shards(
     stays O(10^5) rows at 100 TB). Untouched
     shards keep byte-identical files; cost is ∝ touched shards, not
     corpus. Re-sealing with no new data rewrites nothing.
+
+    Single-maintainer op (the streaming/maintenance.py convention):
+    one sealer per output dir — concurrent seals could interleave
+    manifest merges. Crash-safe: tars land by atomic rename and the
+    manifest is written last, so a crashed seal is re-run, never
+    repaired.
     """
     staged = spark.read.parquet(staging_path)
     counts = {
