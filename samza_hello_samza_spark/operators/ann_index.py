@@ -412,17 +412,90 @@ def index_versions(index_dir: str) -> list[int]:
 def expire_index_versions(index_dir: str, keep_last: int = 10) -> int:
     """Drop the oldest history manifests beyond ``keep_last`` — the
     retention pass (`expire_snapshots` for the vector store). The
-    CURRENT manifest is untouched; only time-travel reads of expired
-    versions stop resolving. Returns manifests removed."""
+    CURRENT manifest is untouched, TAGGED versions are retention-
+    exempt (the merge.py tag contract — a pinned index snapshot
+    stays time-travel-readable); only untagged expired versions stop
+    resolving. Returns manifests removed."""
     versions = index_versions(index_dir)
+    pinned = set(index_tags(index_dir).values())
     removed = 0
     for v in versions[:-keep_last] if keep_last else versions:
+        if v in pinned:
+            continue
         try:
             os.remove(os.path.join(_history_dir(index_dir), f"v{v}.json"))
             removed += 1
         except FileNotFoundError:
             pass
     return removed
+
+
+def _tags_path(index_dir: str) -> str:
+    return os.path.join(_history_dir(index_dir), "_tags.json")
+
+
+def index_tags(index_dir: str) -> dict[str, int]:
+    """Named refs on the index history: tag → pinned version
+    (merge.py's table tags, on the vector store's manifest files)."""
+    import json
+
+    try:
+        with open(_tags_path(index_dir)) as f:
+            return {n: int(v) for n, v in json.load(f).items()}
+    except FileNotFoundError:
+        return {}
+
+
+def _write_tags(index_dir: str, tags: dict[str, int]) -> None:
+    import json
+
+    os.makedirs(_history_dir(index_dir), exist_ok=True)
+    tmp = _tags_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(tags, f)
+    os.replace(tmp, _tags_path(index_dir))
+
+
+def tag_index_version(
+    index_dir: str, name: str, version: int | None = None
+) -> int:
+    """Pin ``version`` (default: current) under an immutable name —
+    the audit handle for "the index build we served release X with".
+    Tagged versions survive ``expire_index_versions``; resolve with
+    ``read_index_manifest(tag=...)`` and pin probes to it via
+    ``man=``. Single-maintainer op like the rest of the index
+    maintenance surface (tag writes are atomic but not serialized
+    against each other). Returns the pinned version."""
+    cur = read_index_manifest(index_dir)
+    target = int(cur["version"]) if version is None else int(version)
+    known = set(index_versions(index_dir)) | {int(cur["version"])}
+    if target not in known or target == 0:
+        raise FileNotFoundError(
+            f"cannot tag v{target}: no such committed version in {index_dir}"
+        )
+    tags = index_tags(index_dir)
+    if name in tags:
+        raise FileExistsError(
+            f"tag {name!r} already exists in {index_dir} (-> v{tags[name]})"
+        )
+    # ensure the tagged version resolves even for layouts whose commit
+    # predated history retention (current manifest but no history file)
+    if target == int(cur["version"]):
+        hist_file = os.path.join(_history_dir(index_dir), f"v{target}.json")
+        if not os.path.exists(hist_file):
+            _record_history(index_dir, cur)
+    tags[name] = target
+    _write_tags(index_dir, tags)
+    return target
+
+
+def delete_index_tag(index_dir: str, name: str) -> None:
+    """Drop a tag; the pinned version becomes expirable again."""
+    tags = index_tags(index_dir)
+    if name not in tags:
+        raise KeyError(f"no tag {name!r} in {index_dir}")
+    del tags[name]
+    _write_tags(index_dir, tags)
 
 
 def _record_history(index_dir: str, man: dict) -> None:
@@ -436,14 +509,24 @@ def _record_history(index_dir: str, man: dict) -> None:
     os.replace(tmp, os.path.join(hist, f"v{man['version']}.json"))
 
 
-def read_index_manifest(index_dir: str, version: int | None = None) -> dict:
-    """The CURRENT committed manifest, or — with ``version`` — a
-    historical one (time travel: pass the result as ``man=`` to the
-    snapshot probes to read the index exactly as of that commit;
-    note ``vacuum_index`` may have reclaimed a retired version's data
-    files, the same post-VACUUM caveat as Delta time travel)."""
+def read_index_manifest(
+    index_dir: str, version: int | None = None, tag: str | None = None
+) -> dict:
+    """The CURRENT committed manifest, or — with ``version`` /
+    ``tag`` — a historical one (time travel: pass the result as
+    ``man=`` to the snapshot probes to read the index exactly as of
+    that commit; note ``vacuum_index`` may have reclaimed a retired
+    version's data files, the same post-VACUUM caveat as Delta time
+    travel)."""
     import json
 
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version= or tag=, not both")
+        tags = index_tags(index_dir)
+        if tag not in tags:
+            raise KeyError(f"no tag {tag!r} in {index_dir}")
+        version = tags[tag]
     if version is not None:
         path = os.path.join(_history_dir(index_dir), f"v{version}.json")
         with open(path) as f:  # FileNotFoundError: expired or never committed

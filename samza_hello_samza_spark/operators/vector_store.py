@@ -112,11 +112,25 @@ class IvfVectorStore:
         return ann_index.vacuum_index(self.corpus_dir)
 
     # -- metadata ------------------------------------------------------
-    def manifest(self, version: int | None = None) -> dict:
-        return ann_index.read_index_manifest(self.corpus_dir, version=version)
+    def manifest(
+        self, version: int | None = None, tag: str | None = None
+    ) -> dict:
+        return ann_index.read_index_manifest(
+            self.corpus_dir, version=version, tag=tag
+        )
 
     def versions(self) -> list[int]:
         return ann_index.index_versions(self.corpus_dir)
 
     def expire_versions(self, keep_last: int = 10) -> int:
         return ann_index.expire_index_versions(self.corpus_dir, keep_last)
+
+    # -- named refs ----------------------------------------------------
+    def tag(self, name: str, version: int | None = None) -> int:
+        return ann_index.tag_index_version(self.corpus_dir, name, version)
+
+    def delete_tag(self, name: str) -> None:
+        ann_index.delete_index_tag(self.corpus_dir, name)
+
+    def tags(self) -> dict[str, int]:
+        return ann_index.index_tags(self.corpus_dir)

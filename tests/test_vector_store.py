@@ -90,3 +90,46 @@ def test_filtered_time_travel_probe_is_rejected(spark, tmp_path):
     qvec = similarity._query_vector(spark, SF_DIR)
     with pytest.raises(ValueError, match="version or where"):
         store.probe(qvec, NLIST, where=F.col("label") == 1, version=1)
+
+
+def test_index_tags_pin_versions_through_expiry(spark, tmp_path):
+    """Named refs on the index history: a tagged build survives the
+    retention sweep and keeps resolving (by tag AND by number) with
+    the exact pre-tag probe results; dropping the tag releases the
+    pin; tag ops validate before writing."""
+    store = _store(spark, tmp_path, "vs_tags")
+    qvec = similarity._query_vector(spark, SF_DIR)
+    base = _ids(store.probe(qvec, NLIST))
+    v1 = store.manifest()["version"]
+    assert store.tag("release-1") == v1
+    assert store.tags() == {"release-1": v1}
+
+    # three more commits, then expire to the newest 1
+    for vid in (700_001, 700_002, 700_003):
+        store.append(_vec_df(spark, vid, np.ones(DIM) / np.sqrt(DIM)))
+    store.expire_versions(keep_last=1)
+    assert v1 in store.versions(), "tagged version was expired"
+    man = store.manifest(tag="release-1")
+    assert man["version"] == v1
+    pinned = ann_index.probe_ivf_snapshot(
+        spark, store.index_dir, qvec, NLIST, man=man
+    )
+    assert _ids(pinned) == base
+
+    # validation: duplicate tag, unknown version, unknown tag
+    with pytest.raises(FileExistsError):
+        store.tag("release-1")
+    with pytest.raises(FileNotFoundError):
+        store.tag("ghost", version=999)
+    with pytest.raises(KeyError):
+        store.manifest(tag="nope")
+    with pytest.raises(ValueError):
+        store.manifest(version=v1, tag="release-1")
+
+    # releasing the pin makes the version expirable again
+    store.delete_tag("release-1")
+    assert store.tags() == {}
+    store.expire_versions(keep_last=1)
+    assert v1 not in store.versions()
+    with pytest.raises(KeyError):
+        store.delete_tag("release-1")
