@@ -327,7 +327,15 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")),
             "doc_b",
         )
-        .filter(jac >= 0.5)
+        # threshold on the INTEGER form of J >= 1/2 (i/(na+nb-i) >= 1/2
+        # <=> 3i >= na+nb): the prefix+length candidate filters are
+        # complete exactly for true J >= tau, so thresholding a rounded
+        # float (pre-r07) could admit an oracle row in [tau-5e-7, tau)
+        # that candidate generation never produces; rounding is for
+        # display only
+        .filter(
+            F.col("inter") * 3 >= F.col("n_a") + F.col("n_b")
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
@@ -1712,7 +1720,7 @@ ORACLES["dedup_prefix_filter"] = (
     FROM inter
     JOIN counts na ON na.doc_id = doc_a
     JOIN counts nb ON nb.doc_id = doc_b
-    WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+    WHERE 3 * i >= na.n + nb.n  -- integer form of J >= 1/2, matches Spark
     """
 )
 

@@ -1170,7 +1170,15 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("neg").alias("nneg"),
         )
         .select(
-            (F.col("num") / (F.col("npos") * F.col("nneg"))).alias("auc"),
+            # single-class guard: with all-0 or all-1 labels the
+            # denominator is 0 and the division is NULL (float(None)
+            # raises); AUC is undefined there — report the 0.5 prior
+            F.when(
+                F.col("npos") * F.col("nneg") > 0,
+                F.col("num") / (F.col("npos") * F.col("nneg")),
+            )
+            .otherwise(F.lit(0.5))
+            .alias("auc"),
             (F.col("npos") + F.col("nneg")).alias("n"),
         )
         .collect()[0]

@@ -37,6 +37,7 @@ import io
 import json
 import os
 import tarfile
+import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,6 +52,21 @@ from pyspark.sql.types import (
 )
 
 SAMPLES_PER_SHARD = 64
+
+
+def _shard_id_expr(key_col: str, samples_per_shard: int):
+    """Exact integer shard id: ``key div samples_per_shard``.
+
+    BIGINT ``div`` is exact at any magnitude; double division +
+    cast-to-long (the pre-r07 expression) truncates toward zero for
+    negative keys and double-rounds near 2^53 onto the wrong shard.
+    Keys are validated non-negative executor-side at write time, so
+    truncation == floor and the docstring's ``key //
+    samples_per_shard`` contract holds exactly.
+    """
+    return F.expr(
+        f"CAST(`{key_col}` AS BIGINT) div {int(samples_per_shard)}"
+    )
 
 _MANIFEST_SCHEMA = StructType(
     [
@@ -96,9 +112,7 @@ def write_webdataset_shards(
         (
             F.col(ext_col).cast("string") if ext_col else F.lit(ext)
         ).alias("ext"),
-        (F.col(key_col).cast("long") / samples_per_shard)
-        .cast("long")
-        .alias("shard_id"),
+        _shard_id_expr(key_col, samples_per_shard).alias("shard_id"),
     ]
     rows = df.select(*sel)
 
@@ -110,6 +124,12 @@ def write_webdataset_shards(
             for k, e, p, s in zip(
                 pdf["key"], pdf["ext"], pdf["payload"], pdf["shard_id"]
             ):
+                if int(k) < 0:
+                    # negative keys would break floor==trunc in
+                    # _shard_id_expr and the {key:012d} member names
+                    raise ValueError(
+                        f"webdataset keys must be >= 0, got {int(k)}"
+                    )
                 by_shard.setdefault(int(s), []).append(
                     (int(k), str(e), bytes(p))
                 )
@@ -117,7 +137,11 @@ def write_webdataset_shards(
         for shard_id, samples in by_shard.items():
             samples.sort()  # key order inside the tar
             fname = os.path.join(path, f"shard-{shard_id:06d}.tar")
-            tmp = fname + ".tmp"
+            # attempt-private staging: a speculative/zombie attempt on
+            # the same shard must not interleave into one .tmp, so the
+            # name carries this attempt's uuid; os.replace stays the
+            # single atomic publish point
+            tmp = f"{fname}.tmp-{uuid.uuid4().hex[:12]}"
             with tarfile.open(tmp, "w") as tf:
                 for k, e, payload in samples:
                     info = tarfile.TarInfo(name=f"{k:012d}.{e}")
@@ -250,9 +274,7 @@ def seal_webdataset_shards(
     counts = {
         int(r.shard_id): int(r.n)
         for r in staged.select(
-            (F.col(key_col).cast("long") / samples_per_shard)
-            .cast("long")
-            .alias("shard_id")
+            _shard_id_expr(key_col, samples_per_shard).alias("shard_id")
         )
         .groupBy("shard_id")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -275,9 +297,7 @@ def seal_webdataset_shards(
     if not touched:
         return {"rebuilt": [], "manifest": man}
     sub = staged.filter(
-        (F.col(key_col).cast("long") / samples_per_shard)
-        .cast("long")
-        .isin(touched)
+        _shard_id_expr(key_col, samples_per_shard).isin(touched)
     )
     new_man = write_webdataset_shards(
         sub,

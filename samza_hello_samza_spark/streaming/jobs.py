@@ -264,7 +264,9 @@ def decontamination_job(
 
 
 def fuzzy_decontamination_job(
-    docs: DataFrame, bench_bands: DataFrame
+    docs: DataFrame,
+    bench_bands: DataFrame,
+    bench_predicate=None,
 ) -> DataFrame:
     """Streaming FUZZY decontamination: each arriving train doc's
     minhash bands probe the standing benchmark band table — the live
@@ -281,8 +283,17 @@ def fuzzy_decontamination_job(
     (quarantine is a set union — the lsh_index_updater honesty), and
     the exact-Jaccard confirm runs batch-side on the quarantine set,
     exactly like the bloom screen's exact pass.
+
+    Benchmark docs are EXCLUDED from the probing stream inside the
+    job (``bench_predicate`` marks them; default is the batch twin's
+    ``doc_id % DECON_MOD == DECON_REM`` split) — otherwise a
+    benchmark doc flowing through the train stream collides with its
+    own standing bands and is flagged as a contaminated train doc.
+    Callers with a different bench universe pass their own predicate.
     """
     from ..operators.dedup import (
+        DECON_MOD,
+        DECON_REM,
         MERSENNE_P,
         N_BANDS,
         N_PERMS,
@@ -293,6 +304,9 @@ def fuzzy_decontamination_job(
         _words,
     )
 
+    if bench_predicate is None:
+        bench_predicate = F.col("doc_id") % DECON_MOD == DECON_REM
+    docs = docs.filter(~bench_predicate)
     tokenized = docs.select("doc_id", _words(F.col("text")).alias("words"))
     hashed = tokenized.select(
         "doc_id",
