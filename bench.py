@@ -168,6 +168,16 @@ EXTRA_VOLUME = (
     # packed sign bits, and the oversample+exact-rerank serving loop.
     "ann_binary_topk",
     "ann_binary_rerank_topk",
+    # r07: binary ANN served from the COMMITTED signature columns
+    # (codes-only scan of the manifest-resolved snapshot — the
+    # materialized path of the r06g in-scan pair) and the fully
+    # oracle-checked filtered binary probe (pushed label filter +
+    # Hamming shortlist + exact rerank).
+    "ann_binary_indexed_topk",
+    "ann_filtered_binary_topk",
+    # r07b: packed sequences ⇄ WebDataset tars composition — full
+    # tar-corpus untar + int64 decode + per-shard integer audit.
+    "packed_webdataset_audit",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the
@@ -413,6 +423,8 @@ def main() -> None:
             "orders_cdf_changes",
             "ann_filtered_ivf_topk",  # attr-bearing IVF layout
             "ann_ivfpq_topk",  # composed IVFADC layout
+            "ann_binary_indexed_topk",  # signature-bearing IVF layout
+            "packed_webdataset_audit",  # cold tar export for the sf1 tag
         ):
             queries[q](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         sf1_names = [

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from ..functions import binary_sig
 from ..session import load_table
 
 #: bump when the on-disk layout or hash family changes.
@@ -195,12 +196,50 @@ def probe_lsh_index(
 # --------------------------------------------------------------------------
 
 
+def _sig_meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_SIGS.json")
+
+
+def read_sig_meta(index_dir: str) -> dict | None:
+    """The layout's binary-signature declaration, or None.
+
+    Written by ``build_ivf_index(sigs=True)``: names the stored
+    packed-word columns and the vector dim they were derived from.
+    Appenders/upserters consult it to RE-DERIVE signatures for delta
+    rows (signatures are a pure function of ``v`` — layout-internal
+    derived state, never caller-supplied), and probes to know which
+    columns to scan. An explicit marker, not a ``w\\d+`` column-name
+    pattern match, so a user attr named ``w0`` can never be mistaken
+    for index state.
+    """
+    import json
+
+    p = _sig_meta_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_sig_meta(index_dir: str, dim: int) -> None:
+    import json
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = _sig_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"sig_cols": binary_sig.sig_col_names(dim), "dim": dim}, f
+        )
+    os.replace(tmp, _sig_meta_path(index_dir))
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
     nlist: int,
     out_dir: str | None = None,
     attrs: tuple[str, ...] = (),
+    sigs: bool = False,
 ) -> str:
     """Assign every vector to its nearest centroid; write by list_id.
 
@@ -214,8 +253,22 @@ def build_ivf_index(
     instead of joining back to the base table per probe). Attr-bearing
     layouts live in their own directory (``ivf_<attrs>``) so the plain
     index and its cached builds are untouched.
+
+    ``sigs=True`` additionally MATERIALIZES the binary sign-bit
+    signature words (``functions/binary_sig``) next to each vector —
+    the committed-layout home of the binary-quantization probe: a
+    Hamming scan then reads dim/8 bytes/vector of index state instead
+    of re-deriving signatures from the raw float vectors in-scan (the
+    32× I/O cut that is the whole point of the binary family at
+    100 TB). Signatures are derived state: append/upsert/rebalance
+    recompute them from ``v``, so they stay exact through every
+    maintenance op (pytest-pinned).
     """
-    tag = "ivf" + ("_" + "_".join(attrs) if attrs else "")
+    tag = (
+        "ivf"
+        + ("_" + "_".join(attrs) if attrs else "")
+        + ("_sig" if sigs else "")
+    )
     out_dir = out_dir or os.path.join(_index_root(), _tag(sf_dir), tag)
     corpus_dir = os.path.join(out_dir, "corpus")
     cent_dir = os.path.join(out_dir, "centroids")
@@ -229,6 +282,15 @@ def build_ivf_index(
     seed = e.filter(F.col("vec_id") < nlist).orderBy("vec_id").collect()
     cmat = np.stack([np.asarray(r.v) for r in seed])
     cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    if sigs:
+        dim = int(cmat.shape[1])
+        e = e.select("*", *binary_sig.sign_word_cols(F.col("v"), dim))
+        # marker BEFORE the corpus write: a crash mid-build leaves a
+        # marker but no _SUCCESS (harmless — everything gates on
+        # _is_built and the rebuild rewrites both); the reverse order
+        # could leave a sig-bearing corpus with no marker, and
+        # appenders would then demand w-columns from callers
+        _write_sig_meta(out_dir, dim)
 
     @F.pandas_udf(LongType())
     def assign(emb: pd.Series) -> pd.Series:
@@ -267,14 +329,22 @@ def append_ivf_index(spark: SparkSession, index_dir: str, vectors: DataFrame) ->
     must carry every stored attr column — otherwise appended rows
     would land attr-null and a filtered probe's equality predicate
     would silently drop them forever. A missing column fails loudly
-    here instead (pytest).
+    here instead (pytest). Signature words on a sig-bearing layout
+    (``build_ivf_index(sigs=True)``) are the exception: they are
+    DERIVED state (a pure function of ``v``) recomputed here for the
+    delta — callers never supply them, so they can never drift from
+    the vectors they summarize.
     """
     payload = [
         f.name
         for f in spark.read.parquet(os.path.join(index_dir, "corpus")).schema
         if f.name != "list_id"
     ]
-    missing = [c for c in payload if c not in vectors.columns]
+    sig = read_sig_meta(index_dir)
+    sig_cols = set(sig["sig_cols"]) if sig else set()
+    missing = [
+        c for c in payload if c not in vectors.columns and c not in sig_cols
+    ]
     if missing:
         raise ValueError(
             f"append delta lacks stored attr column(s) {missing}; the "
@@ -294,9 +364,23 @@ def append_ivf_index(spark: SparkSession, index_dir: str, vectors: DataFrame) ->
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         return pd.Series(ids[np.argmax(mat @ cnorm.T, axis=1)].astype(np.int64))
 
+    if sig:
+        named = dict(
+            zip(
+                sig["sig_cols"],
+                binary_sig.sign_word_cols(F.col("v"), sig["dim"]),
+            )
+        )
+        delta = vectors.select(
+            *[
+                named[c].alias(c) if c in named else F.col(c)
+                for c in payload  # corpus schema order
+            ]
+        )
+    else:
+        delta = vectors.select(*payload)
     (
-        vectors.select(*payload)
-        .withColumn("list_id", assign(F.col("v")))
+        delta.withColumn("list_id", assign(F.col("v")))
         .repartition("list_id")
         .write.mode("append")
         .partitionBy("list_id")
@@ -744,7 +828,11 @@ def upsert_ivf_vectors(spark: SparkSession, index_dir: str, vectors: DataFrame) 
         for f in spark.read.parquet(corpus_dir).schema
         if f.name != "list_id"
     ]
-    missing = [c for c in payload if c not in vectors.columns]
+    sig = read_sig_meta(index_dir)
+    sig_cols = set(sig["sig_cols"]) if sig else set()
+    missing = [
+        c for c in payload if c not in vectors.columns and c not in sig_cols
+    ]  # signature words are derived by the append leg, never supplied
     if missing:
         raise ValueError(
             f"upsert delta lacks stored attr column(s) {missing}; the "
@@ -1312,6 +1400,56 @@ def probe_ivf_snapshot(
     )
 
 
+def probe_binary_snapshot(
+    spark: SparkSession,
+    index_dir: str,
+    qwords: list[int],
+    where: F.Column | None = None,
+    man: dict | None = None,
+) -> DataFrame:
+    """Hamming candidates over the COMMITTED signature columns —
+    the serving probe of a ``build_ivf_index(sigs=True)`` layout.
+
+    Returns (vec_id, hamming) after the snapshot's tombstone mask.
+    The scan projects ONLY vec_id + the packed signature words (+ any
+    ``where`` attr, whose predicate is pushed to the parquet reader):
+    the raw vector column never enters the read schema
+    (plan-asserted), so the probe reads dim/8 bytes of signature per
+    vector — the committed-layout version of ``ann_binary_topk``'s
+    in-scan derivation, and the reason binary quantization holds at
+    100 TB (the whole signature file set page-caches where raw
+    vectors cannot). Callers order by (hamming, vec_id) and cut; an
+    exact re-rank of the shortlist is ``operators/similarity``'s
+    ``_rerank`` (rehydrates a constant number of raw vectors).
+    """
+    sig = read_sig_meta(index_dir)
+    if sig is None:
+        raise FileNotFoundError(
+            f"{index_dir} stores no signature columns; build with "
+            "build_ivf_index(sigs=True)"
+        )
+    if len(qwords) != len(sig["sig_cols"]):
+        raise ValueError(
+            f"query signature has {len(qwords)} words; layout stores "
+            f"{len(sig['sig_cols'])}"
+        )
+    corpus_dir = os.path.join(index_dir, "corpus")
+    if man is None:
+        man = read_index_manifest(corpus_dir)
+    scan = snapshot_scan(spark, corpus_dir, man=man)
+    if where is not None:
+        scan = scan.filter(where)
+    cand = scan.select("vec_id", *sig["sig_cols"]).withColumn(
+        "hamming", binary_sig.hamming_col(qwords)
+    )
+    return _apply_tombstones(
+        spark,
+        index_dir,
+        cand.select("vec_id", "hamming"),
+        tomb_files=man.get("tombstones"),
+    )
+
+
 def rebalance_ivf_index(spark: SparkSession, index_dir: str) -> dict:
     """Re-train centroids and re-assign the committed corpus — the
     §7.15 "IVF list re-balancing after drift" maintenance pass.
@@ -1660,3 +1798,139 @@ def append_ivfpq_index(spark: SparkSession, index_dir: str, vectors: DataFrame) 
         .partitionBy("list_id")
         .parquet(os.path.join(index_dir, "codes"))
     )
+
+
+# --------------------------------------------------------------------------
+# index branches: write-audit-publish for rebuilds (table-side parity)
+# --------------------------------------------------------------------------
+#
+# The table layer has branch → validate → merge-back (merge.py
+# `create_branch`/WAP); the index side had tags but no branches, so an
+# index REBUILD (rebalance after drift, a retrain, a bulk re-ingest)
+# could only be audited in place. A branch is the `clone_to`
+# discipline applied to a layout root: every data file HARDLINKED
+# (O(files) metadata, zero bytes moved — immutability makes sharing
+# safe: commits only add files, vacuum unlinks, which just drops one
+# reference), every manifest/history/tag JSON copied with the path
+# prefix rewritten, so the branch is a fully independent layout every
+# ann_index primitive (append/upsert/delete/rebalance/probe) operates
+# on directly. Promotion is ONE commit on the main line.
+
+
+def _branch_root(index_dir: str) -> str:
+    return os.path.join(index_dir, "_branches")
+
+
+def branch_index(index_dir: str, name: str) -> str:
+    """Zero-copy branch of a committed index layout at its current
+    state. Returns the branch dir — a standalone layout root."""
+    import shutil
+
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"bad branch name {name!r}")
+    data_dir = _layout_data_dir(index_dir)
+    if data_dir is None:
+        raise FileNotFoundError(f"no committed snapshot under {index_dir}")
+    dst = os.path.join(_branch_root(index_dir), name)
+    if os.path.exists(dst):
+        raise FileExistsError(f"branch {name!r} already exists on {index_dir}")
+    src_abs = os.path.abspath(index_dir)
+    dst_abs = os.path.abspath(dst)
+    for dirpath, dirs, files in os.walk(index_dir):
+        dirs[:] = [d for d in dirs if d != "_branches"]
+        rel = os.path.relpath(dirpath, index_dir)
+        tgt = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tgt, exist_ok=True)
+        for f in files:
+            src_f = os.path.join(dirpath, f)
+            dst_f = os.path.join(tgt, f)
+            if f.endswith(".json"):
+                # manifests/history/tags carry ABSOLUTE file paths;
+                # the branch's copies must resolve inside the branch
+                with open(src_f) as fh:
+                    txt = fh.read()
+                with open(dst_f, "w") as fh:
+                    fh.write(txt.replace(src_abs, dst_abs))
+            else:
+                try:
+                    os.link(src_f, dst_f)
+                except OSError:
+                    shutil.copy2(src_f, dst_f)  # cross-device fallback
+    return dst
+
+
+def index_branches(index_dir: str) -> list[str]:
+    root = _branch_root(index_dir)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        n
+        for n in os.listdir(root)
+        if _layout_data_dir(os.path.join(root, n)) is not None
+    )
+
+
+def merge_index_branch(index_dir: str, name: str) -> dict:
+    """PUBLISH a branch's committed state onto the main line as one
+    atomic commit — the write-audit-publish loop's last step:
+    ``branch_index`` → rebuild/maintain and validate ON THE BRANCH →
+    ``merge_index_branch``.
+
+    Every file in the branch's current manifest (data, tombstone
+    sidecars, the centroid table it points at) is hardlinked into the
+    main layout at its branch-relative path (files main already holds
+    are the same inodes — immutability again), then ONE
+    ``commit_index_files`` swap makes the branch's file set main's
+    current version; main's previous files move to ``retired`` so
+    listing-based commits never resurrect them, and readers pinned to
+    pre-promote manifests are untouched. Single-maintainer across the
+    PAIR: the WAP contract is that main is quiescent between branch
+    and publish (concurrent main commits would be silently shadowed —
+    same rule as the table-side WAP merge).
+    """
+    import shutil
+
+    br = os.path.join(_branch_root(index_dir), name)
+    br_data = _layout_data_dir(br)
+    if br_data is None:
+        raise KeyError(f"no branch {name!r} on {index_dir}")
+    man_b = read_index_manifest(br_data)
+    sub = os.path.relpath(br_data, br)  # corpus / codes / .
+    main_data = index_dir if sub == "." else os.path.join(index_dir, sub)
+    man_m = read_index_manifest(main_data)
+
+    def _link_back(branch_file: str) -> str:
+        rel = os.path.relpath(branch_file, br)
+        dst_f = os.path.join(index_dir, rel)
+        if not os.path.exists(dst_f):
+            os.makedirs(os.path.dirname(dst_f), exist_ok=True)
+            try:
+                os.link(branch_file, dst_f)
+            except OSError:
+                shutil.copy2(branch_file, dst_f)
+        return dst_f
+
+    files = [_link_back(f) for f in man_b["files"]]
+    for t in man_b.get("tombstones", []):
+        _link_back(t)
+    # a branch-side rebalance/retrain left a pointer to a new
+    # centroid/codebook dir: carry the whole dir over
+    extra: dict = {}
+    for ptr in ("centroids", "codebooks"):
+        if ptr in man_b:
+            src_dir = os.path.join(br, man_b[ptr])
+            if os.path.isdir(src_dir):
+                for dirpath, _dirs, fs in os.walk(src_dir):
+                    for f in fs:
+                        _link_back(os.path.join(dirpath, f))
+            extra[ptr] = man_b[ptr]
+    retired = sorted(
+        (set(man_m["files"]) - set(files)) | set(man_m.get("retired", []))
+    )
+    extra["retired"] = retired
+    new_man = commit_index_files(main_data, files, extra=extra)
+    return {
+        "version": new_man["version"],
+        "n_files": len(files),
+        "n_retired_main_files": len(set(man_m["files"]) - set(files)),
+    }

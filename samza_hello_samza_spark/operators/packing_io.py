@@ -339,7 +339,115 @@ def sequence_packing_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sequences per tar in the audited WebDataset export (small enough
+#: that the sf0.001 corpus still spans several tar shards).
+WDS_SEQS_PER_SHARD = 64
+
+
+def _packed_wds_dir(sf_dir: str) -> str:
+    """Content-addressed tar-export cache, one per (layout, sf) —
+    the ``ann_index._index_root`` discipline for the loader tars."""
+    import os
+    import tempfile
+
+    from .ann_index import _tag
+
+    return os.path.join(
+        os.environ.get("SPARK_GRAFT_INDEX_DIR", tempfile.gettempdir()),
+        "spark_graft_packed_wds_v1",
+        _tag(sf_dir),
+    )
+
+
+def packed_webdataset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TAR-shard audit of the packed-sequence WebDataset export —
+    the packing_io × webdataset composition check, computed FROM THE
+    TAR BYTES: sequences are exported as tar members
+    (``export_packed_webdataset``: int64-LE ``.ids`` payload + JSON
+    boundary metadata, shard = seq_id // 64), read back through the
+    loader path (untar → numpy decode → metadata rejoin), and
+    aggregated per shard. The DuckDB oracle rebuilds the same numbers
+    from FIRST PRINCIPLES (token explode + prefix sum over the raw
+    documents), so any loss anywhere in encode → tar → untar → decode
+    — a flipped byte, a truncated member, a mis-sharded sequence —
+    breaks the position-weighted checksum. All columns integer-exact.
+    """
+    import os
+
+    from ..sources import webdataset as wds
+
+    path = _packed_wds_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "_manifest.json")):
+        wds.export_packed_webdataset(
+            packed_sequences(spark, sf_dir), path, WDS_SEQS_PER_SHARD
+        )
+    rows = wds.read_packed_webdataset(
+        spark, path, seqs_per_shard=WDS_SEQS_PER_SHARD
+    )
+    n = F.size("input_ids")
+    weighted = F.zip_with(
+        F.col("input_ids"),
+        F.sequence(F.lit(1), n),
+        lambda t, i: t * i.cast("long"),
+    )
+    per_seq = rows.select(
+        F.expr(f"seq_id div {WDS_SEQS_PER_SHARD}").alias("shard_id"),
+        "doc_ids",
+        n.cast("long").alias("_nt"),
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "_ck"
+        ),
+    )
+    seq_agg = per_seq.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum("_ck").cast("long").alias("token_checksum"),
+    )
+    doc_agg = (
+        per_seq.select("shard_id", F.explode("doc_ids").alias("doc_id"))
+        .groupBy("shard_id")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    )
+    return seq_agg.join(doc_agg, "shard_id").select(
+        "shard_id", "n_seqs", "n_docs", "n_tokens", "token_checksum"
+    )
+
+
 ORACLES: dict[str, str] = {
+    # first-principles rebuild of the TAR-derived audit: token explode
+    # + global prefix sum → seq/shard assignment → the same integer
+    # aggregates the Spark side computes from decoded tar bytes
+    "packed_webdataset_audit": f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   regexp_extract_all(text, '({BPE_TOKEN_REGEX})', 1) AS tl
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, tl,
+                   coalesce(sum(len(tl)) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM toks
+        ),
+        tok AS (
+            SELECT doc_id,
+                   cum_before + unnest(range(0, len(tl))) AS gpos,
+                   unnest(tl) AS w
+            FROM c
+            WHERE len(tl) > 0
+        )
+        SELECT CAST((gpos // {SEQ_BUDGET}) // {WDS_SEQS_PER_SHARD} AS BIGINT)
+                   AS shard_id,
+               CAST(count(DISTINCT gpos // {SEQ_BUDGET}) AS BIGINT) AS n_seqs,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum((gpos % {SEQ_BUDGET} + 1)
+                        * CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT))
+                    AS BIGINT) AS token_checksum
+        FROM tok
+        GROUP BY 1
+    """,
     "sequence_packing_materialize": f"""
         WITH toks AS MATERIALIZED (
             SELECT doc_id,
@@ -417,4 +525,5 @@ ORACLES["sequence_packing_curriculum_materialize"] = _curriculum_materialize_ora
 QUERIES = {
     "sequence_packing_materialize": sequence_packing_materialize,
     "sequence_packing_curriculum_materialize": sequence_packing_curriculum_materialize,
+    "packed_webdataset_audit": packed_webdataset_audit,
 }

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import binary_sig as _bsig
 from ..session import load_table
 
 TOP_K = 10
@@ -267,54 +268,24 @@ def ann_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DIM sign bits packed little-endian-by-dimension into 32-bit words
 #: (32 so each word's 2^i stays exactly representable in double; two
-#: longs cover DIM=64).
-BINARY_WORD_BITS = 32
+#: longs cover DIM=64). Packing/popcount primitives live in
+#: ``functions/binary_sig.py`` — shared with the committed index
+#: layout (``ann_index`` stores the words next to the IVF codes).
+BINARY_WORD_BITS = _bsig.WORD_BITS
 BINARY_WORDS = DIM // BINARY_WORD_BITS
 BINARY_RERANK_M = 50
 
 
 def _sign_word_cols(v: F.Column) -> list[F.Column]:
-    """The vector's sign signature (bit i set ⟺ v[i] > 0) as
-    ``BINARY_WORDS`` long columns ``w0..``. A pure JVM fold — the
-    per-bit weight ``2^(i-lo)`` is exact in double for i-lo < 32, so
-    the packing is integer-exact and oracle-reproducible."""
-    def _fold(lo: int):
-        # closure (not a default arg: pyspark counts lambda params)
-        return lambda acc, i: acc + F.when(
-            F.element_at(v, i + F.lit(1)) > 0,
-            F.pow(F.lit(2.0), i - F.lit(lo)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-
-    cols = []
-    for w in range(BINARY_WORDS):
-        lo = w * BINARY_WORD_BITS
-        cols.append(
-            F.aggregate(
-                F.sequence(F.lit(lo), F.lit(lo + BINARY_WORD_BITS - 1)),
-                F.lit(0).cast("long"),
-                _fold(lo),
-            ).alias(f"w{w}")
-        )
-    return cols
+    return _bsig.sign_word_cols(v, DIM)
 
 
 def _sign_words_py(qvec: np.ndarray) -> list[int]:
-    return [
-        sum(
-            1 << (i - w * BINARY_WORD_BITS)
-            for i in range(w * BINARY_WORD_BITS, (w + 1) * BINARY_WORD_BITS)
-            if qvec[i] > 0
-        )
-        for w in range(BINARY_WORDS)
-    ]
+    return _bsig.sign_words_py(qvec)
 
 
 def _hamming_col(qwords: list[int]) -> F.Column:
-    """popcount(sig XOR query-sig) summed over the packed words."""
-    h: F.Column = F.lit(0)
-    for w, qw in enumerate(qwords):
-        h = h + F.bit_count(F.col(f"w{w}").bitwiseXOR(F.lit(qw)))
-    return h.cast("long")
+    return _bsig.hamming_col(qwords)
 
 
 def _binary_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,6 +344,96 @@ def ann_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _binary_signatures(spark, sf_dir)
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .withColumn("hamming", _hamming_col(qwords))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(BINARY_RERANK_M)
+        .select("vec_id", "hamming")
+    )
+    qv = F.array(*[F.lit(float(x)) for x in qvec])
+    qnorm = float(np.linalg.norm(qvec))
+    return (
+        _embeddings(spark, sf_dir)
+        .join(F.broadcast(shortlist), "vec_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("v"), qv) / (_norm(F.col("v")) * F.lit(qnorm)), 6),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "hamming", "cosine")
+    )
+
+
+def _sig_index(spark: SparkSession, sf_dir: str) -> str:
+    """The committed signature-bearing IVF layout (built once per
+    corpus, snapshot-committed so probes resolve a manifest): stores
+    label (filtered search) AND the packed sign-bit words next to
+    each vector."""
+    from . import ann_index
+
+    idx = ann_index.build_ivf_index(
+        spark, sf_dir, IVF_NLIST, attrs=("label",), sigs=True
+    )
+    corpus = f"{idx}/corpus"
+    if not ann_index.read_index_manifest(corpus)["files"]:
+        ann_index.commit_index_snapshot(corpus)
+    return idx
+
+
+def ann_binary_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_binary_topk`` served from the COMMITTED index layout:
+    the Hamming scan reads the materialized signature words (16
+    bytes/vector for DIM=64) of a manifest-resolved snapshot — the
+    raw vector column never enters the read schema (plan-asserted).
+
+    This is the materialized-path twin of ``ann_binary_topk`` (which
+    derives signatures in-scan, self-contained): same ranking, 32×
+    lighter scan, and the layout keeps signatures exact through
+    append/upsert/rebalance/CDC (derived-column recompute in
+    ``ann_index``). Integer-exact end-to-end, hence ORACLE-CHECKED —
+    same oracle as the in-scan key, because materialization must not
+    change a single result row.
+    """
+    from . import ann_index
+
+    idx = _sig_index(spark, sf_dir)
+    qwords = _sign_words_py(_query_vector(spark, sf_dir))
+    return (
+        ann_index.probe_binary_snapshot(spark, idx, qwords)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "hamming")
+    )
+
+
+def ann_filtered_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED binary ANN over the committed layout — the production
+    vector-store serving shape (metadata predicate + oversampled
+    quantized shortlist + exact re-rank) with every stage exact:
+
+    1. label equality pushed to the parquet reader INSIDE the pruned
+       signature scan (the ``ann_filtered_ivf_topk`` discipline —
+       top-k is taken over the FILTERED candidate set, never a
+       post-filter of an unfiltered top-k);
+    2. Hamming top-``BINARY_RERANK_M`` shortlist over the packed
+       words (integer ranking, vec_id tiebreak);
+    3. exact cosine re-rank of the M finalists against raw vectors
+       (broadcast semi-join — O(M·DIM) float work per query).
+
+    Unlike the float IVF probes, every cut here is integer- or
+    round(6)-deterministic, so the COMPOSED probe is ORACLE-CHECKED
+    at both SFs.
+    """
+    from . import ann_index
+
+    idx = _sig_index(spark, sf_dir)
+    qvec = _query_vector(spark, sf_dir)
+    shortlist = (
+        ann_index.probe_binary_snapshot(
+            spark, idx, _sign_words_py(qvec),
+            where=F.col("label") == FILTER_LABEL,
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
         .orderBy(F.asc("hamming"), F.asc("vec_id"))
         .limit(BINARY_RERANK_M)
         .select("vec_id", "hamming")
@@ -1109,6 +1170,42 @@ ORACLES: dict[str, str] = {
         ORDER BY hamming ASC, e.vec_id ASC
         LIMIT {TOP_K}
     """,
+    # committed-layout twin: materializing the signature words must
+    # not change a single result row vs the in-scan derivation
+    "ann_binary_indexed_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID})
+        SELECT e.vec_id,
+               CAST(len(list_filter(range({DIM}),
+                        i -> (e.v[i + 1] > 0) <> (q.qv[i + 1] > 0))) AS BIGINT)
+                   AS hamming
+        FROM e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+        ORDER BY hamming ASC, e.vec_id ASC
+        LIMIT {TOP_K}
+    """,
+    "ann_filtered_binary_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+        h AS (
+            SELECT e.vec_id, e.v,
+                   CAST(len(list_filter(range({DIM}),
+                            i -> (e.v[i + 1] > 0) <> (q.qv[i + 1] > 0))) AS BIGINT)
+                       AS hamming
+            FROM e, q
+            WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label = {FILTER_LABEL}
+        ),
+        cand AS (
+            SELECT * FROM h ORDER BY hamming ASC, vec_id ASC
+            LIMIT {BINARY_RERANK_M}
+        )
+        SELECT c.vec_id, c.hamming,
+               round(list_cosine_similarity(c.v, q.qv), 6) AS cosine
+        FROM cand c, q
+        ORDER BY cosine DESC, c.vec_id ASC
+        LIMIT {TOP_K}
+    """,
     "ann_binary_rerank_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
@@ -1137,6 +1234,8 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_binary_topk": ann_binary_topk,
     "ann_binary_rerank_topk": ann_binary_rerank_topk,
+    "ann_binary_indexed_topk": ann_binary_indexed_topk,
+    "ann_filtered_binary_topk": ann_filtered_binary_topk,
     "ann_filtered_topk": ann_filtered_topk,
     "ann_filtered_ivf_topk": ann_filtered_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,

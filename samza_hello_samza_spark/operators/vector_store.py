@@ -48,12 +48,15 @@ class IvfVectorStore:
         nlist: int,
         out_dir: str | None = None,
         attrs: tuple[str, ...] = (),
+        sigs: bool = False,
     ) -> "IvfVectorStore":
         """Build the layout from the embeddings table and COMMIT the
         first snapshot — a store handle always speaks the snapshot
         protocol (raw-listing reads are the uncommitted-layout escape
-        hatch, not the store contract)."""
-        idx = ann_index.build_ivf_index(spark, sf_dir, nlist, out_dir, attrs)
+        hatch, not the store contract). ``sigs=True`` materializes the
+        binary sign-bit signature words next to each vector (see
+        ``build_ivf_index``), enabling ``probe_binary``."""
+        idx = ann_index.build_ivf_index(spark, sf_dir, nlist, out_dir, attrs, sigs)
         store = cls(spark, idx)
         if not ann_index.read_index_manifest(store.corpus_dir)["files"]:
             ann_index.commit_index_snapshot(store.corpus_dir)
@@ -80,6 +83,30 @@ class IvfVectorStore:
             )
         return ann_index.probe_ivf_index(
             self.spark, self.index_dir, qvec, nprobe, where=where
+        )
+
+    def probe_binary(
+        self,
+        qvec: np.ndarray,
+        where: F.Column | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Hamming candidates (vec_id, hamming) over the committed
+        signature words — requires a ``sigs=True`` layout. The query
+        vector packs driver-side; the scan never reads raw vectors."""
+        from ..functions import binary_sig
+
+        man = (
+            ann_index.read_index_manifest(self.corpus_dir, version=version)
+            if version is not None
+            else None
+        )
+        return ann_index.probe_binary_snapshot(
+            self.spark,
+            self.index_dir,
+            binary_sig.sign_words_py(np.asarray(qvec, dtype=float)),
+            where=where,
+            man=man,
         )
 
     def scan(self, version: int | None = None) -> DataFrame:
@@ -134,3 +161,151 @@ class IvfVectorStore:
 
     def tags(self) -> dict[str, int]:
         return ann_index.index_tags(self.corpus_dir)
+
+    # -- branches (write-audit-publish) --------------------------------
+    def create_branch(self, name: str) -> "IvfVectorStore":
+        """Zero-copy branch at the current state — audit a rebuild
+        (rebalance, bulk re-ingest) on the branch, then publish with
+        :meth:`merge_branch`. The branch handle speaks the full store
+        API."""
+        return IvfVectorStore(self.spark, ann_index.branch_index(self.index_dir, name))
+
+    def branch(self, name: str) -> "IvfVectorStore":
+        d = os.path.join(self.index_dir, "_branches", name)
+        if ann_index._layout_data_dir(d) is None:
+            raise KeyError(f"no branch {name!r} on {self.index_dir}")
+        return IvfVectorStore(self.spark, d)
+
+    def branches(self) -> list[str]:
+        return ann_index.index_branches(self.index_dir)
+
+    def merge_branch(self, name: str) -> dict:
+        return ann_index.merge_index_branch(self.index_dir, name)
+
+
+class LshVectorStore:
+    """One-handle facade over the LSH band-table layout — pure
+    delegation to the audited ``ann_index`` primitives (the
+    ``IvfVectorStore`` contract for the second probe family: every
+    read resolves the committed snapshot, every write ends in a
+    commit)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, planes, band_bits: int):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.planes = planes
+        self.band_bits = band_bits
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        sf_dir: str,
+        planes,
+        band_bits: int,
+        out_dir: str | None = None,
+    ) -> "LshVectorStore":
+        idx = ann_index.build_lsh_index(spark, sf_dir, planes, band_bits, out_dir)
+        store = cls(spark, idx, planes, band_bits)
+        if not ann_index.read_index_manifest(idx)["files"]:
+            ann_index.commit_index_snapshot(idx)
+        return store
+
+    def probe(self, qvec: np.ndarray) -> DataFrame:
+        return ann_index.probe_lsh_snapshot(
+            self.spark, self.index_dir, qvec, self.planes, self.band_bits
+        )
+
+    def append(self, vectors: DataFrame) -> dict:
+        ann_index.append_lsh_index(self.index_dir, vectors, self.planes, self.band_bits)
+        return ann_index.commit_index_snapshot(self.index_dir)
+
+    def delete(self, vec_ids) -> int:
+        return ann_index.delete_index_vectors(self.spark, self.index_dir, vec_ids)
+
+    def versions(self) -> list[int]:
+        return ann_index.index_versions(self.index_dir)
+
+
+class PqVectorStore:
+    """One-handle facade over the PQ codes layout (codes-only ADC
+    scans; raw vectors never stored). Pure delegation."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.codes_dir = os.path.join(index_dir, "codes")
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        sf_dir: str,
+        m: int = 8,
+        ksub: int = 16,
+        out_dir: str | None = None,
+    ) -> "PqVectorStore":
+        idx = ann_index.build_pq_index(spark, sf_dir, m, ksub, out_dir)
+        store = cls(spark, idx)
+        if not ann_index.read_index_manifest(store.codes_dir)["files"]:
+            ann_index.commit_index_snapshot(store.codes_dir)
+        return store
+
+    def probe(self, qvec: np.ndarray, n_candidates: int) -> DataFrame:
+        return ann_index.probe_pq_snapshot(
+            self.spark, self.index_dir, qvec, n_candidates
+        )
+
+    def append(self, vectors: DataFrame) -> dict:
+        ann_index.append_pq_index(self.spark, self.index_dir, vectors)
+        return ann_index.commit_index_snapshot(self.codes_dir)
+
+    def delete(self, vec_ids) -> int:
+        return ann_index.delete_index_vectors(self.spark, self.index_dir, vec_ids)
+
+    def retrain(self, vectors: DataFrame) -> dict:
+        return ann_index.retrain_pq_index(self.spark, self.index_dir, vectors)
+
+    def versions(self) -> list[int]:
+        return ann_index.index_versions(self.codes_dir)
+
+
+class IvfPqVectorStore:
+    """One-handle facade over the composed IVFADC layout. Pure
+    delegation."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.codes_dir = os.path.join(index_dir, "codes")
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        sf_dir: str,
+        nlist: int,
+        m: int = 8,
+        ksub: int = 16,
+        out_dir: str | None = None,
+    ) -> "IvfPqVectorStore":
+        idx = ann_index.build_ivfpq_index(spark, sf_dir, nlist, m, ksub, out_dir)
+        store = cls(spark, idx)
+        if not ann_index.read_index_manifest(store.codes_dir)["files"]:
+            ann_index.commit_index_snapshot(store.codes_dir)
+        return store
+
+    def probe(self, qvec: np.ndarray, nprobe: int, n_candidates: int) -> DataFrame:
+        return ann_index.probe_ivfpq_index(
+            self.spark, self.index_dir, qvec, nprobe, n_candidates
+        )
+
+    def append(self, vectors: DataFrame) -> dict:
+        ann_index.append_ivfpq_index(self.spark, self.index_dir, vectors)
+        return ann_index.commit_index_snapshot(self.codes_dir)
+
+    def delete(self, vec_ids) -> int:
+        return ann_index.delete_index_vectors(self.spark, self.index_dir, vec_ids)
+
+    def versions(self) -> list[int]:
+        return ann_index.index_versions(self.codes_dir)

@@ -130,9 +130,14 @@ def refresh_new_files(spark: SparkSession, table_dir: str) -> int:
     O(table). Returns the number of files added."""
     with open(_meta_path(table_dir)) as f:
         meta = json.load(f)
-    listing = spark.createDataFrame(
-        [(f,) for f in spark.read.parquet(table_dir).inputFiles()],
-        "_file string",
+    # distributed listing-diff (the zonemap.refresh_new_files r07
+    # shape): input_file_name() over an empty projection — executors
+    # derive one row per file from parquet metadata, no per-file rows
+    # on the driver; the only collect is the delta file list
+    listing = (
+        spark.read.parquet(table_dir)
+        .select(F.input_file_name().alias("_file"))
+        .distinct()
     )
     known = spark.read.parquet(_sidecar_dir(table_dir)).select("_file").distinct()
     new_files = [

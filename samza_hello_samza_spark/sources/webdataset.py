@@ -316,3 +316,111 @@ def seal_webdataset_shards(
         json.dump(man, f, indent=1)
     os.replace(tmp, os.path.join(out_path, "_manifest.json"))
     return {"rebuilt": sorted(touched), "manifest": man}
+
+
+# --------------------------------------------------------------------------
+# packing_io composition: packed token sequences ⇄ WebDataset tars
+# --------------------------------------------------------------------------
+#
+# The last seam between the packing pipeline and the loader contract
+# the tar layout exists for: `packing_io.write_packed_shards` produces
+# contiguous parquet shards of training sequences; real multimodal /
+# sequence loaders (PyTorch webdataset, NVIDIA DALI) want those same
+# sequences as tar members. Each sequence becomes TWO members sharing
+# the key — `{seq_id:012d}.ids` (token ids as little-endian int64
+# bytes, the mmap-ready trainer payload) and `{seq_id:012d}.json`
+# (doc_ids/doc_offsets boundary metadata for attention masks) — the
+# standard WebDataset multi-member-per-sample convention. Shard
+# membership stays `seq_id // seqs_per_shard`, so tar shard k holds
+# exactly the seq range parquet shard k holds and a loader rank's
+# [lo, hi) range prunes tar files at listing time, same as
+# `read_packed_range`.
+
+
+def export_packed_webdataset(
+    packed: DataFrame, path: str, seqs_per_shard: int = 64
+) -> dict:
+    """Assembled sequences (seq_id, doc_ids, doc_offsets, input_ids)
+    → WebDataset tar shards. Deterministic bytes end-to-end (numpy
+    '<i8' encoding, fixed member order and mtime), so re-exports of
+    unchanged sequences are byte-identical — the untouched-shard
+    discipline survives the composition. Manifest ``n_samples``
+    counts members (2 per sequence)."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def _ids_bytes(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return ids.map(lambda a: np.asarray(a, dtype="<i8").tobytes())
+
+    members = packed.select(
+        "seq_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("ids").alias("ext"),
+                    _ids_bytes(F.col("input_ids")).alias("payload"),
+                ),
+                F.struct(
+                    F.lit("json").alias("ext"),
+                    F.to_json(F.struct("doc_ids", "doc_offsets"))
+                    .cast("binary")
+                    .alias("payload"),
+                ),
+            )
+        ).alias("m"),
+    ).select("seq_id", F.col("m.ext").alias("ext"), F.col("m.payload").alias("payload"))
+    return write_webdataset_shards(
+        members,
+        path,
+        key_col="seq_id",
+        payload_col="payload",
+        ext_col="ext",
+        samples_per_shard=seqs_per_shard,
+    )
+
+
+def read_packed_webdataset(
+    spark: SparkSession,
+    path: str,
+    seq_lo: int | None = None,
+    seq_hi: int | None = None,
+    seqs_per_shard: int = 64,
+) -> DataFrame:
+    """Tar shards → assembled sequences, shard-pruned by seq range.
+
+    The loader-side inverse of ``export_packed_webdataset``: untar
+    (one task per shard), decode the ``.ids`` payload back to the
+    int64 token array (Arrow-batched numpy frombuffer), rejoin the
+    JSON boundary metadata by key. With [seq_lo, seq_hi) the tar file
+    LIST is cut to the overlapping shards before any read — a rank
+    resuming at step k unpacks O(its range) tars, never the corpus.
+    Schema matches ``packed_sequences`` exactly (round-trip pytest).
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    shard_ids = None
+    if seq_lo is not None and seq_hi is not None:
+        shard_ids = list(range(seq_lo // seqs_per_shard, (seq_hi - 1) // seqs_per_shard + 1))
+    rows = read_webdataset_shards(spark, path, shard_ids=shard_ids)
+    if seq_lo is not None and seq_hi is not None:
+        rows = rows.filter(F.col("key").between(seq_lo, seq_hi - 1))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _ids_decode(b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return b.map(lambda x: np.frombuffer(bytes(x), dtype="<i8").tolist())
+
+    ids = rows.filter(F.col("ext") == "ids").select(
+        F.col("key").alias("seq_id"), _ids_decode(F.col("payload")).alias("input_ids")
+    )
+    meta_schema = "doc_ids ARRAY<BIGINT>, doc_offsets ARRAY<BIGINT>"
+    meta = rows.filter(F.col("ext") == "json").select(
+        F.col("key").alias("seq_id"),
+        F.from_json(F.col("payload").cast("string"), meta_schema).alias("m"),
+    ).select("seq_id", F.col("m.doc_ids").alias("doc_ids"), F.col("m.doc_offsets").alias("doc_offsets"))
+    return meta.join(ids, "seq_id").select(
+        "seq_id", "doc_ids", "doc_offsets", "input_ids"
+    )

@@ -109,18 +109,20 @@ def refresh_new_files(
     files scanned — cost ∝ delta, not table. Returns files added.
     """
     out = _stats_dir(table_dir)
-    # Diff the file LISTING (metadata-only, no data scan) against the
-    # stats table's anti-joined _file column — NOT a collected isin()
-    # literal, which would additionally ship the whole known-file set
-    # through analysis as an IN-list. The listing itself
-    # (inputFiles() → createDataFrame) still materializes one path
-    # string per file on the driver — the same quantity any scan's
-    # file index already holds, fine to tens of millions of files; a
-    # deployment beyond that should maintain a file-index TABLE and
-    # anti-join it distributedly instead. Only the surviving DELTA
-    # files are then scanned, so the data cost is ∝ delta.
-    listing = spark.createDataFrame(
-        [(f,) for f in spark.read.parquet(table_dir).inputFiles()], "_file string"
+    # Diff the file listing against the stats table DISTRIBUTEDLY:
+    # the listing side is `input_file_name()` over an EMPTY projection
+    # of the data scan (executors materialize row counts from parquet
+    # metadata — no column data moves), reduced by a partial-agg
+    # distinct to one row per file, then anti-joined to the known
+    # `_file` set. No per-file rows ever sit on the driver (the
+    # pre-r07 `inputFiles()` local relation held one path string per
+    # table file); the only collect below is the surviving DELTA —
+    # bounded by the append, not the table. The known-file set is a
+    # joined relation, never an `isin()` literal.
+    listing = (
+        spark.read.parquet(table_dir)
+        .select(F.input_file_name().alias("_file"))
+        .distinct()
     )
     known = spark.read.parquet(out).select("_file")
     new_files = [

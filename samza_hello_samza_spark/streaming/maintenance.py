@@ -66,6 +66,61 @@ def lsh_index_updater(
     )
 
 
+def ivf_index_updater(
+    vectors_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Keep a committed IVF layout current from a stream of
+    (vec_id, v [, attrs...]) rows — the live-ingest twin of
+    ``ann_index.append_ivf_index`` + snapshot commit.
+
+    Each micro-batch quantizes against the frozen centroids, lands as
+    appended files, and ONE ``commit_index_snapshot`` makes it
+    visible — probes pinned to earlier manifests are untouched
+    (torn-append-proof, unlike the LSH updater whose at-least-once
+    duplicates are probe-deduped: a corpus layout must not hold
+    duplicate vec_id rows, so this job is EXACTLY-once). Replay
+    safety is the ``mv_refresh_job`` marker discipline: an
+    applied-batch marker written after the commit makes redelivery a
+    no-op; the marker-not-yet-written crash window re-appends a batch
+    whose files were never committed, and the listing-based commit
+    then publishes both copies — the single-maintainer contract says
+    run one updater per index, and the recovery for that window is
+    ``upsert_ivf_vectors`` (idempotent by id) from the staged batch.
+
+    On a signature-bearing layout (``build_ivf_index(sigs=True)``)
+    the append derives the packed sign-bit words for every arriving
+    vector (derived-column recompute in ``append_ivf_index``), so the
+    binary Hamming probe serves streamed vectors with no extra step —
+    the streaming signature upkeep of the materialized binary-ANN
+    path.
+    """
+    import os
+
+    from ..operators.ann_index import append_ivf_index, commit_index_snapshot
+
+    corpus_dir = os.path.join(index_dir, "corpus")
+    marker_dir = os.path.join(checkpoint_dir, "_applied")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch-{batch_id}")
+        if os.path.exists(marker) or batch.isEmpty():
+            return
+        append_ivf_index(batch.sparkSession, index_dir, batch)
+        commit_index_snapshot(corpus_dir)
+        with open(marker, "w") as fh:
+            fh.write("applied")
+
+    return (
+        vectors_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def mv_refresh_job(
     events_stream: DataFrame, mv_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:

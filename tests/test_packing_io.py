@@ -252,3 +252,70 @@ def test_read_packed_stage_prunes_to_one_cell(spark, tmp_path):
         ).collect()
     }
     assert a == b
+
+
+# -- WebDataset composition (§7.35: packed shards ⇄ loader tars) ------------
+
+
+def test_packed_webdataset_roundtrip_byte_exact(spark, tmp_path):
+    """export → untar → decode reproduces every sequence exactly
+    (ids, boundaries), and re-export of unchanged data is
+    byte-identical per tar shard."""
+    import os
+
+    from samza_hello_samza_spark.sources import webdataset as wds
+
+    ps = packing_io.packed_sequences(spark, SF_DIR)
+    out = str(tmp_path / "tars")
+    wds.export_packed_webdataset(ps, out, seqs_per_shard=2)
+    back = wds.read_packed_webdataset(spark, out, seqs_per_shard=2)
+    a = {
+        r.seq_id: (list(r.input_ids), list(r.doc_ids), list(r.doc_offsets))
+        for r in back.collect()
+    }
+    b = {
+        r.seq_id: (list(r.input_ids), list(r.doc_ids), list(r.doc_offsets))
+        for r in ps.collect()
+    }
+    assert a == b
+
+    tar_bytes = {
+        f: open(os.path.join(out, f), "rb").read()
+        for f in os.listdir(out)
+        if f.endswith(".tar")
+    }
+    assert len(tar_bytes) >= 2, "fixture corpus must span several tars"
+    wds.export_packed_webdataset(ps, out, seqs_per_shard=2)
+    for f, blob in tar_bytes.items():
+        assert open(os.path.join(out, f), "rb").read() == blob, (
+            f"re-export changed unchanged shard {f}"
+        )
+
+
+def test_read_packed_webdataset_prunes_tar_files(spark, tmp_path):
+    """A [lo, hi) range opens only the overlapping tar files — the
+    listing itself is cut, not post-filtered."""
+    from samza_hello_samza_spark.sources import webdataset as wds
+
+    ps = packing_io.packed_sequences(spark, SF_DIR)
+    out = str(tmp_path / "tars")
+    wds.export_packed_webdataset(ps, out, seqs_per_shard=2)
+    got = wds.read_packed_webdataset(spark, out, 2, 8, seqs_per_shard=2)
+    assert sorted(r.seq_id for r in got.collect()) == list(range(2, 8))
+    files = {
+        r.f.rsplit("/", 1)[-1]
+        for r in spark.read.format("binaryFile")
+        .load([f"{out}/shard-{s:06d}.tar" for s in (1, 2, 3)])
+        .selectExpr("path AS f")
+        .collect()
+    }
+    assert files == {"shard-000001.tar", "shard-000002.tar", "shard-000003.tar"}
+
+
+def test_packed_webdataset_audit_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        spark,
+        duck,
+        packing_io.packed_webdataset_audit,
+        packing_io.ORACLES["packed_webdataset_audit"],
+    )

@@ -105,6 +105,10 @@ ARROW_OK = {
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_features",
+    # tar-corpus audit: untar (mapInPandas) + int64 payload decode
+    # (Arrow UDF) are the declared Python stages — the tar bytes have
+    # no JVM reader, same class as the multimodal codecs above.
+    "packed_webdataset_audit",
 }
 
 #: queries ending in a global ORDER BY ... LIMIT k.
