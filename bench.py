@@ -178,6 +178,18 @@ EXTRA_VOLUME = (
     # r07b: packed sequences ⇄ WebDataset tars composition — full
     # tar-corpus untar + int64 decode + per-shard integer audit.
     "packed_webdataset_audit",
+    # r07c: SQ8 scalar-quantized ANN — in-scan codec, the committed
+    # codes-only probe, and the oversample+exact-rerank serving loop.
+    "ann_sq8_topk",
+    "ann_sq8_indexed_topk",
+    "ann_sq8_rerank_topk",
+    # r07d: incremental JOIN-view maintenance from the change feed,
+    # and theta-style KMV audience set algebra with exact companions.
+    "orders_cdf_join_mv",
+    "audience_kmv_setops",
+    # r07e: filtered SQ8 serving probe + embedding retrieval eval.
+    "ann_filtered_sq8_topk",
+    "embedding_knn_eval",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the
@@ -424,6 +436,9 @@ def main() -> None:
             "ann_filtered_ivf_topk",  # attr-bearing IVF layout
             "ann_ivfpq_topk",  # composed IVFADC layout
             "ann_binary_indexed_topk",  # signature-bearing IVF layout
+            "ann_sq8_indexed_topk",  # SQ8-code-bearing IVF layout
+            "ann_filtered_sq8_topk",  # attr+SQ8-bearing IVF layout
+            "orders_cdf_join_mv",  # MV bootstrap + incremental apply
             "packed_webdataset_audit",  # cold tar export for the sf1 tag
         ):
             queries[q](spark, sf1_dir).write.mode("overwrite").format("noop").save()

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from ..functions import binary_sig
+from ..functions import sq8 as sq8_codec
 from ..session import load_table
 
 #: bump when the on-disk layout or hash family changes.
@@ -233,6 +234,77 @@ def _write_sig_meta(index_dir: str, dim: int) -> None:
     os.replace(tmp, _sig_meta_path(index_dir))
 
 
+def _sq8_meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_SQ8.json")
+
+
+def read_sq8_meta(index_dir: str) -> dict | None:
+    """The layout's SQ8 codec declaration, or None.
+
+    Written by ``build_ivf_index(sq8=True)``: the packed-word column
+    names plus the per-dimension (min, max) bounds the codes were
+    quantized under. The bounds are FROZEN layout state (a codec, like
+    a PQ codebook): appenders/upserters quantize delta rows under
+    them — clamping out-of-range components, never retraining — so a
+    code always means the same float interval across the whole file
+    set, and a probe's query codes compare against every vector ever
+    written. Same marker discipline as ``_SIGS.json``.
+    """
+    import json
+
+    p = _sq8_meta_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_sq8_meta(
+    index_dir: str, dim: int, mins: list[float], maxs: list[float]
+) -> None:
+    import json
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = _sq8_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "sq8_cols": sq8_codec.sq8_col_names(dim),
+                "dim": dim,
+                "mins": mins,
+                "maxs": maxs,
+            },
+            f,
+        )
+    os.replace(tmp, _sq8_meta_path(index_dir))
+
+
+def _derived_col_map(index_dir: str) -> dict[str, F.Column]:
+    """Column-name → derivation expression for every LAYOUT-DERIVED
+    column of ``index_dir`` (binary signature words and/or SQ8 code
+    words). Shared by the append and upsert legs: derived columns are
+    a pure function of ``v`` (+ frozen codec state), recomputed for
+    every delta row and never caller-supplied."""
+    named: dict[str, F.Column] = {}
+    sig = read_sig_meta(index_dir)
+    if sig:
+        named.update(
+            zip(
+                sig["sig_cols"],
+                binary_sig.sign_word_cols(F.col("v"), sig["dim"]),
+            )
+        )
+    q = read_sq8_meta(index_dir)
+    if q:
+        named.update(
+            zip(
+                q["sq8_cols"],
+                sq8_codec.sq8_word_cols(F.col("v"), q["mins"], q["maxs"]),
+            )
+        )
+    return named
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -240,6 +312,7 @@ def build_ivf_index(
     out_dir: str | None = None,
     attrs: tuple[str, ...] = (),
     sigs: bool = False,
+    sq8: bool = False,
 ) -> str:
     """Assign every vector to its nearest centroid; write by list_id.
 
@@ -263,11 +336,22 @@ def build_ivf_index(
     100 TB). Signatures are derived state: append/upsert/rebalance
     recompute them from ``v``, so they stay exact through every
     maintenance op (pytest-pinned).
+
+    ``sq8=True`` likewise materializes the per-dimension uint8
+    scalar-quantization words (``functions/sq8``): dim bytes/vector —
+    the 8-bit rung of the same ladder, an 8× scan cut with far higher
+    ranking fidelity than the 1-bit signature. The per-dim (min, max)
+    bounds are trained HERE over the build corpus and frozen into the
+    ``_SQ8.json`` marker: they are codec state (a PQ-codebook
+    analogue), so append/upsert quantize deltas under the same bounds
+    (clamped, never retrained) and probes quantize the query with
+    them — codes stay comparable across the whole file set forever.
     """
     tag = (
         "ivf"
         + ("_" + "_".join(attrs) if attrs else "")
         + ("_sig" if sigs else "")
+        + ("_sq8" if sq8 else "")
     )
     out_dir = out_dir or os.path.join(_index_root(), _tag(sf_dir), tag)
     corpus_dir = os.path.join(out_dir, "corpus")
@@ -291,6 +375,14 @@ def build_ivf_index(
         # could leave a sig-bearing corpus with no marker, and
         # appenders would then demand w-columns from callers
         _write_sig_meta(out_dir, dim)
+    if sq8:
+        dim = int(cmat.shape[1])
+        # ONE aggregate job (2·dim independent min/max, map-side
+        # combined) trains the frozen bounds; same marker-before-write
+        # crash discipline as the signature marker above
+        mins, maxs = sq8_codec.train_bounds(e, "v", dim)
+        e = e.select("*", *sq8_codec.sq8_word_cols(F.col("v"), mins, maxs))
+        _write_sq8_meta(out_dir, dim, mins, maxs)
 
     @F.pandas_udf(LongType())
     def assign(emb: pd.Series) -> pd.Series:
@@ -340,10 +432,9 @@ def append_ivf_index(spark: SparkSession, index_dir: str, vectors: DataFrame) ->
         for f in spark.read.parquet(os.path.join(index_dir, "corpus")).schema
         if f.name != "list_id"
     ]
-    sig = read_sig_meta(index_dir)
-    sig_cols = set(sig["sig_cols"]) if sig else set()
+    named = _derived_col_map(index_dir)
     missing = [
-        c for c in payload if c not in vectors.columns and c not in sig_cols
+        c for c in payload if c not in vectors.columns and c not in named
     ]
     if missing:
         raise ValueError(
@@ -364,13 +455,7 @@ def append_ivf_index(spark: SparkSession, index_dir: str, vectors: DataFrame) ->
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         return pd.Series(ids[np.argmax(mat @ cnorm.T, axis=1)].astype(np.int64))
 
-    if sig:
-        named = dict(
-            zip(
-                sig["sig_cols"],
-                binary_sig.sign_word_cols(F.col("v"), sig["dim"]),
-            )
-        )
+    if named:
         delta = vectors.select(
             *[
                 named[c].alias(c) if c in named else F.col(c)
@@ -828,11 +913,10 @@ def upsert_ivf_vectors(spark: SparkSession, index_dir: str, vectors: DataFrame) 
         for f in spark.read.parquet(corpus_dir).schema
         if f.name != "list_id"
     ]
-    sig = read_sig_meta(index_dir)
-    sig_cols = set(sig["sig_cols"]) if sig else set()
+    derived = _derived_col_map(index_dir)
     missing = [
-        c for c in payload if c not in vectors.columns and c not in sig_cols
-    ]  # signature words are derived by the append leg, never supplied
+        c for c in payload if c not in vectors.columns and c not in derived
+    ]  # sig/SQ8 words are derived by the append leg, never supplied
     if missing:
         raise ValueError(
             f"upsert delta lacks stored attr column(s) {missing}; the "
@@ -1446,6 +1530,57 @@ def probe_binary_snapshot(
         spark,
         index_dir,
         cand.select("vec_id", "hamming"),
+        tomb_files=man.get("tombstones"),
+    )
+
+
+def probe_sq8_snapshot(
+    spark: SparkSession,
+    index_dir: str,
+    qcodes: list[int],
+    where: F.Column | None = None,
+    man: dict | None = None,
+) -> DataFrame:
+    """Centered symmetric integer-ADC candidates over the COMMITTED
+    SQ8 code columns — the serving probe of a
+    ``build_ivf_index(sq8=True)`` layout.
+
+    Returns (vec_id, sq8_score) after the snapshot's tombstone mask.
+    The scan projects ONLY vec_id + the packed code words (+ any
+    ``where`` attr, predicate pushed to the parquet reader): dim bytes
+    of code per vector instead of 8·dim of raw doubles — the 8× scan
+    cut that, with far better ranking fidelity than the 1-bit
+    signature, makes SQ8 the default committed representation in
+    production vector stores (FAISS SQ8 / Lucene scalar-quantized
+    KNN). ``qcodes`` must come from ``functions/sq8.sq8_codes_py``
+    under THIS layout's frozen bounds (``read_sq8_meta``) — quantizing
+    the query under any other bounds silently mis-ranks. Callers order
+    by (sq8_score DESC, vec_id) and cut; exact re-rank of the
+    shortlist rehydrates a constant number of raw vectors.
+    """
+    meta = read_sq8_meta(index_dir)
+    if meta is None:
+        raise FileNotFoundError(
+            f"{index_dir} stores no SQ8 code columns; build with "
+            "build_ivf_index(sq8=True)"
+        )
+    if len(qcodes) != meta["dim"]:
+        raise ValueError(
+            f"query has {len(qcodes)} codes; layout stores dim={meta['dim']}"
+        )
+    corpus_dir = os.path.join(index_dir, "corpus")
+    if man is None:
+        man = read_index_manifest(corpus_dir)
+    scan = snapshot_scan(spark, corpus_dir, man=man)
+    if where is not None:
+        scan = scan.filter(where)
+    cand = scan.select("vec_id", *meta["sq8_cols"]).withColumn(
+        "sq8_score", sq8_codec.adc_score_col(qcodes)
+    )
+    return _apply_tombstones(
+        spark,
+        index_dir,
+        cand.select("vec_id", "sq8_score"),
         tomb_files=man.get("tombstones"),
     )
 

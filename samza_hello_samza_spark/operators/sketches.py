@@ -188,6 +188,150 @@ def quantile_kmv_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: audience sketch size (k-minimum-values per event type).
+KMV_SET_K = 32
+#: md5-slice32 hash space: estimates are (K−1)·2³² div h_k.
+KMV_SPACE = 1 << 32
+
+
+def _user_hash(user: F.Column) -> F.Column:
+    """Deterministic 32-bit user hash (md5-slice32 family) — identical
+    in DuckDB, so the SKETCH ITSELF is cross-engine reproducible."""
+    return F.conv(F.substring(F.md5(user.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def _kmv_est() -> F.Column:
+    """KMV distinct-count estimate from a k-sample carried in columns
+    ``n_sk`` / ``hk``: exhaustive sketch (n < K) returns the exact
+    count; else (K−1)·2³² div h_k — INTEGER division (never a float
+    divide: doubles round the 2⁴¹-sized numerator), hence oracle-exact
+    — the property that makes this, unusually for a cardinality
+    sketch, hash-checkable."""
+    return F.expr(
+        f"CASE WHEN n_sk >= {KMV_SET_K} AND hk > 0 "
+        f"THEN CAST({(KMV_SET_K - 1) * KMV_SPACE} AS BIGINT) div hk "
+        f"ELSE CAST(n_sk AS BIGINT) END"
+    )
+
+
+def audience_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style AUDIENCE SET ALGEBRA: per-event-type KMV
+    sketches of the distinct-user set, with union / intersection
+    estimates for every type pair — the "how many users did A and B
+    reach together / in common" question answered from k-row
+    summaries instead of a re-scan, next to exact companions.
+
+    The sketch is the K smallest md5-slice32 user hashes per type.
+    Set algebra runs ON THE SKETCHES (the Apache DataSketches theta
+    contract): the union sketch is the k-min of the two samples' union
+    — exactly the k-min of the true union by the KMV merge theorem
+    (pytest-asserted), so a pair's estimate costs 2K rows, never a
+    corpus rescan; intersections come from inclusion–exclusion on the
+    integer estimates. Every estimate is integer math over
+    deterministic hashes, so the whole report is ORACLE-CHECKED —
+    the committed-evidence discipline of quantile_kmv_calibration.
+
+    Scale: ONE distinct-shuffle of (event_type, user_id) builds every
+    sketch (bounded group count; the salted two-phase k-min of
+    ``_kmv_sample`` is the unbounded-groups variant); pair algebra
+    touches |types|²·K sketch rows. The exact companions are the
+    expensive path (distinct self-join) — at 100 TB you drop them and
+    keep the sketches, which is the point of the report.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type", "user_id", _user_hash(F.col("user_id")).alias("h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    sk = (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KMV_SET_K)
+        .drop("rnk")
+        .localCheckpoint()  # sketch-sized; reused by singles + pairs
+    )
+    singles = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("hk")
+    )
+    exact = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    per_type = singles.join(exact, "event_type").select(
+        "event_type", "exact_n", _kmv_est().alias("est_n")
+    )
+    # union sketch per pair: k-min over the two samples' (h, user)
+    # union — sketch-sized input (the merge theorem does the rest: the
+    # true union's k-min is a subset of the two k-mins' union). The
+    # pair frame is a bounded |types|² cross of the type list; every
+    # sketch row then arrives via an equi-join on its type.
+    types = du.select("event_type").distinct()
+    tp = (
+        types.select(F.col("event_type").alias("et_a"))
+        .crossJoin(types.select(F.col("event_type").alias("et_b")))
+        .filter(F.col("et_a") < F.col("et_b"))
+    )
+    merged = (
+        tp.join(
+            sk.select(F.col("event_type").alias("et_a"), "user_id", "h"),
+            "et_a",
+        )
+        .select("et_a", "et_b", "user_id", "h")
+        .unionByName(
+            tp.join(
+                sk.select(F.col("event_type").alias("et_b"), "user_id", "h"),
+                "et_b",
+            ).select("et_a", "et_b", "user_id", "h")
+        )
+        .distinct()  # same user in both sketches collapses once
+    )
+    wu = Window.partitionBy("et_a", "et_b").orderBy("h", "user_id")
+    usk = (
+        merged.withColumn("rnk", F.row_number().over(wu))
+        .filter(F.col("rnk") <= KMV_SET_K)
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("hk"))
+        .select("et_a", "et_b", _kmv_est().alias("est_union"))
+    )
+    exact_inter = (
+        du.select(F.col("event_type").alias("et_a"), "user_id")
+        .join(du.select(F.col("event_type").alias("et_b"), "user_id"), "user_id")
+        .filter(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    pa = per_type.select(
+        F.col("event_type").alias("et_a"),
+        F.col("est_n").alias("est_a"),
+        F.col("exact_n").alias("exact_a"),
+    )
+    pb = per_type.select(
+        F.col("event_type").alias("et_b"),
+        F.col("est_n").alias("est_b"),
+        F.col("exact_n").alias("exact_b"),
+    )
+    return (
+        usk.join(pa, "et_a")
+        .join(pb, "et_b")
+        .join(exact_inter, ["et_a", "et_b"], "left")
+        .select(
+            "et_a", "et_b", "est_a", "est_b", "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .cast("long")
+            .alias("est_inter"),
+            "exact_a", "exact_b",
+            F.coalesce("exact_inter", F.lit(0)).cast("long").alias("exact_inter"),
+            (F.col("exact_a") + F.col("exact_b")
+             - F.coalesce("exact_inter", F.lit(0)))
+            .cast("long")
+            .alias("exact_union"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "quantile_kmv_calibration": f"""
         WITH h AS (
@@ -254,7 +398,83 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+_KMV_EST_SQL = (
+    f"CASE WHEN n_sk >= {KMV_SET_K} AND hk > 0 "
+    f"THEN CAST({(KMV_SET_K - 1) * KMV_SPACE} AS BIGINT) // hk "
+    f"ELSE CAST(n_sk AS BIGINT) END"
+)
+
+ORACLES["audience_kmv_setops"] = f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    hashed AS (
+        SELECT event_type, user_id,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM du
+    ),
+    sk AS MATERIALIZED (
+        SELECT event_type, user_id, h FROM (
+            SELECT event_type, user_id, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h, user_id) AS rnk
+            FROM hashed
+        ) WHERE rnk <= {KMV_SET_K}
+    ),
+    per_type AS (
+        SELECT s.event_type, e.exact_n, {_KMV_EST_SQL} AS est_n
+        FROM (SELECT event_type, count(*) AS n_sk, max(h) AS hk
+              FROM sk GROUP BY event_type) s
+        JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+              FROM du GROUP BY event_type) e USING (event_type)
+    ),
+    tp AS (
+        SELECT a.event_type AS et_a, b.event_type AS et_b
+        FROM (SELECT DISTINCT event_type FROM du) a,
+             (SELECT DISTINCT event_type FROM du) b
+        WHERE a.event_type < b.event_type
+    ),
+    merged AS (
+        SELECT DISTINCT et_a, et_b, user_id, h FROM (
+            SELECT tp.et_a, tp.et_b, sk.user_id, sk.h
+            FROM tp JOIN sk ON sk.event_type = tp.et_a
+            UNION ALL
+            SELECT tp.et_a, tp.et_b, sk.user_id, sk.h
+            FROM tp JOIN sk ON sk.event_type = tp.et_b
+        )
+    ),
+    usk AS (
+        SELECT et_a, et_b, {_KMV_EST_SQL} AS est_union FROM (
+            SELECT et_a, et_b, count(*) AS n_sk, max(h) AS hk FROM (
+                SELECT et_a, et_b, user_id, h,
+                       row_number() OVER (PARTITION BY et_a, et_b
+                                          ORDER BY h, user_id) AS rnk
+                FROM merged
+            ) WHERE rnk <= {KMV_SET_K}
+            GROUP BY et_a, et_b
+        )
+    ),
+    ei AS (
+        SELECT a.event_type AS et_a, b.event_type AS et_b,
+               CAST(count(*) AS BIGINT) AS exact_inter
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT u.et_a, u.et_b,
+           pa.est_n AS est_a, pb.est_n AS est_b, u.est_union,
+           CAST(pa.est_n + pb.est_n - u.est_union AS BIGINT) AS est_inter,
+           pa.exact_n AS exact_a, pb.exact_n AS exact_b,
+           CAST(coalesce(ei.exact_inter, 0) AS BIGINT) AS exact_inter,
+           CAST(pa.exact_n + pb.exact_n - coalesce(ei.exact_inter, 0)
+                AS BIGINT) AS exact_union
+    FROM usk u
+    JOIN per_type pa ON pa.event_type = u.et_a
+    JOIN per_type pb ON pb.event_type = u.et_b
+    LEFT JOIN ei ON ei.et_a = u.et_a AND ei.et_b = u.et_b
+"""
+
 QUERIES = {
     "heavy_hitters_cms": heavy_hitters_cms,
     "quantile_kmv_calibration": quantile_kmv_calibration,
+    "audience_kmv_setops": audience_kmv_setops,
 }

@@ -49,14 +49,19 @@ class IvfVectorStore:
         out_dir: str | None = None,
         attrs: tuple[str, ...] = (),
         sigs: bool = False,
+        sq8: bool = False,
     ) -> "IvfVectorStore":
         """Build the layout from the embeddings table and COMMIT the
         first snapshot — a store handle always speaks the snapshot
         protocol (raw-listing reads are the uncommitted-layout escape
         hatch, not the store contract). ``sigs=True`` materializes the
         binary sign-bit signature words next to each vector (see
-        ``build_ivf_index``), enabling ``probe_binary``."""
-        idx = ann_index.build_ivf_index(spark, sf_dir, nlist, out_dir, attrs, sigs)
+        ``build_ivf_index``), enabling ``probe_binary``; ``sq8=True``
+        materializes the uint8 scalar-quantization words under frozen
+        per-dim bounds, enabling ``probe_sq8``."""
+        idx = ann_index.build_ivf_index(
+            spark, sf_dir, nlist, out_dir, attrs, sigs, sq8
+        )
         store = cls(spark, idx)
         if not ann_index.read_index_manifest(store.corpus_dir)["files"]:
             ann_index.commit_index_snapshot(store.corpus_dir)
@@ -105,6 +110,39 @@ class IvfVectorStore:
             self.spark,
             self.index_dir,
             binary_sig.sign_words_py(np.asarray(qvec, dtype=float)),
+            where=where,
+            man=man,
+        )
+
+    def probe_sq8(
+        self,
+        qvec: np.ndarray,
+        where: F.Column | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Integer-ADC candidates (vec_id, sq8_score) over the
+        committed SQ8 code words — requires a ``sq8=True`` layout. The
+        query quantizes driver-side under the layout's FROZEN bounds;
+        the scan never reads raw vectors."""
+        from ..functions import sq8 as sq8_codec
+
+        meta = ann_index.read_sq8_meta(self.index_dir)
+        if meta is None:
+            raise FileNotFoundError(
+                f"{self.index_dir} stores no SQ8 code columns; create "
+                "the store with sq8=True"
+            )
+        man = (
+            ann_index.read_index_manifest(self.corpus_dir, version=version)
+            if version is not None
+            else None
+        )
+        return ann_index.probe_sq8_snapshot(
+            self.spark,
+            self.index_dir,
+            sq8_codec.sq8_codes_py(
+                np.asarray(qvec, dtype=float), meta["mins"], meta["maxs"]
+            ),
             where=where,
             man=man,
         )

@@ -1644,6 +1644,94 @@ ORACLES: dict[str, str] = {
 # the downstream state is the final snapshot's GROUP BY — v3 = v2
 # minus the deletion-vector residue — replayed from raw orders with
 # the same v1/src/v2 CTE chain as the change-log oracle.
+def orders_cdf_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view from the
+    change feed — the IVM seam every lakehouse MV engine
+    (Databricks MVs / Materialize) is built on, composed here from
+    parts this repo already oracle-checks: the view is the
+    customer-state table ENRICHED with the customer dim
+    (state ⋈ customer → mktsegment), bootstrapped once at v1 and then
+    maintained purely from ``read_changes`` batches — never
+    recomputed.
+
+    Apply protocol per change batch (1 → current]:
+
+    1. NET the batch per key (last ``_commit_version`` wins — a key
+       updated at v2 and deleted at v3 nets to a delete);
+    2. upserts re-enrich via a dim join of ONLY the changed keys
+       (broadcast change batch against the dim — at 100 TB the dim
+       lookup costs |changes|, not |view|);
+    3. one MERGE applies the upserts, one delete-marked MERGE the
+       retractions — each costs only the buckets it touches (the
+       merge-table contract), so view maintenance is
+       change-batch-sized end to end.
+
+    The key returns the maintained MV table's rows; the DuckDB oracle
+    recomputes the view FROM SCRATCH at the final state (the v1→v3
+    CTE replay joined to customer) — the IVM invariant
+    (incremental ≡ recompute) is exactly what the hash compare pins,
+    and a pytest asserts the same against the in-engine recompute.
+    Idempotent across runs: the build is marker-gated and the two
+    merges carry ``txn=`` watermarks, so a re-entrant run folds
+    nothing twice.
+    """
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from ..operators.ann_index import _index_root, _tag
+    from ..session import load_table
+
+    base = _cdf_orders_table(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    root = _os.path.join(_index_root(), _tag(sf_dir), "cdf_join_mv")
+    mv = VersionedMergeTable(
+        spark, _os.path.join(root, "mv"), "o_custkey", n_buckets=16
+    )
+    done = _os.path.join(root, "_MV_DONE")
+    if not _os.path.exists(done):
+        _os.makedirs(root, exist_ok=True)
+        # bootstrap: the enriched view at v1 (the one full compute)
+        mv.write_full(base.read(version=1).join(cust, "o_custkey"))
+        # incremental apply of everything since
+        cur = base.versions()[-1]
+        ch = base.read_changes(1, cur)
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("_commit_version").desc()
+        )
+        net = (
+            ch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .localCheckpoint()  # change-batch-sized, read twice below
+        )
+        ups = (
+            net.filter(F.col("_change_type") != "delete")
+            .select("o_custkey", "last_orderkey", "last_status")
+        )
+        dels = (
+            net.filter(F.col("_change_type") == "delete")
+            .select("o_custkey", "last_orderkey", "last_status")
+        )
+        # dim lookup ONLY for changed keys: broadcast the batch side
+        mv.merge(
+            cust.join(F.broadcast(ups), "o_custkey"),
+            txn=("cdf_join_mv", 1),
+        )
+        # a delete-marked source deletes matched keys and never
+        # inserts (the same contract _cdf_orders_table's v2 uses)
+        mv.merge(
+            cust.join(F.broadcast(dels), "o_custkey"),
+            delete_cond=F.lit(True),
+            txn=("cdf_join_mv", 2),
+        )
+        open(done, "w").close()
+    return mv.read().select(
+        "o_custkey", "last_orderkey", "last_status", "c_mktsegment"
+    )
+
+
 def orders_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY over the deterministic three-version customer
     table: WRITE/MERGE/DELETE rows with audited counts. The table is
@@ -1700,8 +1788,20 @@ ORACLES["orders_table_history"] = (
     """
 )
 
+ORACLES["orders_cdf_join_mv"] = (
+    ORACLES["orders_cdf_changes"].split(",\n        c2 AS (")[0]
+    + """,
+        v3 AS (
+            SELECT * FROM v2 WHERE last_orderkey % 7 != 3
+        )
+        SELECT v.o_custkey, v.last_orderkey, v.last_status, c.c_mktsegment
+        FROM v3 v JOIN customer c ON v.o_custkey = c.c_custkey
+    """
+)
+
 QUERIES = {
     "orders_cdf_changes": orders_cdf_changes,
     "orders_cdf_downstream": orders_cdf_downstream,
+    "orders_cdf_join_mv": orders_cdf_join_mv,
     "orders_table_history": orders_table_history,
 }

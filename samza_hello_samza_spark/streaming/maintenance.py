@@ -728,6 +728,100 @@ def kmv_quantile_snapshot(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def audience_kmv_updater(
+    stream: DataFrame, state_path: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Maintain per-event-type AUDIENCE KMV sketches (K smallest
+    distinct-user hashes) from a live events stream — the streaming
+    twin of ``sketches.audience_kmv_setops``'s sketch-build stage.
+
+    Same mergeability argument as ``kmv_updater``: the k-min of
+    distinct user hashes folds per micro-batch at K·groups state
+    cost, and because the fold is a pure k-min it is additionally
+    IDEMPOTENT to row replays (re-folding rows already in the sketch
+    changes nothing) — the manifest batch gate is still kept so a
+    redelivered batch skips the write entirely. The standing sketch
+    table answers the full union/intersection pair algebra
+    (``audience_kmv_setops``'s usk stage) without touching the events
+    history.
+    """
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        fold_audience_kmv(batch, state_path, batch_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def fold_audience_kmv(
+    batch: DataFrame, state_path: str, batch_id: int | None = None
+) -> bool:
+    """Merge one events delta into the per-type audience k-min sketch
+    (snapshot-manifest commit, see ``fold_kmv_sample``)."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..operators.sketches import KMV_SET_K, _user_hash
+
+    os.makedirs(state_path, exist_ok=True)
+    man = _dw_manifest(state_path)
+    if batch_id is not None and batch_id <= man["applied_batch"]:
+        return False
+    spark = batch.sparkSession
+    delta = batch.select(
+        "event_type", "user_id", _user_hash(F.col("user_id")).alias("h")
+    )
+    if man["version"] > 0:
+        delta = delta.unionByName(
+            spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
+        )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    sketch = (
+        delta.distinct()  # same user re-arriving collapses pre-rank
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KMV_SET_K)
+        .drop("rnk")
+    )
+    new_version = man["version"] + 1
+    sketch.write.mode("overwrite").parquet(
+        os.path.join(state_path, f"v{new_version}")
+    )
+    new_man = {
+        "version": new_version,
+        "applied_batch": batch_id if batch_id is not None else man["applied_batch"],
+    }
+    tmp = os.path.join(state_path, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp, os.path.join(state_path, "MANIFEST.json"))  # THE commit
+    for v in range(1, new_version - 1):  # keep current + previous
+        d = os.path.join(state_path, f"v{v}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    return True
+
+
+def read_audience_kmv(spark: SparkSession, state_path: str) -> DataFrame:
+    """The committed per-type audience sketch at the manifest version."""
+    import os
+
+    man = _dw_manifest(state_path)
+    if man["version"] == 0:
+        return spark.createDataFrame(
+            [], "event_type string, user_id bigint, h bigint"
+        )
+    return spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
+
+
 class TxnView:
     """Multi-topic transactionally-maintained view: exactly-once folds.
 
@@ -1678,6 +1772,86 @@ def fold_cdf_from_topic(
             )
             with open(_cdf_watermark_path(state_path), "w") as fh:
                 _json.dump({"version": int(new_wm)}, fh)
+        ends = (
+            batch.groupBy("partition").agg((F.max("offset") + 1).alias("end")).collect()
+        )
+        topic.commit(group, {str(r.partition): int(r.end) for r in ends})
+    batch.unpersist()
+    return n
+
+
+def apply_cdf_to_join_mv(
+    spark: SparkSession,
+    topic: TopicLog,
+    group: str,
+    mv_table,
+    dim_df: DataFrame,
+    key_col: str,
+    change_schema: str,
+) -> int:
+    """One streaming JOIN-MV maintenance cycle: drain the group's
+    uncommitted CDF records, NET them per key, re-enrich ONLY the
+    changed keys via a broadcast dim join, and apply to the MV
+    merge-table — the continuous twin of the batch
+    ``merge.orders_cdf_join_mv`` build, fed by ``publish_cdf``'s
+    topic instead of a direct ``read_changes`` read.
+
+    Exactness layers, weakest assumption first:
+
+    - ROW-LEVEL apply is naturally idempotent: netting takes the
+      highest ``_commit_version`` per key, so re-applying an
+      already-folded change upserts a key to the value it already has
+      (or re-deletes an absent key — the delete-marked merge inserts
+      nothing). Unlike the signed aggregate fold, no watermark is
+      NEEDED for correctness under re-publication.
+    - The two merges still carry ``txn=`` watermarks (app ids
+      ``{group}:ups`` / ``{group}:dels`` at the drained max commit
+      version), so an exact replay of a committed batch writes no new
+      table version at all — the ledger stays clean, not just the
+      rows. A crash BETWEEN the merges re-runs the cycle: the upsert
+      leg no-ops on its watermark, the delete leg completes.
+    - Offsets commit AFTER both merges (at-least-once upgraded to
+      exactly-once by the two layers above).
+
+    Preimages are dropped (``update_preimage`` rows retract aggregate
+    contributions; a keyed MV needs only postimages + deletes). Cost
+    per cycle: |drained records| + the touched MV buckets — never the
+    base table, never the full view.
+    """
+    from pyspark.sql import Window
+
+    batch = topic.read_batch(group).cache()
+    n = batch.count()
+    if n:
+        changes = (
+            batch.select(F.from_json(F.col("value"), change_schema).alias("c"))
+            .select("c.*")
+            .filter(F.col("_change_type") != "update_preimage")
+            .dropDuplicates()  # re-published versions in the same drain
+        )
+        w = Window.partitionBy(key_col).orderBy(F.col("_commit_version").desc())
+        net = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .localCheckpoint()
+        )
+        vmax = net.agg(F.max("_commit_version")).first()[0]
+        payload = [
+            c
+            for c in net.columns
+            if c not in ("_change_type", "_commit_version", "_rn")
+        ]
+        ups = net.filter(F.col("_change_type") != "delete").select(*payload)
+        dels = net.filter(F.col("_change_type") == "delete").select(*payload)
+        mv_table.merge(
+            dim_df.join(F.broadcast(ups), key_col),
+            txn=(f"{group}:ups", int(vmax)),
+        )
+        mv_table.merge(
+            dim_df.join(F.broadcast(dels), key_col),
+            delete_cond=F.lit(True),
+            txn=(f"{group}:dels", int(vmax)),
+        )
         ends = (
             batch.groupBy("partition").agg((F.max("offset") + 1).alias("end")).collect()
         )

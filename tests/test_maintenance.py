@@ -1719,3 +1719,137 @@ def test_delete_masks_lsh_and_pq_probes(spark, tmp_path):
     pq_victim = sorted(pq_before)[0]
     ann_index.delete_index_vectors(spark, pq, [pq_victim])
     assert pq_ids() == pq_before - {pq_victim}
+
+
+def test_audience_kmv_updater_stream_fold_equals_batch_sketch(spark, tmp_path):
+    """Two disjoint micro-batches folded through the audience-KMV
+    state must reproduce EXACTLY the batch-built per-type sketch (the
+    k-min merge theorem end-to-end), and a replayed batch id no-ops."""
+    import glob as globmod
+    import shutil
+
+    from pyspark.sql import Window
+
+    from samza_hello_samza_spark.operators import sketches
+
+    base = os.path.join(SF_DIR, "events.parquet")
+    events = spark.read.parquet(base)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, half in enumerate((0, 1)):
+        stage = str(tmp_path / f"stage{i}")
+        events.filter(F.col("event_id") % 2 == half).coalesce(1).write.parquet(stage)
+        part = globmod.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"b{i}.parquet"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "akmv_state")
+    q = maintenance.audience_kmv_updater(stream, state, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.event_type, r.user_id, r.h)
+        for r in maintenance.read_audience_kmv(spark, state).collect()
+    }
+    du = events.select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type", "user_id", sketches._user_hash(F.col("user_id")).alias("h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    want = {
+        (r.event_type, r.user_id, r.h)
+        for r in hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= sketches.KMV_SET_K)
+        .drop("rnk")
+        .collect()
+    }
+    assert got == want
+
+    man_before = maintenance._dw_manifest(state)
+    assert maintenance.fold_audience_kmv(events, state, batch_id=0) is False
+    assert maintenance._dw_manifest(state) == man_before
+
+
+def test_apply_cdf_to_join_mv_matches_recompute_and_survives_replay(
+    spark, tmp_path
+):
+    """The streaming join-MV chain end-to-end: publish_cdf (bootstrap
+    + changes) → apply_cdf_to_join_mv cycles; the MV equals the final
+    state ⋈ dim; re-cycles fold nothing; a publisher cursor-loss
+    replay (at-least-once re-publication) changes no rows AND writes
+    no new MV table version (row-level idempotence + txn watermarks)."""
+    import json as jsonmod
+
+    from samza_hello_samza_spark.session import load_table
+    from samza_hello_samza_spark.sources.merge import (
+        VersionedMergeTable,
+        _cdf_orders_table,
+    )
+    from samza_hello_samza_spark.sources.topic_log import TopicLog
+
+    base = _cdf_orders_table(spark, SF_DIR, name="cdf_orders_smv")
+    dim = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    topic = TopicLog(spark, str(tmp_path / "topic"), n_partitions=4)
+    cursor = str(tmp_path / "cursor.json")
+    mv = VersionedMergeTable(spark, str(tmp_path / "mv"), "o_custkey", n_buckets=8)
+    schema = (
+        "o_custkey BIGINT, last_orderkey BIGINT, last_status STRING, "
+        "_change_type STRING, _commit_version BIGINT"
+    )
+    for _ in range(2):  # bootstrap cycle, then the (1 → 3] changes
+        maintenance.publish_cdf(base, topic, cursor, key_col="o_custkey")
+        maintenance.apply_cdf_to_join_mv(
+            spark, topic, "jmv", mv, dim, "o_custkey", schema
+        )
+    want = sorted(
+        tuple(r)
+        for r in base.read()
+        .join(dim, "o_custkey")
+        .select("o_custkey", "last_orderkey", "last_status", "c_mktsegment")
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in mv.read()
+        .select("o_custkey", "last_orderkey", "last_status", "c_mktsegment")
+        .collect()
+    )
+    assert got == want and got
+
+    # idle re-cycle: nothing published, nothing drained, ledger clean
+    v_before = mv.versions()
+    maintenance.publish_cdf(base, topic, cursor, key_col="o_custkey")
+    assert (
+        maintenance.apply_cdf_to_join_mv(
+            spark, topic, "jmv", mv, dim, "o_custkey", schema
+        )
+        == 0
+    )
+    assert mv.versions() == v_before
+
+    # publisher cursor-loss crash: rewind the cursor so the (1 → 3]
+    # changes re-publish as fresh records; the apply must change no
+    # rows and (txn watermark) write no new version
+    with open(cursor) as fh:
+        assert jsonmod.load(fh)["version"] == base.manifest()["current"]
+    with open(cursor, "w") as fh:
+        jsonmod.dump({"version": 1}, fh)
+    maintenance.publish_cdf(base, topic, cursor, key_col="o_custkey")
+    n = maintenance.apply_cdf_to_join_mv(
+        spark, topic, "jmv", mv, dim, "o_custkey", schema
+    )
+    assert n > 0  # the replayed records were drained ...
+    assert mv.versions() == v_before  # ... and folded nothing
+    got2 = sorted(
+        tuple(r)
+        for r in mv.read()
+        .select("o_custkey", "last_orderkey", "last_status", "c_mktsegment")
+        .collect()
+    )
+    assert got2 == want

@@ -1357,3 +1357,62 @@ def test_branch_diverges_and_survives_source_expiry(spark, vtable):
     assert (999, "BR", "open") in _rows(vtable.read())
     with pytest.raises(KeyError):
         vtable.branch("nope")
+
+
+# -- incremental JOIN-view maintenance (orders_cdf_join_mv) ----------------
+
+
+def test_join_mv_incremental_equals_recompute(spark):
+    """The IVM invariant: the change-batch-maintained enriched view
+    equals a from-scratch recompute of (final state ⋈ customer)."""
+    from samza_hello_samza_spark.sources.merge import (
+        _cdf_orders_table,
+        orders_cdf_join_mv,
+    )
+    from tests.conftest import SF_DIR as _SF
+
+    got = sorted(
+        tuple(r)
+        for r in orders_cdf_join_mv(spark, _SF)
+        .select("o_custkey", "last_orderkey", "last_status", "c_mktsegment")
+        .collect()
+    )
+    from samza_hello_samza_spark.session import load_table
+
+    base = _cdf_orders_table(spark, _SF)
+    cust = load_table(spark, _SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    want = sorted(
+        tuple(r)
+        for r in base.read()
+        .join(cust, "o_custkey")
+        .select("o_custkey", "last_orderkey", "last_status", "c_mktsegment")
+        .collect()
+    )
+    assert got == want and got
+
+
+def test_join_mv_rerun_is_a_noop(spark):
+    """Marker + txn watermarks make a re-entrant run fold nothing: the
+    MV table's version ledger must not grow on a second call."""
+    import os as _os
+
+    from samza_hello_samza_spark.operators.ann_index import _index_root, _tag
+    from samza_hello_samza_spark.sources.merge import (
+        VersionedMergeTable,
+        orders_cdf_join_mv,
+    )
+    from tests.conftest import SF_DIR as _SF
+
+    first = sorted(tuple(r) for r in orders_cdf_join_mv(spark, _SF).collect())
+    mv = VersionedMergeTable(
+        spark,
+        _os.path.join(_index_root(), _tag(_SF), "cdf_join_mv", "mv"),
+        "o_custkey",
+        n_buckets=16,
+    )
+    v_before = mv.versions()
+    again = sorted(tuple(r) for r in orders_cdf_join_mv(spark, _SF).collect())
+    assert again == first
+    assert mv.versions() == v_before

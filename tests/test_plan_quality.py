@@ -58,6 +58,8 @@ NONEQUI_OK = {
     "ann_ivf_topk",
     "ann_batch_topk",       # query-batch broadcast scoring
     "hard_negative_mining",  # anchor-batch broadcast scoring
+    "audience_kmv_setops",  # bounded |event_types|² pair-frame cross
+    "embedding_knn_eval",   # query-batch broadcast scoring (ann_batch shape)
     "ann_pq_topk",          # 1-row query re-rank over ADC candidates
     "ann_ivfpq_topk",       # 1-row query re-rank over IVFADC candidates
     "mixture_sample",       # 1-row min-count broadcast into the rate table

@@ -302,3 +302,110 @@ def test_kmv_estimate_tracks_exact_quantiles(spark):
         spread = max(1e-9, abs(r.exact_p90 - r.exact_p50) * 2)
         assert abs(r.est_p50 - r.exact_p50) <= spread, r
         assert abs(r.est_p90 - r.exact_p90) <= spread, r
+
+
+# -- audience KMV set operations ------------------------------------------
+
+
+def test_audience_kmv_matches_oracle(spark, duck):
+    assert_matches_oracle(
+        spark,
+        duck,
+        sketches.audience_kmv_setops,
+        sketches.ORACLES["audience_kmv_setops"],
+    )
+
+
+def test_audience_kmv_exhaustive_path_is_exact(spark):
+    """At sf0.001 every audience has < K distinct users, so every
+    sketch is exhaustive and every estimate must EQUAL its exact
+    companion (including intersections via inclusion-exclusion)."""
+    rows = sketches.audience_kmv_setops(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.est_a == r.exact_a and r.est_b == r.exact_b, r
+        assert r.est_union == r.exact_union, r
+        assert r.est_inter == r.exact_inter, r
+
+
+def test_kmv_union_sketch_equals_direct_build(spark):
+    """The merge theorem the pair algebra relies on: the k-min over
+    the two per-type SAMPLES equals the k-min over the full merged
+    distinct-user set."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    et_a, et_b = sorted(types)[:2]
+    du = (
+        ev.filter(F.col("event_type").isin([et_a, et_b]))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hashed = du.select(
+        "event_type",
+        "user_id",
+        sketches._user_hash(F.col("user_id")).alias("h"),
+    )
+    # direct: k-min over the merged distinct-user universe
+    direct = sorted(
+        (r.h, r.user_id)
+        for r in hashed.select("user_id", "h").distinct().collect()
+    )[: sketches.KMV_SET_K]
+    # via sketches: k-min over each type's k-min, merged
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    sk = (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= sketches.KMV_SET_K)
+        .select("user_id", "h")
+        .distinct()
+        .collect()
+    )
+    via = sorted((r.h, r.user_id) for r in sk)[: sketches.KMV_SET_K]
+    assert via == direct
+
+
+def test_knn_eval_self_consistent(spark):
+    """Metric sanity on real data: hits bounded by k, a nonzero hit
+    count forces a nonzero MRR, and MRR is a valid reciprocal rank."""
+    rows = similarity.embedding_knn_eval(spark, SF_DIR).collect()
+    assert len(rows) == similarity.KNN_EVAL_Q
+    for r in rows:
+        assert 0 <= r.hits_at_k <= similarity.KNN_EVAL_K
+        assert (r.mrr_micro > 0) == (r.hits_at_k > 0)
+        if r.mrr_micro:
+            assert r.mrr_micro in {
+                1_000_000 // k for k in range(1, similarity.KNN_EVAL_K + 1)
+            }
+
+
+def test_knn_eval_matches_numpy_replay(spark):
+    import numpy as np
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    by_id = {r.vec_id: (np.asarray(r.embedding, dtype=float), r.label) for r in rows}
+    want = {}
+    for qid in range(similarity.KNN_EVAL_Q):
+        qv, qlab = by_id[qid]
+        qn = np.linalg.norm(qv)
+        ranked = sorted(
+            (
+                -round(float(np.dot(v, qv) / (np.linalg.norm(v) * qn)), 6),
+                vid,
+                lab,
+            )
+            for vid, (v, lab) in by_id.items()
+            if vid != qid
+        )[: similarity.KNN_EVAL_K]
+        hits = [i + 1 for i, (_, _, lab) in enumerate(ranked) if lab == qlab]
+        want[qid] = (len(hits), 1_000_000 // hits[0] if hits else 0)
+    got = {
+        r.query_id: (r.hits_at_k, r.mrr_micro)
+        for r in similarity.embedding_knn_eval(spark, SF_DIR).collect()
+    }
+    assert got == want

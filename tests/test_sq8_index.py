@@ -1,0 +1,330 @@
+"""SQ8 (per-dimension uint8 scalar quantization) ANN family.
+
+The 8-bit rung between raw floats and the 1-bit sign signatures
+(``test_binary_index``): per-dim corpus bounds frozen at build time
+(``_SQ8.json`` — the codec is layout state, like a PQ codebook), codes
+packed 8-per-long into ``s0..s7``, ranking by the centered symmetric
+integer dot product. This suite pins: cross-representation parity
+(stored words ≡ a fresh derivation from ``v`` under the FROZEN
+bounds), in-scan ≡ committed-layout result parity, the codes-only scan
+shape, exactness through append/upsert/delete/rebalance (appends
+quantize with the build-time bounds even when the new vector falls
+OUTSIDE them — clamped, never retrained), shortlist recall, and the
+store facade.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from samza_hello_samza_spark.functions import sq8
+from samza_hello_samza_spark.operators import ann_index, similarity
+from samza_hello_samza_spark.operators.vector_store import IvfVectorStore
+from tests.conftest import SF_DIR
+
+NLIST = similarity.IVF_NLIST
+DIM = 64
+NEW_VEC_ID = 999_999
+
+
+def _build_sq8(spark, tmp_path, name="ivf_sq8"):
+    idx = ann_index.build_ivf_index(
+        spark, SF_DIR, NLIST, out_dir=str(tmp_path / name), sq8=True
+    )
+    ann_index.commit_index_snapshot(f"{idx}/corpus")
+    return idx
+
+
+def _vec(seed, scale=1.0):
+    v = np.random.default_rng(seed).normal(size=DIM)
+    return [float(x) * scale for x in v / np.linalg.norm(v)]
+
+
+def _vec_df(spark, vec_id, vec):
+    return spark.createDataFrame(
+        [(int(vec_id), [float(x) for x in vec])],
+        "vec_id BIGINT, v ARRAY<DOUBLE>",
+    )
+
+
+def _assert_codes_exact(spark, idx):
+    """Every stored SQ8 word equals a fresh derivation from v under
+    the layout's FROZEN bounds."""
+    meta = ann_index.read_sq8_meta(idx)
+    scan = ann_index.snapshot_scan(spark, f"{idx}/corpus")
+    fresh = sq8.sq8_word_cols(F.col("v"), meta["mins"], meta["maxs"])
+    mism = None
+    for stored, derived in zip(meta["sq8_cols"], fresh):
+        ne = F.col(stored) != derived
+        mism = ne if mism is None else (mism | ne)
+    n_bad = scan.filter(mism).count()
+    assert n_bad == 0, f"{n_bad} rows carry stale SQ8 words"
+    return scan.count()
+
+
+# -- codec parity ---------------------------------------------------------
+
+
+def test_packed_words_match_python_twin(spark, tmp_path):
+    """Stored packed words ≡ the python codec applied per vector —
+    the JVM fold and the driver-side twin are the same function."""
+    idx = _build_sq8(spark, tmp_path)
+    meta = ann_index.read_sq8_meta(idx)
+    rows = (
+        ann_index.snapshot_scan(spark, f"{idx}/corpus")
+        .select("vec_id", "v", *meta["sq8_cols"])
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        want_codes = sq8.sq8_codes_py(np.asarray(r.v), meta["mins"], meta["maxs"])
+        got_codes = sq8.unpack_codes_py(
+            [r[c] for c in meta["sq8_cols"]], meta["dim"]
+        )
+        assert got_codes == want_codes, r.vec_id
+
+
+def test_bounds_are_corpus_min_max(spark, tmp_path):
+    idx = _build_sq8(spark, tmp_path)
+    meta = ann_index.read_sq8_meta(idx)
+    V = np.stack(
+        [
+            np.asarray(r.v)
+            for r in ann_index.snapshot_scan(spark, f"{idx}/corpus")
+            .select("v")
+            .collect()
+        ]
+    )
+    assert meta["mins"] == [float(x) for x in V.min(axis=0)]
+    assert meta["maxs"] == [float(x) for x in V.max(axis=0)]
+
+
+# -- result parity & plan shape ------------------------------------------
+
+
+def test_indexed_probe_matches_in_scan_derivation(spark):
+    """Materializing the codes must not change one result row."""
+    want = [tuple(r) for r in similarity.ann_sq8_topk(spark, SF_DIR).collect()]
+    got = [
+        tuple(r) for r in similarity.ann_sq8_indexed_topk(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_sq8_probe_scans_codes_only(spark, tmp_path):
+    """The committed-layout ADC scan reads vec_id + packed words; the
+    raw vector column must never enter the read schema."""
+    idx = _build_sq8(spark, tmp_path)
+    meta = ann_index.read_sq8_meta(idx)
+    qcodes = sq8.sq8_codes_py(
+        similarity._query_vector(spark, SF_DIR), meta["mins"], meta["maxs"]
+    )
+    cand = ann_index.probe_sq8_snapshot(spark, idx, qcodes)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "s0" in schema and "s7" in schema, schema
+    assert "v:" not in schema, f"raw vectors in the SQ8 scan: {schema}"
+
+
+def test_rerank_matches_numpy_replay(spark):
+    """ADC top-M shortlist → exact-cosine top-k, replayed in numpy."""
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    by_id = {r.vec_id: np.asarray(r.v) for r in rows}
+    mins = [min(v[d] for v in by_id.values()) for d in range(DIM)]
+    maxs = [max(v[d] for v in by_id.values()) for d in range(DIM)]
+    codes = {
+        vid: sq8.sq8_codes_py(v, mins, maxs) for vid, v in by_id.items()
+    }
+    qc = codes[similarity.QUERY_VEC_ID]
+    scored = sorted(
+        (
+            -sum((codes[vid][d] - 128) * (qc[d] - 128) for d in range(DIM)),
+            vid,
+        )
+        for vid in by_id
+        if vid != similarity.QUERY_VEC_ID
+    )
+    short = scored[: similarity.SQ8_RERANK_M]
+    q = by_id[similarity.QUERY_VEC_ID]
+    qn = np.linalg.norm(q)
+    rer = sorted(
+        (
+            -round(float(np.dot(by_id[vid], q) / (np.linalg.norm(by_id[vid]) * qn)), 6),
+            vid,
+            -s,
+        )
+        for s, vid in short
+    )[: similarity.TOP_K]
+    want = [(vid, s, -c) for c, vid, s in rer]
+    got = [
+        (r.vec_id, r.sq8_score, r.cosine)
+        for r in similarity.ann_sq8_rerank_topk(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_shortlist_recall_vs_exact_cosine(spark):
+    """The M-wide ADC shortlist must cover most of the true cosine
+    top-k — the property that makes oversample-and-rerank work."""
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    by_id = {r.vec_id: np.asarray(r.v) for r in rows}
+    q = by_id[similarity.QUERY_VEC_ID]
+    qn = np.linalg.norm(q)
+    true_top = {
+        vid
+        for _, vid in sorted(
+            (
+                -round(float(np.dot(v, q) / (np.linalg.norm(v) * qn)), 6),
+                vid,
+            )
+            for vid, v in by_id.items()
+            if vid != similarity.QUERY_VEC_ID
+        )[: similarity.TOP_K]
+    }
+    short = {
+        r.vec_id for r in similarity.ann_sq8_rerank_topk(spark, SF_DIR).collect()
+    }
+    recall = len(true_top & short) / len(true_top)
+    assert recall >= 0.8, recall
+
+
+# -- frozen-codec exactness through every write path ----------------------
+
+
+def test_append_quantizes_with_frozen_bounds(spark, tmp_path):
+    idx = _build_sq8(spark, tmp_path)
+    meta = ann_index.read_sq8_meta(idx)
+    # 3× scale puts components OUTSIDE the trained bounds: the codec
+    # must clamp under the FROZEN bounds, never retrain
+    big = _vec(1, scale=3.0)
+    ann_index.append_ivf_index(spark, idx, _vec_df(spark, NEW_VEC_ID, big))
+    ann_index.commit_index_snapshot(f"{idx}/corpus")
+    _assert_codes_exact(spark, idx)
+    assert ann_index.read_sq8_meta(idx) == meta  # bounds untouched
+    want = sq8.sq8_codes_py(np.asarray(big), meta["mins"], meta["maxs"])
+    assert max(want) == 255 or min(want) == 0  # clamp actually exercised
+    row = (
+        ann_index.snapshot_scan(spark, f"{idx}/corpus")
+        .filter(F.col("vec_id") == NEW_VEC_ID)
+        .select(*meta["sq8_cols"])
+        .collect()[0]
+    )
+    assert sq8.unpack_codes_py(list(row), meta["dim"]) == want
+
+
+def test_codes_exact_through_upsert_delete_rebalance(spark, tmp_path):
+    idx = _build_sq8(spark, tmp_path)
+    n0 = _assert_codes_exact(spark, idx)
+
+    ups = spark.createDataFrame(
+        [(3, _vec(33)), (7, _vec(77))], "vec_id BIGINT, v ARRAY<DOUBLE>"
+    )
+    ann_index.upsert_ivf_vectors(spark, idx, ups)
+    assert _assert_codes_exact(spark, idx) == n0
+
+    ann_index.delete_ivf_vectors(spark, idx, [11])
+    assert _assert_codes_exact(spark, idx) == n0  # mask, not rewrite
+
+    ann_index.rebalance_ivf_index(spark, idx)
+    assert _assert_codes_exact(spark, idx) == n0 - 1
+
+    # the upserted vector ranks at the maximum self-score against its
+    # own codes (symmetric ADC: argmax over the corpus is itself)
+    meta = ann_index.read_sq8_meta(idx)
+    qcodes = sq8.sq8_codes_py(np.asarray(_vec(33)), meta["mins"], meta["maxs"])
+    top = (
+        ann_index.probe_sq8_snapshot(spark, idx, qcodes)
+        .orderBy(F.desc("sq8_score"), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert top.vec_id == 3
+
+
+# -- facade ---------------------------------------------------------------
+
+
+def test_vector_store_probe_sq8(spark, tmp_path):
+    store = IvfVectorStore.create(
+        spark, SF_DIR, NLIST, out_dir=str(tmp_path / "store"), sq8=True
+    )
+    qvec = similarity._query_vector(spark, SF_DIR)
+    got = (
+        store.probe_sq8(qvec)
+        .filter(F.col("vec_id") != similarity.QUERY_VEC_ID)
+        .orderBy(F.desc("sq8_score"), F.asc("vec_id"))
+        .limit(similarity.TOP_K)
+        .collect()
+    )
+    want = similarity.ann_sq8_topk(spark, SF_DIR).collect()
+    assert [(r.vec_id, r.sq8_score) for r in got] == [
+        (r.vec_id, r.sq8_score) for r in want
+    ]
+
+
+def test_probe_sq8_requires_sq8_layout(spark, tmp_path):
+    store = IvfVectorStore.create(
+        spark, SF_DIR, NLIST, out_dir=str(tmp_path / "plain")
+    )
+    with pytest.raises(FileNotFoundError, match="SQ8"):
+        store.probe_sq8(similarity._query_vector(spark, SF_DIR)).collect()
+
+
+def test_filtered_sq8_is_prefilter_not_postfilter(spark):
+    """Ground truth is a numpy replay of filter → ADC top-M (under the
+    LAYOUT's frozen full-corpus bounds) → exact-cosine top-k."""
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+        )
+        .collect()
+    )
+    by_id = {r.vec_id: (np.asarray(r.v), r.label) for r in rows}
+    mins = [min(v[d] for v, _ in by_id.values()) for d in range(DIM)]
+    maxs = [max(v[d] for v, _ in by_id.values()) for d in range(DIM)]
+    codes = {
+        vid: sq8.sq8_codes_py(v, mins, maxs) for vid, (v, _) in by_id.items()
+    }
+    qc = codes[similarity.QUERY_VEC_ID]
+    scored = sorted(
+        (
+            -sum((codes[vid][d] - 128) * (qc[d] - 128) for d in range(DIM)),
+            vid,
+        )
+        for vid, (_, lab) in by_id.items()
+        if vid != similarity.QUERY_VEC_ID and lab == similarity.FILTER_LABEL
+    )
+    short = scored[: similarity.SQ8_RERANK_M]
+    q = by_id[similarity.QUERY_VEC_ID][0]
+    qn = np.linalg.norm(q)
+    rer = sorted(
+        (
+            -round(float(np.dot(by_id[vid][0], q) / (np.linalg.norm(by_id[vid][0]) * qn)), 6),
+            vid,
+            -s,
+        )
+        for s, vid in short
+    )[: similarity.TOP_K]
+    want = [(vid, s, -c) for c, vid, s in rer]
+    got = [
+        (r.vec_id, r.sq8_score, r.cosine)
+        for r in similarity.ann_filtered_sq8_topk(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    assert all(by_id[vid][1] == similarity.FILTER_LABEL for vid, _, _ in got)

@@ -134,6 +134,15 @@ PROBE_OPS = (
     "train_quality_classifier",
     # r06f addition: K one-scan argmax rounds, driver state K×DIM.
     "kcenter_coreset",
+    # r07 additions: in-scan quantized ANN (bounds agg + codegen scan;
+    # the committed-layout twins sit in WARMED_PROBE_OPS), the audience
+    # sketch algebra, and the batch-query retrieval eval.
+    "ann_sq8_topk",
+    "ann_sq8_rerank_topk",
+    "ann_binary_topk",
+    "ann_binary_rerank_topk",
+    "audience_kmv_setops",
+    "embedding_knn_eval",
 )
 
 #: index/layout-backed keys whose per-sf_dir build is a one-time
@@ -163,6 +172,15 @@ WARMED_PROBE_OPS = (
     # first-N× number timed the BUILD, 13×; miscategorization, not a
     # plan regression — steady-state re-measured at 1.1×).
     "ann_ivfpq_topk",
+    # r07: committed quantized layouts (sig/SQ8 words, attrs), the
+    # marker-gated incremental join-MV, and the tar-corpus audit
+    # (export is the warmed step, the timed run re-reads the tars).
+    "ann_binary_indexed_topk",
+    "ann_filtered_binary_topk",
+    "ann_sq8_indexed_topk",
+    "ann_filtered_sq8_topk",
+    "orders_cdf_join_mv",
+    "packed_webdataset_audit",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
