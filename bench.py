@@ -190,6 +190,20 @@ EXTRA_VOLUME = (
     # r07e: filtered SQ8 serving probe + embedding retrieval eval.
     "ann_filtered_sq8_topk",
     "embedding_knn_eval",
+    # r07f: MRL prefix-dim shortlist + exact rerank (component cut),
+    # LSH-vs-exact dedup confusion audit (composes the two benched
+    # pair passes; sf0.1 only — pair-family replication artifact),
+    # JSONL corpus export audited from the shard bytes, and
+    # synchronous label-propagation communities on the near-dup graph
+    # (sf0.1 only — same replication artifact as doc_pagerank).
+    "ann_mrl_topk",
+    "ann_mrl_indexed_topk",
+    "dedup_lsh_eval",
+    "jsonl_export_audit",
+    "graph_label_propagation",
+    # r07g: exact-adjacency phrase search served from the POSITIONAL
+    # posting layout (bucket-pruned, aligned-anchor counting).
+    "phrase_search_indexed",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the
@@ -287,6 +301,10 @@ UNBENCHED: dict[str, str] = {
         # manifest-only read (KB); the table build is the same warmup
         # as orders_cdf_changes
         "orders_table_history",
+        # pinned-version snapshot read of the same deterministic CDF
+        # table: volume path (bucket-file scan) is benched whole via
+        # orders_cdf_changes; version resolution is one manifest lookup
+        "orders_time_travel",
     )},
     **{k: _R["mapinpandas_stub"] for k in (
         "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
@@ -318,6 +336,11 @@ SF1_EXCLUDE = {
     # r06: prefix-filter pairs inherit the same quadratic-output
     # replication artifact as the other near-dup pair keys.
     "dedup_prefix_filter",
+    # r07f: both compose the near-dup pair relations, inheriting the
+    # quadratic replication artifact (lsh_eval runs BOTH pair passes;
+    # LPA iterates over the 10-clique-inflated edge table).
+    "dedup_lsh_eval",
+    "graph_label_propagation",
 }
 
 #: full two-tier per-query timings land here every run (the committed
@@ -361,6 +384,9 @@ def main() -> None:
     queries["orders_cdf_changes"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     # builds the attr-bearing IVF layout for filtered search if absent.
     queries["ann_filtered_ivf_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # builds the JSONL shard export if absent (corpus state, like the
+    # index layouts): the timed run measures the byte-audit scan.
+    queries["jsonl_export_audit"](spark, sf_dir).write.mode("overwrite").format("noop").save()
     # builds the composed IVFPQ layout if absent.
     queries["ann_ivfpq_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
@@ -440,6 +466,9 @@ def main() -> None:
             "ann_filtered_sq8_topk",  # attr+SQ8-bearing IVF layout
             "orders_cdf_join_mv",  # MV bootstrap + incremental apply
             "packed_webdataset_audit",  # cold tar export for the sf1 tag
+            "jsonl_export_audit",  # cold JSONL export for the sf1 tag
+            "ann_mrl_indexed_topk",  # prefix-bearing IVF layout
+            "phrase_search_indexed",  # cold positional-postings build
         ):
             queries[q](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         sf1_names = [

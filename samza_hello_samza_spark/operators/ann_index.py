@@ -279,6 +279,41 @@ def _write_sq8_meta(
     os.replace(tmp, _sq8_meta_path(index_dir))
 
 
+def _mrl_meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_MRL.json")
+
+
+def read_mrl_meta(index_dir: str) -> dict | None:
+    """The layout's Matryoshka prefix-column declaration, or None.
+
+    Written by ``build_ivf_index(mrl_dim=...)``: names the stored
+    prefix column and the prefix length. The prefix is DERIVED state
+    (``v[0:dim_pre]`` — a pure function of ``v``, no codec to train or
+    freeze), so append/upsert/rebalance/CDC recompute it per delta row
+    like the signature/SQ8 words; probes read vec_id + the prefix
+    column only (dim_pre/dim of the vector bytes — the COMPONENT cut,
+    where SQ8/binary cut bytes per component). Same explicit-marker
+    discipline as ``_SIGS.json``.
+    """
+    import json
+
+    p = _mrl_meta_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_mrl_meta(index_dir: str, dim_pre: int) -> None:
+    import json
+
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = _mrl_meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"mrl_col": "v_pre", "dim_pre": dim_pre}, f)
+    os.replace(tmp, _mrl_meta_path(index_dir))
+
+
 def _derived_col_map(index_dir: str) -> dict[str, F.Column]:
     """Column-name → derivation expression for every LAYOUT-DERIVED
     column of ``index_dir`` (binary signature words and/or SQ8 code
@@ -302,6 +337,9 @@ def _derived_col_map(index_dir: str) -> dict[str, F.Column]:
                 sq8_codec.sq8_word_cols(F.col("v"), q["mins"], q["maxs"]),
             )
         )
+    m = read_mrl_meta(index_dir)
+    if m:
+        named[m["mrl_col"]] = F.slice(F.col("v"), 1, m["dim_pre"])
     return named
 
 
@@ -313,6 +351,7 @@ def build_ivf_index(
     attrs: tuple[str, ...] = (),
     sigs: bool = False,
     sq8: bool = False,
+    mrl_dim: int | None = None,
 ) -> str:
     """Assign every vector to its nearest centroid; write by list_id.
 
@@ -346,12 +385,21 @@ def build_ivf_index(
     analogue), so append/upsert quantize deltas under the same bounds
     (clamped, never retrained) and probes quantize the query with
     them — codes stay comparable across the whole file set forever.
+
+    ``mrl_dim=k`` materializes the Matryoshka PREFIX column
+    ``v_pre = v[0:k]`` next to each vector — the COMPONENT cut of the
+    same ladder (where sigs/sq8 cut bytes per component): a prefix
+    shortlist scan reads k/dim of the vector bytes with zero codec
+    state, and parquet's columnar layout makes "the prefix as its own
+    column group" literal. Derived state like the others: every write
+    path recomputes it from ``v``.
     """
     tag = (
         "ivf"
         + ("_" + "_".join(attrs) if attrs else "")
         + ("_sig" if sigs else "")
         + ("_sq8" if sq8 else "")
+        + (f"_mrl{mrl_dim}" if mrl_dim else "")
     )
     out_dir = out_dir or os.path.join(_index_root(), _tag(sf_dir), tag)
     corpus_dir = os.path.join(out_dir, "corpus")
@@ -383,6 +431,11 @@ def build_ivf_index(
         mins, maxs = sq8_codec.train_bounds(e, "v", dim)
         e = e.select("*", *sq8_codec.sq8_word_cols(F.col("v"), mins, maxs))
         _write_sq8_meta(out_dir, dim, mins, maxs)
+    if mrl_dim:
+        # no training, no codec state — the prefix IS the derivation;
+        # same marker-before-write crash discipline as the others
+        e = e.select("*", F.slice(F.col("v"), 1, mrl_dim).alias("v_pre"))
+        _write_mrl_meta(out_dir, mrl_dim)
 
     @F.pandas_udf(LongType())
     def assign(emb: pd.Series) -> pd.Series:
@@ -599,6 +652,62 @@ def expire_index_versions(index_dir: str, keep_last: int = 10) -> int:
     return removed
 
 
+def restore_index_version(index_dir: str, version: int) -> dict:
+    """RESTORE for the vector-store layout — the index-side twin of
+    ``VersionedMergeTable.restore`` (the r07g table feature): publish
+    snapshot ``version``'s exact state (file set, tombstone mask,
+    centroid/codebook pointers) as the NEXT manifest version. The
+    rollback is an APPENDED commit: history is never rewritten, every
+    in-between version stays time-travel-readable, and probes pinned
+    to pre-restore manifests are untouched.
+
+    Zero-copy, with the listing-commit bookkeeping done right:
+    files live in the restored snapshot leave the ``retired`` set
+    (a later ``commit_index_snapshot`` must not drop them), while the
+    files the rollback supersedes ENTER it (a later listing commit
+    must not resurrect them; ``vacuum_index`` may then reclaim them).
+    Same post-VACUUM caveat as Delta: restoring to a version whose
+    retired files a vacuum already reclaimed fails at probe time.
+    Single-maintainer op like the rest of the maintenance surface.
+    """
+    import json
+
+    cur = read_index_manifest(index_dir)
+    target = read_index_manifest(index_dir, version=version)
+    if int(target["version"]) == int(cur["version"]):
+        raise ValueError(
+            f"v{version} is already the current version of {index_dir}"
+        )
+    tfiles = set(target["files"])
+    retired = sorted(
+        (set(cur.get("retired", [])) | set(cur["files"])) - tfiles
+    )
+    # the tombstone SIDECAR is live state: a delete the rollback
+    # un-does still has its file on disk, and a later listing commit
+    # would re-apply it. Retire superseded tombstone files exactly
+    # like superseded data files — listing commits skip them.
+    keep_tombs = set(target.get("tombstones", []))
+    retired_tombs = sorted(
+        (
+            set(cur.get("retired_tombstones", []))
+            | set(_sidecar_tombstone_files(index_dir))
+        )
+        - keep_tombs
+    )
+    new_man = {
+        **target,
+        "version": int(cur["version"]) + 1,
+        "retired": retired,
+        "retired_tombstones": retired_tombs,
+    }
+    tmp = _index_manifest_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp, _index_manifest_path(index_dir))  # the atomic commit
+    _record_history(index_dir, new_man)
+    return new_man
+
+
 def _tags_path(index_dir: str) -> str:
     return os.path.join(_history_dir(index_dir), "_tags.json")
 
@@ -735,7 +844,13 @@ def commit_index_snapshot(index_dir: str) -> dict:
         **man,
         "version": man["version"] + 1,
         "files": files,
-        "tombstones": _sidecar_tombstone_files(index_dir),
+        # restore-retired tombstone files must not re-enter (their
+        # delete was rolled back) — same rule as retired data files
+        "tombstones": [
+            t
+            for t in _sidecar_tombstone_files(index_dir)
+            if t not in set(man.get("retired_tombstones", []))
+        ],
     }
     tmp = _index_manifest_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
@@ -760,7 +875,11 @@ def commit_index_files(
 
     man = read_index_manifest(index_dir)
     man = {**man, "version": man["version"] + 1, "files": sorted(files),
-           "tombstones": _sidecar_tombstone_files(index_dir),
+           "tombstones": [
+               t
+               for t in _sidecar_tombstone_files(index_dir)
+               if t not in set(man.get("retired_tombstones", []))
+           ],
            **(extra or {})}
     tmp = _index_manifest_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
@@ -1581,6 +1700,68 @@ def probe_sq8_snapshot(
         spark,
         index_dir,
         cand.select("vec_id", "sq8_score"),
+        tomb_files=man.get("tombstones"),
+    )
+
+
+def probe_mrl_snapshot(
+    spark: SparkSession,
+    index_dir: str,
+    qvec_prefix: list[float],
+    where: F.Column | None = None,
+    man: dict | None = None,
+) -> DataFrame:
+    """Matryoshka prefix-cosine candidates over the COMMITTED prefix
+    column — the serving probe of a ``build_ivf_index(mrl_dim=k)``
+    layout.
+
+    Returns (vec_id, prefix_cosine) after the snapshot's tombstone
+    mask. The scan projects ONLY vec_id + ``v_pre`` (+ any ``where``
+    attr, predicate pushed to the reader): k/dim of the vector bytes
+    — the raw vector column never enters the read schema
+    (plan-asserted). Scoring is the same rounded-cosine + vec_id
+    discipline as the in-scan key, so a shortlist cut over this probe
+    composes into an oracle-checkable serving loop. Callers order by
+    (prefix_cosine DESC, vec_id) and cut; exact full-dim re-rank
+    rehydrates a constant number of raw vectors.
+    """
+    import math
+
+    meta = read_mrl_meta(index_dir)
+    if meta is None:
+        raise FileNotFoundError(
+            f"{index_dir} stores no MRL prefix column; build with "
+            "build_ivf_index(mrl_dim=...)"
+        )
+    if len(qvec_prefix) != meta["dim_pre"]:
+        raise ValueError(
+            f"query prefix has {len(qvec_prefix)} dims; layout stores "
+            f"dim_pre={meta['dim_pre']}"
+        )
+    corpus_dir = os.path.join(index_dir, "corpus")
+    if man is None:
+        man = read_index_manifest(corpus_dir)
+    scan = snapshot_scan(spark, corpus_dir, man=man)
+    if where is not None:
+        scan = scan.filter(where)
+    col = meta["mrl_col"]
+    qpre = F.array(*[F.lit(float(x)) for x in qvec_prefix])
+    qnorm = float(math.sqrt(sum(float(x) * float(x) for x in qvec_prefix)))
+    dot = F.aggregate(
+        F.zip_with(F.col(col), qpre, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col(col), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cand = scan.select("vec_id", col).withColumn(
+        "prefix_cosine", F.round(dot / (nrm * F.lit(qnorm)), 6)
+    )
+    return _apply_tombstones(
+        spark,
+        index_dir,
+        cand.select("vec_id", "prefix_cosine"),
         tomb_files=man.get("tombstones"),
     )
 

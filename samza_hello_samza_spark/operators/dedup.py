@@ -462,6 +462,65 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall audit of the LSH banding against EXACT truth —
+    "can I trust minhash on this corpus?", answered with hash-checked
+    integers (the dedup-side sibling of ``embedding_knn_eval``).
+
+    Truth = ``dedup_prefix_filter``'s pair set (exact Jaccard ≥ τ over
+    the uncapped shingle universe, complete by the prefix-filter
+    theorem); candidates = ``dedup_minhash_lsh``'s band-join pairs.
+    One full-outer join + one global aggregate produce the confusion
+    counts and ppm-scaled precision/recall (integer division over
+    exact counts, so the whole report is ORACLE-CHECKED — both pair
+    relations already have exact DuckDB twins).
+
+    The operational dial this calibrates: 12 bands × 2 rows gives
+    P(candidate | J=τ) ≈ 0.90 in theory; this key measures the
+    REALIZED recall on the actual corpus (shingle-set sizes and
+    skew move it), and the false-candidate count prices the exact
+    verification stage that follows banding. At 100 TB you run this
+    on a sampled stratum before committing band parameters to the
+    full corpus; both inputs here are the bounded pair relations,
+    never all-pairs.
+    """
+    truth = (
+        dedup_prefix_filter(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_truth", F.lit(1))
+    )
+    cand = dedup_minhash_lsh(spark, sf_dir).withColumn("in_lsh", F.lit(1))
+    m = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    agg = m.agg(
+        F.coalesce(F.sum("in_truth"), F.lit(0)).cast("long").alias("n_true_pairs"),
+        F.coalesce(F.sum("in_lsh"), F.lit(0)).cast("long").alias("n_lsh_pairs"),
+        F.coalesce(F.sum(F.col("in_truth") * F.col("in_lsh")), F.lit(0))
+        .cast("long")
+        .alias("n_hits"),
+    )
+    return agg.select(
+        "n_true_pairs",
+        "n_lsh_pairs",
+        "n_hits",
+        (F.col("n_lsh_pairs") - F.col("n_hits")).alias("n_false_candidates"),
+        (F.col("n_true_pairs") - F.col("n_hits")).alias("n_missed"),
+        F.when(
+            F.col("n_lsh_pairs") > 0,
+            F.expr("(1000000 * n_hits) div n_lsh_pairs"),
+        )
+        .otherwise(F.lit(1000000))
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.expr("(1000000 * n_hits) div n_true_pairs"),
+        )
+        .otherwise(F.lit(1000000))
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
 #: "today's batch" stand-in for the incremental probe: every 10th doc.
 NEW_BATCH_MOD = 10
 
@@ -1459,6 +1518,60 @@ _MINHASH_EST_SQL = f"""{_MINHASH_BANDS_CTE}
     JOIN sizes nb ON nb.doc_id = m.doc_b
 """
 
+#: LSH-vs-exact confusion counts — candidate pairs (capped band join,
+#: the _MINHASH_LSH_SQL relation) against the exact τ=0.5 truth set
+#: over the uncapped distinct-shingle universe (the dedup_prefix_filter
+#: oracle relation, integer 3i >= na+nb threshold). ppm ratios are
+#: integer division, so the whole report hash-matches.
+_LSH_EVAL_SQL = f"""{_MINHASH_BANDS_CTE}
+    , capped AS (
+        SELECT band, sig, doc_id FROM (
+            SELECT band, sig, doc_id,
+                   row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+            FROM bands)
+        WHERE rn <= {MAX_BUCKET}
+    ),
+    cpairs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a
+        JOIN capped b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sh_all AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM shm),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh_all GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh_all a
+        JOIN sh_all b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN counts na ON na.doc_id = doc_a
+        JOIN counts nb ON nb.doc_id = doc_b
+        WHERE 3 * i >= na.n + nb.n
+    ),
+    stats AS (
+        SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+               (SELECT count(*) FROM cpairs) AS n_lsh_pairs,
+               (SELECT count(*) FROM truth t
+                JOIN cpairs c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                   AS n_hits
+    )
+    SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(n_lsh_pairs AS BIGINT) AS n_lsh_pairs,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_lsh_pairs - n_hits AS BIGINT) AS n_false_candidates,
+           CAST(n_true_pairs - n_hits AS BIGINT) AS n_missed,
+           CAST(CASE WHEN n_lsh_pairs > 0
+                     THEN (1000000 * n_hits) // n_lsh_pairs
+                     ELSE 1000000 END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN n_true_pairs > 0
+                     THEN (1000000 * n_hits) // n_true_pairs
+                     ELSE 1000000 END AS BIGINT) AS recall_ppm
+    FROM stats
+"""
+
 _WINDOW_EXACT_SQL = f"""{_WORDS_CTE}
     , wnz AS (SELECT doc_id, words FROM w WHERE len(words) > 0),
     win AS (
@@ -1541,6 +1654,7 @@ ORACLES: dict[str, str] = {
     "dedup_window_incremental": _WINDOW_INCREMENTAL_SQL,
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
     "minhash_jaccard_estimate": _MINHASH_EST_SQL,
+    "dedup_lsh_eval": _LSH_EVAL_SQL,
     "dedup_incremental": _MINHASH_INCREMENTAL_SQL,
     "contamination_minhash": _CONTAM_MINHASH_SQL,
     "dedup_fuzzy": _SHINGLES_SQL
@@ -1729,6 +1843,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
+    "dedup_lsh_eval": dedup_lsh_eval,
     "dedup_incremental": dedup_incremental,
     "dedup_prefix_filter": dedup_prefix_filter,
     "contamination_minhash": contamination_minhash,

@@ -297,6 +297,114 @@ _TRIANGLES_SQL = (
 )
 
 
+#: fixed LPA rounds: synchronous label propagation is deterministic
+#: given a tie rule but need not converge (bipartite structures can
+#: oscillate), so the contract is the fixed-round program itself —
+#: Spark and the unrolled-CTE oracle run the identical 6 rounds.
+LPA_ROUNDS = 6
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (LPA,
+    Raghavan et al. 2007) over the near-dup graph — the refinement
+    BETWEEN connected components and k-core: components glue
+    everything reachable into one cluster (one boilerplate bridge
+    merges two template families), while LPA splits a component into
+    densely-linked communities, because a node adopts the label its
+    neighborhood VOTES for, and a single bridge edge loses that vote.
+    The curation read: one near-dup component that LPA splits into
+    several communities is two template families sharing boilerplate
+    — keep one representative per COMMUNITY, not per component.
+
+    Deterministic synchronous variant: labels start as node ids; each
+    round every node takes the most frequent label among its
+    neighbors, ties broken by MIN label. Each round is one equi-join
+    (edges ⋈ labels on dst) + one (node, label) count + one
+    row_number cut — two shuffles, both keyed on node ids (AQE splits
+    skewed hubs), with the per-round result localCheckpoint'd to
+    truncate the iterative lineage (the doc_pagerank discipline).
+    Fully ORACLE-CHECKED: the DuckDB twin unrolls the same 6 rounds
+    as chained materialized CTEs (the graph_kcore oracle pattern).
+
+    Output: (doc_id, community) for every node of the pair graph.
+    """
+    from pyspark.sql import Window
+
+    pairs = _pairs_cached(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()  # reused by every round
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("lab")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("src").alias("node"), "lab")
+            .localCheckpoint()  # truncate iterative lineage
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("community")
+    )
+
+
+def _lpa_chain(rounds: int) -> str:
+    """Unrolled synchronous-LPA rounds as chained MATERIALIZED CTEs
+    (recursive CTEs can't express the per-round argmax-over-groups;
+    same generated-oracle approach as ``_kcore_chain``)."""
+    parts = ["l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM edges)"]
+    for r in range(rounds):
+        parts.append(
+            f"""l{r + 1} AS MATERIALIZED (
+        SELECT src AS node, lab FROM (
+            SELECT e.src, l.lab, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY e.src
+                       ORDER BY count(*) DESC, l.lab ASC) AS rn
+            FROM edges e JOIN l{r} l ON e.dst = l.node
+            GROUP BY e.src, l.lab
+        ) WHERE rn = 1
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_LPA_SQL = (
+    _SHINGLES_SQL
+    + f"""
+    , counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN counts na ON na.doc_id = doc_a
+        JOIN counts nb ON nb.doc_id = doc_b
+        WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+    ),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    {_lpa_chain(LPA_ROUNDS)}
+    SELECT node AS doc_id, lab AS community FROM l{LPA_ROUNDS}
+    """
+)
+
+
 #: fixed peeling rounds: makes the distributed loop AND the SQL oracle
 #: identical deterministic programs; the fixpoint pytest proves the
 #: graph actually converges within this budget, so the fixed-R output
@@ -438,10 +546,12 @@ ORACLES: dict[str, str] = {
     "doc_pagerank": _PAGERANK_SQL,
     "triangle_count": _TRIANGLES_SQL,
     "graph_kcore": _KCORE_SQL,
+    "graph_label_propagation": _LPA_SQL,
 }
 
 QUERIES = {
     "doc_pagerank": doc_pagerank,
     "triangle_count": triangle_count,
     "graph_kcore": graph_kcore,
+    "graph_label_propagation": graph_label_propagation,
 }

@@ -537,6 +537,124 @@ def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_PREFIX_DIM = 16
+MRL_RERANK_M = 50
+
+
+def ann_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) prefix-dimension ANN: shortlist on the first
+    16 of 64 dimensions, exact full-dimension re-rank — the adaptive-
+    retrieval serving shape for nested embeddings (Kusupati et al.,
+    "Matryoshka Representation Learning"; the `dimensions` parameter
+    of modern embedding APIs).
+
+    Where the quantized families (SQ8/binary/PQ) cut BYTES PER
+    COMPONENT, MRL cuts COMPONENTS: the shortlist pass scores
+    ``v[0:16]`` cosine — a 4× scan/FLOP cut that needs no codec
+    state, no training, no committed sidecar, just a narrower slice
+    of the same column (with a column-store layout storing the prefix
+    as its own column group, the scan reads exactly those bytes).
+    Both cuts are deterministic (rounded score + vec_id tiebreak) and
+    every operation is float arithmetic DuckDB reproduces, so the
+    composition is ORACLE-CHECKED like the brute-force anchor —
+    unlike the trained probes, there is no codec to drift.
+
+    Scale: shortlist is a TakeOrderedAndProject over one pruned scan;
+    re-rank rehydrates a constant M=50 vectors via broadcast
+    semi-join. On true MRL-trained embeddings the prefix carries most
+    of the signal by construction; the recall pytest measures what
+    the untrained synthetic corpus gives (the honest lower bound).
+    """
+    e = _embeddings(spark, sf_dir)
+    qvec = _query_vector(spark, sf_dir)
+    qpre = qvec[:MRL_PREFIX_DIM]
+    qpre_col = F.array(*[F.lit(float(x)) for x in qpre])
+    qpre_norm = float(np.linalg.norm(qpre))
+    vpre = F.slice(F.col("v"), 1, MRL_PREFIX_DIM)
+    shortlist = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn(
+            "prefix_cosine",
+            F.round(
+                _dot(vpre, qpre_col) / (_norm(vpre) * F.lit(qpre_norm)), 6
+            ),
+        )
+        .orderBy(F.desc("prefix_cosine"), F.asc("vec_id"))
+        .limit(MRL_RERANK_M)
+        .select("vec_id", "prefix_cosine")
+    )
+    qv = F.array(*[F.lit(float(x)) for x in qvec])
+    qnorm = float(np.linalg.norm(qvec))
+    return (
+        e.join(F.broadcast(shortlist), "vec_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("v"), qv) / (_norm(F.col("v")) * F.lit(qnorm)), 6),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "prefix_cosine", "cosine")
+    )
+
+
+def _mrl_index(spark: SparkSession, sf_dir: str) -> str:
+    """The committed MRL-prefix-bearing IVF layout (built once per
+    corpus, snapshot-committed so probes resolve a manifest): stores
+    ``v_pre = v[0:16]`` as its own parquet column next to each
+    vector."""
+    from . import ann_index
+
+    idx = ann_index.build_ivf_index(
+        spark, sf_dir, IVF_NLIST, mrl_dim=MRL_PREFIX_DIM
+    )
+    corpus = f"{idx}/corpus"
+    if not ann_index.read_index_manifest(corpus)["files"]:
+        ann_index.commit_index_snapshot(corpus)
+    return idx
+
+
+def ann_mrl_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_mrl_topk`` served from the COMMITTED layout: the prefix
+    shortlist reads the materialized ``v_pre`` column (16 of 64
+    doubles per vector — parquet column pruning makes the 4×
+    component cut literal bytes) of a manifest-resolved snapshot; the
+    raw vector column never enters the shortlist's read schema
+    (plan-asserted). Exact full-dim re-rank rehydrates the constant
+    M=50 finalists. Prefixes are DERIVED columns
+    (``ann_index._derived_col_map``) recomputed from ``v`` by every
+    write path, so they stay exact through append/upsert/rebalance/
+    CDC like the signature and SQ8 words. ORACLE-CHECKED with the
+    SAME oracle as the in-scan key — materialization must not change
+    one result row.
+    """
+    from . import ann_index
+
+    idx = _mrl_index(spark, sf_dir)
+    qvec = _query_vector(spark, sf_dir)
+    shortlist = (
+        ann_index.probe_mrl_snapshot(
+            spark, idx, [float(x) for x in qvec[:MRL_PREFIX_DIM]]
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.desc("prefix_cosine"), F.asc("vec_id"))
+        .limit(MRL_RERANK_M)
+        .select("vec_id", "prefix_cosine")
+    )
+    qv = F.array(*[F.lit(float(x)) for x in qvec])
+    qnorm = float(np.linalg.norm(qvec))
+    return (
+        _embeddings(spark, sf_dir)
+        .join(F.broadcast(shortlist), "vec_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("v"), qv) / (_norm(F.col("v")) * F.lit(qnorm)), 6),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "prefix_cosine", "cosine")
+    )
+
+
 def _sq8_index(
     spark: SparkSession, sf_dir: str, attrs: tuple[str, ...] = ()
 ) -> str:
@@ -1391,6 +1509,28 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine DESC, e.vec_id ASC
         LIMIT {TOP_K}
     """,
+    # MRL prefix shortlist + exact rerank: both cuts reproduced on the
+    # same rounded-score + vec_id order, list slices are 1-based
+    # inclusive in DuckDB (v[1:16] ≡ Spark slice(v, 1, 16)).
+    "ann_mrl_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+        pre AS (
+            SELECT e.vec_id, e.v,
+                   round(list_cosine_similarity(
+                       e.v[1:{MRL_PREFIX_DIM}], q.qv[1:{MRL_PREFIX_DIM}]), 6)
+                       AS prefix_cosine
+            FROM e, q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            ORDER BY prefix_cosine DESC, e.vec_id ASC
+            LIMIT {MRL_RERANK_M}
+        )
+        SELECT pre.vec_id, pre.prefix_cosine,
+               round(list_cosine_similarity(pre.v, q.qv), 6) AS cosine
+        FROM pre, q
+        ORDER BY cosine DESC, pre.vec_id ASC
+        LIMIT {TOP_K}
+    """,
     "ann_filtered_topk": f"""
         WITH e AS (SELECT vec_id, label,
                           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1414,6 +1554,27 @@ ORACLES: dict[str, str] = {
         FROM e, q
         WHERE e.vec_id <> {QUERY_VEC_ID}
         ORDER BY hamming ASC, e.vec_id ASC
+        LIMIT {TOP_K}
+    """,
+    # committed-layout twin: materializing the prefix column must not
+    # change a single result row vs the in-scan slice
+    "ann_mrl_indexed_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+        pre AS (
+            SELECT e.vec_id, e.v,
+                   round(list_cosine_similarity(
+                       e.v[1:{MRL_PREFIX_DIM}], q.qv[1:{MRL_PREFIX_DIM}]), 6)
+                       AS prefix_cosine
+            FROM e, q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            ORDER BY prefix_cosine DESC, e.vec_id ASC
+            LIMIT {MRL_RERANK_M}
+        )
+        SELECT pre.vec_id, pre.prefix_cosine,
+               round(list_cosine_similarity(pre.v, q.qv), 6) AS cosine
+        FROM pre, q
+        ORDER BY cosine DESC, pre.vec_id ASC
         LIMIT {TOP_K}
     """,
     # committed-layout twin: materializing the signature words must
@@ -1652,6 +1813,8 @@ QUERIES = {
     "ann_filtered_binary_topk": ann_filtered_binary_topk,
     "ann_sq8_topk": ann_sq8_topk,
     "ann_sq8_rerank_topk": ann_sq8_rerank_topk,
+    "ann_mrl_topk": ann_mrl_topk,
+    "ann_mrl_indexed_topk": ann_mrl_indexed_topk,
     "ann_sq8_indexed_topk": ann_sq8_indexed_topk,
     "ann_filtered_sq8_topk": ann_filtered_sq8_topk,
     "embedding_knn_eval": embedding_knn_eval,

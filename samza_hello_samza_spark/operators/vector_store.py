@@ -50,6 +50,7 @@ class IvfVectorStore:
         attrs: tuple[str, ...] = (),
         sigs: bool = False,
         sq8: bool = False,
+        mrl_dim: int | None = None,
     ) -> "IvfVectorStore":
         """Build the layout from the embeddings table and COMMIT the
         first snapshot — a store handle always speaks the snapshot
@@ -58,9 +59,11 @@ class IvfVectorStore:
         binary sign-bit signature words next to each vector (see
         ``build_ivf_index``), enabling ``probe_binary``; ``sq8=True``
         materializes the uint8 scalar-quantization words under frozen
-        per-dim bounds, enabling ``probe_sq8``."""
+        per-dim bounds, enabling ``probe_sq8``; ``mrl_dim=k``
+        materializes the Matryoshka prefix column, enabling
+        ``probe_mrl``."""
         idx = ann_index.build_ivf_index(
-            spark, sf_dir, nlist, out_dir, attrs, sigs, sq8
+            spark, sf_dir, nlist, out_dir, attrs, sigs, sq8, mrl_dim
         )
         store = cls(spark, idx)
         if not ann_index.read_index_manifest(store.corpus_dir)["files"]:
@@ -147,6 +150,35 @@ class IvfVectorStore:
             man=man,
         )
 
+    def probe_mrl(
+        self,
+        qvec: np.ndarray,
+        where: F.Column | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Matryoshka prefix-cosine candidates (vec_id, prefix_cosine)
+        over the committed prefix column — requires an
+        ``mrl_dim=k`` layout. The query's prefix slices driver-side;
+        the scan never reads raw vectors."""
+        meta = ann_index.read_mrl_meta(self.index_dir)
+        if meta is None:
+            raise FileNotFoundError(
+                f"{self.index_dir} stores no MRL prefix column; create "
+                "the store with mrl_dim=..."
+            )
+        man = (
+            ann_index.read_index_manifest(self.corpus_dir, version=version)
+            if version is not None
+            else None
+        )
+        return ann_index.probe_mrl_snapshot(
+            self.spark,
+            self.index_dir,
+            [float(x) for x in np.asarray(qvec, dtype=float)[: meta["dim_pre"]]],
+            where=where,
+            man=man,
+        )
+
     def scan(self, version: int | None = None) -> DataFrame:
         man = (
             ann_index.read_index_manifest(self.corpus_dir, version=version)
@@ -189,6 +221,12 @@ class IvfVectorStore:
 
     def expire_versions(self, keep_last: int = 10) -> int:
         return ann_index.expire_index_versions(self.corpus_dir, keep_last)
+
+    def restore(self, version: int) -> dict:
+        """RESTORE: make snapshot ``version`` current again as a NEW
+        appended commit (zero-copy; see
+        ``ann_index.restore_index_version``)."""
+        return ann_index.restore_index_version(self.corpus_dir, version)
 
     # -- named refs ----------------------------------------------------
     def tag(self, name: str, version: int | None = None) -> int:

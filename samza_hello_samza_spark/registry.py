@@ -43,6 +43,7 @@ _MODULES = (
     "samza_hello_samza_spark.sources.bloom_index",
     "samza_hello_samza_spark.sources.inverted",
     "samza_hello_samza_spark.sources.merge",
+    "samza_hello_samza_spark.sources.jsonl_sink",
 )
 
 #: modules whose hard dependencies (numpy/pandas for vectorized paths)
@@ -52,6 +53,7 @@ _OPTIONAL_MODULES = frozenset(
         "samza_hello_samza_spark.operators.similarity",
         "samza_hello_samza_spark.operators.multimodal",
         # module-level pandas import (merge UDF); optional like the others
+        "samza_hello_samza_spark.sources.jsonl_sink",
         "samza_hello_samza_spark.operators.tokenizer",
         "samza_hello_samza_spark.operators.tokenizer_wp",
         "samza_hello_samza_spark.operators.lm",

@@ -951,6 +951,53 @@ class VersionedMergeTable:
         self._commit(man, new_version, nonce)
         return new_version
 
+    def restore(self, version: int) -> int:
+        """``RESTORE TABLE ... TO VERSION AS OF`` — make snapshot
+        ``version`` current again as a NEW numbered commit (Delta's
+        model: a rollback never rewrites history; it appends).
+
+        Zero-copy: the new version's snapshot carries the TARGET's
+        bucket pointers, DV state, and partition spec verbatim — no
+        data file is copied or rewritten, and because kept snapshots
+        pin the files they reference, ``expire_snapshots`` after a
+        restore cannot reclaim the restored data out from under it.
+        Everything downstream composes for free: time travel to the
+        in-between versions keeps working, ``history()`` shows the
+        RESTORE entry, and ``read_changes`` across the restore commit
+        emits exactly the row diff the rollback un-does (the CDC
+        consumers — join-MV, ANN index, downstream folds — absorb a
+        restore like any other commit). Goes through the same
+        claim/swap protocol as every write, so a restore serializes
+        with concurrent merges. Returns the restore commit's version.
+        """
+        man = self.manifest()
+        target = int(version)
+        if str(target) not in man["snapshots"]:
+            raise FileNotFoundError(
+                f"cannot restore to v{target}: no such snapshot in {self.path}"
+            )
+        cur = man["current"]
+        if target == cur:
+            raise ValueError(
+                f"v{target} is already the current version of {self.path}"
+            )
+        new_version = cur + 1
+        nonce = self._claim(new_version)
+        man["snapshots"][str(new_version)] = dict(man["snapshots"][str(target)])
+        man.setdefault("spec", {})[str(new_version)] = self._spec(man, target)
+        tgt_dvs = man.get("deletes", {}).get(str(target), {})
+        man.setdefault("deletes", {})[str(new_version)] = {
+            b: list(v) for b, v in tgt_dvs.items()
+        }
+        man.setdefault("ops", {})[str(new_version)] = {
+            "operation": f"RESTORE v{target}",
+            "inserted": 0,
+            "updated": 0,
+            "deleted": 0,
+        }
+        self._commit(man, new_version, nonce)
+        return new_version
+
     def create_tag(self, name: str, version: int | None = None) -> int:
         """Pin ``version`` (default: current) under an immutable name —
         ``ALTER TABLE CREATE TAG``. Tagged versions survive
@@ -1527,6 +1574,25 @@ def orders_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: ``read(version=2)`` of the deterministic customer-
+    state table — the MID-history snapshot (after the MERGE commit,
+    BEFORE the deletion-vector delete). The tags/branches/retention
+    machinery is pytest-covered; this key hash-pins the read path
+    itself: a pinned version must return exactly the state the commit
+    log says it held, byte-for-byte, regardless of every commit that
+    came after. The oracle replays v2 from raw orders with the same
+    CTE chain the change-feed oracle uses — so the Spark snapshot
+    resolution (manifest version → bucket files → DV mask) is checked
+    against first principles, not against the engine's own history.
+    Cost: a plain pruned snapshot read; version resolution is one
+    manifest lookup."""
+    tbl = _cdf_orders_table(spark, sf_dir)
+    return tbl.read(version=2).select(
+        "o_custkey", "last_orderkey", "last_status"
+    )
+
+
 def orders_cdf_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC consumer chain end-to-end, oracle-checked: the
     deterministic table's committed changes flow
@@ -1799,9 +1865,19 @@ ORACLES["orders_cdf_join_mv"] = (
     """
 )
 
+# v2 replayed from raw orders — the same CTE prefix as the change-log
+# oracle, selecting the snapshot instead of the diff.
+ORACLES["orders_time_travel"] = (
+    ORACLES["orders_cdf_changes"].split(",\n        c2 AS (")[0]
+    + """
+        SELECT o_custkey, last_orderkey, last_status FROM v2
+    """
+)
+
 QUERIES = {
     "orders_cdf_changes": orders_cdf_changes,
     "orders_cdf_downstream": orders_cdf_downstream,
     "orders_cdf_join_mv": orders_cdf_join_mv,
     "orders_table_history": orders_table_history,
+    "orders_time_travel": orders_time_travel,
 }

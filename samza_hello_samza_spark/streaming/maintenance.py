@@ -552,43 +552,20 @@ def cms_updater(
     union + sum. The stored sketch answers heavy-hitter / frequency
     queries over the WHOLE stream history in O(D×W) space — the
     unbounded-key-space answer the exact groupBy can't give.
-    """
-    from ..operators.sketches import CMS_D, _cms_bucket
 
-    def _fold(batch: DataFrame, _batch_id: int) -> None:
+    r07 hardening: the fold commits through the snapshot-manifest
+    batch gate (``fold_cms_cells``) like every other maintainer in
+    this module. Counter addition — unlike the k-min folds — is NOT
+    replay-idempotent, so here the gate IS the exactly-once
+    mechanism: the pre-r07 ``.staging``/rename fold double-counted a
+    batch replayed after a crash between the state swap and the
+    checkpoint commit (at-least-once window).
+    """
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        pairs = F.array(
-            *[
-                F.struct(
-                    F.lit(row).alias("row"),
-                    _cms_bucket(F.col(key_col), row).alias("bucket"),
-                )
-                for row in range(CMS_D)
-            ]
-        )
-        partial = (
-            batch.select(F.explode(pairs).alias("p"))
-            .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        spark = batch.sparkSession
-        import os
-
-        if os.path.exists(state_path):
-            partial = (
-                spark.read.parquet(state_path)
-                .unionByName(partial)
-                .groupBy("row", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        tmp = state_path.rstrip("/") + ".staging"
-        partial.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        if os.path.exists(state_path):
-            shutil.rmtree(state_path)
-        os.rename(tmp, state_path)
+        fold_cms_cells(batch, state_path, key_col, batch_id=batch_id)
 
     return (
         stream.writeStream.foreachBatch(_fold)
@@ -598,6 +575,77 @@ def cms_updater(
     )
 
 
+def fold_cms_cells(
+    batch: DataFrame,
+    state_path: str,
+    key_col: str = "user_id",
+    batch_id: int | None = None,
+) -> bool:
+    """Add one delta's (row, bucket) counts into the committed CMS
+    cell table (snapshot-manifest commit, see ``fold_kmv_sample``;
+    the batch gate is mandatory here — counters double on replay)."""
+    import json
+    import os
+    import shutil
+
+    from ..operators.sketches import CMS_D, _cms_bucket
+
+    os.makedirs(state_path, exist_ok=True)
+    man = _dw_manifest(state_path)
+    if batch_id is not None and batch_id <= man["applied_batch"]:
+        return False
+    spark = batch.sparkSession
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(row).alias("row"),
+                _cms_bucket(F.col(key_col), row).alias("bucket"),
+            )
+            for row in range(CMS_D)
+        ]
+    )
+    delta = (
+        batch.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if man["version"] > 0:
+        delta = (
+            delta.unionByName(
+                spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
+            )
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    new_version = man["version"] + 1
+    delta.write.mode("overwrite").parquet(
+        os.path.join(state_path, f"v{new_version}")
+    )
+    new_man = {
+        "version": new_version,
+        "applied_batch": batch_id if batch_id is not None else man["applied_batch"],
+    }
+    tmp = os.path.join(state_path, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp, os.path.join(state_path, "MANIFEST.json"))  # THE commit
+    for v in range(1, new_version - 1):  # keep current + previous
+        d = os.path.join(state_path, f"v{v}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    return True
+
+
+def read_cms_cells(spark: SparkSession, state_path: str) -> DataFrame:
+    """The committed D×W cell table at the manifest version."""
+    import os
+
+    man = _dw_manifest(state_path)
+    if man["version"] == 0:
+        return spark.createDataFrame([], "row int, bucket bigint, cnt bigint")
+    return spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
+
+
 def cms_estimate(spark: SparkSession, state_path: str, keys: DataFrame, key_col: str) -> DataFrame:
     """Point-estimate stream-lifetime frequencies from the stored sketch.
 
@@ -605,7 +653,7 @@ def cms_estimate(spark: SparkSession, state_path: str, keys: DataFrame, key_col:
     by construction → broadcast; estimate = min over the D cells."""
     from ..operators.sketches import CMS_D, _cms_bucket
 
-    cells = spark.read.parquet(state_path)
+    cells = read_cms_cells(spark, state_path)
     cand = keys.select(
         key_col,
         F.explode(

@@ -164,3 +164,114 @@ def test_build_and_query_small_corpus(spark, tmp_path):
         .count()
     )
     assert n4 == 1
+
+
+# -- positional postings: phrase search ------------------------------------
+
+
+def test_phrase_search_indexed_equals_scan_plan(spark):
+    """The positional-index phrase query returns exactly the corpus-
+    scan plan's rows (doc_id, lang, n_matches)."""
+    from samza_hello_samza_spark.operators.sampling import phrase_search
+
+    got = sorted(
+        map(tuple, inverted.phrase_search_indexed(spark, SF_DIR).collect())
+    )
+    want = sorted(map(tuple, phrase_search(spark, SF_DIR).collect()))
+    assert got == want and got
+
+
+def test_phrase_probe_lists_only_term_buckets(spark):
+    """The phrase query's postings scan carries the bucket partition
+    filter — ≤|distinct terms| of N_TBUCKETS directories listed."""
+    from samza_hello_samza_spark.operators.sampling import PHRASE
+
+    index_dir = inverted._documents_positional_index(spark, SF_DIR)
+    buckets = inverted.term_buckets(spark, list(set(PHRASE)))
+    assert len(buckets) <= len(set(PHRASE))
+    plan = (
+        inverted.phrase_search_indexed(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    all_buckets = {
+        e.split("=")[1]
+        for e in os.listdir(index_dir)
+        if e.startswith("tbucket=")
+    }
+    assert len(all_buckets) > len(buckets)  # the index really is wider
+
+
+def test_positional_phrase_semantics_small_corpus(spark, tmp_path):
+    """Aligned-anchor counting: multiple occurrences per doc counted,
+    repeated words inside the phrase handled (a slot per position),
+    no false positives from non-adjacent terms."""
+    docs = spark.createDataFrame(
+        [
+            (1, "big table scan and another table scan here"),
+            (2, "table without scan adjacency table x scan"),
+            (3, "scan table reversed order"),
+            (4, "again again again"),
+        ],
+        "doc_id long, text string",
+    )
+    out = inverted.build_positional_index(
+        spark, docs, os.path.join(str(tmp_path), "pos")
+    )
+    two = {
+        (r.doc_id, r.n_matches)
+        for r in inverted.phrase_search_positional(
+            spark, out, ["table", "scan"]
+        ).collect()
+    }
+    assert two == {(1, 2)}  # doc 2/3: non-adjacent or reversed
+    rep = {
+        (r.doc_id, r.n_matches)
+        for r in inverted.phrase_search_positional(
+            spark, out, ["again", "again", "again"]
+        ).collect()
+    }
+    assert rep == {(4, 1)}  # one aligned anchor despite repeated word
+
+
+def test_append_positional_two_batch_equals_full_rebuild(spark, tmp_path):
+    b1 = spark.createDataFrame(
+        [(1, "table scan first"), (2, "no match here")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "another table scan and table scan")],
+        "doc_id long, text string",
+    )
+    inc = inverted.build_positional_index(
+        spark, b1, os.path.join(str(tmp_path), "inc")
+    )
+    files_before = set(spark.read.parquet(inc).inputFiles())
+    n = inverted.append_documents_positional(spark, inc, b2)
+    assert n > 0
+    assert files_before <= set(spark.read.parquet(inc).inputFiles())
+    full = inverted.build_positional_index(
+        spark, b1.unionByName(b2), os.path.join(str(tmp_path), "full")
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(inc).select("word", "doc_id", "pos", "tbucket").collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(full).select("word", "doc_id", "pos", "tbucket").collect(),
+        )
+    )
+    assert got == want
+    hits = {
+        (r.doc_id, r.n_matches)
+        for r in inverted.phrase_search_positional(
+            spark, inc, ["table", "scan"]
+        ).collect()
+    }
+    assert hits == {(1, 1), (3, 2)}  # doc 3 arrived via the append path

@@ -159,6 +159,46 @@ def test_ann_lsh_recall(spark):
     assert overlap >= 0.2, f"ANN recall {overlap:.2f} suspiciously low"
 
 
+def test_ann_mrl_recall_and_ranking(spark):
+    """MRL prefix shortlist (16 of 64 dims) recovers a meaningful
+    share of the exact top-k on untrained synthetic vectors (real MRL
+    embeddings concentrate signal in the prefix by construction), and
+    the final list is exactly-ranked by full-dim cosine."""
+    brute = [r.vec_id for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect()]
+    rows = similarity.ann_mrl_topk(spark, SF_DIR).collect()
+    assert len(rows) == similarity.TOP_K
+    overlap = len(set(brute) & {r.vec_id for r in rows}) / len(brute)
+    assert overlap >= 0.2, f"MRL recall {overlap:.2f} suspiciously low"
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_dedup_lsh_eval_confusion_counts_are_consistent(spark):
+    """The eval's counts must equal the relations it audits: truth =
+    dedup_prefix_filter pairs, candidates = dedup_minhash_lsh pairs,
+    hits = their intersection; ppm ratios follow by integer division;
+    realized recall at J>=0.5 stays near the 12x2-band theory (~0.9)."""
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_prefix_filter(spark, SF_DIR).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    row = dedup.dedup_lsh_eval(spark, SF_DIR).collect()[0]
+    assert row.n_true_pairs == len(truth)
+    assert row.n_lsh_pairs == len(cand)
+    assert row.n_hits == len(truth & cand)
+    assert row.n_false_candidates == len(cand - truth)
+    assert row.n_missed == len(truth - cand)
+    if row.n_lsh_pairs:
+        assert row.precision_ppm == 1000000 * row.n_hits // row.n_lsh_pairs
+    if row.n_true_pairs:
+        assert row.recall_ppm == 1000000 * row.n_hits // row.n_true_pairs
+        assert row.recall_ppm >= 800000, f"LSH recall {row.recall_ppm} ppm < 0.8"
+
+
 def test_dedup_clusters_consistent_with_pairs(spark):
     """Both ends of every near-dup pair land in the same cluster, and
     every cluster_id is the min doc_id of its members."""

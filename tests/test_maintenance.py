@@ -335,7 +335,8 @@ def test_cms_updater_stream_matches_batch_sketch(spark, tmp_path):
     ):
         batch_cells[(r.row, r.bucket)] = r.cnt
     stream_cells = {
-        (r.row, r.bucket): r.cnt for r in spark.read.parquet(state).collect()
+        (r.row, r.bucket): r.cnt
+        for r in maintenance.read_cms_cells(spark, state).collect()
     }
     assert stream_cells == batch_cells
 
@@ -1772,6 +1773,75 @@ def test_audience_kmv_updater_stream_fold_equals_batch_sketch(spark, tmp_path):
     man_before = maintenance._dw_manifest(state)
     assert maintenance.fold_audience_kmv(events, state, batch_id=0) is False
     assert maintenance._dw_manifest(state) == man_before
+
+
+def test_cms_fold_is_replay_gated_and_equals_batch_cells(spark, tmp_path):
+    """r07 hardening pin: the CMS fold commits through the
+    snapshot-manifest batch gate (counter addition is NOT
+    replay-idempotent, so the gate IS exactly-once — the pre-r07
+    .staging fold double-counted a replayed batch), and two disjoint
+    deltas folded through the gate reproduce EXACTLY the batch-built
+    D×W cell table plus the batch key's min-of-cells estimates."""
+    from samza_hello_samza_spark.operators import sketches
+    from samza_hello_samza_spark.operators.dedup import explode_nonempty
+
+    base = os.path.join(SF_DIR, "events.parquet")
+    events = spark.read.parquet(base)
+    state = str(tmp_path / "cms_state")
+    assert (
+        maintenance.fold_cms_cells(
+            events.filter(F.col("event_id") % 2 == 0), state, batch_id=0
+        )
+        is True
+    )
+    # crash-replay of batch 0: MUST fold nothing (counters would double)
+    man_mid = maintenance._dw_manifest(state)
+    assert (
+        maintenance.fold_cms_cells(
+            events.filter(F.col("event_id") % 2 == 0), state, batch_id=0
+        )
+        is False
+    )
+    assert maintenance._dw_manifest(state) == man_mid
+    assert (
+        maintenance.fold_cms_cells(
+            events.filter(F.col("event_id") % 2 == 1), state, batch_id=1
+        )
+        is True
+    )
+
+    got = {
+        (r.row, r.bucket, r.cnt)
+        for r in maintenance.read_cms_cells(spark, state).collect()
+    }
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(row).alias("row"),
+                sketches._cms_bucket(F.col("user_id"), row).alias("bucket"),
+            )
+            for row in range(sketches.CMS_D)
+        ]
+    )
+    want = {
+        (r.row, r.bucket, r.cnt)
+        for r in explode_nonempty(events, [], pairs, "p")
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+    # estimates from the maintained state == the batch key's estimates
+    est = {
+        r.user_id: r.est_count
+        for r in maintenance.cms_estimate(
+            spark, state, events.select("user_id").distinct(), "user_id"
+        ).collect()
+    }
+    for r in sketches.heavy_hitters_cms(spark, SF_DIR).collect():
+        assert est[r.user_id] == r.est_count, r
+        assert est[r.user_id] >= r.exact_count  # CMS never underestimates
 
 
 def test_apply_cdf_to_join_mv_matches_recompute_and_survives_replay(

@@ -1416,3 +1416,76 @@ def test_join_mv_rerun_is_a_noop(spark):
     again = sorted(tuple(r) for r in orders_cdf_join_mv(spark, _SF).collect())
     assert again == first
     assert mv.versions() == v_before
+
+
+def test_orders_time_travel_oracle_and_isolation(spark, duck):
+    """read(version=2) hash-matches the first-principles v2 replay,
+    and is UNAFFECTED by the v3 delete that follows it (snapshot
+    isolation through the commit log)."""
+    from samza_hello_samza_spark.sources.merge import ORACLES as M_ORACLES
+    from samza_hello_samza_spark.sources.merge import (
+        _cdf_orders_table,
+        orders_time_travel,
+    )
+    from tests.conftest import SF_DIR as _SF
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, duck, orders_time_travel, M_ORACLES["orders_time_travel"]
+    )
+    v2 = {r.o_custkey for r in orders_time_travel(spark, _SF).collect()}
+    v3 = {r.o_custkey for r in _cdf_orders_table(spark, _SF).read().collect()}
+    assert v3 < v2  # the later delete removed keys v2 still holds
+
+
+def test_restore_rolls_back_as_a_new_commit(spark, vtable):
+    """RESTORE: the restored read equals the target version exactly,
+    history is appended (never rewritten — the in-between version
+    stays time-travelable), the ops ledger records the RESTORE, the
+    change feed across the restore commit is exactly the rows the
+    rollback un-does, and retention after the restore cannot reclaim
+    the restored data."""
+    v1 = {r.k: (r.v, r.status) for r in vtable.read().collect()}
+    vtable.merge(
+        spark.createDataFrame(
+            [(0, "CHANGED", "open"), (9000, "NEWROW", "open")],
+            "k long, v string, status string",
+        )
+    )
+    vtable.delete_where(F.col("k") == 5)
+    assert vtable.manifest()["current"] == 3
+
+    new_v = vtable.restore(1)
+    assert new_v == 4
+    got = {r.k: (r.v, r.status) for r in vtable.read().collect()}
+    assert got == v1  # exactly the v1 state again
+
+    # history appended, not rewritten: v3 still shows the delete
+    v3 = {r.k for r in vtable.read(version=3).collect()}
+    assert 5 not in v3 and 9000 in v3
+    ops = {r.version: r.operation for r in vtable.history().collect()}
+    assert ops[4] == "RESTORE v1"
+
+    # CDF across the restore = the rows the rollback un-does
+    ch = vtable.read_changes(3, 4).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, set()).add(r.k)
+    assert by_type.get("insert") == {5}  # the deleted row comes back
+    assert by_type.get("delete") == {9000}  # the merged-in row leaves
+    assert by_type.get("update") == {0}  # the changed row reverts
+
+    # zero-copy + retention safety: expire everything but the restore,
+    # the restored state must stay byte-readable
+    vtable.expire_snapshots(keep_last=1)
+    assert {
+        r.k: (r.v, r.status) for r in vtable.read().collect()
+    } == v1
+
+    # guards: unknown + already-current targets fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already the current"):
+        vtable.restore(4)
+    with _pytest.raises(FileNotFoundError, match="no such snapshot"):
+        vtable.restore(99)

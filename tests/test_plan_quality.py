@@ -125,6 +125,7 @@ TOPK = {
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_mrl_topk",
 }
 
 

@@ -16,10 +16,37 @@ from tests.conftest import SF_DIR, assert_matches_oracle
         (sketches, "heavy_hitters_cms"),
         (sketches, "quantile_kmv_calibration"),
         (graph, "doc_pagerank"),
+        (graph, "graph_label_propagation"),
     ],
 )
 def test_oracle_match(spark, duck, mod, name):
     assert_matches_oracle(spark, duck, mod.QUERIES[name], mod.ORACLES[name])
+
+
+def test_lpa_communities_refine_connected_components(spark):
+    """LPA is a refinement of connected components: a community never
+    spans two components (labels only flow along edges), every graph
+    node gets exactly one community, and community labels are node
+    ids from the same component (labels originate as member ids)."""
+    from samza_hello_samza_spark.operators import dedup
+
+    comm = {
+        r.doc_id: r.community
+        for r in graph.graph_label_propagation(spark, SF_DIR).collect()
+    }
+    comp = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(spark, SF_DIR).collect()
+    }
+    # same node universe (both walk the jaccard-pair graph)
+    assert set(comm) == set(comp)
+    for doc, lab in comm.items():
+        assert lab in comp, f"community label {lab} is not a graph node"
+        assert comp[lab] == comp[doc], (
+            f"doc {doc}'s community label {lab} lives in another component"
+        )
+    # refinement is strict or equal: #communities >= #components
+    assert len(set(comm.values())) >= len(set(comp.values()))
 
 
 def test_cms_never_underestimates(spark):

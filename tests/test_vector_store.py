@@ -133,3 +133,43 @@ def test_index_tags_pin_versions_through_expiry(spark, tmp_path):
     assert v1 not in store.versions()
     with pytest.raises(KeyError):
         store.delete_tag("release-1")
+
+
+def test_store_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """Index-side RESTORE (the table-restore twin): the restored probe
+    equals the target version's, history is appended (pre-restore
+    manifests stay pinned-readable), a later listing commit neither
+    resurrects the superseded append nor drops restored files."""
+    store = _store(spark, tmp_path, "vsr")
+    qvec = similarity._query_vector(spark, SF_DIR)
+    v1 = store.manifest()["version"]
+    base = _ids(store.probe(qvec, NLIST))
+
+    # commit an append (v2) and a tombstone delete (v3)
+    new_id = 5_000_000
+    store.append(_vec_df(spark, new_id, [float(x) for x in qvec]))
+    victim = sorted(base)[0]
+    store.delete([victim])
+    v3 = store.manifest()["version"]
+    assert v3 > v1
+    mid = _ids(store.probe(qvec, NLIST))
+    assert new_id in mid and victim not in mid
+
+    man = store.restore(v1)
+    assert man["version"] == v3 + 1
+    # restored probe == the v1 state: append gone, delete unmasked
+    assert _ids(store.probe(qvec, NLIST)) == base
+    # pre-restore manifest stays readable (appended history)
+    pinned = _ids(store.probe(qvec, NLIST, version=v3))
+    assert new_id in pinned and victim not in pinned
+
+    # a listing-based commit after the restore must not resurrect the
+    # superseded append files (they are retired now)
+    ann_index.commit_index_snapshot(store.corpus_dir)
+    assert _ids(store.probe(qvec, NLIST)) == base
+
+    # guards
+    with pytest.raises(ValueError, match="already the current"):
+        store.restore(store.manifest()["version"])
+    with pytest.raises(FileNotFoundError):
+        store.restore(9999)

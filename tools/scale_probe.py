@@ -143,6 +143,13 @@ PROBE_OPS = (
     "ann_binary_rerank_topk",
     "audience_kmv_setops",
     "embedding_knn_eval",
+    # r07f additions: the in-scan MRL probe (prefix slice + rerank —
+    # one pruned scan; the committed twin sits in WARMED_PROBE_OPS)
+    # and the pinned-version snapshot read. dedup_lsh_eval and
+    # graph_label_propagation sit with the excluded pair-graph family
+    # (replication manufactures duplicate cliques).
+    "ann_mrl_topk",
+    "orders_time_travel",
 )
 
 #: index/layout-backed keys whose per-sf_dir build is a one-time
@@ -181,6 +188,13 @@ WARMED_PROBE_OPS = (
     "ann_filtered_sq8_topk",
     "orders_cdf_join_mv",
     "packed_webdataset_audit",
+    # r07f/g: committed MRL prefix layout, the JSONL shard export
+    # (export is the warmed step, the timed run audits the bytes),
+    # and the positional posting layout (build warmed, phrase probe
+    # is the bucket-pruned serving read).
+    "ann_mrl_indexed_topk",
+    "jsonl_export_audit",
+    "phrase_search_indexed",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
