@@ -204,6 +204,8 @@ EXTRA_VOLUME = (
     # r07g: exact-adjacency phrase search served from the POSITIONAL
     # posting layout (bucket-pruned, aligned-anchor counting).
     "phrase_search_indexed",
+    # r07h: slop-proximity query over the same positional layout.
+    "proximity_search_indexed",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the
@@ -249,6 +251,11 @@ UNBENCHED: dict[str, str] = {
         "stream_table_join_salted", "samza_sql_filter", "samza_sql_casewhen",
         "samza_sql_groupby", "samza_sql_stream_table_join",
     )},
+    # r07h compositions of already-benched probes — no new volume path:
+    "ann_recall_curve": "composes four benched probes (bruteforce/"
+    "binary/sq8/mrl) plus 10-row intersection joins",
+    "corpus_dedup_report": "composes three benched/family-repped dedup "
+    "relations (exact groups, jaccard pairs, clusters) into 1-row aggs",
     **{k: _R["family_rep"] for k in (
         # dedup family: dedup_exact/chunk/window/minhash/simhash benched
         "dedup_url", "dedup_fuzzy", "dedup_incremental", "dedup_ngram_jaccard",

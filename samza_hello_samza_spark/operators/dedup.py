@@ -521,6 +521,57 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row duplication executive summary — the first number
+    every curation run reports ("how much of this corpus is
+    duplicate, and in what shape?"): total docs, exact-duplicate docs
+    and groups, near-dup pair and cluster counts, and the ppm share
+    of exact-unique docs. Composes the audited relations
+    (``dedup_exact``, ``dedup_ngram_jaccard``, ``dedup_clusters``)
+    into bounded 1-row aggregates crossed together (the
+    ``corpus_vocab_stats`` 1-row-broadcast shape); every figure is an
+    integer, so the whole report is ORACLE-CHECKED against a
+    first-principles DuckDB rebuild (exact-dup md5 groups + the
+    recursive-CTE clustering).
+    """
+    from ..session import load_table as _lt
+
+    total = _lt(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    ex = dedup_exact(spark, sf_dir).agg(
+        F.sum("is_duplicate").cast("long").alias("n_exact_dup_docs"),
+        F.count_distinct(
+            F.when(F.col("is_duplicate") == 1, F.col("canonical_doc_id"))
+        )
+        .cast("long")
+        .alias("n_exact_groups"),
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_pairs")
+    )
+    cl = dedup_clusters(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clustered_docs"),
+        F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+    return (
+        total.crossJoin(ex)
+        .crossJoin(pairs)
+        .crossJoin(cl)
+        .select(
+            "n_docs",
+            "n_exact_dup_docs",
+            "n_exact_groups",
+            "n_near_pairs",
+            "n_clustered_docs",
+            "n_clusters",
+            F.expr("(1000000 * (n_docs - n_exact_dup_docs)) div n_docs")
+            .cast("long")
+            .alias("exact_unique_ppm"),
+        )
+    )
+
+
 #: "today's batch" stand-in for the incremental probe: every 10th doc.
 NEW_BATCH_MOD = 10
 
@@ -1333,6 +1384,41 @@ _CLUSTERS_CTE = _SHINGLES_SQL.replace("WITH", "WITH RECURSIVE", 1) + """
     )
 """
 
+#: the one-row duplication summary: exact-dup md5 groups + near-dup
+#: pair/cluster counts over the recursive-CTE clustering.
+_DEDUP_REPORT_SQL = (
+    _CLUSTERS_CTE
+    + """
+    , hashed AS (
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS th
+        FROM documents
+    ),
+    canon AS (SELECT th, min(doc_id) AS c FROM hashed GROUP BY th),
+    ex AS (
+        SELECT
+          CAST(coalesce(sum(CASE WHEN h.doc_id <> cn.c THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_exact_dup_docs,
+          CAST(count(DISTINCT CASE WHEN h.doc_id <> cn.c THEN cn.c END)
+               AS BIGINT) AS n_exact_groups
+        FROM hashed h JOIN canon cn ON h.th = cn.th
+    )
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        ex.n_exact_dup_docs,
+        ex.n_exact_groups,
+        (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_near_pairs,
+        (SELECT CAST(count(*) AS BIGINT) FROM clusters) AS n_clustered_docs,
+        (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM clusters)
+            AS n_clusters,
+        CAST((1000000 * ((SELECT count(*) FROM documents)
+                         - ex.n_exact_dup_docs))
+             // (SELECT count(*) FROM documents) AS BIGINT)
+            AS exact_unique_ppm
+    FROM ex
+"""
+)
+
 #: DuckDB twin of ``_md5_slice32`` (see its docstring).
 _MD5_SLICE32_SQL = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
 
@@ -1655,6 +1741,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
     "minhash_jaccard_estimate": _MINHASH_EST_SQL,
     "dedup_lsh_eval": _LSH_EVAL_SQL,
+    "corpus_dedup_report": _DEDUP_REPORT_SQL,
     "dedup_incremental": _MINHASH_INCREMENTAL_SQL,
     "contamination_minhash": _CONTAM_MINHASH_SQL,
     "dedup_fuzzy": _SHINGLES_SQL
@@ -1844,6 +1931,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "dedup_lsh_eval": dedup_lsh_eval,
+    "corpus_dedup_report": corpus_dedup_report,
     "dedup_incremental": dedup_incremental,
     "dedup_prefix_filter": dedup_prefix_filter,
     "contamination_minhash": contamination_minhash,

@@ -655,6 +655,47 @@ def ann_mrl_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantization-rung decision table: recall@10 of each
+    compressed ANN ranking (1-bit binary / 8-bit SQ8 / 16-of-64-dim
+    MRL prefix) against the exact cosine top-10 — the measurement a
+    serving tier runs before choosing how many bytes per vector to
+    commit (the `embedding_knn_eval` discipline, pointed at the
+    index families instead of the embedding space).
+
+    One row per method with the hit count and ppm recall (integer
+    division over exact counts). Every constituent ranking already
+    has an exact DuckDB twin, so the WHOLE table is ORACLE-CHECKED —
+    this is the rare eval where the answer itself is hash-pinned, not
+    a property bound. Cost: the three method scans the individual
+    keys run, plus 10-row joins.
+    """
+    exact = ann_bruteforce_topk(spark, sf_dir).select("vec_id")
+    methods = [
+        ("binary", ann_binary_topk),
+        ("mrl", ann_mrl_topk),
+        ("sq8", ann_sq8_topk),
+    ]
+    out = None
+    for name, fn in methods:
+        hits = (
+            fn(spark, sf_dir)
+            .select("vec_id")
+            .join(exact, "vec_id", "left_semi")
+        )
+        row = hits.agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        ).select(
+            F.lit(name).alias("method"),
+            "n_hits",
+            F.expr(f"(1000000 * n_hits) div {TOP_K}")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _sq8_index(
     spark: SparkSession, sf_dir: str, attrs: tuple[str, ...] = ()
 ) -> str:
@@ -1509,6 +1550,76 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine DESC, e.vec_id ASC
         LIMIT {TOP_K}
     """,
+    # the quantization-rung decision table: every method's ranking is
+    # reproduced verbatim from the individual keys' oracles, then
+    # intersected with the exact top-k — integer counts + ppm ratios,
+    # so the whole eval hash-matches.
+    "ann_recall_curve": f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+        exact10 AS MATERIALIZED (
+            SELECT e.vec_id FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+            ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                     e.vec_id ASC
+            LIMIT {TOP_K}),
+        bin10 AS (
+            SELECT e.vec_id FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+            ORDER BY len(list_filter(range({DIM}),
+                         i -> (e.v[i + 1] > 0) <> (q.qv[i + 1] > 0))) ASC,
+                     e.vec_id ASC
+            LIMIT {TOP_K}),
+        mrlpre AS (
+            SELECT e.vec_id, e.v FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+            ORDER BY round(list_cosine_similarity(
+                         e.v[1:{MRL_PREFIX_DIM}], q.qv[1:{MRL_PREFIX_DIM}]), 6) DESC,
+                     e.vec_id ASC
+            LIMIT {MRL_RERANK_M}),
+        mrl10 AS (
+            SELECT m.vec_id FROM mrlpre m, q
+            ORDER BY round(list_cosine_similarity(m.v, q.qv), 6) DESC,
+                     m.vec_id ASC
+            LIMIT {TOP_K}),
+        b AS (
+            SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+            FROM (
+                SELECT i, min(v[i + 1]) AS mn, max(v[i + 1]) AS mx
+                FROM e, generate_series(0, {DIM - 1}) AS t(i) GROUP BY i
+            )
+        ),
+        c AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(range({DIM}), i ->
+                       CASE WHEN b.mxs[i+1] > b.mns[i+1]
+                            THEN greatest(0, least(255,
+                                 CAST(floor((v[i+1] - b.mns[i+1]) * 255.0
+                                      / (b.mxs[i+1] - b.mns[i+1])) AS BIGINT)))
+                            ELSE 0 END) AS codes
+            FROM e, b
+        ),
+        qc AS (SELECT codes AS qcodes FROM c WHERE vec_id = {QUERY_VEC_ID}),
+        sq810 AS (
+            SELECT c.vec_id FROM c, qc WHERE c.vec_id <> {QUERY_VEC_ID}
+            ORDER BY list_sum(list_transform(range({DIM}),
+                         i -> (c.codes[i+1] - 128) * (qc.qcodes[i+1] - 128))) DESC,
+                     c.vec_id ASC
+            LIMIT {TOP_K})
+        SELECT method, n_hits,
+               CAST((1000000 * n_hits) // {TOP_K} AS BIGINT) AS recall_ppm
+        FROM (
+            SELECT 'binary' AS method,
+                   (SELECT CAST(count(*) AS BIGINT) FROM bin10
+                    JOIN exact10 USING (vec_id)) AS n_hits
+            UNION ALL
+            SELECT 'mrl',
+                   (SELECT CAST(count(*) AS BIGINT) FROM mrl10
+                    JOIN exact10 USING (vec_id))
+            UNION ALL
+            SELECT 'sq8',
+                   (SELECT CAST(count(*) AS BIGINT) FROM sq810
+                    JOIN exact10 USING (vec_id))
+        )
+    """,
     # MRL prefix shortlist + exact rerank: both cuts reproduced on the
     # same rounded-score + vec_id order, list slices are 1-based
     # inclusive in DuckDB (v[1:16] ≡ Spark slice(v, 1, 16)).
@@ -1815,6 +1926,7 @@ QUERIES = {
     "ann_sq8_rerank_topk": ann_sq8_rerank_topk,
     "ann_mrl_topk": ann_mrl_topk,
     "ann_mrl_indexed_topk": ann_mrl_indexed_topk,
+    "ann_recall_curve": ann_recall_curve,
     "ann_sq8_indexed_topk": ann_sq8_indexed_topk,
     "ann_filtered_sq8_topk": ann_filtered_sq8_topk,
     "embedding_knn_eval": embedding_knn_eval,

@@ -270,6 +270,48 @@ def phrase_search_positional(
     )
 
 
+def proximity_search_positional(
+    spark: SparkSession,
+    index_dir: str,
+    term_a: str,
+    term_b: str,
+    slop: int,
+) -> DataFrame:
+    """Docs where ``term_a`` and ``term_b`` co-occur within ``slop``
+    words (either order) — the Lucene slop/proximity query, from the
+    positional layout without a corpus scan.
+
+    One equi-join on doc_id between the two terms' (bucket-pruned,
+    word-pushdown) posting sets with the distance bound as a join-side
+    filter; per-doc cost is tf(a)·tf(b) pairs — the standard positional
+    intersection, bounded by term frequency, never document length.
+    Returns (doc_id, n_pairs, min_dist).
+    """
+    buckets = term_buckets(spark, list({term_a, term_b}))
+    postings = spark.read.parquet(index_dir).filter(
+        F.col("tbucket").isin(buckets)
+    )
+    a = (
+        postings.filter(F.col("word") == term_a)
+        .select("doc_id", F.col("pos").alias("pa"))
+    )
+    b = (
+        postings.filter(F.col("word") == term_b)
+        .select("doc_id", F.col("pos").alias("pb"))
+    )
+    d = F.abs(F.col("pa") - F.col("pb"))
+    return (
+        a.join(b, "doc_id")
+        .filter(d <= slop)
+        .select("doc_id", d.alias("dist"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("dist").cast("long").alias("min_dist"),
+        )
+    )
+
+
 # -- registered demo query: term_search through the materialized index -----
 
 
@@ -303,6 +345,25 @@ def _documents_positional_index(spark: SparkSession, sf_dir: str) -> str:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         build_positional_index(spark, docs, out)
     return out
+
+
+PROX_SLOP = 3
+
+
+def proximity_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slop-3 proximity query for the demo phrase's two terms over the
+    positional layout — the third member of the indexed-retrieval
+    triad (term / phrase / proximity): docs where 'table' and 'scan'
+    sit within 3 words in either order, with the co-occurrence count
+    and closest distance. Bucket-pruned like the phrase probe; the
+    oracle recomputes positions from raw documents first-principles.
+    """
+    from ..operators.sampling import PHRASE
+
+    index_dir = _documents_positional_index(spark, sf_dir)
+    return proximity_search_positional(
+        spark, index_dir, PHRASE[0], PHRASE[1], PROX_SLOP
+    )
 
 
 def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,7 +406,41 @@ def _phrase_search_oracle() -> str:
 
 ORACLES["phrase_search_indexed"] = _phrase_search_oracle()
 
+
+def _proximity_oracle() -> str:
+    # positions recomputed from raw documents first-principles (same
+    # tokenizer twin as the phrase oracle; 0-based like posexplode)
+    from ..operators.sampling import PHRASE
+
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS words
+            FROM documents
+        ),
+        pos AS MATERIALIZED (
+            SELECT doc_id, p - 1 AS p, words[p] AS word
+            FROM w, unnest(generate_series(1, len(words))) AS t(p)
+        ),
+        pairs AS (
+            SELECT a.doc_id, abs(a.p - b.p) AS d
+            FROM (SELECT doc_id, p FROM pos WHERE word = '{PHRASE[0]}') a
+            JOIN (SELECT doc_id, p FROM pos WHERE word = '{PHRASE[1]}') b
+              ON a.doc_id = b.doc_id
+            WHERE abs(a.p - b.p) <= {PROX_SLOP}
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(min(d) AS BIGINT) AS min_dist
+        FROM pairs GROUP BY doc_id
+    """
+
+
+ORACLES["proximity_search_indexed"] = _proximity_oracle()
+
 QUERIES = {
     "term_search_indexed": term_search_indexed,
     "phrase_search_indexed": phrase_search_indexed,
+    "proximity_search_indexed": proximity_search_indexed,
 }

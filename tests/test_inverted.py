@@ -275,3 +275,43 @@ def test_append_positional_two_batch_equals_full_rebuild(spark, tmp_path):
         ).collect()
     }
     assert hits == {(1, 1), (3, 2)}  # doc 3 arrived via the append path
+
+
+def test_proximity_search_semantics_small_corpus(spark, tmp_path):
+    """Slop window, either order, pair counting and min distance."""
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan now"),              # d=1
+            (2, "table one two scan"),          # d=3 (at slop)
+            (3, "table one two three scan"),    # d=4 (outside)
+            (4, "scan x table and table"),      # reversed d=2, d=4->excl... scan@0,table@2,table@4: d=2 in, d=4 out
+            (5, "no terms at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = inverted.build_positional_index(
+        spark, docs, os.path.join(str(tmp_path), "prox")
+    )
+    got = {
+        r.doc_id: (r.n_pairs, r.min_dist)
+        for r in inverted.proximity_search_positional(
+            spark, out, "table", "scan", 3
+        ).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 3), 4: (1, 2)}
+
+
+def test_proximity_probe_lists_only_term_buckets(spark):
+    from samza_hello_samza_spark.operators.sampling import PHRASE
+
+    plan = (
+        inverted.proximity_search_indexed(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    # proximity hits are a superset of exact-adjacency phrase hits
+    prox = {r.doc_id for r in inverted.proximity_search_indexed(spark, SF_DIR).collect()}
+    phrase = {r.doc_id for r in inverted.phrase_search_indexed(spark, SF_DIR).collect()}
+    assert phrase <= prox

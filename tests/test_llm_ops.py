@@ -1100,3 +1100,42 @@ def test_ann_binary_recall_and_rerank_superset(spark):
     for r in rerank:
         if r.vec_id in exact:
             assert abs(r.cosine - exact[r.vec_id]) < 1e-9
+
+
+def test_ann_recall_curve_consistent_with_method_keys(spark):
+    """Each row's hit count must equal the intersection of that
+    method's top-k with the exact top-k, recomputed from the
+    individual keys; recall is the integer ppm of hits over k."""
+    exact = {r.vec_id for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect()}
+    got = {
+        r.method: (r.n_hits, r.recall_ppm)
+        for r in similarity.ann_recall_curve(spark, SF_DIR).collect()
+    }
+    assert set(got) == {"binary", "mrl", "sq8"}
+    for name, fn in [
+        ("binary", similarity.ann_binary_topk),
+        ("mrl", similarity.ann_mrl_topk),
+        ("sq8", similarity.ann_sq8_topk),
+    ]:
+        ids = {r.vec_id for r in fn(spark, SF_DIR).collect()}
+        hits = len(ids & exact)
+        assert got[name] == (hits, 1000000 * hits // similarity.TOP_K), name
+    # the 8-bit rung should never trail the 1-bit rung on recall
+    assert got["sq8"][0] >= got["binary"][0]
+
+
+def test_corpus_dedup_report_consistent_with_relations(spark):
+    """Every figure equals the relation it summarizes."""
+    rows = dedup.corpus_dedup_report(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    exact = dedup.dedup_exact(spark, SF_DIR).collect()
+    assert r.n_docs == len(exact)
+    dups = [e for e in exact if e.is_duplicate]
+    assert r.n_exact_dup_docs == len(dups)
+    assert r.n_exact_groups == len({e.canonical_doc_id for e in dups})
+    assert r.n_near_pairs == dedup.dedup_ngram_jaccard(spark, SF_DIR).count()
+    cl = dedup.dedup_clusters(spark, SF_DIR).collect()
+    assert r.n_clustered_docs == len(cl)
+    assert r.n_clusters == len({c.cluster_id for c in cl})
+    assert r.exact_unique_ppm == 1000000 * (r.n_docs - r.n_exact_dup_docs) // r.n_docs

@@ -40,6 +40,8 @@ NONEQUI_OK = {
     "events_funnel",        # three 1-row stage counts broadcast-crossed
     "range_join_value_bands",  # broadcast band-interval non-equi join
     "ann_bruteforce_topk",  # 1-row query-vector broadcast
+    "ann_recall_curve",     # inherits bruteforce's 1-row query broadcast
+    "corpus_dedup_report",  # four 1-row summary aggregates broadcast-crossed
     "perplexity_proxy",     # 1-row corpus-total broadcast
     "corpus_quality_calibration",  # inherits perplexity's 1-row total broadcast
     "ccnet_perplexity_buckets",  # inherits perplexity's 1-row total broadcast

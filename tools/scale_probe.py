@@ -150,6 +150,10 @@ PROBE_OPS = (
     # (replication manufactures duplicate cliques).
     "ann_mrl_topk",
     "orders_time_travel",
+    # r07h: composition of the four in-scan probes above — one scan
+    # each + 10-row intersections. corpus_dedup_report sits with the
+    # excluded pair-graph family (it composes the clusters relation).
+    "ann_recall_curve",
 )
 
 #: index/layout-backed keys whose per-sf_dir build is a one-time
@@ -195,6 +199,7 @@ WARMED_PROBE_OPS = (
     "ann_mrl_indexed_topk",
     "jsonl_export_audit",
     "phrase_search_indexed",
+    "proximity_search_indexed",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
