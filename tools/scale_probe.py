@@ -164,6 +164,11 @@ PROBE_OPS = (
 #: before its timed run, so the ratio compares steady-state serving —
 #: which is exactly the claim a file-skipping layout makes (near-flat
 #: across data growth).
+#: full-corpus byte audits: the op's CONTRACT is to read every
+#: exported byte (integrity checks), so ~repl× time on repl× data is
+#: the correct shape — reported next to, not inside, the plan worst.
+LINEAR_BY_CONTRACT = {"jsonl_export_audit", "packed_webdataset_audit"}
+
 WARMED_PROBE_OPS = (
     "lineitem_pruned_scan",
     "q6_pruned_scan",
@@ -537,9 +542,22 @@ def main() -> None:
     for name, b, s, r in sorted(rows, key=lambda x: -(x[3] or 0)):
         lines.append(f"| {name} | {b:.3f} | {s:.3f} | {r}× |")
     worst = max((r for *_x, r in rows if r is not None), default=0)
+    worst_plan = max(
+        (r for n, *_x, r in rows if r is not None and n not in LINEAR_BY_CONTRACT),
+        default=0,
+    )
     lines += [
         "",
-        f"Worst ratio this run: **{worst}×** against a {repl}× data increase.",
+        f"Worst ratio this run: **{worst}×** against a {repl}× data"
+        f" increase; worst outside the declared-linear byte audits:"
+        f" **{worst_plan}×**.",
+        "",
+        "Full-corpus BYTE AUDITS (jsonl_export_audit,",
+        "packed_webdataset_audit when present) are linear BY CONTRACT:",
+        "an integrity check that reads every exported byte must cost",
+        "~data× — sub-linearity there would mean the audit skipped",
+        "bytes. They are listed (honesty) but annotated here so the",
+        "headline worst isn't mistaken for a plan defect.",
         "",
         "Near-dup pair ops (jaccard/minhash/simhash/pagerank) are excluded:",
         "N×-replicating documents creates N-sized duplicate cliques, so",
@@ -565,6 +583,7 @@ def main() -> None:
                 "metric": "scale_probe_time_ratio",
                 "repl": repl,
                 "worst_ratio": worst,
+                "worst_plan_ratio": worst_plan,
                 "base_sec": base,
                 "scaled_sec": scaled,
             }
