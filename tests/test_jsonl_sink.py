@@ -130,3 +130,44 @@ def test_audit_detects_corruption(spark, tmp_path, monkeypatch):
         for r in jsonl_sink.jsonl_export_audit(spark, SF_DIR).collect()
     }
     assert before != after, "audit failed to notice a flipped byte"
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @given(
+        texts=st.lists(
+            st.text(max_size=40),  # arbitrary unicode incl. controls
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_any_unicode_text_roundtrips(spark, tmp_path_factory, texts):
+        """Property: EVERY unicode payload survives serialize → frame →
+        parse byte-exactly (the JSON escaping layer is the whole
+        framing guarantee — newlines, quotes, controls, surrogates
+        excluded by json itself)."""
+        path = str(tmp_path_factory.mktemp("jl"))
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+        )
+        jsonl_sink.write_jsonl_shards(df, path, "doc_id", 4)
+        back = {
+            r.doc_id: r.text
+            for r in jsonl_sink.read_jsonl_shards(
+                spark, path, "doc_id BIGINT, text STRING"
+            ).collect()
+        }
+        assert back == {i: t for i, t in enumerate(texts)}

@@ -1489,3 +1489,28 @@ def test_restore_rolls_back_as_a_new_commit(spark, vtable):
         vtable.restore(4)
     with _pytest.raises(FileNotFoundError, match="no such snapshot"):
         vtable.restore(99)
+
+
+def test_restore_loses_claim_race_cleanly(spark, vtable):
+    """RESTORE goes through the same O_EXCL claim as data writes: if a
+    concurrent writer already claimed the next version, the restore
+    raises having changed nothing — it can never fork the log."""
+    import os
+    vtable.merge(
+        spark.createDataFrame([(1, "Z", "open")], "k long, v string, status string")
+    )
+    cur = vtable.manifest()["current"]
+    # simulate a concurrent writer holding the next version's claim
+    claim = os.path.join(vtable.path, f"v{cur + 1}.claim")
+    with open(claim, "w") as f:
+        f.write("someone-else")
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="claimed"):
+            vtable.restore(1)
+        assert vtable.manifest()["current"] == cur  # nothing committed
+    finally:
+        os.remove(claim)
+    # with the claim gone the same restore succeeds
+    assert vtable.restore(1) == cur + 1
