@@ -302,6 +302,12 @@ class LshVectorStore:
     def versions(self) -> list[int]:
         return ann_index.index_versions(self.index_dir)
 
+    def restore(self, version: int) -> dict:
+        """RESTORE: republish snapshot ``version`` as a new appended
+        commit (``ann_index.restore_index_version``; the band table is
+        its own manifest dir)."""
+        return ann_index.restore_index_version(self.index_dir, version)
+
 
 class PqVectorStore:
     """One-handle facade over the PQ codes layout (codes-only ADC
@@ -345,6 +351,12 @@ class PqVectorStore:
     def versions(self) -> list[int]:
         return ann_index.index_versions(self.codes_dir)
 
+    def restore(self, version: int) -> dict:
+        """RESTORE the codes snapshot (incl. its codebook pointer) as
+        a new appended commit — a retrained index rolls back to the
+        prior codes+books pairing atomically."""
+        return ann_index.restore_index_version(self.codes_dir, version)
+
 
 class IvfPqVectorStore:
     """One-handle facade over the composed IVFADC layout. Pure
@@ -385,3 +397,8 @@ class IvfPqVectorStore:
 
     def versions(self) -> list[int]:
         return ann_index.index_versions(self.codes_dir)
+
+    def restore(self, version: int) -> dict:
+        """RESTORE the composed layout's codes snapshot (with its
+        centroid/codebook pointers) as a new appended commit."""
+        return ann_index.restore_index_version(self.codes_dir, version)

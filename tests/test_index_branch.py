@@ -202,3 +202,44 @@ def test_ivfpq_store_facade_delegates(spark, tmp_path):
     assert got == want
     store.append(_vec_df(spark, 890_000, qvec))
     assert len(store.versions()) >= 2
+
+
+def test_restore_across_probe_families(spark, tmp_path):
+    """RESTORE parity on every facade: an append rolls back to the
+    pre-append snapshot as a NEW commit, and a later listing commit
+    does not resurrect the superseded files."""
+    qvec = similarity._query_vector(spark, SF_DIR)
+
+    lsh = LshVectorStore.create(
+        spark, SF_DIR, similarity.PLANES, similarity.LSH_BAND_BITS,
+        out_dir=str(tmp_path / "lshr"),
+    )
+    v1 = ann_index.read_index_manifest(lsh.index_dir)["version"]
+    lsh.append(_vec_df(spark, 901_000, qvec))
+    assert 901_000 in {r.vec_id for r in lsh.probe(qvec).collect()}
+    lsh.restore(v1)
+    assert 901_000 not in {r.vec_id for r in lsh.probe(qvec).collect()}
+    ann_index.commit_index_snapshot(lsh.index_dir)
+    assert 901_000 not in {r.vec_id for r in lsh.probe(qvec).collect()}
+
+    pq = PqVectorStore.create(
+        spark, SF_DIR, similarity.PQ_M, similarity.PQ_KSUB,
+        out_dir=str(tmp_path / "pqr"),
+    )
+    v1 = ann_index.read_index_manifest(pq.codes_dir)["version"]
+    pq.append(_vec_df(spark, 902_000, qvec))
+    snap = ann_index.snapshot_scan(spark, pq.codes_dir)
+    assert snap.filter(F.col("vec_id") == 902_000).count() == 1
+    pq.restore(v1)
+    snap = ann_index.snapshot_scan(spark, pq.codes_dir)
+    assert snap.filter(F.col("vec_id") == 902_000).count() == 0
+
+    ivfpq = IvfPqVectorStore.create(
+        spark, SF_DIR, NLIST, similarity.PQ_M, similarity.PQ_KSUB,
+        out_dir=str(tmp_path / "ivfpqr"),
+    )
+    v1 = ann_index.read_index_manifest(ivfpq.codes_dir)["version"]
+    ivfpq.append(_vec_df(spark, 903_000, qvec))
+    ivfpq.restore(v1)
+    snap = ann_index.snapshot_scan(spark, ivfpq.codes_dir)
+    assert snap.filter(F.col("vec_id") == 903_000).count() == 0
