@@ -1923,3 +1923,76 @@ def test_apply_cdf_to_join_mv_matches_recompute_and_survives_replay(
         .collect()
     )
     assert got2 == want
+
+
+def test_restore_flows_through_cdc_consumer_exactly_once(spark, tmp_path):
+    """r07 RESTORE × the CDC chain: a table rollback is just another
+    commit to every downstream — publish_cdf ships the restore's
+    preimage-bearing diff, the signed fold returns the state to its
+    pre-mutation value, and a publisher cursor-loss replay of the
+    restore batch folds nothing (commit-version watermark)."""
+    import json as jsonmod
+
+    from samza_hello_samza_spark.sources.merge import VersionedMergeTable
+    from samza_hello_samza_spark.sources.topic_log import TopicLog
+
+    t = VersionedMergeTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
+    t.write_full(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", i * 10) for i in range(12)],
+            "k long, g string, val long",
+        )
+    )
+    topic = TopicLog(spark, str(tmp_path / "topic"), n_partitions=2)
+    cursor = str(tmp_path / "cursor.json")
+    state = str(tmp_path / "state")
+    schema = "k BIGINT, g STRING, val BIGINT, _change_type STRING, _commit_version BIGINT"
+
+    def cycle():
+        maintenance.publish_cdf(t, topic, cursor, key_col="k")
+        maintenance.fold_cdf_from_topic(
+            spark, topic, "dn", state, schema, keys=["g"], value_col="val"
+        )
+
+    def folded():
+        return {
+            r.g: (r.n_events, r.sum_value)
+            for r in spark.read.parquet(state).collect()
+        }
+
+    def expected():
+        return {
+            r.g: (r.n, r.s)
+            for r in t.read()
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+            .collect()
+        }
+
+    cycle()  # bootstrap
+    v1_state = folded()
+    assert v1_state == expected()
+
+    # v2 mutation: update, insert, delete
+    t.merge(
+        spark.createDataFrame(
+            [(0, "a", 999), (100, "b", 5)], "k long, g string, val long"
+        )
+    )
+    t.delete_where(F.col("k") == 3)
+    cycle()
+    assert folded() == expected()
+    assert folded() != v1_state
+
+    # RESTORE to v1: downstream must return to the v1 state
+    t.restore(1)
+    cycle()
+    assert folded() == expected()
+    assert folded() == v1_state
+
+    # publisher cursor loss: the restore batch re-publishes; the
+    # commit-version watermark must make the re-fold a no-op
+    with open(cursor, "w") as fh:
+        jsonmod.dump({"version": t.manifest()["current"] - 1}, fh)
+    cycle()
+    assert folded() == v1_state
