@@ -174,17 +174,24 @@ def read_jsonl_shards(
     ``schema`` is required (explicit contract, no inference scan —
     an inference pass over 100 TB of JSONL is a full extra read).
     ``shard_ids`` selects shards directly; ``key_range=(lo, hi)``
-    (half-open on keys) maps to the covering shard interval via the
-    manifest's ``samples_per_shard`` — either way only the selected
-    files are ever listed or opened.
+    is HALF-OPEN ON KEYS: the manifest's ``samples_per_shard`` prunes
+    to the covering shard interval at file listing, then an exact
+    ``key >= lo AND key < hi`` filter on the manifest's key column
+    trims the covering shards' out-of-range rows (the filter costs
+    nothing extra — those files are being parsed anyway). An empty
+    range (``hi <= lo``) selects no shards and returns no rows.
+    Either way only the selected files are ever listed or opened.
     """
     with open(os.path.join(path, "_manifest.json")) as f:
         man = json.load(f)
     if key_range is not None:
         lo, hi = key_range
-        per = man["samples_per_shard"]
-        wanted = range(lo // per, (max(hi - 1, lo)) // per + 1)
-        shard_ids = [s for s in wanted if str(s) in man["shards"]]
+        if hi <= lo:
+            shard_ids = []
+        else:
+            per = man["samples_per_shard"]
+            wanted = range(max(lo, 0) // per, (hi - 1) // per + 1)
+            shard_ids = [s for s in wanted if str(s) in man["shards"]]
     if shard_ids is None:
         files = [
             os.path.join(path, info["file"])
@@ -196,7 +203,13 @@ def read_jsonl_shards(
             for s in shard_ids
             if str(s) in man["shards"]
         ]
-    return spark.read.schema(schema).json(files)
+    if not files:
+        return spark.createDataFrame([], schema)
+    out = spark.read.schema(schema).json(files)
+    if key_range is not None:
+        kc = F.col(man["key_col"])
+        out = out.filter((kc >= F.lit(lo)) & (kc < F.lit(hi)))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -204,6 +217,11 @@ def read_jsonl_shards(
 # ---------------------------------------------------------------------------
 
 AUDIT_PER_SHARD = 256
+
+#: checksum null sentinel (ASCII unit separator — never appears in
+#: sane text, and a real occurrence only weakens THIS audit's null
+#: discrimination, never its corruption detection).
+_NULL_SENTINEL = "\x1f"
 
 _DOCS_SCHEMA = (
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
@@ -213,6 +231,23 @@ _DOCS_SCHEMA = (
 def _md5_slice32(col: F.Column) -> F.Column:
     # the repo's cross-engine 32-bit hash (operators/dedup.py family)
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _audit_content() -> F.Column:
+    """The checksum pre-image: every audited field NULL-DISTINCTLY —
+    coalesce to the unit-separator sentinel (chr(31), matched in the
+    oracle) so a null field, an empty string, and a differently-null
+    row all hash apart. ``concat_ws`` alone silently DROPS nulls,
+    letting two rows that differ only in WHICH field is null collide
+    (and diverge from the oracle's ``||``, which nulls the whole
+    concat)."""
+    return F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+            for c in ("doc_id", "lang", "source", "n_chars", "text")
+        ],
+    )
 
 
 def jsonl_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,14 +284,7 @@ def jsonl_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_jsonl_shards(docs, data, key_col="doc_id", samples_per_shard=AUDIT_PER_SHARD)
         open(done, "w").close()
     back = read_jsonl_shards(spark, data, _DOCS_SCHEMA)
-    content = F.concat_ws(
-        "|",
-        F.col("doc_id").cast("string"),
-        F.col("lang"),
-        F.col("source"),
-        F.col("n_chars").cast("string"),
-        F.col("text"),
-    )
+    content = _audit_content()
     return (
         back.withColumn("shard_id", _shard_expr("doc_id", AUDIT_PER_SHARD))
         .groupBy("shard_id")
@@ -280,8 +308,11 @@ ORACLES: dict[str, str] = {
                CAST(sum(length(text)) AS BIGINT) AS sum_text_chars,
                CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
                CAST(sum(CAST(concat('0x', substr(md5(
-                   CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source
-                   || '|' || CAST(n_chars AS VARCHAR) || '|' || text
+                   coalesce(CAST(doc_id AS VARCHAR), chr(31)) || '|'
+                   || coalesce(lang, chr(31)) || '|'
+                   || coalesce(source, chr(31)) || '|'
+                   || coalesce(CAST(n_chars AS VARCHAR), chr(31)) || '|'
+                   || coalesce(text, chr(31))
                ), 1, 8)) AS BIGINT)) AS BIGINT) AS content_checksum
         FROM documents
         GROUP BY 1

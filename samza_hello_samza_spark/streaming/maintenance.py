@@ -575,6 +575,17 @@ def cms_updater(
     )
 
 
+def _legacy_cms_files(state_path: str) -> list[str]:
+    """Pre-r07 ``cms_updater`` state: cell parquet written FLAT at
+    ``state_path`` (no ``v{N}`` snapshot dirs, no manifest). The
+    manifest layout would otherwise read version 0 there and silently
+    restart counts from zero on an upgraded stream."""
+    import glob
+    import os
+
+    return sorted(glob.glob(os.path.join(state_path, "*.parquet")))
+
+
 def fold_cms_cells(
     batch: DataFrame,
     state_path: str,
@@ -583,7 +594,13 @@ def fold_cms_cells(
 ) -> bool:
     """Add one delta's (row, bucket) counts into the committed CMS
     cell table (snapshot-manifest commit, see ``fold_kmv_sample``;
-    the batch gate is mandatory here — counters double on replay)."""
+    the batch gate is mandatory here — counters double on replay).
+
+    Legacy migration: the first fold over a pre-manifest state dir
+    (flat cell parquet at the root, the pre-r07 ``cms_updater``
+    layout) folds those root-level cells into v1 alongside the
+    delta — an upgraded stream keeps its whole-history counts —
+    and removes the migrated flat files after the manifest commit."""
     import json
     import os
     import shutil
@@ -595,6 +612,12 @@ def fold_cms_cells(
     if batch_id is not None and batch_id <= man["applied_batch"]:
         return False
     spark = batch.sparkSession
+    # at version 0 flat files are unmigrated legacy state (fold them);
+    # at version > 0 they are orphans of a crash between a prior
+    # fold's manifest commit and its cleanup (already folded — remove
+    # after this commit, never re-fold).
+    flat = _legacy_cms_files(state_path)
+    legacy = flat if man["version"] == 0 else []
     pairs = F.array(
         *[
             F.struct(
@@ -617,6 +640,14 @@ def fold_cms_cells(
             .groupBy("row", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
         )
+    elif legacy:
+        delta = (
+            delta.unionByName(
+                spark.read.parquet(*legacy).select("row", "bucket", "cnt")
+            )
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
     new_version = man["version"] + 1
     delta.write.mode("overwrite").parquet(
         os.path.join(state_path, f"v{new_version}")
@@ -629,6 +660,9 @@ def fold_cms_cells(
     with open(tmp, "w") as f:
         json.dump(new_man, f)
     os.replace(tmp, os.path.join(state_path, "MANIFEST.json"))  # THE commit
+    for f in flat:  # migrated (now or by a crashed prior fold)
+        if os.path.exists(f):
+            os.remove(f)
     for v in range(1, new_version - 1):  # keep current + previous
         d = os.path.join(state_path, f"v{v}")
         if os.path.exists(d):
@@ -637,11 +671,17 @@ def fold_cms_cells(
 
 
 def read_cms_cells(spark: SparkSession, state_path: str) -> DataFrame:
-    """The committed D×W cell table at the manifest version."""
+    """The committed D×W cell table at the manifest version. A
+    pre-manifest state dir (flat legacy cells, no fold yet) reads its
+    root-level cells directly, so estimates stay correct before AND
+    after the first migrating fold."""
     import os
 
     man = _dw_manifest(state_path)
     if man["version"] == 0:
+        legacy = _legacy_cms_files(state_path)
+        if legacy:
+            return spark.read.parquet(*legacy).select("row", "bucket", "cnt")
         return spark.createDataFrame([], "row int, bucket bigint, cnt bigint")
     return spark.read.parquet(os.path.join(state_path, f"v{man['version']}"))
 

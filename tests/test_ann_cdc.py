@@ -111,3 +111,51 @@ def test_cdc_apply_requires_a_seed_cursor(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="from_version"):
         ann_cdc_apply(spark, table, idx)
+
+
+def test_cdc_apply_absorbs_restore_exactly_once(spark, tmp_path):
+    """r08 (VERDICT #1): a base-table RESTORE flows into the serving
+    index like any commit — the net-change reduction (last commit
+    wins per key) absorbs the rollback batch (updated vectors revert,
+    the inserted id leaves, the deleted id returns), the index equals
+    the restored snapshot, and a cursor-loss replay of the restore
+    range is idempotent."""
+    idx, table = _setup(spark, tmp_path)
+    corpus = f"{idx}/corpus"
+    v0 = table.versions()[-1]
+    want_v0 = {r.vec_id: np.asarray(r.v) for r in table.read().collect()}
+
+    # mutations: update 3 and 7, insert 900000, delete 11
+    table.merge(
+        spark.createDataFrame(
+            [(3, _vec(3)), (7, _vec(7)), (900_000, _vec(99))],
+            "vec_id BIGINT, v ARRAY<DOUBLE>",
+        )
+    )
+    table.delete_where(F.col("vec_id") == 11)
+    ann_cdc_apply(spark, table, idx, from_version=v0)
+    got_mut = _probe_map(spark, idx)
+    assert 900_000 in got_mut and 11 not in got_mut
+
+    # RESTORE to the pre-mutation version: the index must follow
+    table.restore(v0)
+    stats = ann_cdc_apply(spark, table, idx)
+    assert stats["applied"] > 0
+    got = _probe_map(spark, idx)
+    assert set(got) == set(want_v0)  # 900000 gone, 11 back
+    for k in want_v0:
+        np.testing.assert_allclose(got[k], want_v0[k], rtol=1e-12)
+
+    # replay at the cursor: no-op
+    assert ann_cdc_apply(spark, table, idx)["applied"] == 0
+
+    # cursor-loss replay across the whole mutation+restore range:
+    # tombstones and COW upserts are idempotent, state identical
+    man = ann_index.read_index_manifest(corpus)
+    ann_index.commit_index_files(corpus, man["files"], extra={"cdc_cursor": v0})
+    stats = ann_cdc_apply(spark, table, idx)
+    assert stats["applied"] > 0
+    got2 = _probe_map(spark, idx)
+    assert set(got2) == set(want_v0)
+    for k in want_v0:
+        np.testing.assert_allclose(got2[k], want_v0[k], rtol=1e-12)

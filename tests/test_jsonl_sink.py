@@ -79,10 +79,28 @@ def test_read_prunes_at_listing(spark, tmp_path):
     assert only1.inputFiles() == [
         "file://" + os.path.join(path, "shard-000001.jsonl")
     ]
-    # key_range maps to the covering shard interval (missing shards ok)
+    # key_range is half-open ON KEYS: covering shards are listed
+    # (pruning stays shard-granular) but out-of-range rows are trimmed
     rng = jsonl_sink.read_jsonl_shards(spark, path, SCHEMA, key_range=(7, 18))
-    assert sorted(r.doc_id for r in rng.collect()) == [0, 1, 2, 3, 7, 8, 17]
+    assert sorted(r.doc_id for r in rng.collect()) == [7, 8, 17]
     assert len(rng.inputFiles()) == 3  # shards 0,1,2 cover keys 7..17
+
+
+def test_key_range_exact_semantics(spark, tmp_path):
+    path = str(tmp_path / "jl")
+    jsonl_sink.write_jsonl_shards(_frame(spark), path, "doc_id", 8)
+    # empty half-open range: no shards selected, no rows returned
+    empty = jsonl_sink.read_jsonl_shards(spark, path, SCHEMA, key_range=(8, 8))
+    assert empty.count() == 0
+    inverted = jsonl_sink.read_jsonl_shards(spark, path, SCHEMA, key_range=(9, 2))
+    assert inverted.count() == 0
+    # a range inside one shard returns exactly its keys, one file read
+    one = jsonl_sink.read_jsonl_shards(spark, path, SCHEMA, key_range=(1, 3))
+    assert sorted(r.doc_id for r in one.collect()) == [1, 2]
+    assert len(one.inputFiles()) == 1
+    # full-corpus range round-trips everything
+    full = jsonl_sink.read_jsonl_shards(spark, path, SCHEMA, key_range=(0, 100))
+    assert full.count() == _frame(spark).count()
 
 
 def test_negative_keys_rejected(spark, tmp_path):
@@ -171,3 +189,26 @@ if _HYP:
             ).collect()
         }
         assert back == {i: t for i, t in enumerate(texts)}
+
+
+def test_audit_checksum_is_null_distinct(spark):
+    """ADVICE r08: two rows differing only in WHICH field is null (or
+    null vs empty) must checksum differently — concat_ws would drop
+    the null and collide them."""
+    from pyspark.sql import functions as F
+
+    schema = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING"
+    rows = [
+        (1, None, "x", 5, "t"),   # lang null
+        (1, "x", None, 5, "t"),   # source null (same concat under ws-drop)
+        (1, "", "x", 5, "t"),     # empty vs null lang
+        (1, None, None, 5, "t"),  # both null
+    ]
+    df = spark.createDataFrame(rows, schema)
+    sums = [
+        r.h
+        for r in df.select(
+            jsonl_sink._md5_slice32(jsonl_sink._audit_content()).alias("h")
+        ).collect()
+    ]
+    assert len(set(sums)) == len(sums), sums

@@ -1996,3 +1996,145 @@ def test_restore_flows_through_cdc_consumer_exactly_once(spark, tmp_path):
         jsonmod.dump({"version": t.manifest()["current"] - 1}, fh)
     cycle()
     assert folded() == v1_state
+
+
+def test_cms_legacy_flat_state_migrates_on_first_fold(spark, tmp_path):
+    """ADVICE r08: a pre-manifest CMS state dir (flat cell parquet at
+    the root, the pre-r07 cms_updater layout) must keep its
+    whole-history counts across the layout upgrade — readable before
+    any fold, folded into v1 by the first fold, flat files reclaimed
+    after the commit."""
+    from samza_hello_samza_spark.operators import sketches
+    from samza_hello_samza_spark.operators.dedup import explode_nonempty
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    old = events.filter(F.col("event_id") % 2 == 0)
+    new = events.filter(F.col("event_id") % 2 == 1)
+    state = str(tmp_path / "cms_state")
+
+    def cells(df):
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(row).alias("row"),
+                    sketches._cms_bucket(F.col("user_id"), row).alias("bucket"),
+                )
+                for row in range(sketches.CMS_D)
+            ]
+        )
+        return (
+            explode_nonempty(df, [], pairs, "p")
+            .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    # simulate the old layout: cells written flat at state_path
+    cells(old).coalesce(1).write.mode("overwrite").parquet(state)
+    import glob as _glob
+
+    flat_before = _glob.glob(os.path.join(state, "*.parquet"))
+    assert flat_before  # the legacy layout is really there
+
+    # pre-migration read: the legacy cells serve, not an empty sketch
+    got_legacy = {
+        (r.row, r.bucket, r.cnt)
+        for r in maintenance.read_cms_cells(spark, state).collect()
+    }
+    assert got_legacy == {
+        (r.row, r.bucket, r.cnt) for r in cells(old).collect()
+    }
+
+    # first manifest fold migrates legacy + delta into v1
+    assert maintenance.fold_cms_cells(new, state, batch_id=0) is True
+    got = {
+        (r.row, r.bucket, r.cnt)
+        for r in maintenance.read_cms_cells(spark, state).collect()
+    }
+    want = {(r.row, r.bucket, r.cnt) for r in cells(events).collect()}
+    assert got == want
+    # flat files reclaimed post-commit; manifest at v1
+    assert not _glob.glob(os.path.join(state, "*.parquet"))
+    assert maintenance._dw_manifest(state)["version"] == 1
+
+    # replay of the migrating batch folds nothing (counters would double)
+    assert maintenance.fold_cms_cells(new, state, batch_id=0) is False
+    got2 = {
+        (r.row, r.bucket, r.cnt)
+        for r in maintenance.read_cms_cells(spark, state).collect()
+    }
+    assert got2 == want
+
+
+def test_restore_flows_through_join_mv_applier_exactly_once(spark, tmp_path):
+    """r08 (VERDICT #1): a table RESTORE drives the JOIN-MV applier
+    like any commit — the netted apply (last commit wins per key)
+    absorbs the rollback batch (updates reverted, deletes re-inserted,
+    v2 inserts retracted), the MV returns to v1 ⋈ dim ≡ a from-scratch
+    recompute, an idle cycle writes nothing, and a publisher
+    cursor-loss replay of the restore batch changes no rows AND (txn
+    watermark) writes no new MV version."""
+    import json as jsonmod
+
+    from samza_hello_samza_spark.sources.merge import VersionedMergeTable
+    from samza_hello_samza_spark.sources.topic_log import TopicLog
+
+    t = VersionedMergeTable(spark, str(tmp_path / "t"), "k", n_buckets=4)
+    t.write_full(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(12)], "k long, val long"
+        )
+    )
+    dim = spark.createDataFrame(
+        [(i, "seg-" + ("ab"[i % 2])) for i in range(200)], "k long, seg string"
+    )
+    topic = TopicLog(spark, str(tmp_path / "topic"), n_partitions=2)
+    cursor = str(tmp_path / "cursor.json")
+    mv = VersionedMergeTable(spark, str(tmp_path / "mv"), "k", n_buckets=4)
+    schema = "k BIGINT, val BIGINT, _change_type STRING, _commit_version BIGINT"
+
+    def cycle():
+        maintenance.publish_cdf(t, topic, cursor, key_col="k")
+        return maintenance.apply_cdf_to_join_mv(
+            spark, topic, "rjmv", mv, dim, "k", schema
+        )
+
+    def mv_rows():
+        return sorted(
+            tuple(r) for r in mv.read().select("k", "val", "seg").collect()
+        )
+
+    def recompute():
+        return sorted(
+            tuple(r)
+            for r in t.read().join(dim, "k").select("k", "val", "seg").collect()
+        )
+
+    cycle()  # bootstrap (v1 as inserts)
+    v1_rows = mv_rows()
+    assert v1_rows == recompute() and v1_rows
+
+    # v2: update k=0, insert k=100; v3: delete k=3
+    t.merge(spark.createDataFrame([(0, 999), (100, 5)], "k long, val long"))
+    t.delete_where(F.col("k") == 3)
+    cycle()
+    assert mv_rows() == recompute() and mv_rows() != v1_rows
+
+    # v4 = RESTORE to v1: the applier must bring the MV back exactly
+    t.restore(1)
+    cycle()
+    assert mv_rows() == recompute()
+    assert mv_rows() == v1_rows
+
+    # idle cycle: nothing drained, ledger clean
+    v_before = mv.versions()
+    assert cycle() == 0
+    assert mv.versions() == v_before
+
+    # publisher cursor loss: the (1 → 4] batches (incl. the restore)
+    # re-publish as fresh records; rows unchanged, no new MV version
+    with open(cursor, "w") as fh:
+        jsonmod.dump({"version": 1}, fh)
+    n = cycle()
+    assert n > 0  # drained the re-publication ...
+    assert mv_rows() == v1_rows  # ... changed nothing
+    assert mv.versions() == v_before  # ... and committed nothing
