@@ -198,7 +198,12 @@ EXTRA_VOLUME = (
     # (sf0.1 only — same replication artifact as doc_pagerank).
     "ann_mrl_topk",
     "ann_mrl_indexed_topk",
+    # r08: second MRL rung (prefix 32 — probe-justified separation).
+    "ann_mrl32_topk",
     "dedup_lsh_eval",
+    # r08: the md5-ring stratum eval — the banding calibration a
+    # 100 TB operator actually runs (~|stratum|²-sized, not corpus²).
+    "dedup_lsh_eval_stratum",
     "jsonl_export_audit",
     "graph_label_propagation",
     # r07g: exact-adjacency phrase search served from the POSITIONAL
@@ -206,6 +211,13 @@ EXTRA_VOLUME = (
     "phrase_search_indexed",
     # r07h: slop-proximity query over the same positional layout.
     "proximity_search_indexed",
+    # r08: positional-ingest integrity audit (two-batch marker-gated
+    # build is warmup like every index build; the timed run is the
+    # full-index scan + 1-row aggregate) and the RESTORE-through-
+    # consumer drill (deterministic 4-version table + MV build is
+    # warmup; the timed run is the no-op cycles + MV read).
+    "positional_ingest_audit",
+    "orders_restore_audit",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the
@@ -348,6 +360,11 @@ SF1_EXCLUDE = {
     # LPA iterates over the 10-clique-inflated edge table).
     "dedup_lsh_eval",
     "graph_label_propagation",
+    # r08: the stratum eval inherits the same artifact — the 10×
+    # replication manufactures duplicate cliques INSIDE the stratum
+    # (measured 15.1 s at sf1 vs 1.66 s at sf0.1; on real data the
+    # stratum is the fixed-recall sample that keeps this flat).
+    "dedup_lsh_eval_stratum",
 }
 
 #: full two-tier per-query timings land here every run (the committed
@@ -476,6 +493,8 @@ def main() -> None:
             "jsonl_export_audit",  # cold JSONL export for the sf1 tag
             "ann_mrl_indexed_topk",  # prefix-bearing IVF layout
             "phrase_search_indexed",  # cold positional-postings build
+            "positional_ingest_audit",  # cold two-batch ingest build
+            "orders_restore_audit",  # cold 4-version table + MV build
         ):
             queries[q](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         sf1_names = [

@@ -140,7 +140,9 @@ def _doc_shingles(
     return sh.join(hot, "shingle", "left_anti")
 
 
-def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+def _doc_shingle_hashes(
+    spark: SparkSession, sf_dir: str, k: int = 3, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, md5-slice32(shingle)) rows — hashing BEFORE the explode
     so downstream aggregation shuffles 16-byte rows, never shingle
     strings, and the hash is the engine-portable md5-slice family so
@@ -155,7 +157,8 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFra
     tree into every element_at (what CollapseProject would do to a
     cheap alias) re-tokenizes the document hundreds of times per row.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     tokenized = docs.select("doc_id", _words(F.col("text")).alias("words"))
     hashes = F.transform(_shingles(F.col("words"), k), _md5_slice32)
     return explode_nonempty(tokenized, ["doc_id"], hashes, "h")
@@ -241,7 +244,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
-def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_prefix_filter(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """EXACT set-similarity join via prefix filtering (PPJoin family,
     Xiao et al., WWW'08) — same relation as ``dedup_ngram_jaccard``,
     different candidate generation with a PROVABLE completeness
@@ -270,8 +275,14 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: exact Jaccard ≥ 0.5 over the uncapped distinct-shingle
     sets (the ``minhash_jaccard_estimate`` exact-side universe).
+
+    ``docs`` (optional) restricts the corpus — because this relation
+    is a pure function of each pair's two texts (uncapped universe;
+    the df prefix ORDER affects candidate generation, never the
+    verified output), running on a subset yields exactly the full
+    relation ∩ subset².
     """
-    docs_t = load_table(spark, sf_dir, "documents")
+    docs_t = docs if docs is not None else load_table(spark, sf_dir, "documents")
     tokenized = docs_t.select("doc_id", _words(F.col("text")).alias("words"))
     sh = explode_nonempty(
         tokenized, ["doc_id"], _shingles(F.col("words"), 3), "shingle"
@@ -340,11 +351,14 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sigs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, m0..m23) minhash signatures: 24 pinned-constant
     permutations of md5-slice32(shingle) reduced mod 2^31-1, as
-    whole-stage-codegen'd min() columns."""
-    sh = _doc_shingle_hashes(spark, sf_dir, k=3)
+    whole-stage-codegen'd min() columns. Per-doc pure (no df cap), so
+    a ``docs`` subset yields each doc's full-corpus signature."""
+    sh = _doc_shingle_hashes(spark, sf_dir, k=3, docs=docs)
     h1 = F.pmod(F.col("h"), F.lit(MERSENNE_P))
     return sh.withColumn("h1", h1).groupBy("doc_id").agg(
         *[
@@ -354,7 +368,9 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_bands(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band, sig) LSH band rows — the text near-dup index layout.
 
     12 bands of 2 signature rows over ``_minhash_sigs``. Every step
@@ -364,7 +380,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup_incremental``) and the calibration estimator
     (``minhash_jaccard_estimate``).
     """
-    mins = _minhash_sigs(spark, sf_dir)
+    mins = _minhash_sigs(spark, sf_dir, docs=docs)
     return mins.select(
         "doc_id",
         F.posexplode(
@@ -378,13 +394,17 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """MinHash+LSH candidate pairs: shingle→minhash→band→bucket-join.
 
     Output: distinct candidate pairs (doc_a < doc_b). See
-    ``_minhash_bands`` for the signature/band derivation.
+    ``_minhash_bands`` for the signature/band derivation. Signatures
+    are per-doc pure, so a ``docs`` subset yields the full candidate
+    relation ∩ subset² (below any band-bucket cap).
     """
-    bands = _minhash_bands(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir, docs=docs)
     return (
         _bucket_pairs(bands, ["band", "sig"], "doc_id")
         .select(F.col("p.pa").alias("doc_a"), F.col("p.pb").alias("doc_b"))
@@ -484,12 +504,52 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     full corpus; both inputs here are the bounded pair relations,
     never all-pairs.
     """
-    truth = (
-        dedup_prefix_filter(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .withColumn("in_truth", F.lit(1))
+    return _lsh_confusion(
+        dedup_prefix_filter(spark, sf_dir), dedup_minhash_lsh(spark, sf_dir)
     )
-    cand = dedup_minhash_lsh(spark, sf_dir).withColumn("in_lsh", F.lit(1))
+
+
+#: stratum width for the sampled LSH eval: the low 25 slots of the
+#: 100-bucket md5 doc_id ring (the train_val_test_split membership
+#: discipline — content- and order-independent, append-stable).
+LSH_EVAL_STRATUM_PCT = 25
+
+
+def _doc_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").filter(
+        F.pmod(_md5_slice32(F.col("doc_id").cast("string")), F.lit(100))
+        < LSH_EVAL_STRATUM_PCT
+    )
+
+
+def dedup_lsh_eval_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_lsh_eval`` on a deterministic md5-ring stratum — the
+    eval a 100 TB operator ACTUALLY runs before committing band
+    parameters (the full confusion audit is corpus-pair-sized; its
+    own docstring prescribes exactly this sampled stratum at scale).
+
+    Stratum = docs whose doc_id lands in the low 25 of 100 md5-ring
+    slots; both pair relations then restrict EXACTLY (truth is a pure
+    function of each pair's two texts — prefix filtering is complete
+    under any df order; minhash signatures are per-doc pure), so the
+    stratum report measures the same banding on a ¼ corpus sample
+    with ~1/16th the pair work, and every stratum pair relation is a
+    subset of its full-corpus twin (pytest-pinned). Oracle: the full
+    eval's DuckDB program over the same stratum predicate.
+    """
+    docs = _doc_stratum(spark, sf_dir)
+    return _lsh_confusion(
+        dedup_prefix_filter(spark, sf_dir, docs=docs),
+        dedup_minhash_lsh(spark, sf_dir, docs=docs),
+    )
+
+
+def _lsh_confusion(truth_pairs: DataFrame, cand_pairs: DataFrame) -> DataFrame:
+    """The confusion-count composition shared by the full and stratum
+    LSH evals: one full-outer join of the two pair relations + one
+    global aggregate → integer counts and ppm precision/recall."""
+    truth = truth_pairs.select("doc_a", "doc_b").withColumn("in_truth", F.lit(1))
+    cand = cand_pairs.withColumn("in_lsh", F.lit(1))
     m = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
     agg = m.agg(
         F.coalesce(F.sum("in_truth"), F.lit(0)).cast("long").alias("n_true_pairs"),
@@ -1734,6 +1794,18 @@ _URL_SQL = (
     "CAST(doc_id % 7 AS VARCHAR) || '&session=' || CAST(doc_id AS VARCHAR)"
 )
 
+#: DuckDB twin of the md5-ring stratum predicate (_doc_stratum).
+_STRATUM_PRED_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % 100 < {LSH_EVAL_STRATUM_PCT}"
+)
+
+#: the full eval's oracle program restricted to the stratum at the
+#: docs source — the exact restriction both Spark relations make.
+_LSH_EVAL_STRATUM_SQL = _LSH_EVAL_SQL.replace(
+    "FROM documents", f"FROM documents WHERE {_STRATUM_PRED_SQL}", 1
+)
+
 ORACLES: dict[str, str] = {
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_window_exact": _WINDOW_EXACT_SQL,
@@ -1741,6 +1813,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
     "minhash_jaccard_estimate": _MINHASH_EST_SQL,
     "dedup_lsh_eval": _LSH_EVAL_SQL,
+    "dedup_lsh_eval_stratum": _LSH_EVAL_STRATUM_SQL,
     "corpus_dedup_report": _DEDUP_REPORT_SQL,
     "dedup_incremental": _MINHASH_INCREMENTAL_SQL,
     "contamination_minhash": _CONTAM_MINHASH_SQL,
@@ -1931,6 +2004,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "dedup_lsh_eval": dedup_lsh_eval,
+    "dedup_lsh_eval_stratum": dedup_lsh_eval_stratum,
     "corpus_dedup_report": corpus_dedup_report,
     "dedup_incremental": dedup_incremental,
     "dedup_prefix_filter": dedup_prefix_filter,

@@ -635,17 +635,24 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     two NEAR-duplicate documents hash to independent buckets, so one
     lands in train and its twin in test — the benchmark is
     contaminated even though no doc_id repeats. Fix = split by GROUP,
-    not by doc: every doc adopts its near-dup cluster id
-    (``dedup_clusters``; singletons keep their own doc_id), and the
-    md5 ring hashes that group id — the whole clique moves together
-    (pytest: zero clusters cross a boundary). The cluster pass is the
-    already-materialized shingle-Jaccard components; the split itself
-    stays one hash aggregation + a 1-row total broadcast.
+    not by doc: every doc adopts its near-dup cluster id (singletons
+    keep their own doc_id), and the md5 ring hashes that group id —
+    the whole clique moves together (pytest: zero clusters cross a
+    boundary). The split itself stays one hash aggregation + a 1-row
+    total broadcast.
+
+    r08: the cluster pass is ``dedup_clusters_twostar`` (alternating
+    large-star/small-star, O(log n) rounds in NODE count) instead of
+    min-label propagation (O(diameter) rounds) — identical relation
+    by contract (both oracle-checked against the same recursive-CTE
+    twin, so this key's hash is unchanged), but at 100 TB the
+    pathological chain topologies (serial re-posts, quote chains)
+    converge in log rounds instead of walking the chain.
     """
-    from .dedup import dedup_clusters
+    from .dedup import dedup_clusters_twostar
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    clusters = dedup_clusters(spark, sf_dir)  # (doc_id, cluster_id)
+    clusters = dedup_clusters_twostar(spark, sf_dir)  # (doc_id, cluster_id)
     grouped = docs.join(clusters, "doc_id", "left").select(
         "doc_id",
         "lang",

@@ -538,6 +538,7 @@ def ann_sq8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MRL_PREFIX_DIM = 16
+MRL_PREFIX_DIM_2 = 32  # second rung (r08 — tools/mrl_rung_probe.py)
 MRL_RERANK_M = 50
 
 
@@ -565,12 +566,36 @@ def ann_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the signal by construction; the recall pytest measures what
     the untrained synthetic corpus gives (the honest lower bound).
     """
+    return _mrl_topk(spark, sf_dir, MRL_PREFIX_DIM)
+
+
+def ann_mrl32_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND Matryoshka rung: prefix-32 shortlist, exact full-dim
+    re-rank — the middle entry of the adaptive-retrieval ladder
+    (16 → 32 → full), same composition and oracle family as
+    ``ann_mrl_topk`` with a 2× scan cut instead of 4×.
+
+    Added on MEASURED evidence (tools/mrl_rung_probe.py, r08): on
+    this corpus the 32-rung's shortlist recall roughly DOUBLES the
+    16-rung's (sf0.01 raw 0.46 → 0.71, sf0.1 raw 0.24 → 0.54;
+    PCA-rotated 0.69 → 0.91 / 0.36 → 0.67), so the two rungs occupy
+    genuinely different recall/cost points — the separation the r07
+    verdict required before registering this key. The per-rung
+    recall is served as rows of ``ann_recall_curve``.
+    """
+    return _mrl_topk(spark, sf_dir, MRL_PREFIX_DIM_2)
+
+
+def _mrl_topk(spark: SparkSession, sf_dir: str, prefix_dim: int) -> DataFrame:
+    """Shared MRL serving composition: prefix-``prefix_dim`` cosine
+    shortlist (M=50, rounded score + vec_id tiebreak), exact full-dim
+    re-rank over a broadcast of the finalists."""
     e = _embeddings(spark, sf_dir)
     qvec = _query_vector(spark, sf_dir)
-    qpre = qvec[:MRL_PREFIX_DIM]
+    qpre = qvec[:prefix_dim]
     qpre_col = F.array(*[F.lit(float(x)) for x in qpre])
     qpre_norm = float(np.linalg.norm(qpre))
-    vpre = F.slice(F.col("v"), 1, MRL_PREFIX_DIM)
+    vpre = F.slice(F.col("v"), 1, prefix_dim)
     shortlist = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .withColumn(
@@ -674,6 +699,7 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = [
         ("binary", ann_binary_topk),
         ("mrl", ann_mrl_topk),
+        ("mrl32", ann_mrl32_topk),  # r08: second rung (probe-justified)
         ("sq8", ann_sq8_topk),
     ]
     out = None
@@ -1580,6 +1606,17 @@ ORACLES: dict[str, str] = {
             ORDER BY round(list_cosine_similarity(m.v, q.qv), 6) DESC,
                      m.vec_id ASC
             LIMIT {TOP_K}),
+        mrlpre32 AS (
+            SELECT e.vec_id, e.v FROM e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+            ORDER BY round(list_cosine_similarity(
+                         e.v[1:{MRL_PREFIX_DIM_2}], q.qv[1:{MRL_PREFIX_DIM_2}]), 6) DESC,
+                     e.vec_id ASC
+            LIMIT {MRL_RERANK_M}),
+        mrl3210 AS (
+            SELECT m.vec_id FROM mrlpre32 m, q
+            ORDER BY round(list_cosine_similarity(m.v, q.qv), 6) DESC,
+                     m.vec_id ASC
+            LIMIT {TOP_K}),
         b AS (
             SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
             FROM (
@@ -1615,6 +1652,10 @@ ORACLES: dict[str, str] = {
                    (SELECT CAST(count(*) AS BIGINT) FROM mrl10
                     JOIN exact10 USING (vec_id))
             UNION ALL
+            SELECT 'mrl32',
+                   (SELECT CAST(count(*) AS BIGINT) FROM mrl3210
+                    JOIN exact10 USING (vec_id))
+            UNION ALL
             SELECT 'sq8',
                    (SELECT CAST(count(*) AS BIGINT) FROM sq810
                     JOIN exact10 USING (vec_id))
@@ -1630,6 +1671,26 @@ ORACLES: dict[str, str] = {
             SELECT e.vec_id, e.v,
                    round(list_cosine_similarity(
                        e.v[1:{MRL_PREFIX_DIM}], q.qv[1:{MRL_PREFIX_DIM}]), 6)
+                       AS prefix_cosine
+            FROM e, q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            ORDER BY prefix_cosine DESC, e.vec_id ASC
+            LIMIT {MRL_RERANK_M}
+        )
+        SELECT pre.vec_id, pre.prefix_cosine,
+               round(list_cosine_similarity(pre.v, q.qv), 6) AS cosine
+        FROM pre, q
+        ORDER BY cosine DESC, pre.vec_id ASC
+        LIMIT {TOP_K}
+    """,
+    # second rung: same program, prefix 32 (r08, probe-justified)
+    "ann_mrl32_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+        pre AS (
+            SELECT e.vec_id, e.v,
+                   round(list_cosine_similarity(
+                       e.v[1:{MRL_PREFIX_DIM_2}], q.qv[1:{MRL_PREFIX_DIM_2}]), 6)
                        AS prefix_cosine
             FROM e, q
             WHERE e.vec_id <> {QUERY_VEC_ID}
@@ -1925,6 +1986,7 @@ QUERIES = {
     "ann_sq8_topk": ann_sq8_topk,
     "ann_sq8_rerank_topk": ann_sq8_rerank_topk,
     "ann_mrl_topk": ann_mrl_topk,
+    "ann_mrl32_topk": ann_mrl32_topk,
     "ann_mrl_indexed_topk": ann_mrl_indexed_topk,
     "ann_recall_curve": ann_recall_curve,
     "ann_sq8_indexed_topk": ann_sq8_indexed_topk,

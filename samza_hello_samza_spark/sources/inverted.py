@@ -384,9 +384,112 @@ def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(docs, "doc_id").select("doc_id", "lang", "n_matches")
 
 
+#: ingest-audit batch split: low half of the 100-slot md5 doc_id ring
+#: seeds the build, high half arrives as the appended batch.
+INGEST_SPLIT_PCT = 50
+
+
+def _documents_positional_incremental(spark: SparkSession, sf_dir: str) -> str:
+    """The positional layout built INCREMENTALLY: batch 1 (md5-ring
+    low half of doc_ids) through ``build_positional_index``, batch 2
+    through ``append_documents_positional`` behind the same
+    applied-batch marker discipline ``postings_updater`` uses — a
+    re-entrant run (or a redelivered batch) folds nothing, which is
+    mandatory here because positional postings are a multiset
+    (re-appending double-counts phrase matches)."""
+    from ..operators.dedup import _md5_slice32 as _slice32
+    from ..operators.ann_index import _index_root, _tag
+    from ..session import load_table
+
+    root = os.path.join(_index_root(), _tag(sf_dir))
+    out = os.path.join(root, "positional_documents_incr")
+    # markers live BESIDE the layout: the batch-1 build's overwrite
+    # write replaces the layout dir wholesale
+    marker_dir = os.path.join(root, "positional_documents_incr_applied")
+    os.makedirs(marker_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ring = F.pmod(_slice32(F.col("doc_id").cast("string")), F.lit(100))
+
+    m0 = os.path.join(marker_dir, "batch-0")
+    if not os.path.exists(m0):
+        # build overwrites → naturally idempotent across a crash here
+        build_positional_index(spark, docs.filter(ring < INGEST_SPLIT_PCT), out)
+        open(m0, "w").close()
+    m1 = os.path.join(marker_dir, "batch-1")
+    if not os.path.exists(m1):
+        append_documents_positional(
+            spark, out, docs.filter(ring >= INGEST_SPLIT_PCT)
+        )
+        open(m1, "w").close()
+    return out
+
+
+def positional_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity audit of the positional-index INGEST path — the
+    incremental-build ≡ full-rebuild discipline (``dedup_incremental``
+    style), hash-checked: build the layout in two marker-gated batches
+    (see ``_documents_positional_incremental``), then aggregate EVERY
+    posting row of the result — count, distinct words/docs, and an
+    md5-slice32 checksum over each (word, doc_id, pos) triple — and
+    compare against a DuckDB first-principles re-tokenization of the
+    raw documents. A full rebuild equals first principles by
+    construction, so the hash match IS the two-batch ≡ rebuild proof,
+    covering the ingest path phrase/proximity serving depends on
+    (an extra posting, a dropped posting, or a shifted position
+    anywhere breaks the checksum). Idempotent across runs: the
+    applied-batch markers make re-entry a no-op, so the same numbers
+    return every time.
+
+    Scale: the build is the one tokenize pass every index build pays
+    (batched, appends never rewrite files); the audit is one parallel
+    scan of the index + a 1-row aggregate. Nothing driver-side.
+    """
+    from ..operators.dedup import _md5_slice32 as _slice32
+
+    index_dir = _documents_positional_incremental(spark, sf_dir)
+    idx = spark.read.parquet(index_dir)
+    content = F.concat_ws(
+        "|",
+        F.col("word"),
+        F.col("doc_id").cast("string"),
+        F.col("pos").cast("string"),
+    )
+    return idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.count_distinct("word").cast("long").alias("n_words"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.sum(F.col("pos")).cast("long").alias("sum_pos"),
+        F.sum(_slice32(content)).cast("long").alias("postings_checksum"),
+    )
+
+
 # the oracle is term_search's: the layout changes WHERE the postings
 # are read from, not what the query means.
 ORACLES: dict[str, str] = {}
+
+# first-principles re-tokenization of raw documents: what ANY correct
+# positional build (single-shot or incremental) must contain.
+ORACLES["positional_ingest_audit"] = r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS words
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, p - 1 AS pos, words[p] AS word
+        FROM w, unnest(generate_series(1, len(words))) AS t(p)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_postings,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS sum_pos,
+           CAST(sum(CAST(concat('0x', substr(md5(
+               word || '|' || CAST(doc_id AS VARCHAR) || '|'
+               || CAST(pos AS VARCHAR)
+           ), 1, 8)) AS BIGINT)) AS BIGINT) AS postings_checksum
+    FROM pos
+"""
 
 
 def _term_search_oracle() -> str:
@@ -443,4 +546,5 @@ QUERIES = {
     "term_search_indexed": term_search_indexed,
     "phrase_search_indexed": phrase_search_indexed,
     "proximity_search_indexed": proximity_search_indexed,
+    "positional_ingest_audit": positional_ingest_audit,
 }

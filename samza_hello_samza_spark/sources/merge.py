@@ -1798,6 +1798,78 @@ def orders_cdf_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdf_restore_table(spark: SparkSession, sf_dir: str) -> VersionedMergeTable:
+    """The deterministic three-version customer-state table PLUS a
+    RESTORE back to v1 as commit v4 — the rollback every CDC consumer
+    downstream must absorb like any other commit. Manifest-gated:
+    current == 3 means the restore hasn't landed yet (exactly one
+    restore ever commits)."""
+    tbl = _cdf_orders_table(spark, sf_dir, name="cdf_orders_restore")
+    if tbl.manifest()["current"] == 3:
+        tbl.restore(1)
+    return tbl
+
+
+def orders_restore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table RESTORE driven through the CDC consumer chain into a
+    JOIN materialized view — the drill that certifies a rollback is
+    just another commit to every downstream (VERDICT r07 #1): the
+    deterministic table commits v2 MERGE + v3 delete and then
+    RESTOREs to v1 (v4); ``publish_cdf`` ships every version's diff
+    (the restore batch is the exact row set the rollback un-does) and
+    ``apply_cdf_to_join_mv`` nets each drain per key, re-enriches
+    only changed keys via a broadcast customer-dim join, and applies
+    with txn-watermarked merges. The key returns the maintained MV —
+    which, because the restore batch reverts updates, re-inserts
+    deletions, and retracts v2's inserts, must equal the V1 SNAPSHOT
+    enriched with the dim. The DuckDB oracle recomputes exactly that
+    from raw orders (the v1 CTE ⋈ customer), so the hash compare pins
+    restore-through-consumer end to end, not engine-vs-itself.
+    Idempotent across runs: cursor + consumer offsets + txn
+    watermarks make re-cycles no-ops (same rows, same version count).
+
+    Scale shape: every cycle is change-batch-sized (netting windows
+    over drained rows; dim lookup ∝ |changes|; merges touch only
+    their buckets) — a 100 TB restore folds through the same path at
+    the cost of its diff, never a view rebuild.
+
+    Reference parity: StreamTableJoinExample.java's changelog-backed
+    table contract — a consumer must converge to the table's current
+    snapshot whatever compaction/rollback history produced it.
+    """
+    import os as _os
+
+    from ..operators.ann_index import _index_root, _tag
+    from ..session import load_table
+    from ..streaming.maintenance import apply_cdf_to_join_mv, publish_cdf
+    from .topic_log import TopicLog
+
+    tbl = _cdf_restore_table(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    root = _os.path.join(_index_root(), _tag(sf_dir), "restore_join_mv")
+    topic = TopicLog(spark, _os.path.join(root, "topic"), n_partitions=4)
+    cursor = _os.path.join(root, "cursor.json")
+    mv = VersionedMergeTable(
+        spark, _os.path.join(root, "mv"), "o_custkey", n_buckets=16
+    )
+    schema = (
+        "o_custkey BIGINT, last_orderkey BIGINT, last_status STRING, "
+        "_change_type STRING, _commit_version BIGINT"
+    )
+    # cycle 1 bootstraps (v1 as inserts), cycle 2 drains (1 → 4] —
+    # including the restore batch; further cycles are no-ops.
+    for _ in range(2):
+        publish_cdf(tbl, topic, cursor, key_col="o_custkey")
+        apply_cdf_to_join_mv(
+            spark, topic, "restore_mv", mv, dim, "o_custkey", schema
+        )
+    return mv.read().select(
+        "o_custkey", "last_orderkey", "last_status", "c_mktsegment"
+    )
+
+
 def orders_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY over the deterministic three-version customer
     table: WRITE/MERGE/DELETE rows with audited counts. The table is
@@ -1874,10 +1946,21 @@ ORACLES["orders_time_travel"] = (
     """
 )
 
+# the restore-through-consumer invariant: the maintained MV after the
+# v4 RESTORE equals the V1 snapshot ⋈ dim, replayed from raw orders.
+ORACLES["orders_restore_audit"] = (
+    ORACLES["orders_cdf_changes"].split(",\n        src AS MATERIALIZED (")[0]
+    + """
+        SELECT v.o_custkey, v.last_orderkey, v.last_status, c.c_mktsegment
+        FROM v1 v JOIN customer c ON v.o_custkey = c.c_custkey
+    """
+)
+
 QUERIES = {
     "orders_cdf_changes": orders_cdf_changes,
     "orders_cdf_downstream": orders_cdf_downstream,
     "orders_cdf_join_mv": orders_cdf_join_mv,
+    "orders_restore_audit": orders_restore_audit,
     "orders_table_history": orders_table_history,
     "orders_time_travel": orders_time_travel,
 }

@@ -315,3 +315,59 @@ def test_proximity_probe_lists_only_term_buckets(spark):
     prox = {r.doc_id for r in inverted.proximity_search_indexed(spark, SF_DIR).collect()}
     phrase = {r.doc_id for r in inverted.phrase_search_indexed(spark, SF_DIR).collect()}
     assert phrase <= prox
+
+
+def test_positional_ingest_audit_oracle_and_replay(spark, duck, tmp_path, monkeypatch):
+    """r08: the registered ingest-audit key — the two-batch marker-
+    gated build must contain EXACTLY the postings a first-principles
+    tokenize yields (the oracle), equal the single-shot build's
+    relation, answer the phrase query identically, and fold nothing
+    on re-entry (applied-batch markers)."""
+    from tests.conftest import assert_matches_oracle
+    from samza_hello_samza_spark.operators.sampling import PHRASE
+    from samza_hello_samza_spark.session import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        inverted.QUERIES["positional_ingest_audit"],
+        inverted.ORACLES["positional_ingest_audit"],
+    )
+
+    # incremental layout == single-shot rebuild, row for row
+    incr_dir = inverted._documents_positional_incremental(spark, SF_DIR)
+    full_dir = str(tmp_path / "full")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    inverted.build_positional_index(spark, docs, full_dir)
+    incr = {
+        (r.word, r.doc_id, r.pos, r.tbucket)
+        for r in spark.read.parquet(incr_dir).collect()
+    }
+    full = {
+        (r.word, r.doc_id, r.pos, r.tbucket)
+        for r in spark.read.parquet(full_dir).collect()
+    }
+    assert incr == full
+
+    # the phrase query served from the incremental layout is identical
+    got = {
+        (r.doc_id, r.n_matches)
+        for r in inverted.phrase_search_positional(
+            spark, incr_dir, list(PHRASE)
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.n_matches)
+        for r in inverted.phrase_search_positional(
+            spark, full_dir, list(PHRASE)
+        ).collect()
+    }
+    assert got == want
+
+    # re-entry folds nothing: same audit numbers, same posting rows
+    before = inverted.positional_ingest_audit(spark, SF_DIR).collect()[0]
+    inverted._documents_positional_incremental(spark, SF_DIR)
+    after = inverted.positional_ingest_audit(spark, SF_DIR).collect()[0]
+    assert before == after

@@ -1111,10 +1111,11 @@ def test_ann_recall_curve_consistent_with_method_keys(spark):
         r.method: (r.n_hits, r.recall_ppm)
         for r in similarity.ann_recall_curve(spark, SF_DIR).collect()
     }
-    assert set(got) == {"binary", "mrl", "sq8"}
+    assert set(got) == {"binary", "mrl", "mrl32", "sq8"}
     for name, fn in [
         ("binary", similarity.ann_binary_topk),
         ("mrl", similarity.ann_mrl_topk),
+        ("mrl32", similarity.ann_mrl32_topk),  # r08 second rung
         ("sq8", similarity.ann_sq8_topk),
     ]:
         ids = {r.vec_id for r in fn(spark, SF_DIR).collect()}
@@ -1139,3 +1140,77 @@ def test_corpus_dedup_report_consistent_with_relations(spark):
     assert r.n_clustered_docs == len(cl)
     assert r.n_clusters == len({c.cluster_id for c in cl})
     assert r.exact_unique_ppm == 1000000 * (r.n_docs - r.n_exact_dup_docs) // r.n_docs
+
+
+def test_dedup_lsh_eval_stratum_is_exact_restriction(spark, duck):
+    """r08: the sampled-stratum eval must measure the SAME relations —
+    each stratum pair relation equals its full-corpus twin restricted
+    to pairs with both endpoints in the stratum (truth by the
+    pure-pair-function argument; candidates because signatures are
+    per-doc pure) — and the report hash-matches its DuckDB twin."""
+    from tests.conftest import assert_matches_oracle
+
+    docs = dedup._doc_stratum(spark, SF_DIR)
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert 0 < len(ids)
+
+    st_truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_prefix_filter(spark, SF_DIR, docs=docs).collect()
+    }
+    full_truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_prefix_filter(spark, SF_DIR).collect()
+    }
+    assert st_truth == {
+        p for p in full_truth if p[0] in ids and p[1] in ids
+    }
+
+    st_cand = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, SF_DIR, docs=docs).collect()
+    }
+    full_cand = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    assert st_cand == {p for p in full_cand if p[0] in ids and p[1] in ids}
+
+    # the report is the confusion composition of exactly those sets
+    row = dedup.dedup_lsh_eval_stratum(spark, SF_DIR).collect()[0]
+    assert row.n_true_pairs == len(st_truth)
+    assert row.n_lsh_pairs == len(st_cand)
+    assert row.n_hits == len(st_truth & st_cand)
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        dedup.QUERIES["dedup_lsh_eval_stratum"],
+        dedup.ORACLES["dedup_lsh_eval_stratum"],
+    )
+
+
+def test_ann_mrl_second_rung_separates_and_matches_oracle(spark, duck):
+    """r08: the prefix-32 rung must (a) hash-match its DuckDB twin,
+    (b) re-rank exactly (descending full-dim cosine), and (c) sit at
+    or above the 16-rung's recall in the registered curve — the
+    measured separation (tools/mrl_rung_probe.py: raw shortlist
+    recall ~doubles 16→32 at both probe SFs) that justified adding
+    the rung."""
+    assert_matches_oracle(
+        spark,
+        duck,
+        similarity.QUERIES["ann_mrl32_topk"],
+        similarity.ORACLES["ann_mrl32_topk"],
+    )
+    rows = similarity.ann_mrl32_topk(spark, SF_DIR).collect()
+    assert len(rows) == similarity.TOP_K
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+    curve = {r.method: r.recall_ppm for r in similarity.ann_recall_curve(spark, SF_DIR).collect()}
+    assert set(curve) == {"binary", "mrl", "mrl32", "sq8"}
+    # a wider prefix can only widen the shortlist's information; on a
+    # single query ties are possible, so pin >= (the probe pins the
+    # multi-query separation offline)
+    assert curve["mrl32"] >= curve["mrl"]

