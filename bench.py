@@ -218,6 +218,13 @@ EXTRA_VOLUME = (
     # warmup; the timed run is the no-op cycles + MV read).
     "positional_ingest_audit",
     "orders_restore_audit",
+    # r08b: the (bands × rows) LSH calibration table on the stratum
+    # (one signature pass + 4 band-bucket joins) and ranked BM25
+    # served from the tf/dl posting layout (bucket-pruned read).
+    "lsh_band_sweep",
+    "bm25_search_indexed",
+    # r08b: five-query ranked batch from one pruned posting read.
+    "bm25_batch_indexed",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the
@@ -365,6 +372,9 @@ SF1_EXCLUDE = {
     # (measured 15.1 s at sf1 vs 1.66 s at sf0.1; on real data the
     # stratum is the fixed-recall sample that keeps this flat).
     "dedup_lsh_eval_stratum",
+    # r08b: the band sweep runs 4 band-joins over the same stratum
+    # pair universe — same manufactured-clique artifact.
+    "lsh_band_sweep",
 }
 
 #: full two-tier per-query timings land here every run (the committed
@@ -495,6 +505,7 @@ def main() -> None:
             "phrase_search_indexed",  # cold positional-postings build
             "positional_ingest_audit",  # cold two-batch ingest build
             "orders_restore_audit",  # cold 4-version table + MV build
+            "bm25_search_indexed",  # cold BM25 posting-layout build
         ):
             queries[q](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         sf1_names = [

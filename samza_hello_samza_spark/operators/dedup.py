@@ -544,6 +544,91 @@ def dedup_lsh_eval_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (bands, rows_per_band) configurations swept by ``lsh_band_sweep`` —
+#: every factorization of the 24 pinned permutations.
+LSH_SWEEP_CONFIGS = ((24, 1), (12, 2), (8, 3), (6, 4))
+
+
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (bands × rows) calibration TABLE — the decision artifact
+    behind ``N_BANDS = 12  # bands of 2 rows``: for every
+    factorization of the 24 pinned permutations (24×1, 12×2, 8×3,
+    6×4), the realized candidate count, precision and recall against
+    the exact τ=0.5 truth set, all on the deterministic md5-ring
+    stratum (``dedup_lsh_eval_stratum``'s universe, so the sweep
+    costs 4 band-joins over a ¼ corpus — runnable before committing
+    band parameters to 100 TB, which is exactly when you need it).
+
+    The r-rows-per-band dial trades the S-curve's steepness:
+    r=1 (24 bands) catches nearly everything and floods the verifier
+    with false candidates; r=4 (6 bands) is precise but leaky at
+    J≈τ. Theory says P(candidate | J) = 1 − (1 − J^r)^b; this table
+    is the measured curve on the actual corpus (shingle-set sizes
+    and skew move it) next to the false-candidate count that prices
+    the verification stage. Fully ORACLE-CHECKED: signatures are the
+    md5-slice32 + pinned-permutation family, truth is the
+    prefix-filter relation, ppm ratios are integer division.
+
+    Scale shape: ONE signature aggregation (24 min() columns,
+    localCheckpoint'd), then per config a posexplode + band-bucket
+    pair join — never all-pairs; the stratum bounds everything.
+    """
+    docs = _doc_stratum(spark, sf_dir)
+    truth = (
+        dedup_prefix_filter(spark, sf_dir, docs=docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # joined once per config
+    )
+    sigs = _minhash_sigs(spark, sf_dir, docs=docs).localCheckpoint()
+    n_true = truth.count()
+    out = None
+    for n_bands, r in LSH_SWEEP_CONFIGS:
+        bands = sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "_", *[F.col(f"m{b * r + j}") for j in range(r)]
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band", "sig"),
+        )
+        cand = (
+            _bucket_pairs(bands, ["band", "sig"], "doc_id")
+            .select(F.col("p.pa").alias("doc_a"), F.col("p.pb").alias("doc_b"))
+            .distinct()
+        )
+        hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+        row = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")).crossJoin(
+            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        ).select(
+            F.lit(n_bands).cast("long").alias("bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            "n_candidates",
+            "n_hits",
+            F.lit(n_true).cast("long").alias("n_true_pairs"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr("(1000000 * n_hits) div n_candidates"),
+            )
+            .otherwise(F.lit(1000000))
+            .cast("long")
+            .alias("precision_ppm"),
+            (
+                F.expr(f"(1000000 * n_hits) div {n_true}")
+                if n_true
+                else F.lit(1000000)
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def _lsh_confusion(truth_pairs: DataFrame, cand_pairs: DataFrame) -> DataFrame:
     """The confusion-count composition shared by the full and stratum
     LSH evals: one full-outer join of the two pair relations + one
@@ -1806,6 +1891,99 @@ _LSH_EVAL_STRATUM_SQL = _LSH_EVAL_SQL.replace(
     "FROM documents", f"FROM documents WHERE {_STRATUM_PRED_SQL}", 1
 )
 
+
+def _band_sweep_sql() -> str:
+    """The (bands × rows) sweep replayed in DuckDB: one mins CTE over
+    the stratum, per-config band rows + capped bucket pair join, the
+    prefix-filter truth relation, and one UNION ALL row per config."""
+    per_config = []
+    for n_bands, r in LSH_SWEEP_CONFIGS:
+        tag = f"b{n_bands}r{r}"
+        selects = "\n            UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            + " || '_' || ".join(
+                f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r)
+            )
+            + " AS sig FROM mins"
+            for b in range(n_bands)
+        )
+        per_config.append(
+            f"""bands_{tag} AS (
+            {selects}
+        ),
+        capped_{tag} AS (
+            SELECT band, sig, doc_id FROM (
+                SELECT band, sig, doc_id,
+                       row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+                FROM bands_{tag})
+            WHERE rn <= {MAX_BUCKET}
+        ),
+        cand_{tag} AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM capped_{tag} a
+            JOIN capped_{tag} b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )"""
+        )
+        per_config.append(
+            f"""stats_{tag} AS (
+            SELECT (SELECT count(*) FROM cand_{tag}) AS n_candidates,
+                   (SELECT count(*) FROM cand_{tag} c
+                    JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+                       AS n_hits
+        )"""
+        )
+    rows = "\n        UNION ALL ".join(
+        f"""SELECT CAST({n_bands} AS BIGINT) AS bands,
+               CAST({r} AS BIGINT) AS rows_per_band,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+               CAST(CASE WHEN n_candidates > 0
+                         THEN (1000000 * n_hits) // n_candidates
+                         ELSE 1000000 END AS BIGINT) AS precision_ppm,
+               CAST(CASE WHEN (SELECT count(*) FROM truth) > 0
+                         THEN (1000000 * n_hits) // (SELECT count(*) FROM truth)
+                         ELSE 1000000 END AS BIGINT) AS recall_ppm
+        FROM stats_b{n_bands}r{r}"""
+        for n_bands, r in LSH_SWEEP_CONFIGS
+    )
+    # mins + the truth relation over the SAME stratum universe:
+    # sh_all/counts/inter reuse the eval program's CTE names.
+    truth_cte = """sh_all AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM shm),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh_all GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh_all a
+            JOIN sh_all b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS MATERIALIZED (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN counts na ON na.doc_id = doc_a
+            JOIN counts nb ON nb.doc_id = doc_b
+            WHERE 3 * i >= na.n + nb.n
+        )"""
+    base = _MINHASH_BANDS_CTE.replace(
+        "FROM documents", f"FROM documents WHERE {_STRATUM_PRED_SQL}", 1
+    )
+    # drop the default 12×2 bands CTE from the base chain (each config
+    # builds its own); keep w/shm/h/mins.
+    base = base.split(",\n    bands AS (")[0]
+    return (
+        base
+        + ",\n        "
+        + truth_cte
+        + ",\n        "
+        + ",\n        ".join(per_config)
+        + "\n        "
+        + rows
+    )
+
+
+_LSH_BAND_SWEEP_SQL = _band_sweep_sql()
+
 ORACLES: dict[str, str] = {
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_window_exact": _WINDOW_EXACT_SQL,
@@ -1814,6 +1992,7 @@ ORACLES: dict[str, str] = {
     "minhash_jaccard_estimate": _MINHASH_EST_SQL,
     "dedup_lsh_eval": _LSH_EVAL_SQL,
     "dedup_lsh_eval_stratum": _LSH_EVAL_STRATUM_SQL,
+    "lsh_band_sweep": _LSH_BAND_SWEEP_SQL,
     "corpus_dedup_report": _DEDUP_REPORT_SQL,
     "dedup_incremental": _MINHASH_INCREMENTAL_SQL,
     "contamination_minhash": _CONTAM_MINHASH_SQL,
@@ -2005,6 +2184,7 @@ QUERIES = {
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "dedup_lsh_eval": dedup_lsh_eval,
     "dedup_lsh_eval_stratum": dedup_lsh_eval_stratum,
+    "lsh_band_sweep": lsh_band_sweep,
     "corpus_dedup_report": corpus_dedup_report,
     "dedup_incremental": dedup_incremental,
     "dedup_prefix_filter": dedup_prefix_filter,

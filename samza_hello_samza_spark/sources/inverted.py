@@ -384,6 +384,194 @@ def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(docs, "doc_id").select("doc_id", "lang", "n_matches")
 
 
+# -- BM25-ready postings: the ranked-retrieval serving index ---------------
+
+
+def build_bm25_index(spark: SparkSession, docs: DataFrame, out_dir: str) -> str:
+    """Materialize BM25-scoring postings — (word, doc_id, tf, dl) in
+    the same stable ``tbucket`` scheme — plus a ``_bm25_stats.json``
+    sidecar holding the two corpus constants (N, avgdl) every query
+    needs. ``dl`` is denormalized onto each posting so scoring never
+    joins a lengths table; ``df`` per term is NOT stored — it is the
+    row count of the term's own (already-read) postings, so it stays
+    exact under this layout without a second sidecar. One tokenize
+    pass, the build cost every search index pays once."""
+    import json as _json
+
+    from ..operators.dedup import _words, explode_nonempty
+
+    words = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    lengths = words.select("doc_id", F.size("words").alias("dl"))
+    st = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).first()
+    postings = (
+        explode_nonempty(
+            words,
+            ["doc_id", F.size("words").alias("dl")],
+            F.col("words"),
+            "word",
+        )
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn(
+            "tbucket", F.pmod(F.xxhash64("word"), F.lit(N_TBUCKETS)).cast("int")
+        )
+    )
+    (
+        postings.repartition("tbucket")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(out_dir)
+    )
+    with open(os.path.join(out_dir, "_bm25_stats.json"), "w") as fh:
+        _json.dump({"n_docs": float(st.n_docs), "avgdl": float(st.avgdl)}, fh)
+    return out_dir
+
+
+def bm25_topk_from_index(
+    spark: SparkSession, index_dir: str, terms: list[str], top: int
+) -> DataFrame:
+    """Okapi BM25 top-``top`` for ``terms`` served from the layout:
+    ≤|terms| of ``N_TBUCKETS`` bucket dirs listed, word filter pushed
+    to parquet, ``df`` counted from the pruned read itself, corpus
+    stats from the sidecar — identical scores to the scan path (same
+    expressions, same 4-dp round + doc_id tiebreak), with per-query
+    cost ∝ the query terms' postings, never the corpus."""
+    import json as _json
+
+    from ..functions.hints import maybe_broadcast
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
+        st = _json.load(fh)
+    buckets = term_buckets(spark, list(set(terms)))
+    p = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("word").isin(*terms))
+    )
+    df = p.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        p.join(maybe_broadcast(df), "word")
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(st["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(st["avgdl"]))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top)
+
+
+#: pinned query batch for ranked batch retrieval: five queries over
+#: the corpus vocabulary, incl. one carrying the rare term (IDF
+#: contrast) and one reusing the single-query SEARCH_TERMS probe.
+BM25_BATCH_QUERIES = (
+    ("spark", "join", "window"),
+    ("hash", "merge", "sort"),
+    ("vector", "scan"),
+    ("stream", "table", "key"),
+    ("dup", "filter"),
+)
+BM25_BATCH_TOP = 10
+
+
+def bm25_batch_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: tuple[tuple[str, ...], ...],
+    top: int,
+) -> DataFrame:
+    """Okapi BM25 top-``top`` for a BATCH of queries from ONE pruned
+    read — the lexical sibling of ``ann_batch_topk``: offline
+    retrieval (training-data curation, eval-set mining) never runs
+    queries one at a time, so the layout is probed once for the
+    UNION of all query terms (≤|union| of ``N_TBUCKETS`` dirs
+    listed), a broadcast (query_id, word) relation fans the postings
+    out to their queries, and per-query ranking is one window over
+    the scored rows. Per-batch cost ∝ the union terms' postings —
+    independent of both corpus size and query count's corpus scans.
+    At real query volume the window's ``query_id`` partitioning is
+    thousands-wide; skew per query is bounded by its terms' postings.
+    """
+    import json as _json
+
+    from pyspark.sql import Window
+
+    from ..functions.hints import maybe_broadcast
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
+        st = _json.load(fh)
+    union_terms = sorted({t for q in queries for t in q})
+    buckets = term_buckets(spark, union_terms)
+    p = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("tbucket").isin(buckets))
+        .filter(F.col("word").isin(*union_terms))
+    )
+    df_tbl = p.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    qterms = spark.createDataFrame(
+        [(i, t) for i, q in enumerate(queries) for t in q],
+        "query_id INT, word STRING",
+    )
+    scored = (
+        p.join(maybe_broadcast(df_tbl), "word")
+        .join(F.broadcast(qterms), "word")
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(st["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(st["avgdl"]))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            "bm25",
+            "n_terms_matched",
+        )
+    )
+
+
 #: ingest-audit batch split: low half of the 100-slot md5 doc_id ring
 #: seeds the build, high half arrives as the appended batch.
 INGEST_SPLIT_PCT = 50
@@ -463,9 +651,121 @@ def positional_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _documents_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.ann_index import _index_root, _is_built, _tag
+    from ..session import load_table
+
+    out = os.path.join(_index_root(), _tag(sf_dir), "bm25_documents")
+    if not _is_built(out):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        build_bm25_index(spark, docs, out)
+    return out
+
+
+def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bm25_search``'s ranked top-20 served from the BM25 posting
+    layout instead of a per-query corpus tokenize — the fourth member
+    of the indexed-retrieval family (term / phrase / proximity /
+    ranked): ≤|terms| of 64 bucket dirs listed, word filter pushed to
+    parquet, tf and dl read off the postings, df counted from the
+    pruned read itself, (N, avgdl) from the build-time sidecar. Same
+    expressions, same 4-dp round + doc_id tiebreak — SAME ORACLE as
+    the scan path (the layout changes where postings come from, not
+    what the ranking means); the repeated-query cost at 100 TB is the
+    query terms' postings, never the corpus."""
+    from ..operators.retrieval import BM25_TOP
+    from ..operators.text_analysis import SEARCH_TERMS
+
+    index_dir = _documents_bm25_index(spark, sf_dir)
+    return bm25_topk_from_index(spark, index_dir, list(SEARCH_TERMS), BM25_TOP)
+
+
 # the oracle is term_search's: the layout changes WHERE the postings
 # are read from, not what the query means.
 ORACLES: dict[str, str] = {}
+
+
+def _bm25_oracle() -> str:
+    from ..operators.retrieval import ORACLES as RT_ORACLES
+
+    return RT_ORACLES["bm25_search"]
+
+
+ORACLES["bm25_search_indexed"] = _bm25_oracle()
+
+
+def bm25_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pinned five-query batch (``BM25_BATCH_QUERIES``) ranked
+    from the BM25 posting layout in one pruned read — see
+    ``bm25_batch_from_index``. ORACLE-CHECKED against a DuckDB
+    first-principles replay (corpus re-tokenized, literal query
+    relation, the same 4-dp round + doc_id tiebreak per query)."""
+    index_dir = _documents_bm25_index(spark, sf_dir)
+    return bm25_batch_from_index(
+        spark, index_dir, BM25_BATCH_QUERIES, BM25_BATCH_TOP
+    )
+
+
+def _bm25_batch_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+    from ..operators.text_analysis import _WORDS_SQL
+
+    qvals = ",\n                ".join(
+        f"({i}, '{t}')"
+        for i, q in enumerate(BM25_BATCH_QUERIES)
+        for t in q
+    )
+    union_terms = sorted({t for q in BM25_BATCH_QUERIES for t in q})
+    terms_sql = ", ".join(f"'{t}'" for t in union_terms)
+    return f"""
+        WITH w AS (
+            SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   avg(len(words)) AS avgdl
+            FROM w
+        ),
+        hits AS (
+            SELECT doc_id, word, count(*) AS tf, max(dl) AS dl
+            FROM (
+                SELECT doc_id, len(words) AS dl, unnest(words) AS word FROM w
+            )
+            WHERE word IN ({terms_sql})
+            GROUP BY doc_id, word
+        ),
+        dfreq AS (
+            SELECT word, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY word
+        ),
+        qterms(query_id, word) AS (
+            VALUES {qvals}
+        ),
+        scored AS (
+            SELECT q.query_id, h.doc_id,
+                   round(sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * ({BM25_K1} + 1))
+                       / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+                   ), 4) AS bm25,
+                   CAST(count(*) AS BIGINT) AS n_terms_matched
+            FROM hits h
+            JOIN dfreq USING (word)
+            JOIN qterms q USING (word)
+            CROSS JOIN stats
+            GROUP BY q.query_id, h.doc_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
+               n_terms_matched
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id ASC) AS rn
+            FROM scored)
+        WHERE rn <= {BM25_BATCH_TOP}
+    """
+
+
+ORACLES["bm25_batch_indexed"] = _bm25_batch_oracle()
 
 # first-principles re-tokenization of raw documents: what ANY correct
 # positional build (single-shot or incremental) must contain.
@@ -547,4 +847,6 @@ QUERIES = {
     "phrase_search_indexed": phrase_search_indexed,
     "proximity_search_indexed": proximity_search_indexed,
     "positional_ingest_audit": positional_ingest_audit,
+    "bm25_search_indexed": bm25_search_indexed,
+    "bm25_batch_indexed": bm25_batch_indexed,
 }

@@ -371,3 +371,86 @@ def test_positional_ingest_audit_oracle_and_replay(spark, duck, tmp_path, monkey
     inverted._documents_positional_incremental(spark, SF_DIR)
     after = inverted.positional_ingest_audit(spark, SF_DIR).collect()[0]
     assert before == after
+
+
+def test_bm25_indexed_equals_scan_path_and_prunes(spark, duck, tmp_path, monkeypatch):
+    """r08b: ranked BM25 served from the tf/dl posting layout must
+    return exactly the scan path's top-20 (same oracle — the layout
+    changes where postings come from, not what the ranking means),
+    and its postings read must list only the query terms' bucket
+    dirs."""
+    from tests.conftest import assert_matches_oracle
+    from samza_hello_samza_spark.operators.retrieval import BM25_TOP, bm25_search
+    from samza_hello_samza_spark.operators.text_analysis import SEARCH_TERMS
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        inverted.QUERIES["bm25_search_indexed"],
+        inverted.ORACLES["bm25_search_indexed"],
+    )
+
+    got = [
+        (r.doc_id, r.bm25, r.n_terms_matched)
+        for r in inverted.bm25_search_indexed(spark, SF_DIR).collect()
+    ]
+    want = [
+        (r.doc_id, r.bm25, r.n_terms_matched)
+        for r in bm25_search(spark, SF_DIR).collect()
+    ]
+    assert got == want and len(got) == BM25_TOP
+
+    # pruned listing: the probe's scan carries the tbucket partition
+    # filter (same PartitionFilters assertion as the other layouts)
+    index_dir = inverted._documents_bm25_index(spark, SF_DIR)
+    buckets = inverted.term_buckets(spark, list(SEARCH_TERMS))
+    assert len(buckets) <= len(SEARCH_TERMS)
+    plan = (
+        inverted.bm25_search_indexed(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    all_buckets = {
+        e.split("=")[1]
+        for e in os.listdir(index_dir)
+        if e.startswith("tbucket=")
+    }
+    assert len(all_buckets) > len(buckets)  # the index really is wider
+
+
+def test_bm25_batch_matches_oracle_and_per_query_single_path(spark, duck, tmp_path, monkeypatch):
+    """r08b: the batched ranking must hash-match its first-principles
+    oracle AND, for the query that equals SEARCH_TERMS, reproduce the
+    single-query indexed path's top-10 exactly (same scoring, same
+    tiebreak — batching changes the fan-out, not the ranking)."""
+    from tests.conftest import assert_matches_oracle
+    from samza_hello_samza_spark.operators.text_analysis import SEARCH_TERMS
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        inverted.QUERIES["bm25_batch_indexed"],
+        inverted.ORACLES["bm25_batch_indexed"],
+    )
+
+    assert inverted.BM25_BATCH_QUERIES[0] == SEARCH_TERMS
+    batch0 = [
+        (r.doc_id, r.bm25, r.n_terms_matched)
+        for r in inverted.bm25_batch_indexed(spark, SF_DIR)
+        .filter(F.col("query_id") == 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .collect()
+    ]
+    single = [
+        (r.doc_id, r.bm25, r.n_terms_matched)
+        for r in inverted.bm25_search_indexed(spark, SF_DIR)
+        .limit(inverted.BM25_BATCH_TOP)
+        .collect()
+    ][: inverted.BM25_BATCH_TOP]
+    assert batch0 == single[: len(batch0)] and len(batch0) == inverted.BM25_BATCH_TOP

@@ -1214,3 +1214,36 @@ def test_ann_mrl_second_rung_separates_and_matches_oracle(spark, duck):
     # single query ties are possible, so pin >= (the probe pins the
     # multi-query separation offline)
     assert curve["mrl32"] >= curve["mrl"]
+
+
+def test_lsh_band_sweep_nesting_and_oracle(spark, duck):
+    """r08b: the (bands × rows) calibration table — candidate sets
+    NEST where the band blocks align (a 12×2 band match implies both
+    its 24×1 halves match; a 6×4 match implies both its 12×2 halves),
+    so counts and recall must be monotone along 24×1 ⊇ 12×2 ⊇ 6×4 and
+    24×1 ⊇ 8×3; the 12×2 row must agree with the registered stratum
+    eval (same universe, same banding); and the whole table
+    hash-matches its DuckDB twin."""
+    rows = {
+        (r.bands, r.rows_per_band): r
+        for r in dedup.lsh_band_sweep(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(dedup.LSH_SWEEP_CONFIGS)
+    c = {k: rows[k].n_candidates for k in rows}
+    h = {k: rows[k].n_hits for k in rows}
+    assert c[(24, 1)] >= c[(12, 2)] >= c[(6, 4)]
+    assert c[(24, 1)] >= c[(8, 3)]
+    assert h[(24, 1)] >= h[(12, 2)] >= h[(6, 4)]
+    assert h[(24, 1)] >= h[(8, 3)]
+
+    ev = dedup.dedup_lsh_eval_stratum(spark, SF_DIR).collect()[0]
+    assert rows[(12, 2)].n_candidates == ev.n_lsh_pairs
+    assert rows[(12, 2)].n_hits == ev.n_hits
+    assert rows[(12, 2)].n_true_pairs == ev.n_true_pairs
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        dedup.QUERIES["lsh_band_sweep"],
+        dedup.ORACLES["lsh_band_sweep"],
+    )

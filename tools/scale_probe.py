@@ -150,8 +150,8 @@ PROBE_OPS = (
     # (replication manufactures duplicate cliques).
     "ann_mrl_topk",
     # r08: the second MRL rung — same in-scan shape, wider slice.
-    # dedup_lsh_eval_stratum sits with the excluded pair-graph family
-    # (same composition as dedup_lsh_eval over the stratum).
+    # dedup_lsh_eval_stratum and lsh_band_sweep sit with the excluded
+    # pair-graph family (stratum pair compositions).
     "ann_mrl32_topk",
     "orders_time_travel",
     # r07h: composition of the four in-scan probes above — one scan
@@ -222,6 +222,10 @@ WARMED_PROBE_OPS = (
     # MV read).
     "positional_ingest_audit",
     "orders_restore_audit",
+    # r08b: the BM25 posting layout builds once per dir; the timed
+    # runs are the bucket-pruned ranked probes (single + batch).
+    "bm25_search_indexed",
+    "bm25_batch_indexed",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
