@@ -403,8 +403,8 @@ def build_bm25_index(spark: SparkSession, docs: DataFrame, out_dir: str) -> str:
     words = docs.select("doc_id", _words(F.col("text")).alias("words"))
     lengths = words.select("doc_id", F.size("words").alias("dl"))
     st = lengths.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
     ).first()
     postings = (
         explode_nonempty(
@@ -425,9 +425,86 @@ def build_bm25_index(spark: SparkSession, docs: DataFrame, out_dir: str) -> str:
         .partitionBy("tbucket")
         .parquet(out_dir)
     )
-    with open(os.path.join(out_dir, "_bm25_stats.json"), "w") as fh:
-        _json.dump({"n_docs": float(st.n_docs), "avgdl": float(st.avgdl)}, fh)
+    _write_bm25_stats(out_dir, int(st.n_docs), int(st.total_dl or 0))
     return out_dir
+
+
+def _write_bm25_stats(index_dir: str, n_docs: int, total_dl: int) -> None:
+    """Publish the stats sidecar atomically. ``n_docs``/``total_dl``
+    are EXACT integers, so ``avgdl = total_dl / n_docs`` equals both
+    engines' avg-of-integer-dl to the double — and the sidecar folds
+    exactly under ingest (counts add; a recomputed average would
+    drift with float association order)."""
+    import json as _json
+
+    stats = {
+        "n_docs": float(n_docs),
+        "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+        "total_dl": int(total_dl),
+    }
+    tmp = os.path.join(index_dir, "_bm25_stats.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(stats, fh)
+    os.replace(tmp, os.path.join(index_dir, "_bm25_stats.json"))
+
+
+def append_documents_bm25(
+    spark: SparkSession, index_dir: str, docs: DataFrame
+) -> int:
+    """Fold a NEW document batch into the BM25 layout — the ingest
+    path, mirroring ``append_documents_positional`` (stable bucket
+    scheme, new files only, cost ∝ batch tokens) PLUS the sidecar
+    fold the ranked layout uniquely needs: (n_docs, total_dl) are
+    exact integer counters, so the batch's counts ADD and the derived
+    ``avgdl`` equals the full-rebuild value bit-for-bit (pytest) —
+    every post-append query scores with corpus-true IDF/avgdl, no
+    stale-stats window beyond the atomic sidecar replace. Like the
+    positional layout, re-appending a batch double-counts (tf rows
+    AND stats), so replay protection is mandatory — run ingest
+    behind ``postings_updater``-style applied-batch markers. Returns
+    posting rows appended."""
+    import json as _json
+
+    from ..operators.dedup import _words, explode_nonempty
+
+    with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
+        st = _json.load(fh)
+    words = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    lengths = words.select("doc_id", F.size("words").alias("dl"))
+    batch = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).first()
+    postings = (
+        explode_nonempty(
+            words,
+            ["doc_id", F.size("words").alias("dl")],
+            F.col("words"),
+            "word",
+        )
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .withColumn(
+            "tbucket", F.pmod(F.xxhash64("word"), F.lit(N_TBUCKETS)).cast("int")
+        )
+        .localCheckpoint()  # count + write without re-tokenizing
+    )
+    n = postings.count()
+    if int(batch.n_docs):
+        (
+            postings.repartition("tbucket")
+            .write.mode("append")
+            .partitionBy("tbucket")
+            .parquet(index_dir)
+        )
+        # pre-r08b sidecars lack total_dl; derive it (exact for
+        # integer dl: avgdl was stored as total/n of exact ints)
+        old_total = int(st.get("total_dl", round(st["avgdl"] * st["n_docs"])))
+        _write_bm25_stats(
+            index_dir,
+            int(st["n_docs"]) + int(batch.n_docs),
+            old_total + int(batch.total_dl or 0),
+        )
+    return n
 
 
 def bm25_topk_from_index(

@@ -454,3 +454,67 @@ def test_bm25_batch_matches_oracle_and_per_query_single_path(spark, duck, tmp_pa
         .collect()
     ][: inverted.BM25_BATCH_TOP]
     assert batch0 == single[: len(batch0)] and len(batch0) == inverted.BM25_BATCH_TOP
+
+
+def test_append_bm25_two_batch_equals_full_rebuild(spark, tmp_path):
+    """r08b ingest: build from batch 1, append batch 2 — postings AND
+    the (n_docs, total_dl, avgdl) sidecar must equal the single-shot
+    rebuild exactly (integer counters fold; avgdl derives), and the
+    ranked probe over the incremental layout must return the
+    rebuild's rows verbatim."""
+    import json
+
+    from samza_hello_samza_spark.operators.retrieval import BM25_TOP
+    from samza_hello_samza_spark.operators.text_analysis import SEARCH_TERMS
+    from samza_hello_samza_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    incr = str(tmp_path / "incr")
+    full = str(tmp_path / "full")
+    inverted.build_bm25_index(spark, b1, incr)
+    n = inverted.append_documents_bm25(spark, incr, b2)
+    assert n > 0
+    inverted.build_bm25_index(spark, docs, full)
+
+    def rows(d):
+        return {
+            (r.word, r.doc_id, r.tf, r.dl, r.tbucket)
+            for r in spark.read.parquet(d).collect()
+        }
+
+    assert rows(incr) == rows(full)
+
+    def stats(d):
+        with open(os.path.join(d, "_bm25_stats.json")) as fh:
+            return json.load(fh)
+
+    assert stats(incr) == stats(full)
+
+    got = [
+        tuple(r)
+        for r in inverted.bm25_topk_from_index(
+            spark, incr, list(SEARCH_TERMS), BM25_TOP
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in inverted.bm25_topk_from_index(
+            spark, full, list(SEARCH_TERMS), BM25_TOP
+        ).collect()
+    ]
+    assert got == want and len(got) == BM25_TOP
+
+    # a pre-r08b sidecar (no total_dl) folds via the derived total
+    legacy = stats(incr)
+    legacy.pop("total_dl")
+    with open(os.path.join(incr, "_bm25_stats.json"), "w") as fh:
+        json.dump(legacy, fh)
+    extra = spark.createDataFrame([(900000, "spark join window")],
+                                  "doc_id BIGINT, text STRING")
+    inverted.append_documents_bm25(spark, incr, extra)
+    st = stats(incr)
+    assert st["n_docs"] == legacy["n_docs"] + 1
+    assert st["total_dl"] == round(legacy["avgdl"] * legacy["n_docs"]) + 3
