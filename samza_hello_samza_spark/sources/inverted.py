@@ -507,6 +507,41 @@ def append_documents_bm25(
     return n
 
 
+def bm25_postings_updater(
+    docs_stream: DataFrame, index_dir: str, checkpoint_dir: str
+):
+    """Keep the BM25 layout current from a stream of (doc_id, text)
+    rows — the ``postings_updater`` idempotent-consumer shape with
+    the stricter gate the ranked layout REQUIRES: here replay
+    protection is correctness, not hygiene (a re-appended batch
+    double-counts tf rows AND the sidecar's n_docs/total_dl, which
+    skews every subsequent IDF/avgdl), so each micro-batch folds
+    through ``append_documents_bm25`` only if its applied-batch
+    marker is absent, and the marker is written AFTER the append +
+    sidecar publish land (a crash inside the window re-runs the
+    batch — the one at-least-once seam, same contract as the
+    positional updater, reclaimed by the next full rebuild)."""
+    import os as _os
+
+    marker_dir = _os.path.join(checkpoint_dir, "_applied")
+    _os.makedirs(marker_dir, exist_ok=True)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        marker = _os.path.join(marker_dir, f"batch-{batch_id}")
+        if _os.path.exists(marker) or batch.isEmpty():
+            return
+        append_documents_bm25(batch.sparkSession, index_dir, batch)
+        with open(marker, "w") as fh:
+            fh.write("applied")
+
+    return (
+        docs_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def bm25_topk_from_index(
     spark: SparkSession, index_dir: str, terms: list[str], top: int
 ) -> DataFrame:

@@ -518,3 +518,64 @@ def test_append_bm25_two_batch_equals_full_rebuild(spark, tmp_path):
     st = stats(incr)
     assert st["n_docs"] == legacy["n_docs"] + 1
     assert st["total_dl"] == round(legacy["avgdl"] * legacy["n_docs"]) + 3
+
+
+def test_bm25_updater_stream_and_replay_folds_nothing(spark, tmp_path):
+    """r08b streaming upkeep for the ranked layout: micro-batches fold
+    through append_documents_bm25 behind applied-batch markers; a
+    redelivered batch (checkpoint wiped, markers kept) folds NOTHING —
+    posting rows AND the stats sidecar byte-stable under replay (here
+    the gate is correctness: a double-fold skews every IDF/avgdl)."""
+    import json
+    import shutil
+
+    seed = spark.createDataFrame(
+        [(0, "table scan filter")], "doc_id long, text string"
+    )
+    index_dir = os.path.join(str(tmp_path), "bm25")
+    inverted.build_bm25_index(spark, seed, index_dir)
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "spark join window"), (2, "spark join only")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(os.path.join(src, "f1"))
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = inverted.bm25_postings_updater(stream, index_dir, ck)
+        q.processAllAvailable()
+        q.stop()
+
+    ck = os.path.join(str(tmp_path), "ck")
+    run(ck)
+
+    def state():
+        rows = sorted(
+            map(
+                tuple,
+                spark.read.parquet(index_dir)
+                .select("word", "doc_id", "tf", "dl")
+                .collect(),
+            )
+        )
+        with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
+            return rows, json.load(fh)
+
+    before_rows, before_stats = state()
+    assert before_stats["n_docs"] == 3.0  # seed + two streamed docs
+    assert before_stats["total_dl"] == 3 + 3 + 3
+
+    # redelivery: wipe ONLY the spark checkpoint, keep the markers
+    for entry in os.listdir(ck):
+        if entry != "_applied":
+            shutil.rmtree(os.path.join(ck, entry), ignore_errors=True)
+    run(ck)
+    after_rows, after_stats = state()
+    assert after_rows == before_rows
+    assert after_stats == before_stats
