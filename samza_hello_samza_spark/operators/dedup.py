@@ -600,6 +600,7 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             _bucket_pairs(bands, ["band", "sig"], "doc_id")
             .select(F.col("p.pa").alias("doc_a"), F.col("p.pb").alias("doc_b"))
             .distinct()
+            .localCheckpoint()  # counted AND semi-joined: one band join
         )
         hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
         row = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")).crossJoin(
@@ -952,8 +953,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, cluster_id) for every doc in ≥1 near-dup pair,
     cluster_id = min doc_id of its component.
+
+    r09: the labels are corpus state — served from the per-(corpus,
+    algorithm) materialization (``_components_cached``), so the six
+    component-consuming keys (clusters / twostar / sizes / canonical /
+    report / leakage split) cluster ONCE per corpus per algorithm, not
+    once per key. Cached and fresh runs are byte-identical: the
+    converged labels are the unique (node → component-min) relation.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _components_cached(spark, sf_dir, "minlabel")
+
+
+def _minlabel_components(pairs: DataFrame) -> DataFrame:
+    """Iterative min-label propagation over a (doc_a, doc_b) pair
+    frame → (doc_id, cluster_id); the algorithm body of
+    :func:`dedup_clusters` (see its docstring)."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
@@ -991,6 +1005,67 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def _components_cached(
+    spark: SparkSession, sf_dir: str, algorithm: str
+) -> DataFrame:
+    """The near-dup components relation (doc_id, cluster_id),
+    materialized once per (corpus, algorithm) — the
+    ``graph._pairs_cached`` design applied one level up the dedup
+    stack. Six registered keys consume this relation (the two cluster
+    keys, sizes, canonical, the corpus report, the leakage-safe
+    split); before r09 each re-ran the iterative clustering from the
+    pair join. Components are corpus state exactly like the edge
+    table: built once under the index root, published with a
+    first-writer-wins atomic manifest commit (os.link fails if a
+    concurrent first-query committed first; the loser discards its
+    build and reads the winner's), and re-read as parquet afterwards.
+    Byte-deterministic: both algorithms converge to the unique
+    (node → component-min) labelling, so cached and fresh runs return
+    identical rows. The pair input comes from the SAME materialized
+    edge table the graph family shares — one shingle self-join per
+    corpus serves pagerank, k-core, LPA, triangles AND clustering."""
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    from .ann_index import _list_parquet_files, read_index_manifest
+
+    root = os.path.join(
+        os.environ.get("SPARK_GRAFT_INDEX_DIR", tempfile.gettempdir()),
+        "samza_spark_components",
+        sf_dir.strip("/").replace("/", "_"),
+        algorithm,
+    )
+    manifest = os.path.join(root, "MANIFEST.json")
+    man = read_index_manifest(root)
+    if not man["files"]:
+        from .graph import _pairs_cached
+
+        pairs = _pairs_cached(spark, sf_dir)
+        if algorithm == "twostar":
+            comp = star_components(pairs).select(
+                F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+        elif algorithm == "minlabel":
+            comp = _minlabel_components(pairs)
+        else:  # pragma: no cover - caller bug
+            raise ValueError(f"unknown components algorithm: {algorithm}")
+        build = os.path.join(root, f"build-{uuid.uuid4().hex}")
+        comp.write.mode("overwrite").parquet(build)
+        tmp = manifest + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": 1, "files": _list_parquet_files(build)}, f)
+        try:
+            os.link(tmp, manifest)
+        except FileExistsError:
+            pass  # lost the race — the committed build wins
+        finally:
+            os.remove(tmp)
+        man = read_index_manifest(root)
+    return spark.read.parquet(*man["files"])
+
+
 #: hard cap on alternating star rounds — the algorithm converges in
 #: O(log n) rounds with high probability; 40 covers n ≈ 2^40 nodes
 #: with a wide margin, so hitting the cap means a logic bug, not a
@@ -1024,11 +1099,12 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: identical to dedup_clusters (DuckDB recursive CTE) — the
     two implementations must agree bit-for-bit.
+
+    r09: served from the per-(corpus, algorithm) materialization —
+    see :func:`_components_cached`; ``leakage_safe_split`` reads the
+    same committed relation instead of re-clustering.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return star_components(pairs).select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    return _components_cached(spark, sf_dir, "twostar")
 
 
 def star_components(pairs: DataFrame) -> DataFrame:

@@ -696,7 +696,12 @@ def _documents_positional_incremental(spark: SparkSession, sf_dir: str) -> str:
     applied-batch marker discipline ``postings_updater`` uses — a
     re-entrant run (or a redelivered batch) folds nothing, which is
     mandatory here because positional postings are a multiset
-    (re-appending double-counts phrase matches)."""
+    (re-appending double-counts phrase matches). The append is
+    bracketed by an ``.inprogress`` sentinel (written before, renamed
+    to the marker after): a crash mid-append is detected on the next
+    run and recovered by REBUILDING the layout from batch 0 — never
+    by re-appending onto a layout that may already hold the crashed
+    batch's files."""
     from ..operators.dedup import _md5_slice32 as _slice32
     from ..operators.ann_index import _index_root, _tag
     from ..session import load_table
@@ -711,16 +716,31 @@ def _documents_positional_incremental(spark: SparkSession, sf_dir: str) -> str:
     ring = F.pmod(_slice32(F.col("doc_id").cast("string")), F.lit(100))
 
     m0 = os.path.join(marker_dir, "batch-0")
+    m1 = os.path.join(marker_dir, "batch-1")
+    m1_wip = m1 + ".inprogress"
+    if not os.path.exists(m1) and os.path.exists(m1_wip):
+        # a prior run crashed INSIDE the batch-1 append (the wip
+        # sentinel went down before the append, the commit rename
+        # never happened): posting files may have landed without the
+        # marker, and a blind re-append would double-count them
+        # forever. The append itself isn't atomic, so recovery is a
+        # rebuild: batch-0's overwrite build wipes the layout clean.
+        for p in (m0, m1_wip):
+            if os.path.exists(p):
+                os.remove(p)
     if not os.path.exists(m0):
         # build overwrites → naturally idempotent across a crash here
         build_positional_index(spark, docs.filter(ring < INGEST_SPLIT_PCT), out)
         open(m0, "w").close()
-    m1 = os.path.join(marker_dir, "batch-1")
     if not os.path.exists(m1):
+        # wip sentinel BEFORE the append, atomic rename AFTER it: a
+        # crash anywhere in between is detected above and rebuilt,
+        # never re-appended onto a maybe-dirty layout.
+        open(m1_wip, "w").close()
         append_documents_positional(
             spark, out, docs.filter(ring >= INGEST_SPLIT_PCT)
         )
-        open(m1, "w").close()
+        os.replace(m1_wip, m1)
     return out
 
 
@@ -763,12 +783,29 @@ def positional_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_built(out: str) -> bool:
+    """A BM25 layout is built only when BOTH commits landed: the
+    postings' parquet ``_SUCCESS`` AND the ``_bm25_stats.json``
+    sidecar (written after the postings — the overwrite build wipes
+    the directory, so the sidecar cannot go first). A crash between
+    the two leaves ``_SUCCESS`` without the sidecar; gating on
+    ``_is_built`` alone would serve that partial build with a
+    ``FileNotFoundError`` on every probe until someone removed the
+    directory by hand — require both, so a partial build is rebuilt
+    instead of served."""
+    from ..operators.ann_index import _is_built
+
+    return _is_built(out) and os.path.exists(
+        os.path.join(out, "_bm25_stats.json")
+    )
+
+
 def _documents_bm25_index(spark: SparkSession, sf_dir: str) -> str:
-    from ..operators.ann_index import _index_root, _is_built, _tag
+    from ..operators.ann_index import _index_root, _tag
     from ..session import load_table
 
     out = os.path.join(_index_root(), _tag(sf_dir), "bm25_documents")
-    if not _is_built(out):
+    if not _bm25_built(out):
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         build_bm25_index(spark, docs, out)
     return out

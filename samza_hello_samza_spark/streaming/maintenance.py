@@ -600,10 +600,18 @@ def fold_cms_cells(
     (flat cell parquet at the root, the pre-r07 ``cms_updater``
     layout) folds those root-level cells into v1 alongside the
     delta — an upgraded stream keeps its whole-history counts —
-    and removes the migrated flat files after the manifest commit."""
+    and removes the migrated flat files after the manifest commit.
+    The migrating fold leaves a ``_FLAT_MIGRATED`` marker; flat files
+    found at version > 0 are deleted ONLY when that marker exists
+    (crash orphans of a prior migrating fold's cleanup). Without the
+    marker they are evidence of a fold history that never saw this
+    migration code (e.g. a pre-marker fold already advanced the
+    version) — those cells were never folded, so deleting them would
+    destroy the only copy of their counts; we warn and leave them."""
     import json
     import os
     import shutil
+    import warnings
 
     from ..operators.sketches import CMS_D, _cms_bucket
 
@@ -613,11 +621,15 @@ def fold_cms_cells(
         return False
     spark = batch.sparkSession
     # at version 0 flat files are unmigrated legacy state (fold them);
-    # at version > 0 they are orphans of a crash between a prior
-    # fold's manifest commit and its cleanup (already folded — remove
-    # after this commit, never re-fold).
+    # at version > 0 they are EITHER orphans of a crash between a
+    # prior migrating fold's manifest commit and its cleanup (the
+    # _FLAT_MIGRATED marker says so — already folded, safe to remove)
+    # OR never-folded legacy cells under a version advanced by
+    # pre-migration fold code (no marker — removing them would be the
+    # only copy of those counts; warn and leave in place).
     flat = _legacy_cms_files(state_path)
     legacy = flat if man["version"] == 0 else []
+    migrated_marker = os.path.join(state_path, "_FLAT_MIGRATED")
     pairs = F.array(
         *[
             F.struct(
@@ -659,10 +671,26 @@ def fold_cms_cells(
     tmp = os.path.join(state_path, "MANIFEST.json.tmp")
     with open(tmp, "w") as f:
         json.dump(new_man, f)
+    if legacy:
+        # marker BEFORE the commit: a crash in between leaves version 0
+        # + marker, and the next fold simply re-runs the migration (the
+        # v1 write never landed as current); a crash AFTER the commit
+        # leaves marker + folded flats, which the next fold deletes.
+        open(migrated_marker, "w").close()
     os.replace(tmp, os.path.join(state_path, "MANIFEST.json"))  # THE commit
-    for f in flat:  # migrated (now or by a crashed prior fold)
-        if os.path.exists(f):
-            os.remove(f)
+    if flat:
+        if os.path.exists(migrated_marker):
+            for f in flat:  # migrated (now or by a crashed prior fold)
+                if os.path.exists(f):
+                    os.remove(f)
+        else:
+            warnings.warn(
+                f"{state_path}: flat CMS cells present at manifest "
+                f"version {new_version} without a _FLAT_MIGRATED "
+                "marker — never folded by this code; left in place "
+                "(fold them manually or rebuild the stream state)",
+                stacklevel=2,
+            )
     for v in range(1, new_version - 1):  # keep current + previous
         d = os.path.join(state_path, f"v{v}")
         if os.path.exists(d):

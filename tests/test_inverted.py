@@ -579,3 +579,48 @@ def test_bm25_updater_stream_and_replay_folds_nothing(spark, tmp_path):
     after_rows, after_stats = state()
     assert after_rows == before_rows
     assert after_stats == before_stats
+
+
+def test_positional_incremental_crash_mid_append_recovers(spark, tmp_path, monkeypatch):
+    """ADVICE r09: a crash INSIDE the batch-1 append (posting files
+    landed, marker never written) must not double-count on re-entry.
+    The wip sentinel brackets the append; re-entry with the sentinel
+    down rebuilds the layout from scratch instead of re-appending —
+    the audit relation is byte-identical to the clean build's."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    from samza_hello_samza_spark.operators.ann_index import _index_root, _tag
+
+    clean = inverted.positional_ingest_audit(spark, SF_DIR).collect()[0]
+
+    root = os.path.join(_index_root(), _tag(SF_DIR))
+    marker_dir = os.path.join(root, "positional_documents_incr_applied")
+    m1 = os.path.join(marker_dir, "batch-1")
+    # simulate the crash window: batch-1 files are IN the layout (the
+    # clean run above appended them) but the marker rename never
+    # happened — the wip sentinel is still down
+    os.remove(m1)
+    open(m1 + ".inprogress", "w").close()
+
+    recovered = inverted.positional_ingest_audit(spark, SF_DIR).collect()[0]
+    assert recovered == clean  # a re-append would double n_postings
+    assert os.path.exists(m1)
+    assert not os.path.exists(m1 + ".inprogress")
+
+
+def test_bm25_partial_build_rebuilds_instead_of_serving(spark, tmp_path, monkeypatch):
+    """ADVICE r09: a crash between the postings write and the sidecar
+    publish leaves _SUCCESS without _bm25_stats.json; the built gate
+    must treat that as NOT built (rebuild on next probe), never serve
+    it into a FileNotFoundError."""
+    from samza_hello_samza_spark.operators.ann_index import _index_root, _tag
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    clean = [tuple(r) for r in inverted.bm25_search_indexed(spark, SF_DIR).collect()]
+
+    out = os.path.join(_index_root(), _tag(SF_DIR), "bm25_documents")
+    os.remove(os.path.join(out, "_bm25_stats.json"))
+    assert not inverted._bm25_built(out)
+
+    served = [tuple(r) for r in inverted.bm25_search_indexed(spark, SF_DIR).collect()]
+    assert served == clean
+    assert os.path.exists(os.path.join(out, "_bm25_stats.json"))

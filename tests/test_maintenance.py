@@ -2065,6 +2065,56 @@ def test_cms_legacy_flat_state_migrates_on_first_fold(spark, tmp_path):
     assert got2 == want
 
 
+def test_cms_unmarked_flat_cells_at_v_gt_0_survive(spark, tmp_path):
+    """ADVICE r09: flat cell parquet found at manifest version > 0
+    WITHOUT the _FLAT_MIGRATED marker is a fold history that never
+    ran the migration code — those cells were never folded, and the
+    fold must warn and leave them in place (deleting would destroy
+    the only copy of their counts). WITH the marker they are crash
+    orphans of a prior migrating fold's cleanup and ARE reclaimed."""
+    import glob as _glob
+    import shutil as _sh
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    a = events.filter(F.col("event_id") % 3 == 0)
+    b = events.filter(F.col("event_id") % 3 == 1)
+    c = events.filter(F.col("event_id") % 3 == 2)
+
+    # simulate the r07-era history: a manifest fold advanced the
+    # version while never-folded legacy flats sit at the root
+    state = str(tmp_path / "cms_unmarked")
+    assert maintenance.fold_cms_cells(a, state, batch_id=0) is True
+    legacy_dir = str(tmp_path / "legacy_cells")
+    spark.createDataFrame(
+        [(0, 7, 123)], "row int, bucket bigint, cnt bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(legacy_dir)
+    for i, f in enumerate(_glob.glob(os.path.join(legacy_dir, "*.parquet"))):
+        _sh.copy(f, os.path.join(state, f"legacy-{i}.parquet"))
+    assert _glob.glob(os.path.join(state, "*.parquet"))
+
+    with pytest.warns(UserWarning, match="_FLAT_MIGRATED"):
+        assert maintenance.fold_cms_cells(b, state, batch_id=1) is True
+    # the unmarked flats survive the fold
+    assert _glob.glob(os.path.join(state, "*.parquet"))
+
+    # with the marker present (crash-orphan case) the next fold
+    # reclaims them — and the committed counts never included them
+    open(os.path.join(state, "_FLAT_MIGRATED"), "w").close()
+    assert maintenance.fold_cms_cells(c, state, batch_id=2) is True
+    assert not _glob.glob(os.path.join(state, "*.parquet"))
+    total = (
+        maintenance.read_cms_cells(spark, state)
+        .agg(F.sum("cnt").alias("s"))
+        .collect()[0]
+        .s
+    )
+    # every event contributes CMS_D cells; the 123-count flat row
+    # must never have been folded in
+    from samza_hello_samza_spark.operators.sketches import CMS_D
+
+    assert total == events.count() * CMS_D
+
+
 def test_restore_flows_through_join_mv_applier_exactly_once(spark, tmp_path):
     """r08 (VERDICT #1): a table RESTORE drives the JOIN-MV applier
     like any commit — the netted apply (last commit wins per key)
