@@ -225,6 +225,13 @@ EXTRA_VOLUME = (
     "bm25_search_indexed",
     # r08b: five-query ranked batch from one pruned posting read.
     "bm25_batch_indexed",
+    # r09: impact-bound (WAND/MaxScore) ranked probe — rare term read
+    # whole, common terms' lower tiers skipped against θ; exact top-k,
+    # block-skip telemetry pytest-asserted. Latency carries ~5 bounded
+    # orchestration round-trips (sidecar pricing, θ+candidates, two
+    # pruned reads) vs the flat probe's one — the bytes win is the
+    # scale story, the fixed overhead is the sf0.1 story.
+    "bm25_search_wand",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the

@@ -386,16 +386,95 @@ def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- BM25-ready postings: the ranked-retrieval serving index ---------------
 
+#: impact tiers per term bucket: postings are physically split by the
+#: idf-free BM25 saturation s = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+#: so an impact-bound probe (WAND/MaxScore family) can read the
+#: high-impact tier first and SKIP lower tiers whose bound cannot
+#: reach the running top-k. Thresholds are fixed (no per-term
+#: quantile shuffle — a stopword's postings would be one giant window
+#: partition at 100 TB); the assignment is PHYSICAL layout only, so
+#: the avgdl it uses (build-time / current-sidecar) never affects
+#: correctness — per-block bounds are re-derived at query time from
+#: the blocks' own (max_tf, min_dl) and the CURRENT corpus stats.
+WAND_TIERS = 3
+WAND_TIER_HI = 0.60  # s ≥ HI → tier 0
+WAND_TIER_MID = 0.45  # s ≥ MID → tier 1, else tier 2
+#: completion-phase cap: if more docs than this could still reach the
+#: top-k, the two-phase probe degrades to the full read (correct,
+#: just unpruned) instead of collecting an unbounded id list.
+WAND_CANDIDATE_CAP = 4096
+#: MaxScore essential-list rule: a term whose df ≤ this fraction of
+#: the corpus is read whole in phase 1 (short list, high idf — the
+#: postings that decide the top-k); commoner terms are tier-skipped.
+WAND_ESSENTIAL_DF_FRAC = 0.2
+
+
+def _bm25_sat(tf, dl, avgdl: float):
+    """The idf-free saturation term of BM25 — column-or-float form
+    (monotone ↑ in tf, ↓ in dl, so s(max_tf, min_dl) bounds a block)."""
+    from ..operators.retrieval import BM25_B, BM25_K1
+
+    return (tf * (BM25_K1 + 1)) / (
+        tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+    )
+
+
+def _tier_col(avgdl: float) -> F.Column:
+    from ..operators.retrieval import BM25_K1
+
+    # thresholds are on s/(k1+1) ∈ (0,1) — the normalized saturation
+    s = _bm25_sat(F.col("tf"), F.col("dl"), avgdl) / (BM25_K1 + 1)
+    return (
+        F.when(s >= WAND_TIER_HI, F.lit(0))
+        .when(s >= WAND_TIER_MID, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+        .alias("tier")
+    )
+
+
+def _impacts_dir(index_dir: str) -> str:
+    # leading underscore: invisible to spark.read.parquet(index_dir)
+    return os.path.join(index_dir, "_impacts")
+
+
+def _write_bm25_impacts(postings: DataFrame, index_dir: str, mode: str) -> None:
+    """Per-(tbucket, word, tier) block bounds — the max-impact sidecar
+    the WAND probe prices blocks with: (max_tf, min_dl) bound every
+    member's saturation from above; ``n_postings`` rows SUM to the
+    term's exact df (postings are one row per (word, doc)), so the
+    probe derives idf without reading a single posting block. Appends
+    add rows for the batch's blocks and the query-side (max, min, sum)
+    aggregate folds them exactly — the same add-only discipline as the
+    (n_docs, total_dl) sidecar."""
+    (
+        postings.groupBy("tbucket", "word", "tier")
+        .agg(
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+            F.count(F.lit(1)).alias("n_postings"),
+        )
+        .repartition("tbucket")
+        .write.mode(mode)
+        .partitionBy("tbucket")
+        .parquet(_impacts_dir(index_dir))
+    )
+
 
 def build_bm25_index(spark: SparkSession, docs: DataFrame, out_dir: str) -> str:
     """Materialize BM25-scoring postings — (word, doc_id, tf, dl) in
-    the same stable ``tbucket`` scheme — plus a ``_bm25_stats.json``
-    sidecar holding the two corpus constants (N, avgdl) every query
-    needs. ``dl`` is denormalized onto each posting so scoring never
-    joins a lengths table; ``df`` per term is NOT stored — it is the
-    row count of the term's own (already-read) postings, so it stays
-    exact under this layout without a second sidecar. One tokenize
-    pass, the build cost every search index pays once."""
+    the same stable ``tbucket`` scheme, impact-tiered inside each
+    bucket (``partitionBy(tbucket, tier)`` — see ``WAND_TIERS``) —
+    plus two sidecars: ``_bm25_stats.json`` holding the corpus
+    constants (N, avgdl) every query needs, and the ``_impacts``
+    block-bounds table the WAND probe prices tiers with. ``dl`` is
+    denormalized onto each posting so scoring never joins a lengths
+    table; ``df`` per term is the row count of the term's own
+    postings AND the sum of its ``_impacts.n_postings`` — exact under
+    both read paths. One tokenize pass, the build cost every search
+    index pays once. Commit order: postings → impacts → stats (the
+    built-gate requires the stats sidecar, so a crash between any
+    two steps rebuilds instead of serving a partial layout)."""
     import json as _json
 
     from ..operators.dedup import _words, explode_nonempty
@@ -406,6 +485,9 @@ def build_bm25_index(spark: SparkSession, docs: DataFrame, out_dir: str) -> str:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
     ).first()
+    n_docs = int(st.n_docs)
+    total_dl = int(st.total_dl or 0)
+    avgdl = (total_dl / n_docs) if n_docs else 1.0
     postings = (
         explode_nonempty(
             words,
@@ -418,14 +500,18 @@ def build_bm25_index(spark: SparkSession, docs: DataFrame, out_dir: str) -> str:
         .withColumn(
             "tbucket", F.pmod(F.xxhash64("word"), F.lit(N_TBUCKETS)).cast("int")
         )
+        .withColumn("tier", _tier_col(avgdl or 1.0))
+        .localCheckpoint()  # postings + impacts from ONE tokenize pass
     )
     (
         postings.repartition("tbucket")
+        .sortWithinPartitions("tbucket", "tier", "word", "doc_id")
         .write.mode("overwrite")
-        .partitionBy("tbucket")
+        .partitionBy("tbucket", "tier")
         .parquet(out_dir)
     )
-    _write_bm25_stats(out_dir, int(st.n_docs), int(st.total_dl or 0))
+    _write_bm25_impacts(postings, out_dir, "overwrite")
+    _write_bm25_stats(out_dir, n_docs, total_dl)
     return out_dir
 
 
@@ -441,6 +527,10 @@ def _write_bm25_stats(index_dir: str, n_docs: int, total_dl: int) -> None:
         "n_docs": float(n_docs),
         "avgdl": (total_dl / n_docs) if n_docs else 0.0,
         "total_dl": int(total_dl),
+        # layout marker: presence (== WAND_TIERS) says the postings
+        # are impact-tiered and the _impacts sidecar exists — the
+        # built-gate uses it to rebuild pre-r09 flat layouts.
+        "tiers": WAND_TIERS,
     }
     tmp = os.path.join(index_dir, "_bm25_stats.json.tmp")
     with open(tmp, "w") as fh:
@@ -486,16 +576,22 @@ def append_documents_bm25(
         .withColumn(
             "tbucket", F.pmod(F.xxhash64("word"), F.lit(N_TBUCKETS)).cast("int")
         )
+        # tier by the CURRENT sidecar avgdl — a physical placement
+        # choice only (block bounds are re-derived at query time), so
+        # batches tiered under different avgdl snapshots stay correct
+        .withColumn("tier", _tier_col(st["avgdl"] or 1.0))
         .localCheckpoint()  # count + write without re-tokenizing
     )
     n = postings.count()
     if int(batch.n_docs):
         (
             postings.repartition("tbucket")
+            .sortWithinPartitions("tbucket", "tier", "word", "doc_id")
             .write.mode("append")
-            .partitionBy("tbucket")
+            .partitionBy("tbucket", "tier")
             .parquet(index_dir)
         )
+        _write_bm25_impacts(postings, index_dir, "append")
         # pre-r08b sidecars lack total_dl; derive it (exact for
         # integer dl: avgdl was stored as total/n of exact ints)
         old_total = int(st.get("total_dl", round(st["avgdl"] * st["n_docs"])))
@@ -591,6 +687,298 @@ def bm25_topk_from_index(
         )
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top)
+
+
+def _term_bucket_map(spark: SparkSession, terms: list[str]) -> dict[str, int]:
+    """word → layout bucket, by the engine's own xxhash64 on a
+    |terms|-row local relation (``term_buckets``' map-shaped twin)."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "word string")
+        .select(
+            "word",
+            F.pmod(F.xxhash64("word"), F.lit(N_TBUCKETS)).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    return {r.word: r.b for r in rows}
+
+
+def bm25_wand_topk(
+    spark: SparkSession, index_dir: str, terms: list[str], top: int
+) -> DataFrame:
+    """Okapi BM25 top-``top`` via impact-bound two-phase pruning — the
+    WAND/MaxScore family adapted to the tiered posting layout. Same
+    relation as ``bm25_topk_from_index`` (same expressions, same 4-dp
+    round + doc_id tiebreak, SAME ORACLE — the bound is admissible, so
+    the top-k is exact), but the probe reads posting BLOCKS in two
+    phases instead of scoring every posting of every query term:
+
+    1. Price every (word, tier) block from the ``_impacts`` sidecar
+       alone (idf from summed block df, saturation bound from the
+       block's (max_tf, min_dl) under the CURRENT avgdl — admissible
+       because saturation is ↑ in tf, ↓ in dl). Read ONLY each term's
+       best-priced tier (structurally: the probe lists those tier
+       directories and no others) and aggregate per-doc partial
+       scores. A doc holds at most ONE posting per word, so a term
+       seen in phase 1 contributes EXACTLY — the remaining uncertainty
+       per doc is only over its unseen terms' other-tier bounds.
+    2. θ = the k-th best phase-1 partial (a lower bound on the true
+       k-th score). Docs with no phase-1 posting score ≤ the total
+       unseen-tier slack; when slack < θ they are skipped WITHOUT
+       READING THEIR BLOCKS — this is the WAND skip. Seen docs whose
+       partial + per-doc slack < θ are dropped too. The survivors
+       (≤ ``WAND_CANDIDATE_CAP``, else graceful full-read fallback)
+       are completed EXACTLY from the lower-tier blocks with a pushed
+       ``doc_id IN`` filter, and the final rank runs over completed
+       scores only.
+
+    When the bound cannot prune (slack ≥ θ, fewer than k phase-1
+    docs, or an over-cap candidate set) the probe falls back to the
+    full pruned read — never wrong, just unpruned. Per-call telemetry
+    lands in ``bm25_wand_topk.last_stats`` (blocks read vs skipped,
+    θ, slack, candidate counts, fallback reason) and is asserted in
+    tests.
+
+    Scale: phase 1 reads the high-impact tier of each query term —
+    the fraction of each posting list that decides the top-k — and
+    phase 2 reads a candidate-pruned slice of the rest; at real query
+    volume over 100 TB this is the difference between a search tier
+    and a batch job. All driver-side state is bounded: |terms|·tiers
+    sidecar rows, the k-th score, ≤CAP candidate ids.
+
+    Reference: the per-word KeyValueStore serving contract of
+    WikipediaStatsStreamTask.java:30-75 at toy scale; Broder et al.
+    (CIKM'03) WAND and the MaxScore family for the bound discipline.
+    """
+    import json as _json
+    import math
+
+    eps = 1e-9
+    with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
+        st = _json.load(fh)
+    n_corpus = st["n_docs"]
+    avgdl = st["avgdl"] or 1.0
+    terms = list(dict.fromkeys(terms))
+    bmap = _term_bucket_map(spark, terms)
+    imp_dir = _impacts_dir(index_dir)
+
+    def _fallback(reason: str, stats: dict) -> DataFrame:
+        stats["fallback"] = reason
+        bm25_wand_topk.last_stats = stats
+        return bm25_topk_from_index(spark, index_dir, terms, top)
+
+    # ---- price every block from the sidecar (no posting bytes) ----
+    imp_paths = sorted(
+        {
+            p
+            for b in set(bmap.values())
+            if os.path.isdir(p := os.path.join(imp_dir, f"tbucket={b}"))
+        }
+    )
+    stats: dict = {"fallback": None}
+    if not imp_paths:
+        return _fallback("no_blocks", stats)
+    blocks = (
+        spark.read.option("basePath", imp_dir)
+        .parquet(*imp_paths)
+        .filter(F.col("word").isin(*terms))
+        .groupBy("word", "tier")
+        .agg(
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+            F.sum("n_postings").alias("n"),
+        )
+        .collect()
+    )  # bounded: ≤ |terms| · WAND_TIERS rows
+    info: dict[str, dict[int, tuple]] = {}
+    for r in blocks:
+        info.setdefault(r.word, {})[r.tier] = (r.max_tf, r.min_dl, r.n)
+    if not info:
+        return _fallback("no_blocks", stats)
+    dfreq = {w: float(sum(t[2] for t in tiers.values())) for w, tiers in info.items()}
+    idf = {
+        w: math.log((n_corpus - dfreq[w] + 0.5) / (dfreq[w] + 0.5) + 1.0)
+        for w in info
+    }
+    ub = {
+        (w, t): idf[w] * _bm25_sat(mx, mn, avgdl)
+        for w, tiers in info.items()
+        for t, (mx, mn, _) in tiers.items()
+    }
+    # MaxScore split: ESSENTIAL (rare, high-idf) terms' posting lists
+    # are short — read them whole in phase 1, so every doc carrying a
+    # rare term is priced exactly where it matters most. Common terms
+    # read only their best-priced tier; their remaining tiers are the
+    # only slack left, which is what makes θ beat it on the query
+    # class impact-ordering exists for (rare+common mixes).
+    p1_tiers = {
+        w: (
+            set(tiers)
+            if dfreq[w] <= WAND_ESSENTIAL_DF_FRAC * n_corpus
+            else {max(tiers, key=lambda t: (ub[(w, t)], -t))}
+        )
+        for w, tiers in info.items()
+    }
+    # per-word slack: the best bound among the word's UNREAD tiers —
+    # a doc missing w in phase 1 holds at most one posting there
+    wslack = {
+        w: max((ub[(w, t)] for t in tiers if t not in p1_tiers[w]), default=0.0)
+        for w, tiers in info.items()
+    }
+    total_slack = sum(wslack.values())
+    n_blocks = len(ub)
+    # exact block sizes from the sidecar: the bytes-read claim in
+    # numbers — phase 1 scores n_postings_p1 rows; the remaining
+    # n_postings_deferred are never read at full width (skipped
+    # outright when no candidate needs them, else candidate-pruned)
+    n_p1_rows = sum(
+        info[w][t][2] for w, ts in p1_tiers.items() for t in ts
+    )
+    stats.update(
+        n_blocks_total=n_blocks,
+        n_blocks_p1=sum(len(ts) for ts in p1_tiers.values()),
+        n_postings_p1=int(n_p1_rows),
+        n_postings_deferred=int(sum(d for d in dfreq.values()) - n_p1_rows),
+        total_slack=round(total_slack, 6),
+    )
+
+    # ---- phase 1: read ONLY the chosen tier dirs ----
+    p1_paths = sorted(
+        {
+            p
+            for w in info
+            for t in p1_tiers[w]
+            if os.path.isdir(
+                p := os.path.join(index_dir, f"tbucket={bmap[w]}", f"tier={t}")
+            )
+        }
+    )
+    stats["p1_dirs"] = p1_paths
+    if not p1_paths:
+        return _fallback("no_p1_dirs", stats)
+    p1_cond = None
+    for w in info:
+        c = (F.col("word") == w) & (
+            F.col("tier").isin(sorted(p1_tiers[w]))
+        )
+        p1_cond = c if p1_cond is None else (p1_cond | c)
+    qinfo = spark.createDataFrame(
+        [(w, idf[w], wslack[w]) for w in info],
+        "word STRING, idf DOUBLE, wslack DOUBLE",
+    )
+    contrib = (
+        spark.read.option("basePath", index_dir)
+        .parquet(*p1_paths)
+        .filter(p1_cond)
+        .join(F.broadcast(qinfo), "word")
+        .select(
+            "doc_id",
+            (F.col("idf") * _bm25_sat(F.col("tf"), F.col("dl"), avgdl)).alias("c"),
+            "wslack",
+        )
+    )
+    agg1 = (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("partial"),
+            F.sum("wslack").alias("seen_slack"),
+            F.count(F.lit(1)).alias("n_seen"),
+        )
+        .localCheckpoint()  # priced once, consumed by θ-filter + final
+    )
+    # θ (the k-th best phase-1 partial) and the candidate survivors in
+    # ONE action: the 1-row θ aggregate broadcast-joins back onto the
+    # checkpointed accumulator table, so no extra driver round-trip
+    theta_row = (
+        agg1.orderBy(F.desc("partial"), F.asc("doc_id"))
+        .limit(top)
+        .agg(F.min("partial").alias("theta"), F.count(F.lit(1)).alias("k"))
+    )
+    cand_rows = (
+        agg1.crossJoin(F.broadcast(theta_row))
+        .filter(
+            F.col("partial") + F.lit(total_slack) - F.col("seen_slack")
+            >= F.col("theta") - eps
+        )
+        .limit(WAND_CANDIDATE_CAP + 1)
+        .collect()
+    )
+    if not cand_rows or cand_rows[0].k < top:
+        # fewer than k phase-1 docs: θ is not a valid k-th bound
+        return _fallback("under_k", stats)
+    theta = cand_rows[0].theta
+    stats["theta"] = round(theta, 6)
+    if total_slack >= theta - eps:
+        # an entirely-unseen doc could still reach the top-k: no block
+        # is provably skippable
+        return _fallback("slack_ge_theta", stats)
+    stats["n_candidates"] = len(cand_rows)
+    if len(cand_rows) > WAND_CANDIDATE_CAP:
+        return _fallback("over_cap", stats)
+    n_terms_avail = len(info)
+    need = sorted(r.doc_id for r in cand_rows if r.n_seen < n_terms_avail)
+    stats["n_need_completion"] = len(need)
+
+    # ---- phase 2: complete ONLY the surviving docs ----
+    p2_pairs = {
+        (w, t)
+        for w, tiers in info.items()
+        for t in tiers
+        if t not in p1_tiers[w]
+    }
+    if need and p2_pairs:
+        p2_paths = sorted(
+            {
+                p
+                for (w, t) in p2_pairs
+                if os.path.isdir(
+                    p := os.path.join(index_dir, f"tbucket={bmap[w]}", f"tier={t}")
+                )
+            }
+        )
+        stats["p2_dirs"] = p2_paths
+        p2_cond = None
+        for w in info:
+            c = (F.col("word") == w) & (
+                ~F.col("tier").isin(sorted(p1_tiers[w]))
+            )
+            p2_cond = c if p2_cond is None else (p2_cond | c)
+        add = (
+            spark.read.option("basePath", index_dir)
+            .parquet(*p2_paths)
+            .filter(p2_cond & F.col("doc_id").isin(need))
+            .join(F.broadcast(qinfo), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.col("idf") * _bm25_sat(F.col("tf"), F.col("dl"), avgdl)
+                ).alias("c2"),
+                F.count(F.lit(1)).alias("n2"),
+            )
+        )
+    else:
+        stats["p2_dirs"] = []
+        add = spark.createDataFrame([], "doc_id LONG, c2 DOUBLE, n2 LONG")
+    bm25_wand_topk.last_stats = stats
+
+    cand_ids = [r.doc_id for r in cand_rows]
+    scored = (
+        agg1.filter(F.col("doc_id").isin(cand_ids))
+        .join(add, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("partial") + F.coalesce(F.col("c2"), F.lit(0.0)), 4
+            ).alias("bm25"),
+            (F.col("n_seen") + F.coalesce(F.col("n2"), F.lit(0)))
+            .cast("long")
+            .alias("n_terms_matched"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top)
+
+
+bm25_wand_topk.last_stats = {}
 
 
 #: pinned query batch for ranked batch retrieval: five queries over
@@ -784,20 +1172,26 @@ def positional_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_built(out: str) -> bool:
-    """A BM25 layout is built only when BOTH commits landed: the
+    """A BM25 layout is built only when ALL commits landed: the
     postings' parquet ``_SUCCESS`` AND the ``_bm25_stats.json``
-    sidecar (written after the postings — the overwrite build wipes
-    the directory, so the sidecar cannot go first). A crash between
-    the two leaves ``_SUCCESS`` without the sidecar; gating on
-    ``_is_built`` alone would serve that partial build with a
-    ``FileNotFoundError`` on every probe until someone removed the
-    directory by hand — require both, so a partial build is rebuilt
-    instead of served."""
+    sidecar (written last — the overwrite build wipes the directory,
+    so the sidecar cannot go first). A crash between steps leaves
+    ``_SUCCESS`` without the sidecar; gating on ``_is_built`` alone
+    would serve that partial build with a ``FileNotFoundError`` on
+    every probe until someone removed the directory by hand — require
+    both, so a partial build is rebuilt instead of served. The stats
+    must also carry the r09 ``tiers`` layout marker: a pre-tier
+    (flat-bucket) layout has no impact sidecar, so it is rebuilt, not
+    served to the WAND probe."""
+    import json as _json
+
     from ..operators.ann_index import _is_built
 
-    return _is_built(out) and os.path.exists(
-        os.path.join(out, "_bm25_stats.json")
-    )
+    stats = os.path.join(out, "_bm25_stats.json")
+    if not (_is_built(out) and os.path.exists(stats)):
+        return False
+    with open(stats) as fh:
+        return _json.load(fh).get("tiers") == WAND_TIERS
 
 
 def _documents_bm25_index(spark: SparkSession, sf_dir: str) -> str:
@@ -841,6 +1235,80 @@ def _bm25_oracle() -> str:
 
 
 ORACLES["bm25_search_indexed"] = _bm25_oracle()
+
+
+#: pinned query for the WAND key: one rare term (idf contrast) + two
+#: common ones — the query class impact-ordering exists for. The rare
+#: list is ESSENTIAL (read whole); the common lists are tier-skipped
+#: against θ, so the probe demonstrably skips blocks at both SFs
+#: (asserted via last_stats in tests). All-common queries
+#: (SEARCH_TERMS) legitimately fall back — also pytest-pinned.
+WAND_QUERY_TERMS = ("dup", "join", "window")
+
+
+def _bm25_oracle_for(terms: tuple[str, ...]) -> str:
+    """The bm25_search DuckDB program with a parameterized term list —
+    character-identical scoring (same idf, same saturation, same 4-dp
+    round + doc_id tiebreak), so the WAND key's oracle is the SAME
+    first-principles replay the scan path answers to."""
+    from ..operators.retrieval import BM25_B, BM25_K1, BM25_TOP
+    from ..operators.text_analysis import _WORDS_SQL
+
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH w AS (
+            SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   avg(len(words)) AS avgdl
+            FROM w
+        ),
+        hits AS (
+            SELECT doc_id, word, count(*) AS tf, max(dl) AS dl
+            FROM (
+                SELECT doc_id, len(words) AS dl, unnest(words) AS word FROM w
+            )
+            WHERE word IN ({terms_sql})
+            GROUP BY doc_id, word
+        ),
+        dfreq AS (
+            SELECT word, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY word
+        )
+        SELECT doc_id,
+               round(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * ({BM25_K1} + 1))
+                   / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+               ), 4) AS bm25,
+               CAST(count(*) AS BIGINT) AS n_terms_matched
+        FROM hits JOIN dfreq USING (word) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOP}
+    """
+
+
+def bm25_search_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked BM25 top-20 for ``WAND_QUERY_TERMS`` via the
+    impact-bound two-phase probe (``bm25_wand_topk``) over the tiered
+    posting layout — the WAND/MaxScore serving path: block bounds
+    from the ``_impacts`` sidecar decide which posting tiers are read
+    at all; the rare term's short list is read whole, the common
+    terms' lower tiers are either skipped outright (unseen docs
+    priced out by θ) or read candidate-pruned. Top-k is EXACT under
+    the admissible bound — the oracle is the same first-principles
+    DuckDB replay the scan path answers to, parameterized only by the
+    term list; the relation never changes, only the bytes read to
+    produce it (block-skip asserted via ``bm25_wand_topk.last_stats``
+    in tests)."""
+    from ..operators.retrieval import BM25_TOP
+
+    index_dir = _documents_bm25_index(spark, sf_dir)
+    return bm25_wand_topk(spark, index_dir, list(WAND_QUERY_TERMS), BM25_TOP)
+
+
+ORACLES["bm25_search_wand"] = _bm25_oracle_for(WAND_QUERY_TERMS)
 
 
 def bm25_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -997,5 +1465,6 @@ QUERIES = {
     "proximity_search_indexed": proximity_search_indexed,
     "positional_ingest_audit": positional_ingest_audit,
     "bm25_search_indexed": bm25_search_indexed,
+    "bm25_search_wand": bm25_search_wand,
     "bm25_batch_indexed": bm25_batch_indexed,
 }

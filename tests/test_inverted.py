@@ -624,3 +624,166 @@ def test_bm25_partial_build_rebuilds_instead_of_serving(spark, tmp_path, monkeyp
     served = [tuple(r) for r in inverted.bm25_search_indexed(spark, SF_DIR).collect()]
     assert served == clean
     assert os.path.exists(os.path.join(out, "_bm25_stats.json"))
+
+
+def test_wand_equals_flat_probe_and_skips_blocks(spark, duck, tmp_path, monkeypatch):
+    """r09 (VERDICT #1): the impact-bound probe returns the flat
+    probe's relation row-for-row (exact top-k under an admissible
+    bound, same oracle) while READING FEWER BLOCKS — phase 1 lists
+    only the chosen tier dirs, phase 2 only lower tiers for the
+    candidate survivors. The all-common query (no idf contrast)
+    legitimately falls back to the full read and still matches."""
+    from tests.conftest import assert_matches_oracle
+    from samza_hello_samza_spark.operators.retrieval import BM25_TOP
+    from samza_hello_samza_spark.operators.text_analysis import SEARCH_TERMS
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        inverted.QUERIES["bm25_search_wand"],
+        inverted.ORACLES["bm25_search_wand"],
+    )
+
+    idx = inverted._documents_bm25_index(spark, SF_DIR)
+    got = [
+        tuple(r)
+        for r in inverted.bm25_wand_topk(
+            spark, idx, list(inverted.WAND_QUERY_TERMS), BM25_TOP
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in inverted.bm25_topk_from_index(
+            spark, idx, list(inverted.WAND_QUERY_TERMS), BM25_TOP
+        ).collect()
+    ]
+    assert got == want and len(got) == BM25_TOP
+
+    st = inverted.bm25_wand_topk.last_stats
+    assert st["fallback"] is None
+    # the block-skip claim: phase 1 reads strictly fewer blocks than
+    # exist, every phase-1 path is a single tier dir of the layout,
+    # and phase 2 paths are disjoint from phase 1
+    assert st["n_blocks_p1"] < st["n_blocks_total"]
+    assert st["theta"] > st["total_slack"]
+    for p in st["p1_dirs"]:
+        assert "/tier=" in p and p.startswith(idx)
+    assert set(st["p1_dirs"]).isdisjoint(st["p2_dirs"])
+    assert st["n_candidates"] <= inverted.WAND_CANDIDATE_CAP
+    assert st["n_need_completion"] <= st["n_candidates"]
+
+    # all-common query: slack cannot beat θ — honest fallback, same rows
+    got_c = [
+        tuple(r)
+        for r in inverted.bm25_wand_topk(
+            spark, idx, list(SEARCH_TERMS), BM25_TOP
+        ).collect()
+    ]
+    want_c = [
+        tuple(r)
+        for r in inverted.bm25_topk_from_index(
+            spark, idx, list(SEARCH_TERMS), BM25_TOP
+        ).collect()
+    ]
+    assert got_c == want_c
+    assert inverted.bm25_wand_topk.last_stats["fallback"] == "slack_ge_theta"
+
+
+def test_wand_impacts_sidecar_is_exact(spark, tmp_path, monkeypatch):
+    """The _impacts block bounds must be TRUE bounds and the summed
+    n_postings must equal each term's real df — the probe derives idf
+    from the sidecar without reading postings, so sidecar drift would
+    skew every score. Checked over the whole layout, and again after
+    an ingest append (the add-only fold)."""
+    from samza_hello_samza_spark.session import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    def check(index_dir):
+        post = spark.read.parquet(index_dir)
+        imp = spark.read.parquet(os.path.join(index_dir, "_impacts"))
+        real = post.groupBy("tbucket", "word", "tier").agg(
+            F.max("tf").alias("r_max_tf"),
+            F.min("dl").alias("r_min_dl"),
+            F.count(F.lit(1)).alias("r_n"),
+        )
+        folded = imp.groupBy("tbucket", "word", "tier").agg(
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+            F.sum("n_postings").alias("n"),
+        )
+        j = real.join(folded, ["tbucket", "word", "tier"], "full_outer")
+        bad = j.filter(
+            F.col("r_n").isNull()
+            | F.col("n").isNull()
+            | (F.col("n") != F.col("r_n"))
+            | (F.col("max_tf") < F.col("r_max_tf"))
+            | (F.col("min_dl") > F.col("r_min_dl"))
+        ).count()
+        assert bad == 0
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    full = str(tmp_path / "full")
+    inverted.build_bm25_index(spark, docs, full)
+    check(full)
+
+    incr = str(tmp_path / "incr")
+    inverted.build_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 0), incr)
+    inverted.append_documents_bm25(
+        spark, incr, docs.filter(F.col("doc_id") % 2 == 1)
+    )
+    check(incr)
+    # the wand probe over the appended layout serves the rebuild's rows
+    got = [
+        tuple(r)
+        for r in inverted.bm25_wand_topk(
+            spark, incr, list(inverted.WAND_QUERY_TERMS), 20
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in inverted.bm25_wand_topk(
+            spark, full, list(inverted.WAND_QUERY_TERMS), 20
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_wand_edge_paths_small_corpus(spark, tmp_path):
+    """Edge discipline on a crafted corpus: a query term absent from
+    the corpus is ignored; top-k larger than the candidate pool falls
+    back (under_k) and still matches the flat probe; an all-absent
+    query returns empty."""
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple banana"),
+            (3, "cherry cherry cherry apple"),
+            (4, "banana date"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    idx = str(tmp_path / "idx")
+    inverted.build_bm25_index(spark, docs, idx)
+
+    got = [
+        tuple(r)
+        for r in inverted.bm25_wand_topk(
+            spark, idx, ["apple", "zzz-missing"], 10
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in inverted.bm25_topk_from_index(
+            spark, idx, ["apple", "zzz-missing"], 10
+        ).collect()
+    ]
+    assert got == want and len(got) == 3  # docs 1,2,3 carry apple
+    assert inverted.bm25_wand_topk.last_stats["fallback"] == "under_k"
+
+    assert (
+        inverted.bm25_wand_topk(spark, idx, ["zzz", "qqq"], 5).count() == 0
+    )
+    assert inverted.bm25_wand_topk.last_stats["fallback"] == "no_blocks"

@@ -226,6 +226,9 @@ WARMED_PROBE_OPS = (
     # runs are the bucket-pruned ranked probes (single + batch).
     "bm25_search_indexed",
     "bm25_batch_indexed",
+    # r09: the impact-bound probe over the same layout (tier dirs +
+    # candidate completion; fixed orchestration cost, pruned bytes).
+    "bm25_search_wand",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
