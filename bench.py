@@ -232,6 +232,9 @@ EXTRA_VOLUME = (
     # pruned reads) vs the flat probe's one — the bytes win is the
     # scale story, the fixed overhead is the sf0.1 story.
     "bm25_search_wand",
+    # r09: 240 vocabulary-generated queries ranked from ONE pruned
+    # posting read — the query-volume proof of the batch fanout.
+    "bm25_batch_wide",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the

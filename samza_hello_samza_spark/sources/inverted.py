@@ -1072,6 +1072,141 @@ def bm25_batch_from_index(
     )
 
 
+#: wide-batch retrieval: the query-volume probe. 240 deterministic
+#: queries generated off the corpus vocabulary (top WIDE_VOCAB words
+#: by df, ranked (df DESC, word ASC) so both engines agree), ~3 terms
+#: each by pinned integer arithmetic — wide enough to exercise the
+#: window's per-query partitioning at the fanout the batch docstring
+#: claims, yet a pure function of the corpus (fully ORACLE-CHECKED,
+#: no literal query relation needed).
+WIDE_VOCAB = 24
+WIDE_QUERIES = 240
+WIDE_TOP = 5
+
+
+def _wide_queries(vocab: list[str]) -> tuple[tuple[str, ...], ...]:
+    """The pinned query-set generator: query i draws vocabulary ranks
+    (i, i + 7j + 1, i + 13j + j²) mod |vocab| with j = i // |vocab| —
+    affine-in-i with a j-varying offset so the set does not repeat
+    with period |vocab|. Duplicated ranks inside one query collapse
+    (a query is a term SET); the DuckDB twin generates the identical
+    relation from ``range()``."""
+    v = len(vocab)
+    out = []
+    for i in range(WIDE_QUERIES):
+        j = i // v
+        rs = {i % v, (i + 7 * j + 1) % v, (i + 13 * j + j * j) % v}
+        out.append(tuple(sorted(vocab[r] for r in rs)))
+    return tuple(out)
+
+
+def bm25_batch_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval at real query volume: 240 generated queries
+    (``_wide_queries``) scored from ONE pruned read of the BM25
+    posting layout — the width the batch path's window/broadcast
+    fanout exists for (``bm25_batch_indexed`` pins 5 queries; offline
+    curation and eval-mining workloads run hundreds to thousands).
+
+    The query workload derives from the corpus itself: vocabulary =
+    top ``WIDE_VOCAB`` terms by df, read from the ``_impacts``
+    sidecar (vocabulary-sized — summed ``n_postings`` IS each term's
+    exact df, so workload generation touches zero posting bytes),
+    then a bounded |vocab|-row collect seeds the pinned generator.
+    Scoring is the standard batch plan: union-term pruned read,
+    broadcast (query_id, word) fanout, one window partitioned by
+    query_id — per-batch cost ∝ the union terms' postings, and the
+    240-wide window partitioning is exactly the shape that scales to
+    thousands of queries (skew per query bounded by its terms'
+    postings). ORACLE-CHECKED end to end: the DuckDB twin regenerates
+    the same vocabulary ranking, the same query relation, and the
+    same scoring program from raw documents."""
+    index_dir = _documents_bm25_index(spark, sf_dir)
+    ranked = (
+        spark.read.parquet(_impacts_dir(index_dir))
+        .groupBy("word")
+        .agg(F.sum("n_postings").alias("df"))
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(WIDE_VOCAB)
+        .collect()
+    )  # bounded: WIDE_VOCAB rows
+    vocab = [r.word for r in ranked]
+    return bm25_batch_from_index(
+        spark, index_dir, _wide_queries(vocab), WIDE_TOP
+    )
+
+
+def _bm25_wide_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+    from ..operators.text_analysis import _WORDS_SQL
+
+    return f"""
+        WITH w AS (
+            SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   avg(len(words)) AS avgdl
+            FROM w
+        ),
+        posting AS MATERIALIZED (
+            SELECT doc_id, word, count(*) AS tf, max(dl) AS dl
+            FROM (
+                SELECT doc_id, len(words) AS dl, unnest(words) AS word FROM w
+            )
+            GROUP BY doc_id, word
+        ),
+        vocab AS MATERIALIZED (
+            SELECT word, CAST(df AS DOUBLE) AS df,
+                   row_number() OVER (ORDER BY df DESC, word ASC) - 1 AS r
+            FROM (SELECT word, count(*) AS df FROM posting GROUP BY word)
+            ORDER BY r
+            LIMIT {WIDE_VOCAB}
+        ),
+        nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        qgen AS (
+            SELECT i,
+                   i % v AS a,
+                   (i + 7 * (i // v) + 1) % v AS b,
+                   (i + 13 * (i // v) + (i // v) * (i // v)) % v AS c
+            FROM range({WIDE_QUERIES}) t(i) CROSS JOIN nv
+        ),
+        qterms AS MATERIALIZED (
+            SELECT DISTINCT query_id, word
+            FROM (
+                SELECT i AS query_id, a AS r FROM qgen
+                UNION ALL SELECT i, b FROM qgen
+                UNION ALL SELECT i, c FROM qgen
+            ) x
+            JOIN vocab USING (r)
+        ),
+        hits AS MATERIALIZED (
+            SELECT p.doc_id, p.word, p.tf, p.dl, v.df
+            FROM posting p JOIN vocab v USING (word)
+        ),
+        scored AS (
+            SELECT q.query_id, h.doc_id,
+                   round(sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * ({BM25_K1} + 1))
+                       / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+                   ), 4) AS bm25,
+                   CAST(count(*) AS BIGINT) AS n_terms_matched
+            FROM hits h
+            JOIN qterms q USING (word)
+            CROSS JOIN stats
+            GROUP BY q.query_id, h.doc_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
+               n_terms_matched
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id ASC) AS rn
+            FROM scored)
+        WHERE rn <= {WIDE_TOP}
+    """
+
+
 #: ingest-audit batch split: low half of the 100-slot md5 doc_id ring
 #: seeds the build, high half arrives as the appended batch.
 INGEST_SPLIT_PCT = 50
@@ -1383,6 +1518,7 @@ def _bm25_batch_oracle() -> str:
 
 
 ORACLES["bm25_batch_indexed"] = _bm25_batch_oracle()
+ORACLES["bm25_batch_wide"] = _bm25_wide_oracle()
 
 # first-principles re-tokenization of raw documents: what ANY correct
 # positional build (single-shot or incremental) must contain.
@@ -1467,4 +1603,5 @@ QUERIES = {
     "bm25_search_indexed": bm25_search_indexed,
     "bm25_search_wand": bm25_search_wand,
     "bm25_batch_indexed": bm25_batch_indexed,
+    "bm25_batch_wide": bm25_batch_wide,
 }

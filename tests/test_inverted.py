@@ -787,3 +787,52 @@ def test_wand_edge_paths_small_corpus(spark, tmp_path):
         inverted.bm25_wand_topk(spark, idx, ["zzz", "qqq"], 5).count() == 0
     )
     assert inverted.bm25_wand_topk.last_stats["fallback"] == "no_blocks"
+
+
+def test_bm25_batch_wide_oracle_and_single_query_parity(spark, duck, tmp_path, monkeypatch):
+    """r09 (VERDICT #6): ranked retrieval at real query width — 240
+    vocabulary-generated queries from ONE pruned read. Oracle-checked
+    end to end (the DuckDB twin regenerates vocabulary, queries and
+    scores from raw documents); a sampled subset of queries must also
+    equal the single-query probe row-for-row (same relation, batched
+    vs one at a time)."""
+    from tests.conftest import assert_matches_oracle
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        inverted.QUERIES["bm25_batch_wide"],
+        inverted.ORACLES["bm25_batch_wide"],
+    )
+
+    idx = inverted._documents_bm25_index(spark, SF_DIR)
+    ranked = (
+        spark.read.parquet(os.path.join(idx, "_impacts"))
+        .groupBy("word")
+        .agg(F.sum("n_postings").alias("df"))
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(inverted.WIDE_VOCAB)
+        .collect()
+    )
+    vocab = [r.word for r in ranked]
+    queries = inverted._wide_queries(vocab)
+    assert len(queries) == inverted.WIDE_QUERIES
+    assert len(set(queries)) > inverted.WIDE_VOCAB  # j-offset: no V-period
+
+    batch = inverted.bm25_batch_wide(spark, SF_DIR)
+    for qid in (0, 57, 133, 239):  # sampled: first, interior, last
+        got = [
+            (r.doc_id, r.bm25, r.n_terms_matched)
+            for r in batch.filter(F.col("query_id") == qid)
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .collect()
+        ]
+        want = [
+            tuple(r)
+            for r in inverted.bm25_topk_from_index(
+                spark, idx, list(queries[qid]), inverted.WIDE_TOP
+            ).collect()
+        ]
+        assert got == want, f"query {qid}: batch != single"

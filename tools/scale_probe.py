@@ -227,8 +227,10 @@ WARMED_PROBE_OPS = (
     "bm25_search_indexed",
     "bm25_batch_indexed",
     # r09: the impact-bound probe over the same layout (tier dirs +
-    # candidate completion; fixed orchestration cost, pruned bytes).
+    # candidate completion; fixed orchestration cost, pruned bytes),
+    # and the 240-query generated batch (one pruned union read).
     "bm25_search_wand",
+    "bm25_batch_wide",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
