@@ -235,6 +235,10 @@ EXTRA_VOLUME = (
     # r09: 240 vocabulary-generated queries ranked from ONE pruned
     # posting read — the query-volume proof of the batch fanout.
     "bm25_batch_wide",
+    # r09: multi-probe LSH — 12 of 64 (band, code) partitions read
+    # (own bucket + 2 pinned lowest-margin flips per band) vs
+    # single-probe's 4; measured recall 0.30 → 0.70 at sf0.1.
+    "ann_multiprobe_topk",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the
@@ -283,6 +287,8 @@ UNBENCHED: dict[str, str] = {
     # r07h compositions of already-benched probes — no new volume path:
     "ann_recall_curve": "composes four benched probes (bruteforce/"
     "binary/sq8/mrl) plus 10-row intersection joins",
+    "lsh_multiprobe_eval": "composes two benched probes (ann_lsh_topk, "
+    "ann_multiprobe_topk) plus the exact top-10 and 10-row joins",
     "corpus_dedup_report": "composes three benched/family-repped dedup "
     "relations (exact groups, jaccard pairs, clusters) into 1-row aggs",
     **{k: _R["family_rep"] for k in (

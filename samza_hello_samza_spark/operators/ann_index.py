@@ -192,6 +192,65 @@ def probe_lsh_index(
     )
 
 
+def multiprobe_band_codes(
+    qvec: np.ndarray, planes: np.ndarray, band_bits: int, n_flips: int
+) -> list[list[int]]:
+    """The PINNED multi-probe sequence (Lv et al., VLDB'07): per band,
+    the query's own code plus the codes reached by flipping the
+    ``n_flips`` lowest-|margin| hyperplane bits of that band — the
+    planes the query sits closest to, i.e. exactly the sign decisions
+    a true near neighbor is likeliest to land on the other side of.
+    Deterministic: margins sort ascending with the plane index as the
+    tiebreak, so the probe set is a pure function of (query, planes)
+    and recall gains cost extra PARTITIONS of the same table, never
+    extra tables."""
+    proj = planes @ qvec
+    base = band_codes(qvec, planes, band_bits)
+    n_bands = planes.shape[0] // band_bits
+    out: list[list[int]] = []
+    for band in range(n_bands):
+        lo = band * band_bits
+        margins = sorted(
+            (abs(float(proj[lo + j])), j) for j in range(band_bits)
+        )
+        codes = [base[band]]
+        for _, j in margins[: max(0, n_flips)]:
+            codes.append(base[band] ^ (1 << j))
+        out.append(codes)
+    return out
+
+
+def probe_lsh_index_multi(
+    spark: SparkSession,
+    index_dir: str,
+    qvec: np.ndarray,
+    planes: np.ndarray,
+    band_bits: int,
+    n_flips: int,
+) -> DataFrame:
+    """Multi-probe candidates: vectors colliding with the query in
+    any band under any of that band's pinned probe codes (own bucket
+    + ``n_flips`` single-bit perturbations). Same partition-pruned
+    read shape as ``probe_lsh_index`` — the filter is an OR over
+    (band, code) literal pairs, so the scan lists (1 + n_flips) ×
+    n_bands directories instead of n_bands; recall climbs with probe
+    count while the index stays one table (the multi-TABLE
+    alternative multiplies write amplification and ingest cost)."""
+    probe = multiprobe_band_codes(qvec, planes, band_bits, n_flips)
+    scan = spark.read.parquet(index_dir)
+    hit = None
+    for band, codes in enumerate(probe):
+        cond = (F.col("band") == band) & (
+            F.col("code").isin([int(c) for c in codes])
+        )
+        hit = cond if hit is None else (hit | cond)
+    return _apply_tombstones(
+        spark,
+        index_dir,
+        scan.filter(hit).dropDuplicates(["vec_id"]).select("vec_id", "v"),
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF index
 # --------------------------------------------------------------------------

@@ -130,6 +130,93 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank(cand, qvec)
 
 
+#: multi-probe perturbations per band: each band probes its own code
+#: plus the 2 lowest-margin single-bit flips → 3 of 16 codes per
+#: band, 12 of 64 (band, code) partitions read vs single-probe's 4.
+LSH_MULTIPROBE_FLIPS = 2
+
+
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH cosine top-10 over the SAME materialized band
+    table as ``ann_lsh_topk`` — recall without more tables: each band
+    probes its own bucket plus the ``LSH_MULTIPROBE_FLIPS``
+    lowest-margin bit-flip buckets (the hyperplanes the query is
+    closest to — where a true neighbor's sign most plausibly
+    differs), in a pinned deterministic order (margin asc, plane
+    index tiebreak; see ``ann_index.multiprobe_band_codes``). The
+    candidate read is still partition pruning — 12 of 64 (band, code)
+    dirs instead of 4 — and the exact-cosine re-rank is unchanged.
+
+    The production trade this key encodes: single-probe LSH buys
+    recall with MORE TABLES (more write amplification, more ingest
+    cost); multi-probe buys it with more PROBES of one table — at
+    100 TB the index is written once and probed millions of times,
+    and probe-side partitions are the cheap currency. Rows-only for
+    the same reason as ``ann_lsh_topk`` (float sign boundaries are
+    not bit-stable cross-engine); the recall/cost point vs
+    single-probe is measured by ``lsh_multiprobe_eval`` and
+    bound-asserted in tests."""
+    from . import ann_index
+
+    idx = ann_index.build_lsh_index(spark, sf_dir, PLANES, LSH_BAND_BITS)
+    qvec = _query_vector(spark, sf_dir)
+    cand = ann_index.probe_lsh_index_multi(
+        spark, idx, qvec, PLANES, LSH_BAND_BITS, LSH_MULTIPROBE_FLIPS
+    )
+    return _rerank(cand, qvec)
+
+
+def lsh_multiprobe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-probe decision row: candidate count, top-10 hits and
+    ppm recall against the exact cosine top-10, for single-probe vs
+    multi-probe over the SAME band table — the ``ann_recall_curve``
+    discipline applied to the probe-count dial (is the extra
+    partition read buying recall?). Rows-only (candidate membership
+    rides float sign boundaries), but the shape is pinned by pytest:
+    multi-probe candidates are a superset of single-probe's, recall
+    is monotone in probe count, and the candidate read stays ≤
+    (1 + flips) × single-probe's."""
+    from . import ann_index
+
+    idx = ann_index.build_lsh_index(spark, sf_dir, PLANES, LSH_BAND_BITS)
+    qvec = _query_vector(spark, sf_dir)
+    exact = ann_bruteforce_topk(spark, sf_dir).select("vec_id")
+    variants = [
+        (
+            "single",
+            ann_index.probe_lsh_index(spark, idx, qvec, PLANES, LSH_BAND_BITS),
+        ),
+        (
+            "multi",
+            ann_index.probe_lsh_index_multi(
+                spark, idx, qvec, PLANES, LSH_BAND_BITS, LSH_MULTIPROBE_FLIPS
+            ),
+        ),
+    ]
+    out = None
+    for name, cand in variants:
+        cand = cand.filter(F.col("vec_id") != QUERY_VEC_ID).localCheckpoint()
+        topk = _rerank(cand, qvec).select("vec_id")
+        row = (
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+            .crossJoin(
+                topk.join(exact, "vec_id", "left_semi").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_hits")
+                )
+            )
+            .select(
+                F.lit(name).alias("variant"),
+                "n_candidates",
+                "n_hits",
+                F.expr(f"(1000000 * n_hits) div {TOP_K}")
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 IVF_NLIST = 16
 IVF_NPROBE = 4
 
@@ -1995,6 +2082,8 @@ QUERIES = {
     "ann_filtered_topk": ann_filtered_topk,
     "ann_filtered_ivf_topk": ann_filtered_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_multiprobe_topk": ann_multiprobe_topk,
+    "lsh_multiprobe_eval": lsh_multiprobe_eval,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,

@@ -464,6 +464,93 @@ def test_ann_lsh_probe_prunes_partitions(spark):
     )
 
 
+def test_ann_multiprobe_superset_recall_and_pruning(spark):
+    """r09 (VERDICT #4): multi-probe LSH over the same band table —
+    the probe sequence is a pinned pure function of (query, planes)
+    (own code + lowest-margin bit flips, margin-asc order), so:
+    candidates ⊇ single-probe's, recall vs exact top-10 is monotone
+    in probe count, the partition read stays ≤ (1+flips)×n_bands of
+    the same pruned shape, and the eval row reports exactly that."""
+    from samza_hello_samza_spark.operators import ann_index
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+    idx = ann_index.build_lsh_index(
+        spark, SF_DIR, similarity.PLANES, similarity.LSH_BAND_BITS
+    )
+    single = {
+        r.vec_id
+        for r in ann_index.probe_lsh_index(
+            spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+        ).collect()
+    }
+    multi = {
+        r.vec_id
+        for r in ann_index.probe_lsh_index_multi(
+            spark,
+            idx,
+            qvec,
+            similarity.PLANES,
+            similarity.LSH_BAND_BITS,
+            similarity.LSH_MULTIPROBE_FLIPS,
+        ).collect()
+    }
+    assert multi >= single and len(multi) > len(single)
+
+    # probe sequence: pinned, flips are single-bit, zero flips == base
+    probe = ann_index.multiprobe_band_codes(
+        qvec, similarity.PLANES, similarity.LSH_BAND_BITS,
+        similarity.LSH_MULTIPROBE_FLIPS,
+    )
+    base = ann_index.band_codes(
+        qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+    )
+    assert [c[0] for c in probe] == base
+    for band, codes in enumerate(probe):
+        assert len(codes) == 1 + similarity.LSH_MULTIPROBE_FLIPS
+        for c in codes[1:]:
+            flipped = c ^ codes[0]
+            assert flipped and (flipped & (flipped - 1)) == 0  # one bit
+    assert probe == ann_index.multiprobe_band_codes(
+        qvec, similarity.PLANES, similarity.LSH_BAND_BITS,
+        similarity.LSH_MULTIPROBE_FLIPS,
+    )
+
+    # partition pruning holds at (1+flips) × n_bands
+    cand = ann_index.probe_lsh_index_multi(
+        spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS,
+        similarity.LSH_MULTIPROBE_FLIPS,
+    )
+    plan = _executed_plan(cand, spark)
+    assert "PartitionFilters" in plan and "band" in plan and "code" in plan
+    n = _scanned_partitions(cand)
+    cap = similarity.LSH_N_BANDS * (1 + similarity.LSH_MULTIPROBE_FLIPS)
+    assert 0 < n <= cap, f"multi-probe read {n} partitions; expected ≤{cap}"
+
+    # the eval key: recall monotone, candidate growth bounded
+    rows = {
+        r.variant: r
+        for r in similarity.lsh_multiprobe_eval(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"single", "multi"}
+    assert rows["multi"].n_candidates >= rows["single"].n_candidates
+    assert rows["multi"].recall_ppm >= rows["single"].recall_ppm
+    # eval counts exclude the query vector itself
+    assert rows["multi"].n_candidates == len(
+        multi - {similarity.QUERY_VEC_ID}
+    )
+    # the registered key == rerank over the multi candidate set
+    got = [
+        tuple(r) for r in similarity.ann_multiprobe_topk(spark, SF_DIR).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in similarity._rerank(
+            cand, qvec
+        ).collect()
+    ]
+    assert got == want and len(got) == similarity.TOP_K
+
+
 def test_ann_ivf_probe_prunes_partitions(spark):
     """The IVF probe reads only NPROBE of NLIST list partitions."""
     from samza_hello_samza_spark.operators import ann_index
