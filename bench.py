@@ -468,6 +468,17 @@ def main() -> None:
     # constant one-Exchange plan (groupby_count) first and last; a
     # last/first ratio > 1.5 stamps the run CONTENDED in the JSON
     # line, so a poisoned artifact is self-identifying.
+    # r09 sentinel: /proc loadavg recorded at every tier boundary —
+    # the canary brackets the run but misses mid-run spikes (r07/r08
+    # each burned a round-trip proving a 2× flag was ambient load);
+    # per-tier load rows make the triage one artifact-read instead of
+    # a re-bench (BASELINE.md 2× rule references them).
+    load: dict[str, list[float]] = {}
+
+    def _load_mark(tag: str) -> None:
+        load[tag] = [round(x, 2) for x in os.getloadavg()]
+
+    _load_mark("start")
     canary_first = _time(["groupby_count"], sf_dir, best_of=2)["groupby_count"]
 
     # min-of-2 on the sf0.1 tier too (the sf1 fix, BASELINE.md r03b
@@ -475,7 +486,9 @@ def main() -> None:
     # single shot can no longer burn the round's official artifact.
     spark._jvm.System.gc()
     timings = _time(HEADLINE, sf_dir, best_of=2)
+    _load_mark("after_headline")
     extra_timings = _time(EXTRA_VOLUME, sf_dir, best_of=2)
+    _load_mark("after_extra")
 
     result = {
         "metric": "headline_query_wall_time",
@@ -536,6 +549,7 @@ def main() -> None:
             if n not in SF1_EXCLUDE and n in queries
         ]
         sf1_timings = _time(sf1_names, sf1_dir, best_of=2)
+        _load_mark("after_sf1")
         # the final stdout line must fit the driver's 2000-char tail,
         # so the tier is summarized in-line; per-query numbers go to
         # the DETAIL file (committed per round as BENCH_LOCAL_r{N}).
@@ -558,11 +572,21 @@ def main() -> None:
         }
 
     canary_last = _time(["groupby_count"], sf_dir, best_of=2)["groupby_count"]
+    _load_mark("end")
     ratio = round(canary_last / canary_first, 2) if canary_first else 1.0
     result["canary"] = {"first": canary_first, "last": canary_last, "ratio": ratio}
     result["contended"] = ratio > 1.5
+    # 1-min loadavg per tier boundary in the stdout line (compact);
+    # the full (1, 5, 15) triples live in the DETAIL artifact. The
+    # bench itself drives load (local[32] executes on every core), so
+    # triage reads the START row for ambient load and the DELTAS for
+    # anything the bench didn't cause.
+    result["load1"] = {k: v[0] for k, v in load.items()}
+    result["ncpu"] = os.cpu_count()
     detail["canary"] = result["canary"]
     detail["contended"] = result["contended"]
+    detail["load"] = load
+    detail["ncpu"] = os.cpu_count()
 
     with open(DETAIL_FILE, "w") as fh:
         json.dump(detail, fh, indent=1)
