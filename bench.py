@@ -239,6 +239,11 @@ EXTRA_VOLUME = (
     # (own bucket + 2 pinned lowest-margin flips per band) vs
     # single-probe's 4; measured recall 0.30 → 0.70 at sf0.1.
     "ann_multiprobe_topk",
+    # r09b: per-query impact-bound routing on the 240-query mixed
+    # (head+tail df) workload — prunable queries shrink the (query,
+    # doc) accumulator shuffle to their candidate sets, the rest run
+    # the plain batch plan for exactly their subset; same relation.
+    "bm25_batch_wand",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the

@@ -407,6 +407,17 @@ WAND_CANDIDATE_CAP = 4096
 #: the corpus is read whole in phase 1 (short list, high idf — the
 #: postings that decide the top-k); commoner terms are tier-skipped.
 WAND_ESSENTIAL_DF_FRAC = 0.2
+#: the ranked contract orders by the 4-dp ROUNDED score (doc_id
+#: tiebreak), so exactness must hold under rounding, not just on raw
+#: sums: a doc with true score x can displace the true k-th (score
+#: θt ≥ θ) in ROUNDED order only if x ≥ θt − 1e-4 (rounding moves
+#: each side by ≤ 5e-5 onto the same 1e-4 grid, then the tiebreak
+#: decides). Pruning therefore excludes only docs provably below
+#: θ − 1e-4: anything excluded rounds STRICTLY below the rounded
+#: k-th score. (Found by a real boundary tie at sf0.1 — two docs
+#: rounding to the same bm25 with the pruned one winning the
+#: doc_id tiebreak in the unpruned plan.)
+WAND_ROUND_MARGIN = 1e-4
 
 
 def _bm25_sat(tf, dl, avgdl: float):
@@ -703,6 +714,145 @@ def _term_bucket_map(spark: SparkSession, terms: list[str]) -> dict[str, int]:
     return {r.word: r.b for r in rows}
 
 
+def _wand_pricing(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    avgdl: float,
+    n_corpus: float,
+    stats: dict,
+) -> dict | None:
+    """Price every (word, tier) block of ``terms`` from the
+    ``_impacts`` sidecar alone — zero posting bytes: per-word df
+    (summed block n_postings — exact), idf, the admissible per-block
+    upper bound idf·s(max_tf, min_dl) under the CURRENT avgdl, the
+    MaxScore phase-1 split (ESSENTIAL rare terms read whole; common
+    terms read only their best-priced tier), the per-word unread-tier
+    slack, and the phase-1 paths/filter/relation. Shared by the
+    single-query and batch impact-bound probes; telemetry fields are
+    written into ``stats``. Returns None when no query term has any
+    block (nothing to price)."""
+    import math
+
+    bmap = _term_bucket_map(spark, terms)
+    imp_dir = _impacts_dir(index_dir)
+    imp_paths = sorted(
+        {
+            p
+            for b in set(bmap.values())
+            if os.path.isdir(p := os.path.join(imp_dir, f"tbucket={b}"))
+        }
+    )
+    if not imp_paths:
+        return None
+    blocks = (
+        spark.read.option("basePath", imp_dir)
+        .parquet(*imp_paths)
+        .filter(F.col("word").isin(*terms))
+        .groupBy("word", "tier")
+        .agg(
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+            F.sum("n_postings").alias("n"),
+        )
+        .collect()
+    )  # bounded: <= |terms| * WAND_TIERS rows
+    info: dict[str, dict[int, tuple]] = {}
+    for r in blocks:
+        info.setdefault(r.word, {})[r.tier] = (r.max_tf, r.min_dl, r.n)
+    if not info:
+        return None
+    dfreq = {w: float(sum(t[2] for t in tiers.values())) for w, tiers in info.items()}
+    idf = {
+        w: math.log((n_corpus - dfreq[w] + 0.5) / (dfreq[w] + 0.5) + 1.0)
+        for w in info
+    }
+    ub = {
+        (w, t): idf[w] * _bm25_sat(mx, mn, avgdl)
+        for w, tiers in info.items()
+        for t, (mx, mn, _) in tiers.items()
+    }
+    # MaxScore split: ESSENTIAL (rare, high-idf) terms' posting lists
+    # are short — read them whole in phase 1, so every doc carrying a
+    # rare term is priced exactly where it matters most. Common terms
+    # read only their best-priced tier; their remaining tiers are the
+    # only slack left, which is what makes θ beat it on the query
+    # class impact-ordering exists for (rare+common mixes).
+    p1_tiers = {
+        w: (
+            set(tiers)
+            if dfreq[w] <= WAND_ESSENTIAL_DF_FRAC * n_corpus
+            else {max(tiers, key=lambda t: (ub[(w, t)], -t))}
+        )
+        for w, tiers in info.items()
+    }
+    # per-word slack: the best bound among the word's UNREAD tiers —
+    # a doc missing w in phase 1 holds at most one posting there
+    wslack = {
+        w: max((ub[(w, t)] for t in tiers if t not in p1_tiers[w]), default=0.0)
+        for w, tiers in info.items()
+    }
+    # exact block sizes from the sidecar: the bytes-read claim in
+    # numbers — phase 1 scores n_postings_p1 rows; the remaining
+    # n_postings_deferred are never read at full width (skipped
+    # outright when no candidate needs them, else candidate-pruned)
+    n_p1_rows = sum(info[w][t][2] for w, ts in p1_tiers.items() for t in ts)
+    stats.update(
+        n_blocks_total=len(ub),
+        n_blocks_p1=sum(len(ts) for ts in p1_tiers.values()),
+        n_postings_p1=int(n_p1_rows),
+        n_postings_deferred=int(sum(d for d in dfreq.values()) - n_p1_rows),
+    )
+    p1_paths = sorted(
+        {
+            p
+            for w in info
+            for t in p1_tiers[w]
+            if os.path.isdir(
+                p := os.path.join(index_dir, f"tbucket={bmap[w]}", f"tier={t}")
+            )
+        }
+    )
+    p1_cond = None
+    for w in info:
+        c = (F.col("word") == w) & (F.col("tier").isin(sorted(p1_tiers[w])))
+        p1_cond = c if p1_cond is None else (p1_cond | c)
+    p2_pairs = {
+        (w, t) for w, tiers in info.items() for t in tiers if t not in p1_tiers[w]
+    }
+    p2_paths = sorted(
+        {
+            p
+            for (w, t) in p2_pairs
+            if os.path.isdir(
+                p := os.path.join(index_dir, f"tbucket={bmap[w]}", f"tier={t}")
+            )
+        }
+    )
+    p2_cond = None
+    for w in info:
+        c = (F.col("word") == w) & (~F.col("tier").isin(sorted(p1_tiers[w])))
+        p2_cond = c if p2_cond is None else (p2_cond | c)
+    qinfo = spark.createDataFrame(
+        [(w, idf[w], wslack[w]) for w in info],
+        "word STRING, idf DOUBLE, wslack DOUBLE",
+    )
+    return {
+        "info": info,
+        "dfreq": dfreq,
+        "idf": idf,
+        "ub": ub,
+        "p1_tiers": p1_tiers,
+        "wslack": wslack,
+        "p1_paths": p1_paths,
+        "p1_cond": p1_cond,
+        "p2_pairs": p2_pairs,
+        "p2_paths": p2_paths,
+        "p2_cond": p2_cond,
+        "qinfo": qinfo,
+    }
+
+
 def bm25_wand_topk(
     spark: SparkSession, index_dir: str, terms: list[str], top: int
 ) -> DataFrame:
@@ -759,113 +909,25 @@ def bm25_wand_topk(
     n_corpus = st["n_docs"]
     avgdl = st["avgdl"] or 1.0
     terms = list(dict.fromkeys(terms))
-    bmap = _term_bucket_map(spark, terms)
-    imp_dir = _impacts_dir(index_dir)
 
     def _fallback(reason: str, stats: dict) -> DataFrame:
         stats["fallback"] = reason
         bm25_wand_topk.last_stats = stats
         return bm25_topk_from_index(spark, index_dir, terms, top)
 
-    # ---- price every block from the sidecar (no posting bytes) ----
-    imp_paths = sorted(
-        {
-            p
-            for b in set(bmap.values())
-            if os.path.isdir(p := os.path.join(imp_dir, f"tbucket={b}"))
-        }
-    )
     stats: dict = {"fallback": None}
-    if not imp_paths:
+    pr = _wand_pricing(spark, index_dir, terms, avgdl, n_corpus, stats)
+    if pr is None:
         return _fallback("no_blocks", stats)
-    blocks = (
-        spark.read.option("basePath", imp_dir)
-        .parquet(*imp_paths)
-        .filter(F.col("word").isin(*terms))
-        .groupBy("word", "tier")
-        .agg(
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_dl").alias("min_dl"),
-            F.sum("n_postings").alias("n"),
-        )
-        .collect()
-    )  # bounded: ≤ |terms| · WAND_TIERS rows
-    info: dict[str, dict[int, tuple]] = {}
-    for r in blocks:
-        info.setdefault(r.word, {})[r.tier] = (r.max_tf, r.min_dl, r.n)
-    if not info:
-        return _fallback("no_blocks", stats)
-    dfreq = {w: float(sum(t[2] for t in tiers.values())) for w, tiers in info.items()}
-    idf = {
-        w: math.log((n_corpus - dfreq[w] + 0.5) / (dfreq[w] + 0.5) + 1.0)
-        for w in info
-    }
-    ub = {
-        (w, t): idf[w] * _bm25_sat(mx, mn, avgdl)
-        for w, tiers in info.items()
-        for t, (mx, mn, _) in tiers.items()
-    }
-    # MaxScore split: ESSENTIAL (rare, high-idf) terms' posting lists
-    # are short — read them whole in phase 1, so every doc carrying a
-    # rare term is priced exactly where it matters most. Common terms
-    # read only their best-priced tier; their remaining tiers are the
-    # only slack left, which is what makes θ beat it on the query
-    # class impact-ordering exists for (rare+common mixes).
-    p1_tiers = {
-        w: (
-            set(tiers)
-            if dfreq[w] <= WAND_ESSENTIAL_DF_FRAC * n_corpus
-            else {max(tiers, key=lambda t: (ub[(w, t)], -t))}
-        )
-        for w, tiers in info.items()
-    }
-    # per-word slack: the best bound among the word's UNREAD tiers —
-    # a doc missing w in phase 1 holds at most one posting there
-    wslack = {
-        w: max((ub[(w, t)] for t in tiers if t not in p1_tiers[w]), default=0.0)
-        for w, tiers in info.items()
-    }
+    info, p1_tiers, wslack = pr["info"], pr["p1_tiers"], pr["wslack"]
     total_slack = sum(wslack.values())
-    n_blocks = len(ub)
-    # exact block sizes from the sidecar: the bytes-read claim in
-    # numbers — phase 1 scores n_postings_p1 rows; the remaining
-    # n_postings_deferred are never read at full width (skipped
-    # outright when no candidate needs them, else candidate-pruned)
-    n_p1_rows = sum(
-        info[w][t][2] for w, ts in p1_tiers.items() for t in ts
-    )
-    stats.update(
-        n_blocks_total=n_blocks,
-        n_blocks_p1=sum(len(ts) for ts in p1_tiers.values()),
-        n_postings_p1=int(n_p1_rows),
-        n_postings_deferred=int(sum(d for d in dfreq.values()) - n_p1_rows),
-        total_slack=round(total_slack, 6),
-    )
-
-    # ---- phase 1: read ONLY the chosen tier dirs ----
-    p1_paths = sorted(
-        {
-            p
-            for w in info
-            for t in p1_tiers[w]
-            if os.path.isdir(
-                p := os.path.join(index_dir, f"tbucket={bmap[w]}", f"tier={t}")
-            )
-        }
-    )
+    stats["total_slack"] = round(total_slack, 6)
+    p1_paths = pr["p1_paths"]
     stats["p1_dirs"] = p1_paths
     if not p1_paths:
         return _fallback("no_p1_dirs", stats)
-    p1_cond = None
-    for w in info:
-        c = (F.col("word") == w) & (
-            F.col("tier").isin(sorted(p1_tiers[w]))
-        )
-        p1_cond = c if p1_cond is None else (p1_cond | c)
-    qinfo = spark.createDataFrame(
-        [(w, idf[w], wslack[w]) for w in info],
-        "word STRING, idf DOUBLE, wslack DOUBLE",
-    )
+    p1_cond = pr["p1_cond"]
+    qinfo = pr["qinfo"]
     contrib = (
         spark.read.option("basePath", index_dir)
         .parquet(*p1_paths)
@@ -898,7 +960,7 @@ def bm25_wand_topk(
         agg1.crossJoin(F.broadcast(theta_row))
         .filter(
             F.col("partial") + F.lit(total_slack) - F.col("seen_slack")
-            >= F.col("theta") - eps
+            >= F.col("theta") - (WAND_ROUND_MARGIN + eps)
         )
         .limit(WAND_CANDIDATE_CAP + 1)
         .collect()
@@ -908,9 +970,9 @@ def bm25_wand_topk(
         return _fallback("under_k", stats)
     theta = cand_rows[0].theta
     stats["theta"] = round(theta, 6)
-    if total_slack >= theta - eps:
-        # an entirely-unseen doc could still reach the top-k: no block
-        # is provably skippable
+    if total_slack >= theta - (WAND_ROUND_MARGIN + eps):
+        # an entirely-unseen doc could still reach the (rounded)
+        # top-k: no block is provably skippable
         return _fallback("slack_ge_theta", stats)
     stats["n_candidates"] = len(cand_rows)
     if len(cand_rows) > WAND_CANDIDATE_CAP:
@@ -920,33 +982,12 @@ def bm25_wand_topk(
     stats["n_need_completion"] = len(need)
 
     # ---- phase 2: complete ONLY the surviving docs ----
-    p2_pairs = {
-        (w, t)
-        for w, tiers in info.items()
-        for t in tiers
-        if t not in p1_tiers[w]
-    }
-    if need and p2_pairs:
-        p2_paths = sorted(
-            {
-                p
-                for (w, t) in p2_pairs
-                if os.path.isdir(
-                    p := os.path.join(index_dir, f"tbucket={bmap[w]}", f"tier={t}")
-                )
-            }
-        )
-        stats["p2_dirs"] = p2_paths
-        p2_cond = None
-        for w in info:
-            c = (F.col("word") == w) & (
-                ~F.col("tier").isin(sorted(p1_tiers[w]))
-            )
-            p2_cond = c if p2_cond is None else (p2_cond | c)
+    if need and pr["p2_paths"]:
+        stats["p2_dirs"] = pr["p2_paths"]
         add = (
             spark.read.option("basePath", index_dir)
-            .parquet(*p2_paths)
-            .filter(p2_cond & F.col("doc_id").isin(need))
+            .parquet(*pr["p2_paths"])
+            .filter(pr["p2_cond"] & F.col("doc_id").isin(need))
             .join(F.broadcast(qinfo), "word")
             .groupBy("doc_id")
             .agg(
@@ -1205,6 +1246,236 @@ def _bm25_wide_oracle() -> str:
             FROM scored)
         WHERE rn <= {WIDE_TOP}
     """
+
+
+#: batch-WAND workload: like the wide batch but the vocabulary mixes
+#: the df head with the df tail (rare terms), so per-query impact
+#: bounds have idf contrast to work with — the realistic query mix
+#: (real queries carry discriminative terms; an all-stopword workload
+#: is the degenerate case and its queries legitimately fall back).
+WAND_BATCH_HEAD = 16
+WAND_BATCH_TAIL = 8
+
+
+def _mixed_vocab(spark: SparkSession, index_dir: str) -> list[str]:
+    """head-``WAND_BATCH_HEAD`` terms by (df DESC, word ASC) followed
+    by tail-``WAND_BATCH_TAIL`` by (df ASC, word ASC) among the rest —
+    both read from the ``_impacts`` sidecar (exact df, zero posting
+    bytes), both bounded collects."""
+    df = (
+        spark.read.parquet(_impacts_dir(index_dir))
+        .groupBy("word")
+        .agg(F.sum("n_postings").alias("df"))
+    )
+    head = [
+        r.word
+        for r in df.orderBy(F.desc("df"), F.asc("word"))
+        .limit(WAND_BATCH_HEAD)
+        .collect()
+    ]
+    tail = [
+        r.word
+        for r in df.filter(~F.col("word").isin(head))
+        .orderBy(F.asc("df"), F.asc("word"))
+        .limit(WAND_BATCH_TAIL)
+        .collect()
+    ]
+    return head + tail
+
+
+def bm25_batch_wand_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: tuple[tuple[str, ...], ...],
+    top: int,
+) -> DataFrame:
+    """Per-query impact-bound pruning composed with the batch fanout —
+    ``bm25_wand_topk``'s discipline at query volume: ONE phase-1 read
+    of the union terms' chosen tiers scores (query_id, doc_id)
+    partials, a per-query window prices θ_q (the k-th partial), and
+    each query is then routed by ITS OWN bound: prunable queries
+    (slack_q < θ_q) keep only the candidates that can still reach
+    their top-k — the (query, doc) accumulator shuffle shrinks to the
+    candidate set, which is the stage that dominates batch ranking at
+    100 TB — and complete them exactly from the lower tiers via a
+    semi-join (no driver doc-id list at batch width); non-prunable
+    queries fall back to the plain batch plan for exactly their
+    subset. Every query's result is EXACT (the admissible-bound
+    argument applies per query), so the relation equals
+    ``bm25_batch_from_index`` row-for-row and answers to the same
+    oracle. Driver state stays bounded: the |union|·tiers sidecar
+    rows, one θ row per query, the prunable/fallback id split —
+    never a doc list. Telemetry in ``last_stats``."""
+    import json as _json
+
+    eps = 1e-9
+    with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
+        st = _json.load(fh)
+    n_corpus = st["n_docs"]
+    avgdl = st["avgdl"] or 1.0
+    union_terms = sorted({t for q in queries for t in q})
+    stats: dict = {"n_queries": len(queries)}
+
+    def _all_fallback() -> DataFrame:
+        stats.update(n_prunable=0, n_fallback=len(queries))
+        bm25_batch_wand_topk.last_stats = stats
+        return bm25_batch_from_index(spark, index_dir, queries, top)
+
+    if not union_terms:
+        return _all_fallback()
+    pr = _wand_pricing(spark, index_dir, union_terms, avgdl, n_corpus, stats)
+    if pr is None or not pr["p1_paths"]:
+        return _all_fallback()
+    info, wslack, qinfo = pr["info"], pr["wslack"], pr["qinfo"]
+    qwords = {
+        qid: [w for w in dict.fromkeys(q) if w in info]
+        for qid, q in enumerate(queries)
+    }
+    slack_q = {qid: sum(wslack[w] for w in ws) for qid, ws in qwords.items()}
+
+    from pyspark.sql import Window
+
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in qwords.items() for w in ws],
+        "query_id INT, word STRING",
+    )
+    contrib1 = (
+        spark.read.option("basePath", index_dir)
+        .parquet(*pr["p1_paths"])
+        .filter(pr["p1_cond"])
+        .join(F.broadcast(qinfo), "word")
+        .select(
+            "doc_id",
+            "word",
+            (F.col("idf") * _bm25_sat(F.col("tf"), F.col("dl"), avgdl)).alias("c"),
+            "wslack",
+        )
+    )
+    agg1 = (
+        contrib1.join(F.broadcast(qterms), "word")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("c").alias("partial"),
+            F.sum("wslack").alias("seen_slack"),
+            F.count(F.lit(1)).alias("n_seen"),
+        )
+        .localCheckpoint()  # consumed by θ, candidates and the final
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("partial"), F.asc("doc_id")
+    )
+    theta_rows = (
+        agg1.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= top)
+        .groupBy("query_id")
+        .agg(F.min("partial").alias("theta"), F.count(F.lit(1)).alias("k"))
+        .collect()
+    )  # bounded: one row per query
+    theta_q = {r.query_id: (r.theta, r.k) for r in theta_rows}
+    prunable, fallback = [], []
+    for qid, ws in qwords.items():
+        if not ws:
+            continue  # no in-corpus terms → no rows, like the batch plan
+        th = theta_q.get(qid)
+        if th and th[1] >= top and slack_q[qid] < th[0] - (
+            WAND_ROUND_MARGIN + eps
+        ):
+            prunable.append(qid)
+        else:
+            fallback.append(qid)
+    stats.update(n_prunable=len(prunable), n_fallback=len(fallback))
+    bm25_batch_wand_topk.last_stats = stats
+
+    parts = []
+    if prunable:
+        qmeta = spark.createDataFrame(
+            [(qid, float(theta_q[qid][0]), float(slack_q[qid])) for qid in prunable],
+            "query_id INT, theta DOUBLE, qslack DOUBLE",
+        )
+        cand = agg1.join(F.broadcast(qmeta), "query_id").filter(
+            F.col("partial") + F.col("qslack") - F.col("seen_slack")
+            >= F.col("theta") - (WAND_ROUND_MARGIN + eps)
+        )
+        if pr["p2_paths"]:
+            p2c = (
+                spark.read.option("basePath", index_dir)
+                .parquet(*pr["p2_paths"])
+                .filter(pr["p2_cond"])
+                .join(F.broadcast(qinfo), "word")
+                .select(
+                    "doc_id",
+                    "word",
+                    (
+                        F.col("idf") * _bm25_sat(F.col("tf"), F.col("dl"), avgdl)
+                    ).alias("c"),
+                )
+                .join(
+                    F.broadcast(qterms.join(qmeta.select("query_id"), "query_id")),
+                    "word",
+                )
+                .join(
+                    cand.select("query_id", "doc_id"),
+                    ["query_id", "doc_id"],
+                    "left_semi",
+                )
+            )
+            add = p2c.groupBy("query_id", "doc_id").agg(
+                F.sum("c").alias("c2"), F.count(F.lit(1)).alias("n2")
+            )
+        else:
+            add = spark.createDataFrame(
+                [], "query_id INT, doc_id LONG, c2 DOUBLE, n2 LONG"
+            )
+        scored = cand.join(add, ["query_id", "doc_id"], "left").select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("partial") + F.coalesce(F.col("c2"), F.lit(0.0)), 4
+            ).alias("bm25"),
+            (F.col("n_seen") + F.coalesce(F.col("n2"), F.lit(0)))
+            .cast("long")
+            .alias("n_terms_matched"),
+        )
+        w_final = Window.partitionBy("query_id").orderBy(
+            F.desc("bm25"), F.asc("doc_id")
+        )
+        parts.append(
+            scored.withColumn("rn", F.row_number().over(w_final))
+            .filter(F.col("rn") <= top)
+            .select(
+                F.col("query_id").cast("long").alias("query_id"),
+                "doc_id",
+                "bm25",
+                "n_terms_matched",
+            )
+        )
+    if fallback:
+        sub = bm25_batch_from_index(
+            spark, index_dir, tuple(queries[q] for q in fallback), top
+        )
+        remap = spark.createDataFrame(
+            [(i, int(q)) for i, q in enumerate(fallback)],
+            "query_id BIGINT, orig BIGINT",
+        )
+        parts.append(
+            sub.join(F.broadcast(remap), "query_id").select(
+                F.col("orig").alias("query_id"),
+                "doc_id",
+                "bm25",
+                "n_terms_matched",
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "query_id BIGINT, doc_id LONG, bm25 DOUBLE, n_terms_matched BIGINT"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+bm25_batch_wand_topk.last_stats = {}
 
 
 #: ingest-audit batch split: low half of the 100-slot md5 doc_id ring
@@ -1517,8 +1788,114 @@ def _bm25_batch_oracle() -> str:
     """
 
 
+def bm25_batch_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The impact-bound BATCH: 240 generated queries over the MIXED
+    head+tail vocabulary (``_mixed_vocab`` — df head + df tail, so
+    queries carry idf contrast like real workloads), routed per query
+    by the WAND bound (``bm25_batch_wand_topk``): prunable queries
+    shrink the (query, doc) accumulator shuffle to their candidate
+    sets; the rest fall back to the plain batch plan for exactly
+    their subset. EXACT per query — ORACLE-CHECKED end to end (the
+    DuckDB twin regenerates the mixed vocabulary, the query relation
+    and the scores from raw documents; prune-vs-fallback routing is
+    invisible in the relation, which is the point)."""
+    index_dir = _documents_bm25_index(spark, sf_dir)
+    vocab = _mixed_vocab(spark, index_dir)
+    return bm25_batch_wand_topk(
+        spark, index_dir, _wide_queries(vocab), WIDE_TOP
+    )
+
+
+def _bm25_wand_batch_oracle() -> str:
+    from ..operators.retrieval import BM25_B, BM25_K1
+    from ..operators.text_analysis import _WORDS_SQL
+
+    return f"""
+        WITH w AS (
+            SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   avg(len(words)) AS avgdl
+            FROM w
+        ),
+        posting AS MATERIALIZED (
+            SELECT doc_id, word, count(*) AS tf, max(dl) AS dl
+            FROM (
+                SELECT doc_id, len(words) AS dl, unnest(words) AS word FROM w
+            )
+            GROUP BY doc_id, word
+        ),
+        dfreq_all AS MATERIALIZED (
+            SELECT word, count(*) AS df FROM posting GROUP BY word
+        ),
+        vhead AS MATERIALIZED (
+            SELECT word, CAST(df AS DOUBLE) AS df,
+                   row_number() OVER (ORDER BY df DESC, word ASC) - 1 AS r
+            FROM dfreq_all
+            ORDER BY r
+            LIMIT {WAND_BATCH_HEAD}
+        ),
+        vtail AS (
+            SELECT word, CAST(df AS DOUBLE) AS df,
+                   {WAND_BATCH_HEAD}
+                   + row_number() OVER (ORDER BY df ASC, word ASC) - 1 AS r
+            FROM dfreq_all
+            WHERE word NOT IN (SELECT word FROM vhead)
+            ORDER BY r
+            LIMIT {WAND_BATCH_TAIL}
+        ),
+        vocab AS MATERIALIZED (
+            SELECT * FROM vhead UNION ALL SELECT * FROM vtail
+        ),
+        nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        qgen AS (
+            SELECT i,
+                   i % v AS a,
+                   (i + 7 * (i // v) + 1) % v AS b,
+                   (i + 13 * (i // v) + (i // v) * (i // v)) % v AS c
+            FROM range({WIDE_QUERIES}) t(i) CROSS JOIN nv
+        ),
+        qterms AS MATERIALIZED (
+            SELECT DISTINCT query_id, word
+            FROM (
+                SELECT i AS query_id, a AS r FROM qgen
+                UNION ALL SELECT i, b FROM qgen
+                UNION ALL SELECT i, c FROM qgen
+            ) x
+            JOIN vocab USING (r)
+        ),
+        hits AS MATERIALIZED (
+            SELECT p.doc_id, p.word, p.tf, p.dl, v.df
+            FROM posting p JOIN vocab v USING (word)
+        ),
+        scored AS (
+            SELECT q.query_id, h.doc_id,
+                   round(sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * ({BM25_K1} + 1))
+                       / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+                   ), 4) AS bm25,
+                   CAST(count(*) AS BIGINT) AS n_terms_matched
+            FROM hits h
+            JOIN qterms q USING (word)
+            CROSS JOIN stats
+            GROUP BY q.query_id, h.doc_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
+               n_terms_matched
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id ASC) AS rn
+            FROM scored)
+        WHERE rn <= {WIDE_TOP}
+    """
+
+
 ORACLES["bm25_batch_indexed"] = _bm25_batch_oracle()
 ORACLES["bm25_batch_wide"] = _bm25_wide_oracle()
+ORACLES["bm25_batch_wand"] = _bm25_wand_batch_oracle()
 
 # first-principles re-tokenization of raw documents: what ANY correct
 # positional build (single-shot or incremental) must contain.
@@ -1604,4 +1981,5 @@ QUERIES = {
     "bm25_search_wand": bm25_search_wand,
     "bm25_batch_indexed": bm25_batch_indexed,
     "bm25_batch_wide": bm25_batch_wide,
+    "bm25_batch_wand": bm25_batch_wand,
 }

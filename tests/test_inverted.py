@@ -836,3 +836,71 @@ def test_bm25_batch_wide_oracle_and_single_query_parity(spark, duck, tmp_path, m
             ).collect()
         ]
         assert got == want, f"query {qid}: batch != single"
+
+
+def test_bm25_batch_wand_routes_per_query_and_matches_plain(spark, duck, tmp_path, monkeypatch):
+    """r09 second wave: per-query impact-bound pruning composed with
+    the batch fanout. The relation must equal the plain batch plan
+    row-for-row (prune-vs-fallback routing invisible in the result),
+    the oracle replays it from raw documents, BOTH routes must
+    actually be exercised on the mixed workload at this SF, and the
+    rounding margin must hold (no pruned doc can round into the
+    top-k — the sf0.1 boundary-tie regression)."""
+    from tests.conftest import assert_matches_oracle
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        inverted.QUERIES["bm25_batch_wand"],
+        inverted.ORACLES["bm25_batch_wand"],
+    )
+
+    idx = inverted._documents_bm25_index(spark, SF_DIR)
+    vocab = inverted._mixed_vocab(spark, idx)
+    assert len(vocab) == inverted.WAND_BATCH_HEAD + inverted.WAND_BATCH_TAIL
+    assert len(set(vocab)) == len(vocab)
+    queries = inverted._wide_queries(vocab)
+    got = sorted(
+        map(
+            tuple,
+            inverted.bm25_batch_wand_topk(
+                spark, idx, queries, inverted.WIDE_TOP
+            ).collect(),
+        )
+    )
+    st = inverted.bm25_batch_wand_topk.last_stats
+    want = sorted(
+        map(
+            tuple,
+            inverted.bm25_batch_from_index(
+                spark, idx, queries, inverted.WIDE_TOP
+            ).collect(),
+        )
+    )
+    assert got == want
+    # both routes exercised: some queries prune, the rest fall back
+    assert st["n_prunable"] > 0 and st["n_fallback"] > 0
+    assert st["n_prunable"] + st["n_fallback"] == inverted.WIDE_QUERIES
+    assert st["n_blocks_p1"] < st["n_blocks_total"]
+
+    # a workload with NO idf contrast routes everything to fallback
+    # and still matches (the degenerate case is honest, not broken)
+    head_only = [
+        (vocab[0], vocab[1], vocab[2]),
+        (vocab[1], vocab[3]),
+    ]
+    got_h = sorted(
+        map(
+            tuple,
+            inverted.bm25_batch_wand_topk(spark, idx, tuple(head_only), 20).collect(),
+        )
+    )
+    want_h = sorted(
+        map(
+            tuple,
+            inverted.bm25_batch_from_index(spark, idx, tuple(head_only), 20).collect(),
+        )
+    )
+    assert got_h == want_h

@@ -231,6 +231,8 @@ WARMED_PROBE_OPS = (
     # and the 240-query generated batch (one pruned union read).
     "bm25_search_wand",
     "bm25_batch_wide",
+    # r09b: per-query bound routing over the mixed-vocab batch.
+    "bm25_batch_wand",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
