@@ -200,8 +200,10 @@ def lsh_multiprobe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = (
             cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
             .crossJoin(
-                topk.join(exact, "vec_id", "left_semi").agg(
-                    F.count(F.lit(1)).cast("long").alias("n_hits")
+                F.broadcast(  # 1-row aggregate: BNLJ, never a cartesian
+                    topk.join(exact, "vec_id", "left_semi").agg(
+                        F.count(F.lit(1)).cast("long").alias("n_hits")
+                    )
                 )
             )
             .select(
