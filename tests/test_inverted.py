@@ -904,3 +904,33 @@ def test_bm25_batch_wand_routes_per_query_and_matches_plain(spark, duck, tmp_pat
         )
     )
     assert got_h == want_h
+
+
+def test_wand_pricing_cache_hits_and_invalidates_on_ingest(spark, tmp_path):
+    """r09: repeated queries reuse the block pricing (what a serving
+    tier keeps warm) — the second identical probe is a cache hit with
+    identical rows; an ingest append atomically replaces the stats
+    sidecar, which MUST invalidate the cache so post-append probes
+    price with corpus-true df/avgdl/bounds."""
+    from samza_hello_samza_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    inverted.build_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+
+    terms = list(inverted.WAND_QUERY_TERMS)
+    first = [tuple(r) for r in inverted.bm25_wand_topk(spark, idx, terms, 10).collect()]
+    assert inverted.bm25_wand_topk.last_stats["pricing_cached"] is False
+    again = [tuple(r) for r in inverted.bm25_wand_topk(spark, idx, terms, 10).collect()]
+    assert inverted.bm25_wand_topk.last_stats["pricing_cached"] is True
+    assert again == first
+
+    inverted.append_documents_bm25(
+        spark, idx, docs.filter(F.col("doc_id") % 2 == 1)
+    )
+    after = [tuple(r) for r in inverted.bm25_wand_topk(spark, idx, terms, 10).collect()]
+    assert inverted.bm25_wand_topk.last_stats["pricing_cached"] is False
+    full = str(tmp_path / "full")
+    inverted.build_bm25_index(spark, docs, full)
+    want = [tuple(r) for r in inverted.bm25_wand_topk(spark, full, terms, 10).collect()]
+    assert after == want  # post-append pricing is corpus-true
