@@ -239,6 +239,10 @@ EXTRA_VOLUME = (
     # (own bucket + 2 pinned lowest-margin flips per band) vs
     # single-probe's 4; measured recall 0.30 → 0.70 at sf0.1.
     "ann_multiprobe_topk",
+    # r09c: the BM25 ingest-path integrity audit (two-batch marker-
+    # gated build is warmup; the timed run checksums every posting
+    # row + the folded sidecars — linear by contract).
+    "bm25_ingest_audit",
     # r09b: per-query impact-bound routing on the 240-query mixed
     # (head+tail df) workload — prunable queries shrink the (query,
     # doc) accumulator shuffle to their candidate sets, the rest run
@@ -546,6 +550,7 @@ def main() -> None:
             "positional_ingest_audit",  # cold two-batch ingest build
             "orders_restore_audit",  # cold 4-version table + MV build
             "bm25_search_indexed",  # cold BM25 posting-layout build
+            "bm25_ingest_audit",  # cold two-batch BM25 ingest build
         ):
             queries[q](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         sf1_names = [

@@ -1644,6 +1644,114 @@ def _bm25_built(out: str) -> bool:
         return _json.load(fh).get("tiers") == WAND_TIERS
 
 
+def _documents_bm25_incremental(spark: SparkSession, sf_dir: str) -> str:
+    """The BM25 layout built INCREMENTALLY: batch 1 (md5-ring low
+    half of doc_ids) through ``build_bm25_index``, batch 2 through
+    ``append_documents_bm25`` — postings, the ``_impacts`` bounds
+    AND the (n_docs, total_dl) sidecar all folded on the ingest
+    path, behind the positional layout's marker discipline: the
+    append is bracketed by an ``.inprogress`` sentinel (a crash
+    mid-append is recovered by REBUILDING — a blind re-append would
+    double tf rows and the sidecar counters, skewing every score
+    forever)."""
+    from ..operators.ann_index import _index_root, _tag
+    from ..operators.dedup import _md5_slice32 as _slice32
+    from ..session import load_table
+
+    root = os.path.join(_index_root(), _tag(sf_dir))
+    out = os.path.join(root, "bm25_documents_incr")
+    marker_dir = os.path.join(root, "bm25_documents_incr_applied")
+    os.makedirs(marker_dir, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ring = F.pmod(_slice32(F.col("doc_id").cast("string")), F.lit(100))
+
+    m0 = os.path.join(marker_dir, "batch-0")
+    m1 = os.path.join(marker_dir, "batch-1")
+    m1_wip = m1 + ".inprogress"
+    if not os.path.exists(m1) and os.path.exists(m1_wip):
+        for p in (m0, m1_wip):  # crash inside batch 1: rebuild
+            if os.path.exists(p):
+                os.remove(p)
+    if not os.path.exists(m0):
+        # overwrite build → idempotent across a crash here
+        build_bm25_index(spark, docs.filter(ring < INGEST_SPLIT_PCT), out)
+        open(m0, "w").close()
+    if not os.path.exists(m1):
+        open(m1_wip, "w").close()
+        append_documents_bm25(
+            spark, out, docs.filter(ring >= INGEST_SPLIT_PCT)
+        )
+        os.replace(m1_wip, m1)
+    return out
+
+
+def bm25_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity audit of the BM25 INGEST path, registered and
+    hash-checked like ``positional_ingest_audit`` — but the ranked
+    layout has MORE state to keep exact than a posting multiset, and
+    this audit pins all three pieces against a DuckDB
+    first-principles re-tokenization of the raw documents:
+
+    - the postings relation: count, distinct words/docs, tf and dl
+      sums, and an md5-slice32 checksum over every
+      (word, doc_id, tf, dl) row — an extra, dropped, or drifted
+      posting anywhere breaks the hash;
+    - the (n_docs, total_dl) stats sidecar the ingest FOLDS (exact
+      integer counters) — surfaced as literal columns, so a
+      double-fold or missed fold is an oracle mismatch, not just a
+      pytest property;
+    - the ``_impacts`` bounds sidecar: its summed ``n_postings``
+      must equal the postings count exactly (it IS the df the WAND
+      probe prices idf from without reading posting bytes).
+
+    Idempotent across runs (applied-batch markers, crash-recovery
+    via the ``.inprogress`` sentinel). Scale: the build is the one
+    tokenize pass every index build pays; the audit is one parallel
+    scan of the layout + a 1-row aggregate — linear by contract,
+    nothing driver-side beyond the sidecar integers."""
+    import json as _json
+
+    from ..operators.dedup import _md5_slice32 as _slice32
+
+    index_dir = _documents_bm25_incremental(spark, sf_dir)
+    with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
+        st = _json.load(fh)
+    p = spark.read.parquet(index_dir)
+    content = F.concat_ws(
+        "|",
+        F.col("word"),
+        F.col("doc_id").cast("string"),
+        F.col("tf").cast("string"),
+        F.col("dl").cast("string"),
+    )
+    imp = (
+        spark.read.parquet(_impacts_dir(index_dir))
+        .agg(F.sum("n_postings").cast("long").alias("impacts_n_postings"))
+    )
+    return (
+        p.agg(
+            F.count(F.lit(1)).cast("long").alias("n_postings"),
+            F.count_distinct("word").cast("long").alias("n_words"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs_posting"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+            F.sum(_slice32(content)).cast("long").alias("postings_checksum"),
+        )
+        .crossJoin(F.broadcast(imp))  # 1-row aggregate
+        .select(
+            "n_postings",
+            "n_words",
+            "n_docs_posting",
+            "sum_tf",
+            "sum_dl",
+            "postings_checksum",
+            F.lit(int(st["n_docs"])).cast("long").alias("sidecar_n_docs"),
+            F.lit(int(st["total_dl"])).cast("long").alias("sidecar_total_dl"),
+            "impacts_n_postings",
+        )
+    )
+
+
 def _documents_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     from ..operators.ann_index import _index_root, _tag
     from ..session import load_table
@@ -1941,6 +2049,37 @@ ORACLES["bm25_batch_indexed"] = _bm25_batch_oracle()
 ORACLES["bm25_batch_wide"] = _bm25_wide_oracle()
 ORACLES["bm25_batch_wand"] = _bm25_wand_batch_oracle()
 
+ORACLES["bm25_ingest_audit"] = r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS words
+        FROM documents
+    ),
+    posting AS MATERIALIZED (
+        SELECT doc_id, word, count(*) AS tf, max(dl) AS dl
+        FROM (
+            SELECT doc_id, len(words) AS dl, unnest(words) AS word FROM w
+        )
+        GROUP BY doc_id, word
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_postings,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_posting,
+           CAST(sum(tf) AS BIGINT) AS sum_tf,
+           CAST(sum(dl) AS BIGINT) AS sum_dl,
+           CAST(sum(CAST(concat('0x', substr(md5(
+               word || '|' || CAST(doc_id AS VARCHAR) || '|'
+               || CAST(tf AS VARCHAR) || '|' || CAST(dl AS VARCHAR)
+           ), 1, 8)) AS BIGINT)) AS BIGINT) AS postings_checksum,
+           (SELECT CAST(count(*) AS BIGINT) FROM w) AS sidecar_n_docs,
+           (SELECT CAST(coalesce(sum(len(words)), 0) AS BIGINT) FROM w)
+               AS sidecar_total_dl,
+           CAST(count(*) AS BIGINT) AS impacts_n_postings
+    FROM posting
+"""
+
+
 # first-principles re-tokenization of raw documents: what ANY correct
 # positional build (single-shot or incremental) must contain.
 ORACLES["positional_ingest_audit"] = r"""
@@ -2026,4 +2165,5 @@ QUERIES = {
     "bm25_batch_indexed": bm25_batch_indexed,
     "bm25_batch_wide": bm25_batch_wide,
     "bm25_batch_wand": bm25_batch_wand,
+    "bm25_ingest_audit": bm25_ingest_audit,
 }

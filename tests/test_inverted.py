@@ -934,3 +934,55 @@ def test_wand_pricing_cache_hits_and_invalidates_on_ingest(spark, tmp_path):
     inverted.build_bm25_index(spark, docs, full)
     want = [tuple(r) for r in inverted.bm25_wand_topk(spark, full, terms, 10).collect()]
     assert after == want  # post-append pricing is corpus-true
+
+
+def test_bm25_ingest_audit_oracle_replay_and_crash_recovery(spark, duck, tmp_path, monkeypatch):
+    """r09: the BM25 ingest path registered and hash-checked like the
+    positional one — two marker-gated batches ≡ first-principles
+    re-tokenization (postings + folded stats sidecar + impacts df),
+    re-entry folds nothing, and a simulated crash inside the batch-1
+    append (wip sentinel down, marker absent) recovers by REBUILD
+    with identical audit numbers."""
+    from tests.conftest import assert_matches_oracle
+    from samza_hello_samza_spark.operators.ann_index import _index_root, _tag
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    assert_matches_oracle(
+        spark,
+        duck,
+        inverted.QUERIES["bm25_ingest_audit"],
+        inverted.ORACLES["bm25_ingest_audit"],
+    )
+
+    clean = inverted.bm25_ingest_audit(spark, SF_DIR).collect()[0]
+    # sidecar vs posting-relation consistency inside the audit row
+    assert clean.impacts_n_postings == clean.n_postings
+    assert clean.sidecar_total_dl >= clean.sum_dl // max(clean.n_words, 1)
+
+    # re-entry folds nothing
+    again = inverted.bm25_ingest_audit(spark, SF_DIR).collect()[0]
+    assert again == clean
+
+    # the incremental layout serves the SAME ranked relation as a
+    # single-shot rebuild — through the WAND probe as well
+    incr = inverted._documents_bm25_incremental(spark, SF_DIR)
+    full = str(tmp_path / "full")
+    from samza_hello_samza_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    inverted.build_bm25_index(spark, docs, full)
+    for probe in (inverted.bm25_topk_from_index, inverted.bm25_wand_topk):
+        got = [tuple(r) for r in probe(spark, incr, list(inverted.WAND_QUERY_TERMS), 20).collect()]
+        want = [tuple(r) for r in probe(spark, full, list(inverted.WAND_QUERY_TERMS), 20).collect()]
+        assert got == want, probe.__name__
+
+    # crash mid-append: wip sentinel down, marker gone → rebuild path
+    root = os.path.join(_index_root(), _tag(SF_DIR))
+    m1 = os.path.join(root, "bm25_documents_incr_applied", "batch-1")
+    os.remove(m1)
+    open(m1 + ".inprogress", "w").close()
+    recovered = inverted.bm25_ingest_audit(spark, SF_DIR).collect()[0]
+    assert recovered == clean  # a re-append would double tf AND stats
+    assert os.path.exists(m1)
+    assert not os.path.exists(m1 + ".inprogress")

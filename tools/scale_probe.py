@@ -177,6 +177,8 @@ LINEAR_BY_CONTRACT = {
     # r08: the ingest audit's contract is to checksum EVERY posting
     # row of the incremental layout — ~repl× time on repl× data.
     "positional_ingest_audit",
+    # r09c: same contract for the ranked layout's ingest audit.
+    "bm25_ingest_audit",
 }
 
 WARMED_PROBE_OPS = (
@@ -233,6 +235,8 @@ WARMED_PROBE_OPS = (
     "bm25_batch_wide",
     # r09b: per-query bound routing over the mixed-vocab batch.
     "bm25_batch_wand",
+    # r09c: two-batch ingest build warmed; timed run is the audit scan.
+    "bm25_ingest_audit",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
