@@ -44,6 +44,7 @@ NONEQUI_OK = {
     "corpus_dedup_report",  # four 1-row summary aggregates broadcast-crossed
     "lsh_band_sweep",       # per-config 1-row count aggregates broadcast-crossed
     "lsh_multiprobe_eval",  # per-variant 1-row count aggregates broadcast-crossed
+    "bm25_ingest_audit",    # 1-row impacts-df aggregate broadcast-crossed
     "perplexity_proxy",     # 1-row corpus-total broadcast
     "corpus_quality_calibration",  # inherits perplexity's 1-row total broadcast
     "ccnet_perplexity_buckets",  # inherits perplexity's 1-row total broadcast
