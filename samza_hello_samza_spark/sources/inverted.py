@@ -533,6 +533,7 @@ def _write_bm25_stats(index_dir: str, n_docs: int, total_dl: int) -> None:
     exactly under ingest (counts add; a recomputed average would
     drift with float association order)."""
     import json as _json
+    import uuid as _uuid
 
     stats = {
         "n_docs": float(n_docs),
@@ -542,6 +543,12 @@ def _write_bm25_stats(index_dir: str, n_docs: int, total_dl: int) -> None:
         # are impact-tiered and the _impacts sidecar exists — the
         # built-gate uses it to rebuild pre-r09 flat layouts.
         "tiers": WAND_TIERS,
+        # unique per publish: the pricing cache fingerprints on THIS,
+        # not on file (mtime, size) — a rebuild landing in the same
+        # coarse-mtime tick with an identically-sized sidecar must
+        # still invalidate (stale idf/bounds would be a CORRECTNESS
+        # bug for the impact-bound probes, not just a perf one).
+        "layout_version": _uuid.uuid4().hex,
     }
     tmp = os.path.join(index_dir, "_bm25_stats.json.tmp")
     with open(tmp, "w") as fh:
@@ -714,21 +721,37 @@ def _term_bucket_map(spark: SparkSession, terms: list[str]) -> dict[str, int]:
     return {r.word: r.b for r in rows}
 
 
-#: per-session block-pricing cache for repeated queries — what a
-#: serving tier keeps warm: the (bucket map, sidecar bounds, phase
-#: split) of a term set is pure given the layout VERSION, and every
-#: mutation of the layout (build overwrite, ingest append, streaming
-#: fold) ends by atomically replacing ``_bm25_stats.json``, so the
-#: stats file's (mtime_ns, size) is a correct invalidation
-#: fingerprint. Bounded FIFO (oldest evicted); telemetry is stored
+#: block-pricing cache for repeated queries — what a serving tier
+#: keeps warm: the (bucket map, sidecar bounds, phase split) of a
+#: term set is pure given the layout VERSION, and every mutation of
+#: the layout (build overwrite, ingest append, streaming fold) ends
+#: by atomically publishing ``_bm25_stats.json`` with a fresh
+#: ``layout_version`` uuid — the invalidation fingerprint (file
+#: (mtime_ns, size) only as a legacy fallback: coarse-mtime
+#: filesystems could alias a same-size rebuild). The cache holds
+#: PLAIN DATA ONLY (dicts/paths — never a DataFrame or Column):
+#: session-bound probe objects are rebuilt per call, so a cache hit
+#: after the building session was stopped (a serving tier's restart
+#: path) prices from the cache and still plans against the LIVE
+#: session. Bounded FIFO (oldest evicted); telemetry is stored
 #: alongside and replayed into each caller's stats dict.
 _PRICING_CACHE: dict[tuple, tuple[dict | None, dict]] = {}
 _PRICING_CACHE_MAX = 64
 
 
 def _stats_fingerprint(index_dir: str) -> tuple:
-    st = os.stat(os.path.join(index_dir, "_bm25_stats.json"))
-    return (st.st_mtime_ns, st.st_size)
+    import json as _json
+
+    path = os.path.join(index_dir, "_bm25_stats.json")
+    st = os.stat(path)
+    try:
+        with open(path) as fh:
+            ver = _json.load(fh).get("layout_version")
+    except (OSError, ValueError):
+        ver = None
+    if ver is not None:
+        return ("v", ver)
+    return (st.st_mtime_ns, st.st_size)  # pre-r10 sidecar fallback
 
 
 def _wand_pricing(
@@ -742,20 +765,44 @@ def _wand_pricing(
     key = (index_dir, tuple(terms), _stats_fingerprint(index_dir))
     hit = _PRICING_CACHE.get(key)
     if hit is not None:
-        pr, telemetry = hit
+        plain, telemetry = hit
         stats.update(telemetry)
         stats["pricing_cached"] = True
-        return pr
-    telemetry: dict = {}
-    pr = _wand_pricing_uncached(
-        spark, index_dir, terms, avgdl, n_corpus, telemetry
+    else:
+        telemetry = {}
+        plain = _wand_pricing_uncached(
+            spark, index_dir, terms, avgdl, n_corpus, telemetry
+        )
+        while len(_PRICING_CACHE) >= _PRICING_CACHE_MAX:
+            _PRICING_CACHE.pop(next(iter(_PRICING_CACHE)))
+        _PRICING_CACHE[key] = (plain, telemetry)
+        stats.update(telemetry)
+        stats["pricing_cached"] = False
+    if plain is None:
+        return None
+    return {**plain, **_wand_session_objects(spark, plain)}
+
+
+def _wand_session_objects(spark: SparkSession, plain: dict) -> dict:
+    """Build the session-bound probe objects (the broadcast query
+    relation and the phase filters) from a PLAIN pricing dict — per
+    call, cached or not: |terms|-row createDataFrame + pure Column
+    construction, negligible next to the pricing jobs it skips, and
+    it keeps the cache restart-safe (never a dead plan)."""
+    info, idf, wslack = plain["info"], plain["idf"], plain["wslack"]
+    p1_tiers = plain["p1_tiers"]
+    p1_cond = None
+    p2_cond = None
+    for w in info:
+        c1 = (F.col("word") == w) & (F.col("tier").isin(sorted(p1_tiers[w])))
+        p1_cond = c1 if p1_cond is None else (p1_cond | c1)
+        c2 = (F.col("word") == w) & (~F.col("tier").isin(sorted(p1_tiers[w])))
+        p2_cond = c2 if p2_cond is None else (p2_cond | c2)
+    qinfo = spark.createDataFrame(
+        [(w, idf[w], wslack[w]) for w in info],
+        "word STRING, idf DOUBLE, wslack DOUBLE",
     )
-    while len(_PRICING_CACHE) >= _PRICING_CACHE_MAX:
-        _PRICING_CACHE.pop(next(iter(_PRICING_CACHE)))
-    _PRICING_CACHE[key] = (pr, telemetry)
-    stats.update(telemetry)
-    stats["pricing_cached"] = False
-    return pr
+    return {"qinfo": qinfo, "p1_cond": p1_cond, "p2_cond": p2_cond}
 
 
 def _wand_pricing_uncached(
@@ -857,10 +904,6 @@ def _wand_pricing_uncached(
             )
         }
     )
-    p1_cond = None
-    for w in info:
-        c = (F.col("word") == w) & (F.col("tier").isin(sorted(p1_tiers[w])))
-        p1_cond = c if p1_cond is None else (p1_cond | c)
     p2_pairs = {
         (w, t) for w, tiers in info.items() for t in tiers if t not in p1_tiers[w]
     }
@@ -873,14 +916,9 @@ def _wand_pricing_uncached(
             )
         }
     )
-    p2_cond = None
-    for w in info:
-        c = (F.col("word") == w) & (~F.col("tier").isin(sorted(p1_tiers[w])))
-        p2_cond = c if p2_cond is None else (p2_cond | c)
-    qinfo = spark.createDataFrame(
-        [(w, idf[w], wslack[w]) for w in info],
-        "word STRING, idf DOUBLE, wslack DOUBLE",
-    )
+    # plain data only (cache-safe across session restarts): the
+    # qinfo frame and phase filter Columns are rebuilt per call by
+    # _wand_session_objects.
     return {
         "info": info,
         "dfreq": dfreq,
@@ -889,11 +927,8 @@ def _wand_pricing_uncached(
         "p1_tiers": p1_tiers,
         "wslack": wslack,
         "p1_paths": p1_paths,
-        "p1_cond": p1_cond,
         "p2_pairs": p2_pairs,
         "p2_paths": p2_paths,
-        "p2_cond": p2_cond,
-        "qinfo": qinfo,
     }
 
 
@@ -922,9 +957,10 @@ def bm25_wand_topk(
        READING THEIR BLOCKS — this is the WAND skip. Seen docs whose
        partial + per-doc slack < θ are dropped too. The survivors
        (≤ ``WAND_CANDIDATE_CAP``, else graceful full-read fallback)
-       are completed EXACTLY from the lower-tier blocks with a pushed
-       ``doc_id IN`` filter, and the final rank runs over completed
-       scores only.
+       are completed EXACTLY from the lower-tier blocks via a
+       broadcast semi-join on the candidate ids (the batch variant's
+       shape — never a growing ``IN`` literal), and the final rank
+       runs over completed scores only.
 
     When the bound cannot prune (slack ≥ θ, fewer than k phase-1
     docs, or an over-cap candidate set) the probe falls back to the
@@ -1025,13 +1061,28 @@ def bm25_wand_topk(
     need = sorted(r.doc_id for r in cand_rows if r.n_seen < n_terms_avail)
     stats["n_need_completion"] = len(need)
 
+    # candidate/completion id relations: broadcast SEMI-JOINs, the
+    # same shape as the batch variant — a ≤4096-element literal
+    # ``isin`` is the literal-bloat family the bloom work measured
+    # (codegen cost grows with the list), a ≤4096-row broadcast
+    # hash join does not.
+    cand_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(r.doc_id),) for r in cand_rows], "doc_id LONG"
+        )
+    )
+
     # ---- phase 2: complete ONLY the surviving docs ----
     if need and pr["p2_paths"]:
         stats["p2_dirs"] = pr["p2_paths"]
+        need_df = F.broadcast(
+            spark.createDataFrame([(int(d),) for d in need], "doc_id LONG")
+        )
         add = (
             spark.read.option("basePath", index_dir)
             .parquet(*pr["p2_paths"])
-            .filter(pr["p2_cond"] & F.col("doc_id").isin(need))
+            .filter(pr["p2_cond"])
+            .join(need_df, "doc_id", "left_semi")
             .join(F.broadcast(qinfo), "word")
             .groupBy("doc_id")
             .agg(
@@ -1046,9 +1097,8 @@ def bm25_wand_topk(
         add = spark.createDataFrame([], "doc_id LONG, c2 DOUBLE, n2 LONG")
     bm25_wand_topk.last_stats = stats
 
-    cand_ids = [r.doc_id for r in cand_rows]
     scored = (
-        agg1.filter(F.col("doc_id").isin(cand_ids))
+        agg1.join(cand_df, "doc_id", "left_semi")
         .join(add, "doc_id", "left")
         .select(
             "doc_id",
@@ -1107,6 +1157,13 @@ def bm25_batch_from_index(
     with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
         st = _json.load(fh)
     union_terms = sorted({t for q in queries for t in q})
+    if not union_terms:
+        # empty workload (e.g. an empty/all-empty-text corpus seeds
+        # the wide generator): the empty relation, typed like the plan
+        return spark.createDataFrame(
+            [],
+            "query_id BIGINT, doc_id LONG, bm25 DOUBLE, n_terms_matched BIGINT",
+        )
     buckets = term_buckets(spark, union_terms)
     p = (
         spark.read.parquet(index_dir)
@@ -1175,8 +1232,12 @@ def _wide_queries(vocab: list[str]) -> tuple[tuple[str, ...], ...]:
     affine-in-i with a j-varying offset so the set does not repeat
     with period |vocab|. Duplicated ranks inside one query collapse
     (a query is a term SET); the DuckDB twin generates the identical
-    relation from ``range()``."""
+    relation from ``range()``. An empty vocabulary (empty or
+    all-empty-text corpus) yields the empty workload — the wide
+    callers return the empty relation like every other BM25 key."""
     v = len(vocab)
+    if v == 0:
+        return ()
     out = []
     for i in range(WIDE_QUERIES):
         j = i // v
@@ -1206,13 +1267,15 @@ def bm25_batch_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same vocabulary ranking, the same query relation, and the
     same scoring program from raw documents."""
     index_dir = _documents_bm25_index(spark, sf_dir)
+    rel = _impacts_relation(spark, index_dir)
     ranked = (
-        spark.read.parquet(_impacts_dir(index_dir))
-        .groupBy("word")
+        rel.groupBy("word")
         .agg(F.sum("n_postings").alias("df"))
         .orderBy(F.desc("df"), F.asc("word"))
         .limit(WIDE_VOCAB)
         .collect()
+        if rel is not None
+        else []
     )  # bounded: WIDE_VOCAB rows
     vocab = [r.word for r in ranked]
     return bm25_batch_from_index(
@@ -1301,22 +1364,36 @@ WAND_BATCH_HEAD = 16
 WAND_BATCH_TAIL = 8
 
 
+def _impacts_relation(spark: SparkSession, index_dir: str):
+    """The ``_impacts`` sidecar as a relation, or None when the layout
+    holds zero postings (an empty or all-empty-text corpus writes no
+    parquet parts, so the read cannot infer a schema) — callers treat
+    None as the empty vocabulary and return the empty relation."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(_impacts_dir(index_dir))
+    except AnalysisException:
+        return None
+
+
 def _mixed_vocab(spark: SparkSession, index_dir: str) -> list[str]:
     """head-``WAND_BATCH_HEAD`` terms by (df DESC, word ASC) followed
     by tail-``WAND_BATCH_TAIL`` by (df ASC, word ASC) among the rest —
     both read from the ``_impacts`` sidecar (exact df, zero posting
-    bytes), both bounded collects."""
-    df = (
-        spark.read.parquet(_impacts_dir(index_dir))
-        .groupBy("word")
-        .agg(F.sum("n_postings").alias("df"))
-    )
+    bytes), both bounded collects. Empty layout → empty vocabulary."""
+    rel = _impacts_relation(spark, index_dir)
+    if rel is None:
+        return []
+    df = rel.groupBy("word").agg(F.sum("n_postings").alias("df"))
     head = [
         r.word
         for r in df.orderBy(F.desc("df"), F.asc("word"))
         .limit(WAND_BATCH_HEAD)
         .collect()
     ]
+    if not head:
+        return []
     tail = [
         r.word
         for r in df.filter(~F.col("word").isin(head))

@@ -489,7 +489,11 @@ def test_append_bm25_two_batch_equals_full_rebuild(spark, tmp_path):
 
     def stats(d):
         with open(os.path.join(d, "_bm25_stats.json")) as fh:
-            return json.load(fh)
+            s = json.load(fh)
+        # unique per publish BY DESIGN (the pricing-cache fingerprint);
+        # everything the scorers read must still fold exactly
+        assert s.pop("layout_version")
+        return s
 
     assert stats(incr) == stats(full)
 
@@ -986,3 +990,123 @@ def test_bm25_ingest_audit_oracle_replay_and_crash_recovery(spark, duck, tmp_pat
     assert recovered == clean  # a re-append would double tf AND stats
     assert os.path.exists(m1)
     assert not os.path.exists(m1 + ".inprogress")
+
+
+def test_wand_pricing_cache_survives_session_restart(tmp_path):
+    """r10 (ADVICE r09): the pricing cache holds PLAIN DATA only, so a
+    cache hit after the building SparkSession was stopped and a new
+    one created (a serving tier's restart path, same process) rebuilds
+    the probe objects against the LIVE session and serves identical
+    rows — the old cache stored a qinfo DataFrame bound to the dead
+    session and failed opaquely. Runs in a subprocess: the suite's
+    shared session must not be stopped."""
+    import json
+    import subprocess
+    import sys
+
+    script = f"""
+import json, sys
+sys.path.insert(0, {repr(os.getcwd())})
+from pyspark.sql import SparkSession
+from samza_hello_samza_spark.sources import inverted
+
+def mk(app):
+    return (
+        SparkSession.builder.master("local[2]").appName(app)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+idx = {repr(str(tmp_path / "idx"))}
+spark = mk("build")
+docs = spark.createDataFrame(
+    [(i, ("alpha beta " * (i % 3 + 1)) + ("gamma " if i % 7 == 0 else ""))
+     for i in range(60)],
+    "doc_id long, text string",
+)
+inverted.build_bm25_index(spark, docs, idx)
+terms = ["alpha", "gamma"]
+r1 = [tuple(r) for r in inverted.bm25_wand_topk(spark, idx, terms, 5).collect()]
+c1 = inverted.bm25_wand_topk.last_stats["pricing_cached"]
+spark.stop()
+
+spark2 = mk("restart")
+r2 = [tuple(r) for r in inverted.bm25_wand_topk(spark2, idx, terms, 5).collect()]
+c2 = inverted.bm25_wand_topk.last_stats["pricing_cached"]
+spark2.stop()
+print("RESULT " + json.dumps({{"r1": r1, "c1": c1, "r2": r2, "c2": c2}}))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=os.getcwd(),
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
+    out = json.loads(line[len("RESULT "):])
+    assert out["c1"] is False and out["c2"] is True  # second probe IS a hit
+    assert out["r1"] == out["r2"] and out["r1"]  # identical rows, live plan
+
+
+def test_wand_cache_holds_no_session_objects(spark, tmp_path):
+    """The invariant behind the restart test, asserted structurally:
+    every cached pricing value is plain python (no DataFrame/Column),
+    and the fingerprint keys on the sidecar's layout_version uuid —
+    a rebuild landing on the same (mtime, size) still invalidates."""
+    import json as _json
+
+    from pyspark.sql import Column, DataFrame as _DF
+
+    docs = spark.createDataFrame(
+        [(i, "red green blue " * (i % 4 + 1)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    inverted.build_bm25_index(spark, docs, idx)
+    inverted.bm25_wand_topk(spark, idx, ["red", "blue"], 5).collect()
+
+    def flat(v):
+        if isinstance(v, dict):
+            for x in v.values():
+                yield from flat(x)
+        elif isinstance(v, (list, tuple, set)):
+            for x in v:
+                yield from flat(x)
+        else:
+            yield v
+
+    key = next(
+        k for k in inverted._PRICING_CACHE if k[0] == idx
+    )
+    plain, telemetry = inverted._PRICING_CACHE[key]
+    for v in [*flat(plain), *flat(telemetry)]:
+        assert not isinstance(v, (_DF, Column)), type(v)
+    # fingerprint is the layout_version uuid, not file metadata
+    with open(os.path.join(idx, "_bm25_stats.json")) as fh:
+        ver = _json.load(fh)["layout_version"]
+    assert key[2] == ("v", ver)
+    # a rebuild (same corpus → same-size sidecar possible) re-keys
+    inverted.build_bm25_index(spark, docs, idx)
+    assert inverted._stats_fingerprint(idx) != key[2]
+
+
+def test_bm25_wide_batch_empty_corpus_returns_empty(spark, tmp_path):
+    """r10 (ADVICE r09): an all-empty-text corpus produces an empty
+    vocabulary — the wide generators return the empty workload and the
+    batch plans the empty typed relation, instead of ZeroDivisionError
+    / un-inferrable parquet reads."""
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(10)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "idx")
+    inverted.build_bm25_index(spark, docs, idx)
+
+    assert inverted._mixed_vocab(spark, idx) == []
+    assert inverted._wide_queries([]) == ()
+    for fn in (inverted.bm25_batch_from_index, inverted.bm25_batch_wand_topk):
+        out = fn(spark, idx, (), 5)
+        assert out.columns == ["query_id", "doc_id", "bm25", "n_terms_matched"]
+        assert out.count() == 0
