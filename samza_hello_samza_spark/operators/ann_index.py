@@ -633,6 +633,51 @@ def _list_parquet_files(index_dir: str) -> list[str]:
     return sorted(out)
 
 
+def gc_orphan_builds(
+    root: str,
+    man: dict,
+    own_build: str | None = None,
+    min_age_s: float = 3600.0,
+) -> list[str]:
+    """Reclaim ``build-*`` dirs under ``root`` that the committed
+    manifest does not reference — the loser of a first-writer-wins
+    race, or a builder that crashed between its parquet write and the
+    manifest link, would otherwise leak its build forever (pair and
+    component relations are sizable). The caller's OWN losing build is
+    removed unconditionally; OTHER unreferenced builds only once older
+    than ``min_age_s`` (mtime), so a concurrent builder that simply
+    has not committed yet never has its in-flight dir deleted from
+    under it. Returns the removed paths."""
+    import shutil
+    import time
+
+    rootp = os.path.realpath(root)
+    live = set()
+    for f in man.get("files", ()):
+        d = os.path.dirname(os.path.realpath(f))
+        while d not in ("/", "") and os.path.dirname(d) != rootp:
+            d = os.path.dirname(d)
+        live.add(d)
+    removed = []
+    try:
+        entries = os.listdir(rootp)
+    except OSError:
+        return removed
+    now = time.time()
+    for e in entries:
+        p = os.path.join(rootp, e)
+        if not e.startswith("build-") or not os.path.isdir(p) or p in live:
+            continue
+        try:
+            is_own = own_build is not None and os.path.realpath(own_build) == p
+            if is_own or (now - os.path.getmtime(p)) > min_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        except OSError:
+            continue  # concurrent GC / racing builder — leave it
+    return removed
+
+
 def _sidecar_tombstone_files(data_dir: str) -> list[str]:
     """The tombstone sidecar's current parquet files, resolved from a
     layout's DATA dir: the sidecar lives beside the data dir for IVF

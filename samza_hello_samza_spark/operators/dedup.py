@@ -1029,7 +1029,11 @@ def _components_cached(
     import tempfile
     import uuid
 
-    from .ann_index import _list_parquet_files, read_index_manifest
+    from .ann_index import (
+        _list_parquet_files,
+        gc_orphan_builds,
+        read_index_manifest,
+    )
 
     root = os.path.join(
         os.environ.get("SPARK_GRAFT_INDEX_DIR", tempfile.gettempdir()),
@@ -1039,7 +1043,11 @@ def _components_cached(
     )
     manifest = os.path.join(root, "MANIFEST.json")
     man = read_index_manifest(root)
-    if not man["files"]:
+    if man["files"]:
+        # reclaim builds a crashed/racing writer left behind (age-gated
+        # inside — an in-flight concurrent build is never touched)
+        gc_orphan_builds(root, man)
+    else:
         from .graph import _pairs_cached
 
         pairs = _pairs_cached(spark, sf_dir)
@@ -1063,6 +1071,9 @@ def _components_cached(
         finally:
             os.remove(tmp)
         man = read_index_manifest(root)
+        # our build lost the race → reclaim it now; stale crashed
+        # builds from prior runs are age-gated inside
+        gc_orphan_builds(root, man, own_build=build)
     return spark.read.parquet(*man["files"])
 
 

@@ -54,7 +54,11 @@ def _pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from .ann_index import _list_parquet_files, read_index_manifest
+    from .ann_index import (
+        _list_parquet_files,
+        gc_orphan_builds,
+        read_index_manifest,
+    )
 
     root = os.path.join(
         os.environ.get("SPARK_GRAFT_INDEX_DIR", tempfile.gettempdir()),
@@ -63,7 +67,11 @@ def _pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     manifest = os.path.join(root, "MANIFEST.json")
     man = read_index_manifest(root)
-    if not man["files"]:
+    if man["files"]:
+        # reclaim builds a crashed/racing writer left behind (age-gated
+        # inside — an in-flight concurrent build is never touched)
+        gc_orphan_builds(root, man)
+    else:
         # Build into a writer-private subdir, then publish it with a
         # FIRST-WRITER-WINS atomic commit (os.link fails if the
         # manifest already exists). Concurrent first-queries may both
@@ -87,6 +95,9 @@ def _pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             os.remove(tmp)
         man = read_index_manifest(root)
+        # our build lost the race → reclaim it now; stale crashed
+        # builds from prior runs are age-gated inside
+        gc_orphan_builds(root, man, own_build=build)
     return spark.read.parquet(*man["files"])
 
 

@@ -601,13 +601,14 @@ def fold_cms_cells(
     layout) folds those root-level cells into v1 alongside the
     delta — an upgraded stream keeps its whole-history counts —
     and removes the migrated flat files after the manifest commit.
-    The migrating fold leaves a ``_FLAT_MIGRATED`` marker; flat files
-    found at version > 0 are deleted ONLY when that marker exists
-    (crash orphans of a prior migrating fold's cleanup). Without the
-    marker they are evidence of a fold history that never saw this
-    migration code (e.g. a pre-marker fold already advanced the
-    version) — those cells were never folded, so deleting them would
-    destroy the only copy of their counts; we warn and leave them."""
+    The migrating fold leaves a ``_FLAT_MIGRATED`` marker NAMING the
+    migrated files (r10); flat files found at version > 0 are deleted
+    ONLY when the marker names them (crash orphans of a prior
+    migrating fold's cleanup). Any other flat — no marker, a pre-r10
+    name-less marker, or a name not in the set (e.g. a still-running
+    pre-manifest writer dropped new cells AFTER the migration) — was
+    never folded, so deleting it would destroy the only copy of its
+    counts; we warn and leave it."""
     import json
     import os
     import shutil
@@ -676,19 +677,39 @@ def fold_cms_cells(
         # + marker, and the next fold simply re-runs the migration (the
         # v1 write never landed as current); a crash AFTER the commit
         # leaves marker + folded flats, which the next fold deletes.
-        open(migrated_marker, "w").close()
+        # The marker records the EXACT migrated filenames (r10): it
+        # proves THESE flats were folded, not that any future flat is
+        # — a still-running pre-manifest writer dropping new cells
+        # after the migration must never have them silently deleted.
+        mtmp = migrated_marker + ".tmp"
+        with open(mtmp, "w") as mf:
+            json.dump(sorted(os.path.basename(p) for p in legacy), mf)
+        os.replace(mtmp, migrated_marker)
     os.replace(tmp, os.path.join(state_path, "MANIFEST.json"))  # THE commit
     if flat:
+        migrated_names: set[str] = set()
         if os.path.exists(migrated_marker):
-            for f in flat:  # migrated (now or by a crashed prior fold)
-                if os.path.exists(f):
-                    os.remove(f)
-        else:
+            try:
+                with open(migrated_marker) as mf:
+                    migrated_names = set(json.load(mf))
+            except ValueError:
+                # pre-r10 empty marker: it proves SOME past flats were
+                # folded, not WHICH — scope to nothing (conservative)
+                migrated_names = set()
+        leftovers = []
+        for f in flat:
+            if os.path.basename(f) in migrated_names:
+                if os.path.exists(f):  # migrated (now or by a crashed
+                    os.remove(f)  # prior fold) — safe to reclaim
+            else:
+                leftovers.append(f)
+        if leftovers:
             warnings.warn(
                 f"{state_path}: flat CMS cells present at manifest "
-                f"version {new_version} without a _FLAT_MIGRATED "
-                "marker — never folded by this code; left in place "
-                "(fold them manually or rebuild the stream state)",
+                f"version {new_version} that no _FLAT_MIGRATED entry "
+                "names — never folded by this code; left in place "
+                "(fold them manually or rebuild the stream state): "
+                f"{[os.path.basename(p) for p in leftovers]}",
                 stacklevel=2,
             )
     for v in range(1, new_version - 1):  # keep current + previous

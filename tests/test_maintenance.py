@@ -2097,10 +2097,33 @@ def test_cms_unmarked_flat_cells_at_v_gt_0_survive(spark, tmp_path):
     # the unmarked flats survive the fold
     assert _glob.glob(os.path.join(state, "*.parquet"))
 
-    # with the marker present (crash-orphan case) the next fold
+    # r10 (ADVICE r09): the marker is scoped to the NAMED file set —
+    # a marker that does not name these flats (pre-r10 empty marker,
+    # or a marker from an earlier migration of OTHER files) leaves
+    # them in place with a warning; only named flats are reclaimed.
+    import json as _json
+
+    open(os.path.join(state, "_FLAT_MIGRATED"), "w").close()  # pre-r10
+    with pytest.warns(UserWarning, match="_FLAT_MIGRATED"):
+        assert maintenance.fold_cms_cells(c, state, batch_id=2) is True
+    assert _glob.glob(os.path.join(state, "*.parquet"))
+
+    with open(os.path.join(state, "_FLAT_MIGRATED"), "w") as mf:
+        _json.dump(["some-other-file.parquet"], mf)
+    d = events.filter(F.col("event_id") % 3 == 2).limit(0)
+    with pytest.warns(UserWarning, match="_FLAT_MIGRATED"):
+        assert maintenance.fold_cms_cells(d, state, batch_id=3) is True
+    assert _glob.glob(os.path.join(state, "*.parquet"))
+
+    # with the marker NAMING them (crash-orphan case) the next fold
     # reclaims them — and the committed counts never included them
-    open(os.path.join(state, "_FLAT_MIGRATED"), "w").close()
-    assert maintenance.fold_cms_cells(c, state, batch_id=2) is True
+    names = [
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(state, "*.parquet"))
+    ]
+    with open(os.path.join(state, "_FLAT_MIGRATED"), "w") as mf:
+        _json.dump(names, mf)
+    assert maintenance.fold_cms_cells(d, state, batch_id=4) is True
     assert not _glob.glob(os.path.join(state, "*.parquet"))
     total = (
         maintenance.read_cms_cells(spark, state)

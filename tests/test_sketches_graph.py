@@ -233,11 +233,58 @@ def test_pairs_cached_commit_is_atomic_first_writer_wins(spark, tmp_path, monkey
         man2 = json.load(f)
     assert man2 == man1, "loser overwrote the committed snapshot"
     assert e2 == e1, "loser did not read the winner's edges"
-    # both builds landed on disk, but the snapshot references only one
+    # r10: the loser reclaims its own build on the spot (it knows it
+    # lost) — only the committed build remains on disk
     builds = [d for d in os.listdir(root) if d.startswith("build-")]
-    assert len(builds) == 2
+    assert len(builds) == 1
     build_dirs = {os.path.dirname(f) for f in man2["files"]}
-    assert len(build_dirs) == 1
+    assert build_dirs == {os.path.join(root, builds[0])}
+
+
+def test_orphan_builds_reclaimed_age_gated(spark, tmp_path, monkeypatch):
+    """r10 (ADVICE r09): a build dir left by a writer that crashed
+    between its parquet write and the manifest link is reclaimed on a
+    later entry — but only once OLD (age gate), so a concurrent
+    builder that simply has not committed yet keeps its in-flight
+    dir. Checked on both manifest caches (edges + components)."""
+    import os
+    import time
+
+    from samza_hello_samza_spark.operators import dedup
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    e1 = sorted(
+        (r.doc_a, r.doc_b) for r in graph._pairs_cached(spark, SF_DIR).collect()
+    )
+    c1 = sorted(
+        tuple(r)
+        for r in dedup._components_cached(spark, SF_DIR, "minlabel").collect()
+    )
+    tagged = SF_DIR.strip("/").replace("/", "_")
+    roots = [
+        os.path.join(str(tmp_path), "samza_spark_edges", tagged),
+        os.path.join(str(tmp_path), "samza_spark_components", tagged, "minlabel"),
+    ]
+    for root in roots:
+        stale = os.path.join(root, "build-deadbeefcrashed")
+        fresh = os.path.join(root, "build-feedfaceinflight")
+        os.makedirs(stale)
+        open(os.path.join(stale, "part-0.parquet"), "w").close()
+        old = time.time() - 7200
+        os.utime(stale, (old, old))
+        os.makedirs(fresh)
+    e2 = sorted(
+        (r.doc_a, r.doc_b) for r in graph._pairs_cached(spark, SF_DIR).collect()
+    )
+    c2 = sorted(
+        tuple(r)
+        for r in dedup._components_cached(spark, SF_DIR, "minlabel").collect()
+    )
+    assert e2 == e1 and c2 == c1
+    for root in roots:
+        left = sorted(d for d in os.listdir(root) if d.startswith("build-"))
+        assert "build-deadbeefcrashed" not in left, root  # stale: reclaimed
+        assert "build-feedfaceinflight" in left, root  # in-flight: kept
 
 
 def test_kcore_fixpoint_and_model(spark):
