@@ -248,6 +248,12 @@ EXTRA_VOLUME = (
     # doc) accumulator shuffle to their candidate sets, the rest run
     # the plain batch plan for exactly their subset; same relation.
     "bm25_batch_wand",
+    # r10: hybrid retrieval served from the committed layouts — WAND
+    # tier-pruned BM25 top-20 RRF-fused with the SQ8 snapshot ADC
+    # shortlist + exact rerank top-20; neither leg reads corpus text
+    # or raw-vector bytes beyond the M-row rerank (both base-table
+    # paths plan-asserted absent).
+    "hybrid_search_indexed",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the

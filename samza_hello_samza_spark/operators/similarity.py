@@ -904,6 +904,125 @@ def ann_filtered_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval SERVED FROM THE COMMITTED
+    LAYOUTS — the index-side twin of ``retrieval.hybrid_search``,
+    which builds its lexical list from the corpus-scan BM25 and its
+    vector list from a full exact-cosine scan. This is the
+    composition a RAG/search serving tier actually runs: neither leg
+    touches corpus text or raw-vector bytes beyond a constant-size
+    rerank.
+
+    - lexical: ``bm25_wand_topk`` over the tiered BM25 posting layout
+      (impact-bound two-phase probe — the rare term's list read
+      whole, common terms' low tiers θ-pruned; telemetry in
+      ``bm25_wand_topk.last_stats``), top-20 by (bm25 DESC, doc_id);
+    - vector: integer-ADC top-``SQ8_RERANK_M`` shortlist over the
+      committed SQ8 code words (manifest-resolved snapshot, frozen
+      bounds — DIM bytes/vector, the raw ``v`` column never in the
+      shortlist read schema), then exact cosine re-rank of the M
+      finalists rehydrated FROM THE SAME SNAPSHOT (broadcast
+      semi-join — O(M·DIM) float work; the embeddings base table is
+      never read), top-20 by (cosine DESC, vec_id);
+    - fusion: reciprocal rank fusion, score = Σ 1/(60 + rank) —
+      rank-only, so the incomparable score scales need no
+      calibration (Cormack et al. 2009), identical discipline and
+      output contract to ``hybrid_search``.
+
+    ORACLE-CHECKED end to end: both constituent rankings are exact
+    (the WAND bound is admissible under the 4-dp rounding grid; the
+    SQ8 quantization expression is IEEE-identical cross-engine), and
+    rank fusion over two exact 20-row lists is integer arithmetic —
+    the DuckDB twin replays both legs from first principles and
+    fuses with the same rounding.
+
+    Scale: the lexical leg reads tier-pruned posting blocks, the
+    vector leg reads code words at DIM bytes/vector plus exactly M
+    raw vectors; the fusion joins two 20-row frames. Per-query cost
+    is index-sized on both legs — the last serving path in the repo
+    whose hot loop read the corpus is closed.
+
+    Reference contract: StreamTableJoinExample's enrich-at-query-time
+    shape (reference src/main/java/samza/examples/cookbook/
+    StreamTableJoinExample.java) composed over both retrieval
+    modalities.
+    """
+    from pyspark.sql import Window
+
+    from ..sources.inverted import (
+        WAND_QUERY_TERMS,
+        _documents_bm25_index,
+        bm25_wand_topk,
+    )
+    from .retrieval import BM25_TOP, HYBRID_TOP, RRF_K
+    from . import ann_index
+
+    lex = (
+        bm25_wand_topk(
+            spark,
+            _documents_bm25_index(spark, sf_dir),
+            list(WAND_QUERY_TERMS),
+            BM25_TOP,
+        )
+        .select("doc_id", "bm25")
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+    )
+
+    idx = _sq8_index(spark, sf_dir)
+    meta = ann_index.read_sq8_meta(idx)
+    qvec = _query_vector(spark, sf_dir)
+    qcodes = _sq8.sq8_codes_py(qvec, meta["mins"], meta["maxs"])
+    corpus_dir = f"{idx}/corpus"
+    man = ann_index.read_index_manifest(corpus_dir)
+    shortlist = (
+        ann_index.probe_sq8_snapshot(spark, idx, qcodes, man=man)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy(F.desc("sq8_score"), F.asc("vec_id"))
+        .limit(SQ8_RERANK_M)
+        .select("vec_id")
+    )
+    qv = F.array(*[F.lit(float(x)) for x in qvec])
+    qnorm = float(np.linalg.norm(qvec))
+    # rehydrate the M finalists from the SAME snapshot (tombstone-
+    # consistent by construction: the shortlist is already masked)
+    vec = (
+        ann_index.snapshot_scan(spark, corpus_dir, man=man)
+        .select("vec_id", "v")
+        .join(F.broadcast(shortlist), "vec_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("v"), qv) / (_norm(F.col("v")) * F.lit(qnorm)), 6),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(BM25_TOP)
+        .select(F.col("vec_id").alias("doc_id"), "cosine")
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+            ),
+        )
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(-1)).cast("long").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(-1)).cast("long").alias("vec_rank"),
+        F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+        F.coalesce("cosine", F.lit(0.0)).alias("cosine"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(HYBRID_TOP)
+
+
 #: kNN-eval geometry: queries, neighbourhood size.
 KNN_EVAL_Q = 10
 KNN_EVAL_K = 10
@@ -2099,4 +2218,86 @@ QUERIES = {
     "knn_graph": knn_graph,
     "embedding_kmeans": embedding_kmeans,
     "kcenter_coreset": kcenter_coreset,
+    "hybrid_search_indexed": hybrid_search_indexed,
 }
+
+
+def _hybrid_indexed_oracle() -> str:
+    """Both legs replayed from first principles, fused with the same
+    rounding: lex0 is the WAND key's exact BM25 program (the bound is
+    relation-invisible), vec0 is the SQ8 ADC-shortlist + exact-rerank
+    program at the hybrid's top-20 cut."""
+    from ..sources.inverted import WAND_QUERY_TERMS, _bm25_oracle_for
+    from .retrieval import BM25_TOP, HYBRID_TOP, RRF_K
+
+    return (
+        """
+    WITH lex0 AS MATERIALIZED (
+"""
+        + _bm25_oracle_for(WAND_QUERY_TERMS)
+        + f"""
+    ),
+    lex AS (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM lex0
+    ),
+    vec0 AS MATERIALIZED (
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (
+            SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+            FROM (
+                SELECT i, min(v[i + 1]) AS mn, max(v[i + 1]) AS mx
+                FROM e, generate_series(0, {DIM - 1}) AS t(i) GROUP BY i
+            )
+        ),
+        c AS (
+            SELECT vec_id, v,
+                   list_transform(range({DIM}), i ->
+                       CASE WHEN b.mxs[i+1] > b.mns[i+1]
+                            THEN greatest(0, least(255,
+                                 CAST(floor((v[i+1] - b.mns[i+1]) * 255.0
+                                      / (b.mxs[i+1] - b.mns[i+1])) AS BIGINT)))
+                            ELSE 0 END) AS codes
+            FROM e, b
+        ),
+        q AS (SELECT codes AS qc, v AS qv FROM c WHERE vec_id = {QUERY_VEC_ID}),
+        scored AS (
+            SELECT c.vec_id, c.v,
+                   CAST(list_sum(list_transform(range({DIM}),
+                        i -> (c.codes[i+1] - 128) * (q.qc[i+1] - 128))) AS BIGINT)
+                       AS sq8_score
+            FROM c, q
+            WHERE c.vec_id <> {QUERY_VEC_ID}
+        ),
+        cand AS (
+            SELECT * FROM scored ORDER BY sq8_score DESC, vec_id ASC
+            LIMIT {SQ8_RERANK_M}
+        )
+        SELECT cd.vec_id AS doc_id,
+               round(list_cosine_similarity(cd.v, q.qv), 6) AS cosine
+        FROM cand cd, q
+        ORDER BY cosine DESC, cd.vec_id ASC
+        LIMIT {BM25_TOP}
+    ),
+    vec AS (
+        SELECT doc_id, cosine,
+               row_number() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
+        FROM vec0
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               CAST(coalesce(l.lex_rank, -1) AS BIGINT) AS lex_rank,
+               CAST(coalesce(v.vec_rank, -1) AS BIGINT) AS vec_rank,
+               coalesce(l.bm25, 0.0) AS bm25,
+               coalesce(v.cosine, 0.0) AS cosine,
+               round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + v.vec_rank), 0.0), 6) AS rrf
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOP}
+"""
+    )
+
+
+ORACLES["hybrid_search_indexed"] = _hybrid_indexed_oracle()

@@ -1,0 +1,66 @@
+"""hybrid_search_indexed: hybrid retrieval served from the committed
+layouts (r10, VERDICT r09 #1) — WAND tier-pruned BM25 RRF-fused with
+the SQ8 snapshot shortlist + exact rerank; the last serving path whose
+hot loop read the corpus is closed."""
+
+from __future__ import annotations
+
+import re
+
+from samza_hello_samza_spark.operators import similarity
+from samza_hello_samza_spark.sources import inverted
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_hybrid_indexed_matches_oracle_and_contract(
+    spark, duck, tmp_path, monkeypatch
+):
+    """Hash-exact vs the DuckDB twin (both legs replayed from first
+    principles, fused with the same rounding), and the output contract
+    equals the scan-path key's column-for-column."""
+    from samza_hello_samza_spark.operators.retrieval import hybrid_search
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    assert_matches_oracle(
+        spark,
+        duck,
+        similarity.QUERIES["hybrid_search_indexed"],
+        similarity.ORACLES["hybrid_search_indexed"],
+    )
+    got = similarity.hybrid_search_indexed(spark, SF_DIR)
+    assert got.columns == hybrid_search(spark, SF_DIR).columns
+
+
+def test_hybrid_indexed_prunes_both_legs(spark, tmp_path, monkeypatch):
+    """The serving claim, asserted on the real plan: the lexical leg's
+    WAND probe pruned (telemetry), the vector shortlist scan reads
+    code words only (no raw ``v`` in its ReadSchema), and NEITHER base
+    table (documents/embeddings parquet) appears anywhere in the
+    serving plan — both legs run off the committed layouts."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    df = similarity.hybrid_search_indexed(spark, SF_DIR)
+
+    # lexical leg: the impact-bound probe that built this plan pruned
+    st = inverted.bm25_wand_topk.last_stats
+    assert st["fallback"] is None
+    assert st["n_blocks_p1"] < st["n_blocks_total"]
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan  # corpus text never read
+    assert "embeddings.parquet" not in plan  # raw base table never read
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    # the ADC shortlist scan: packed code words, never the raw vector
+    assert any("s0" in s and "v:" not in s for s in schemas), schemas
+    # the rerank rehydration: vec_id + v from the SAME snapshot
+    assert any("v:array" in s for s in schemas), schemas
+
+    rows = df.collect()
+    from samza_hello_samza_spark.operators.retrieval import HYBRID_TOP
+
+    assert len(rows) == HYBRID_TOP
+    # fusion sanity: every row carries at least one real rank and the
+    # rrf of two sentinel ranks (-1/-1) cannot appear
+    for r in rows:
+        assert r.lex_rank >= 1 or r.vec_rank >= 1
+        assert r.rrf > 0.0

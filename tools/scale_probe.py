@@ -237,6 +237,10 @@ WARMED_PROBE_OPS = (
     "bm25_batch_wand",
     # r09c: two-batch ingest build warmed; timed run is the audit scan.
     "bm25_ingest_audit",
+    # r10: both committed layouts (tiered BM25 postings + SQ8 codes)
+    # build warmed; the timed run is the two pruned serving probes +
+    # the 20-row RRF fusion.
+    "hybrid_search_indexed",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
