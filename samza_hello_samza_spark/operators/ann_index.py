@@ -1262,6 +1262,45 @@ def probe_lsh_snapshot(
     )
 
 
+def probe_lsh_snapshot_multi(
+    spark: SparkSession,
+    index_dir: str,
+    qvec: np.ndarray,
+    planes: np.ndarray,
+    band_bits: int,
+    n_flips: int,
+    man: dict | None = None,
+) -> DataFrame:
+    """``probe_lsh_index_multi`` against the committed snapshot — the
+    streaming serving tier's recall dial (r10, VERDICT r09 #2): the
+    SAME pinned perturbation sequence (``multiprobe_band_codes`` —
+    own bucket + the ``n_flips`` lowest-|margin| bit flips per band,
+    margin-asc plane-index-tiebreak order), the same pruned
+    (1 + n_flips) × n_bands (band, code) partition read, resolved
+    through the manifest (torn-append-proof) and tombstone-masked.
+    Recall is bought with probe PARTITIONS of the one committed
+    table, never extra tables — the measured batch-path point
+    (recall@10 0.30 → 0.70 at sf0.1, ``lsh_multiprobe_eval``)
+    carries over verbatim because candidate membership is a pure
+    function of (query, planes, committed file set)."""
+    probe = multiprobe_band_codes(qvec, planes, band_bits, n_flips)
+    if man is None:
+        man = read_index_manifest(index_dir)
+    scan = snapshot_scan(spark, index_dir, man=man)
+    hit = None
+    for band, codes in enumerate(probe):
+        cond = (F.col("band") == band) & (
+            F.col("code").isin([int(c) for c in codes])
+        )
+        hit = cond if hit is None else (hit | cond)
+    return _apply_tombstones(
+        spark,
+        index_dir,
+        scan.filter(hit).dropDuplicates(["vec_id"]).select("vec_id", "v"),
+        tomb_files=man.get("tombstones"),
+    )
+
+
 # --------------------------------------------------------------------------
 # PQ (product quantization) index
 # --------------------------------------------------------------------------

@@ -175,10 +175,22 @@ def lsh_multiprobe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides float sign boundaries), but the shape is pinned by pytest:
     multi-probe candidates are a superset of single-probe's, recall
     is monotone in probe count, and the candidate read stays ≤
-    (1 + flips) × single-probe's."""
+    (1 + flips) × single-probe's.
+
+    r10 adds the ``multi_snapshot`` row (VERDICT r09 #2): the same
+    pinned perturbation sequence probed through the COMMITTED
+    manifest (``probe_lsh_snapshot_multi`` — the streaming serving
+    tier's read path). With the snapshot current it must EQUAL the
+    ``multi`` row exactly (candidate membership is a pure function of
+    (query, planes, committed file set)) — the batch-parity claim as
+    a measured relation, pytest-pinned."""
     from . import ann_index
 
     idx = ann_index.build_lsh_index(spark, sf_dir, PLANES, LSH_BAND_BITS)
+    # commit-once: the serving probe resolves files through a manifest
+    # (the _sig_index discipline — create-once corpus state)
+    if not ann_index.read_index_manifest(idx)["files"]:
+        ann_index.commit_index_snapshot(idx)
     qvec = _query_vector(spark, sf_dir)
     exact = ann_bruteforce_topk(spark, sf_dir).select("vec_id")
     variants = [
@@ -189,6 +201,12 @@ def lsh_multiprobe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "multi",
             ann_index.probe_lsh_index_multi(
+                spark, idx, qvec, PLANES, LSH_BAND_BITS, LSH_MULTIPROBE_FLIPS
+            ),
+        ),
+        (
+            "multi_snapshot",
+            ann_index.probe_lsh_snapshot_multi(
                 spark, idx, qvec, PLANES, LSH_BAND_BITS, LSH_MULTIPROBE_FLIPS
             ),
         ),

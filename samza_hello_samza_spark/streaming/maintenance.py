@@ -360,6 +360,7 @@ def ann_serving_job(
     out_dir: str,
     checkpoint_dir: str,
     top_k: int = 10,
+    n_flips: int = 0,
 ) -> StreamingQuery:
     """Serve ANN queries from a stream against the committed index snapshot.
 
@@ -373,8 +374,19 @@ def ann_serving_job(
     once under replay (``_write_results_idempotent``). Per-batch
     driver work is one manifest read + per-query band-code hashes —
     query vectors are micro-batch-sized by definition.
+
+    ``n_flips`` > 0 serves MULTI-PROBE (r10, VERDICT r09 #2): each
+    band probes its own bucket plus the n_flips lowest-|margin|
+    bit-flip buckets in the pinned ``multiprobe_band_codes`` order —
+    the recall dial the batch path measured (0.30 → 0.70 recall@10 at
+    sf0.1 for 2.5× candidates) extended to the tombstone-aware
+    snapshot read, so the streaming tier buys recall with probe
+    partitions of the SAME committed table, never extra tables.
     """
-    from ..operators.ann_index import probe_lsh_snapshot
+    from ..operators.ann_index import (
+        probe_lsh_snapshot,
+        probe_lsh_snapshot_multi,
+    )
 
     def _serve(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -385,7 +397,13 @@ def ann_serving_job(
         for q in queries:
             qvec = np.asarray(q.v)
             qnorm = float(np.linalg.norm(qvec))
-            cand = probe_lsh_snapshot(spark, index_dir, qvec, planes, band_bits)
+            cand = (
+                probe_lsh_snapshot_multi(
+                    spark, index_dir, qvec, planes, band_bits, n_flips
+                )
+                if n_flips > 0
+                else probe_lsh_snapshot(spark, index_dir, qvec, planes, band_bits)
+            )
             qv = F.array(*[F.lit(float(x)) for x in qvec])
             dot = F.aggregate(
                 F.zip_with(F.col("v"), qv, lambda x, y: x * y),

@@ -531,13 +531,16 @@ def test_ann_multiprobe_superset_recall_and_pruning(spark):
         r.variant: r
         for r in similarity.lsh_multiprobe_eval(spark, SF_DIR).collect()
     }
-    assert set(rows) == {"single", "multi"}
+    assert set(rows) == {"single", "multi", "multi_snapshot"}
     assert rows["multi"].n_candidates >= rows["single"].n_candidates
     assert rows["multi"].recall_ppm >= rows["single"].recall_ppm
     # eval counts exclude the query vector itself
     assert rows["multi"].n_candidates == len(
         multi - {similarity.QUERY_VEC_ID}
     )
+    # r10 batch-parity: the committed-snapshot multi-probe serves the
+    # SAME relation as the direct read (snapshot current, no deltas)
+    assert tuple(rows["multi_snapshot"])[1:] == tuple(rows["multi"])[1:]
     # the registered key == rerank over the multi candidate set
     got = [
         tuple(r) for r in similarity.ann_multiprobe_topk(spark, SF_DIR).collect()

@@ -456,6 +456,98 @@ def test_ann_serving_job_matches_batch_probe(spark, tmp_path):
         assert got[qrow.query_id] == scored, qrow.query_id
 
 
+def test_ann_serving_job_multiprobe_matches_batch_probe(spark, tmp_path):
+    """r10 (VERDICT r09 #2): the streaming tier with n_flips > 0 must
+    return exactly what the batch multi-probe snapshot read + exact
+    re-rank returns — the pinned perturbation sequence extended to the
+    tombstone-aware serving path, reusing the trilogy harness."""
+    idx = str(tmp_path / "lsh_serve_multi")
+    ann_index.build_lsh_index(
+        spark, SF_DIR, similarity.PLANES, similarity.LSH_BAND_BITS, out_dir=idx
+    )
+    ann_index.commit_index_snapshot(idx)
+
+    emb = similarity._embeddings(spark, SF_DIR)
+    qdf = (
+        emb.filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), "v")
+    )
+    qdir = str(tmp_path / "queries")
+    qdf.write.parquet(qdir)
+    stream = spark.readStream.schema("query_id BIGINT, v ARRAY<DOUBLE>").parquet(qdir)
+    out = str(tmp_path / "results")
+    q = maintenance.ann_serving_job(
+        stream, idx, similarity.PLANES, similarity.LSH_BAND_BITS,
+        out, str(tmp_path / "ck"), top_k=5,
+        n_flips=similarity.LSH_MULTIPROBE_FLIPS,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got: dict[int, list] = {}
+    for r in sorted(
+        spark.read.parquet(out).collect(), key=lambda r: (r.query_id, -r.cosine, r.vec_id)
+    ):
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+
+    import numpy as np
+
+    for qrow in qdf.collect():
+        qvec = np.asarray(qrow.v)
+        cand = ann_index.probe_lsh_snapshot_multi(
+            spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS,
+            similarity.LSH_MULTIPROBE_FLIPS,
+        ).collect()
+        # the multi-probe candidate pool really is wider than single's
+        single = ann_index.probe_lsh_snapshot(
+            spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS
+        ).collect()
+        assert {r.vec_id for r in cand} >= {r.vec_id for r in single}
+        qnorm = np.linalg.norm(qvec)
+        scored = sorted(
+            (
+                (r.vec_id, round(float(np.asarray(r.v) @ qvec / (np.linalg.norm(r.v) * qnorm)), 6))
+                for r in cand
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert got[qrow.query_id] == scored, qrow.query_id
+
+
+def test_multiprobe_snapshot_isolates_uncommitted_appends(spark, tmp_path):
+    """Snapshot isolation holds on the multi-probe read path: files of
+    an uncommitted append are invisible; after commit the appended
+    exact clone of the query appears (it collides in every band's own
+    bucket, which every probe set includes)."""
+    idx = str(tmp_path / "lsh_multi_versioned")
+    ann_index.build_lsh_index(
+        spark, SF_DIR, similarity.PLANES, similarity.LSH_BAND_BITS, out_dir=idx
+    )
+    ann_index.commit_index_snapshot(idx)
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+
+    def probe():
+        return {
+            r.vec_id
+            for r in ann_index.probe_lsh_snapshot_multi(
+                spark, idx, qvec, similarity.PLANES, similarity.LSH_BAND_BITS,
+                similarity.LSH_MULTIPROBE_FLIPS,
+            ).collect()
+        }
+
+    before = probe()
+    assert NEW_VEC_ID not in before
+    ann_index.append_lsh_index(
+        idx, _query_clone_df(spark), similarity.PLANES, similarity.LSH_BAND_BITS
+    )
+    assert probe() == before, "torn read: multi-probe saw uncommitted files"
+    ann_index.commit_index_snapshot(idx)
+    assert probe() == before | {NEW_VEC_ID}
+
+
 def test_pq_snapshot_isolates_uncommitted_appends(spark, tmp_path):
     """PQ route of the torn-append contract: an appended-but-uncommitted
     codes file is invisible to the ADC snapshot probe; after the codes
