@@ -84,13 +84,23 @@ LSH_BAND_BITS = 4
 LSH_N_BANDS = N_PLANES // LSH_BAND_BITS  # 4 bands of 4 bits
 
 
+#: per-corpus query-vector cache: the standard probe vector (vec_id
+#: QUERY_VEC_ID) is a constant of the corpus dir, and every ANN probe
+#: family collects it per call — one saved 1-row job per probe across
+#: ~20 registered keys. Plain numpy (no Spark objects): safe across
+#: session restarts, same discipline as _SQ8_BOUNDS_CACHE.
+_QUERY_VEC_CACHE: dict[str, np.ndarray] = {}
+
+
 def _query_vector(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    row = (
-        _embeddings(spark, sf_dir)
-        .filter(F.col("vec_id") == QUERY_VEC_ID)
-        .collect()[0]
-    )  # 1-row collect: the query itself
-    return np.asarray(row.v)
+    if sf_dir not in _QUERY_VEC_CACHE:
+        row = (
+            _embeddings(spark, sf_dir)
+            .filter(F.col("vec_id") == QUERY_VEC_ID)
+            .collect()[0]
+        )  # 1-row collect: the query itself
+        _QUERY_VEC_CACHE[sf_dir] = np.asarray(row.v)
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 def _rerank(cand: DataFrame, qvec: np.ndarray) -> DataFrame:

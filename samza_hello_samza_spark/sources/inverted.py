@@ -1516,7 +1516,15 @@ def bm25_batch_wand_topk(
         cand = agg1.join(F.broadcast(qmeta), "query_id").filter(
             F.col("partial") + F.col("qslack") - F.col("seen_slack")
             >= F.col("theta") - (WAND_ROUND_MARGIN + eps)
-        )
+        ).localCheckpoint()  # priced once: candidates feed phase 2 AND the final
+        # the crossover telemetry (VERDICT r09 #6): the (query, doc)
+        # accumulator is THE stage that dominates batch ranking at
+        # 100 TB — record its size before the θ cut (matches ≈
+        # Σ_q df(q)) and after (candidates ≈ k·queries + slack), so
+        # the shrink is a measured curve per scale point, not an
+        # argument. Two bounded counts over checkpointed relations.
+        stats["n_accumulator_rows"] = agg1.count()
+        stats["n_candidate_rows"] = cand.count()
         if pr["p2_paths"]:
             p2c = (
                 spark.read.option("basePath", index_dir)

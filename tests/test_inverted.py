@@ -888,6 +888,11 @@ def test_bm25_batch_wand_routes_per_query_and_matches_plain(spark, duck, tmp_pat
     assert st["n_prunable"] > 0 and st["n_fallback"] > 0
     assert st["n_prunable"] + st["n_fallback"] == inverted.WIDE_QUERIES
     assert st["n_blocks_p1"] < st["n_blocks_total"]
+    # r10 crossover telemetry: the (query, doc) accumulator size before
+    # the θ cut and the candidate rows after it — the shrink the bound
+    # buys, measured (SCALING.md records the per-SF curve)
+    assert 0 < st["n_candidate_rows"] <= st["n_accumulator_rows"]
+    assert st["n_candidate_rows"] < st["n_accumulator_rows"]
 
     # a workload with NO idf contrast routes everything to fallback
     # and still matches (the degenerate case is honest, not broken)
