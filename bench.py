@@ -254,6 +254,10 @@ EXTRA_VOLUME = (
     # or raw-vector bytes beyond the M-row rerank (both base-table
     # paths plan-asserted absent).
     "hybrid_search_indexed",
+    # r10: batch ADC — one committed-code scan scores all 5 queries
+    # (query words ride a broadcast relation), per-query window rank;
+    # the vector sibling of bm25_batch_indexed, integer-exact.
+    "ann_sq8_batch_topk",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the

@@ -147,6 +147,39 @@ def adc_score_col(qcodes: list[int]) -> F.Column:
     return score.cast("long")
 
 
+def pack_words_py(codes: list[int]) -> list[int]:
+    """Driver-side twin of ``sq8_word_cols``'s packing: codes →
+    little-endian 64-bit words, wrapped to SIGNED 64-bit range (lane 7
+    occupies bits 56..63 including the sign bit, and the words travel
+    as Spark LONGs — same bit-container semantics as the stored
+    columns)."""
+    out = []
+    for w in range(n_words(len(codes))):
+        acc = 0
+        for lane in range(LANES):
+            acc |= (codes[w * LANES + lane] & 255) << (8 * lane)
+        out.append(acc - (1 << 64) if acc >= (1 << 63) else acc)
+    return out
+
+
+def adc_score_batch_col(dim: int, qwords: F.Column) -> F.Column:
+    """``adc_score_col`` with the QUERY side as a column — the batch
+    fanout shape: the query's packed words ride a broadcast relation
+    (``array<bigint>`` of dim/8 words) instead of being inlined as
+    literals, so ONE corpus code scan scores every query. Same
+    centered symmetric integer dot product, still nothing but shifts,
+    masks, multiplies and adds in whole-stage codegen."""
+    score: F.Column = F.lit(0).cast("long")
+    for w in range(n_words(dim)):
+        word = F.col(f"s{w}")
+        qword = F.element_at(qwords, w + 1)
+        for lane in range(LANES):
+            vb = F.shiftrightunsigned(word, 8 * lane).bitwiseAND(F.lit(255))
+            qb = F.shiftrightunsigned(qword, 8 * lane).bitwiseAND(F.lit(255))
+            score = score + (vb - F.lit(128)) * (qb - F.lit(128))
+    return score.cast("long")
+
+
 def unpack_codes_py(words: list[int], dim: int) -> list[int]:
     """Numpy/pytest helper: unpack stored words back to per-dim codes."""
     return [

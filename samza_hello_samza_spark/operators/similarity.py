@@ -1159,6 +1159,79 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_sq8_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ADC retrieval over the COMMITTED SQ8 code layout —
+    ``ann_batch_topk``'s serving shape at the 8-bit rung, and the
+    vector sibling of ``bm25_batch_indexed``: offline retrieval
+    (training-data curation, eval-set mining, hard-negative sweeps)
+    runs queries in batches, and the scan that dominates is the code
+    read — so the corpus code words are scanned ONCE for all
+    ``N_BATCH_QUERIES`` queries, each query's packed words riding a
+    broadcast relation (``functions/sq8.adc_score_batch_col`` — the
+    query side as a column instead of literals), and the per-query
+    top-k is a row_number window partitioned by query_id.
+
+    Exactness: every query is quantized under the layout's FROZEN
+    bounds (``read_sq8_meta``) with the same IEEE-identical
+    expression order as the stored codes, and the centered symmetric
+    integer score is pure integer math — the whole batch is
+    ORACLE-CHECKED like the single-query SQ8 keys (the fourth member
+    of the exact-ANN batch story next to brute force).
+
+    Scale: DIM bytes/vector of snapshot code scan (the raw ``v``
+    column never enters the read schema — plan-asserted), one scan
+    amortized over the batch, per-query skew bounded by the window's
+    query_id partitioning — the same argument as the lexical batch
+    keys, at vector width.
+    """
+    from . import ann_index
+
+    idx = _sq8_index(spark, sf_dir)
+    meta = ann_index.read_sq8_meta(idx)
+    corpus_dir = f"{idx}/corpus"
+    man = ann_index.read_index_manifest(corpus_dir)
+    e = _embeddings(spark, sf_dir)
+    qrows = e.filter(F.col("vec_id") < N_BATCH_QUERIES).collect()  # bounded
+    qrel = spark.createDataFrame(
+        [
+            (
+                int(r.vec_id),
+                _sq8.pack_words_py(
+                    _sq8.sq8_codes_py(
+                        np.asarray(r.v), meta["mins"], meta["maxs"]
+                    )
+                ),
+            )
+            for r in qrows
+        ],
+        "query_id LONG, qw ARRAY<BIGINT>",
+    )
+    codes = (
+        ann_index.snapshot_scan(spark, corpus_dir, man=man)
+        .select("vec_id", *meta["sq8_cols"])
+    )
+    codes = ann_index._apply_tombstones(
+        spark, idx, codes, tomb_files=man.get("tombstones")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        codes.crossJoin(F.broadcast(qrel))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sq8_score", _sq8.adc_score_batch_col(meta["dim"], F.col("qw"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sq8_score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BATCH_TOP_K)
+        .select("query_id", "vec_id", "sq8_score")
+    )
+
+
 #: same near-dup threshold as dedup_embedding — this operator is its
 #: cluster-scoped scale path.
 SEM_TAU = 0.45
@@ -2107,6 +2180,45 @@ ORACLES: dict[str, str] = {
         ORDER BY sq8_score DESC, c.vec_id ASC
         LIMIT {TOP_K}
     """,
+    # batch ADC twin: one scored relation per (query, vector) pair,
+    # per-query rank — the quantization CTE is shared verbatim
+    "ann_sq8_batch_topk": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (
+            SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+            FROM (
+                SELECT i, min(v[i + 1]) AS mn, max(v[i + 1]) AS mx
+                FROM e, generate_series(0, {DIM - 1}) AS t(i) GROUP BY i
+            )
+        ),
+        c AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(range({DIM}), i ->
+                       CASE WHEN b.mxs[i+1] > b.mns[i+1]
+                            THEN greatest(0, least(255,
+                                 CAST(floor((v[i+1] - b.mns[i+1]) * 255.0
+                                      / (b.mxs[i+1] - b.mns[i+1])) AS BIGINT)))
+                            ELSE 0 END) AS codes
+            FROM e, b
+        ),
+        q AS (SELECT vec_id AS query_id, codes AS qc FROM c
+              WHERE vec_id < {N_BATCH_QUERIES}),
+        scored AS (
+            SELECT q.query_id, c.vec_id,
+                   CAST(list_sum(list_transform(range({DIM}),
+                        i -> (c.codes[i+1] - 128) * (q.qc[i+1] - 128))) AS BIGINT)
+                       AS sq8_score
+            FROM c, q
+            WHERE c.vec_id <> q.query_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, sq8_score
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sq8_score DESC, vec_id ASC) AS rn
+            FROM scored)
+        WHERE rn <= {BATCH_TOP_K}
+    """,
     "ann_sq8_rerank_topk": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         b AS (
@@ -2226,6 +2338,7 @@ QUERIES = {
     "ann_mrl_indexed_topk": ann_mrl_indexed_topk,
     "ann_recall_curve": ann_recall_curve,
     "ann_sq8_indexed_topk": ann_sq8_indexed_topk,
+    "ann_sq8_batch_topk": ann_sq8_batch_topk,
     "ann_filtered_sq8_topk": ann_filtered_sq8_topk,
     "embedding_knn_eval": embedding_knn_eval,
     "ann_filtered_topk": ann_filtered_topk,

@@ -328,3 +328,77 @@ def test_filtered_sq8_is_prefilter_not_postfilter(spark):
     ]
     assert got == want
     assert all(by_id[vid][1] == similarity.FILTER_LABEL for vid, _, _ in got)
+
+
+def test_sq8_batch_matches_oracle_and_single_probes(spark, duck, tmp_path, monkeypatch):
+    """r10: batch ADC over the committed code layout — hash-exact vs
+    the DuckDB twin, each query's rows equal to the single-query ADC
+    ranking under the same frozen bounds, and the scan reads code
+    words only (one corpus scan for the whole batch, no raw vectors
+    in the ReadSchema)."""
+    from tests.conftest import assert_matches_oracle
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    assert_matches_oracle(
+        spark,
+        duck,
+        similarity.QUERIES["ann_sq8_batch_topk"],
+        similarity.ORACLES["ann_sq8_batch_topk"],
+    )
+
+    df = similarity.ann_sq8_batch_topk(spark, SF_DIR)
+    got: dict[int, list] = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.sq8_score))
+    assert set(got) == set(range(similarity.N_BATCH_QUERIES))
+
+    # per-query parity with the single-query snapshot probe
+    idx = similarity._sq8_index(spark, SF_DIR)
+    meta = ann_index.read_sq8_meta(idx)
+    emb = {
+        r.vec_id: r.v
+        for r in similarity._embeddings(spark, SF_DIR)
+        .filter(F.col("vec_id") < similarity.N_BATCH_QUERIES)
+        .collect()
+    }
+    for qid, vec in emb.items():
+        qcodes = sq8.sq8_codes_py(np.asarray(vec), meta["mins"], meta["maxs"])
+        want = [
+            (r.vec_id, r.sq8_score)
+            for r in ann_index.probe_sq8_snapshot(spark, idx, qcodes)
+            .filter(F.col("vec_id") != qid)
+            .orderBy(F.desc("sq8_score"), F.asc("vec_id"))
+            .limit(similarity.BATCH_TOP_K)
+            .collect()
+        ]
+        assert got[qid] == want, qid
+
+    # plan: code-words-only scan; the raw vector column never read
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert m and all("v:" not in s for s in m if "s0" in s), m
+    assert "embeddings.parquet" not in plan  # base table never read
+
+
+def test_pack_words_py_roundtrips_and_matches_stored(spark, tmp_path):
+    """The driver-side packer is the stored layout's bit-for-bit twin:
+    pack(codes) == the s0..s7 words the layout materializes, and
+    unpack(pack(codes)) == codes including the sign-bit lane."""
+    import os
+
+    idx = _build_sq8(spark, tmp_path)
+    meta = ann_index.read_sq8_meta(idx)
+    rows = (
+        ann_index.snapshot_scan(spark, os.path.join(idx, "corpus"))
+        .select("vec_id", "v", *meta["sq8_cols"])
+        .orderBy("vec_id")
+        .limit(20)
+        .collect()
+    )
+    for r in rows:
+        codes = sq8.sq8_codes_py(np.asarray(r.v), meta["mins"], meta["maxs"])
+        packed = sq8.pack_words_py(codes)
+        stored = [r[c] for c in meta["sq8_cols"]]
+        assert packed == stored, r.vec_id
+        assert sq8.unpack_codes_py(packed, meta["dim"]) == codes

@@ -241,6 +241,8 @@ WARMED_PROBE_OPS = (
     # build warmed; the timed run is the two pruned serving probes +
     # the 20-row RRF fusion.
     "hybrid_search_indexed",
+    # r10: one committed-code scan scoring the whole query batch.
+    "ann_sq8_batch_topk",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
