@@ -258,6 +258,10 @@ EXTRA_VOLUME = (
     # (query words ride a broadcast relation), per-query window rank;
     # the vector sibling of bm25_batch_indexed, integer-exact.
     "ann_sq8_batch_topk",
+    # r10: hybrid retrieval at query volume — the 5-query WAND-routed
+    # lexical batch RRF-fused per query with the 5-query ADC batch +
+    # exact rerank; one pruned read per modality for the whole batch.
+    "hybrid_batch_indexed",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the

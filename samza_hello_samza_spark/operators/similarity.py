@@ -1232,6 +1232,138 @@ def ann_sq8_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval AT QUERY VOLUME from the committed layouts —
+    the batch composition of ``hybrid_search_indexed``: five hybrid
+    queries (query_id 0..4), each pairing a pinned lexical term query
+    (``BM25_BATCH_QUERIES[i]``) with an embedding query (vec_id i),
+    RRF-fused per query. This is the offline serving shape a RAG
+    curation/eval pipeline runs: batches of multimodal queries, one
+    pruned read per modality for the WHOLE batch.
+
+    - lexical: ``bm25_batch_wand_topk`` — per-query impact-bound
+      routing over the tiered posting layout (ONE phase-1 tier read
+      for the union terms), top-``BM25_BATCH_TOP`` per query;
+    - vector: ONE committed-code scan scores all queries
+      (``adc_score_batch_col``), per-query ADC top-``SQ8_RERANK_M``
+      shortlist, exact cosine re-rank of the finalists rehydrated
+      from the SAME snapshot against each query's raw vector
+      (broadcast 5-row query relation), top-``BM25_BATCH_TOP``;
+    - fusion: RRF k=60 per (query_id, doc_id), top-``HYBRID_TOP`` per
+      query — rank-only, both leg scores exact, so the WHOLE batch is
+      ORACLE-CHECKED (the DuckDB twin replays both batch programs and
+      fuses with identical rounding).
+
+    Scale: two batch-amortized pruned scans + windows partitioned by
+    query_id; neither corpus base table is read (plan-asserted on the
+    single-query twin; same read paths here).
+    """
+    from pyspark.sql import Window
+
+    from ..sources.inverted import (
+        BM25_BATCH_QUERIES,
+        BM25_BATCH_TOP,
+        _documents_bm25_index,
+        bm25_batch_wand_topk,
+    )
+    from .retrieval import HYBRID_TOP, RRF_K
+    from . import ann_index
+
+    lex = bm25_batch_wand_topk(
+        spark,
+        _documents_bm25_index(spark, sf_dir),
+        BM25_BATCH_QUERIES,
+        BM25_BATCH_TOP,
+    ).select("query_id", "doc_id", "bm25")
+    wl = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex.withColumn("lex_rank", F.row_number().over(wl))
+
+    idx = _sq8_index(spark, sf_dir)
+    meta = ann_index.read_sq8_meta(idx)
+    corpus_dir = f"{idx}/corpus"
+    man = ann_index.read_index_manifest(corpus_dir)
+    e = _embeddings(spark, sf_dir)
+    qrows = e.filter(F.col("vec_id") < N_BATCH_QUERIES).collect()  # bounded
+    qrel = spark.createDataFrame(
+        [
+            (
+                int(r.vec_id),
+                _sq8.pack_words_py(
+                    _sq8.sq8_codes_py(
+                        np.asarray(r.v), meta["mins"], meta["maxs"]
+                    )
+                ),
+                [float(x) for x in r.v],
+                float(np.linalg.norm(np.asarray(r.v))),
+            )
+            for r in qrows
+        ],
+        "query_id LONG, qw ARRAY<BIGINT>, qv ARRAY<DOUBLE>, qnorm DOUBLE",
+    )
+    codes = ann_index.snapshot_scan(spark, corpus_dir, man=man).select(
+        "vec_id", *meta["sq8_cols"]
+    )
+    codes = ann_index._apply_tombstones(
+        spark, idx, codes, tomb_files=man.get("tombstones")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("sq8_score"), F.asc("vec_id")
+    )
+    shortlist = (
+        codes.crossJoin(F.broadcast(qrel.select("query_id", "qw")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sq8_score", _sq8.adc_score_batch_col(meta["dim"], F.col("qw"))
+        )
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= SQ8_RERANK_M)
+        .select("query_id", "vec_id")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("doc_id")
+    )
+    vec = (
+        ann_index.snapshot_scan(spark, corpus_dir, man=man)
+        .select("vec_id", "v")
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qrel.select("query_id", "qv", "qnorm")), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (_norm(F.col("v")) * F.col("qnorm")),
+                6,
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("doc_id"), "cosine")
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= BM25_BATCH_TOP)
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(-1)).cast("long").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(-1)).cast("long").alias("vec_rank"),
+        F.coalesce("bm25", F.lit(0.0)).alias("bm25"),
+        F.coalesce("cosine", F.lit(0.0)).alias("cosine"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= HYBRID_TOP)
+        .select(
+            "query_id", "doc_id", "lex_rank", "vec_rank", "bm25", "cosine", "rrf"
+        )
+    )
+
+
 #: same near-dup threshold as dedup_embedding — this operator is its
 #: cluster-scoped scale path.
 SEM_TAU = 0.45
@@ -2442,3 +2574,99 @@ def _hybrid_indexed_oracle() -> str:
 
 
 ORACLES["hybrid_search_indexed"] = _hybrid_indexed_oracle()
+
+
+def _hybrid_batch_indexed_oracle() -> str:
+    """Both batch programs replayed whole: lex0 is the pinned 5-query
+    BM25 batch (the WAND routing is relation-invisible), vec0 the SQ8
+    ADC-shortlist + exact-rerank batch; fusion per (query_id, doc_id)
+    with the same rounding."""
+    from ..sources.inverted import BM25_BATCH_TOP, _bm25_batch_oracle
+    from .retrieval import HYBRID_TOP, RRF_K
+
+    return (
+        """
+    WITH lex0 AS MATERIALIZED (
+"""
+        + _bm25_batch_oracle()
+        + f"""
+    ),
+    lex AS (
+        SELECT query_id, doc_id, bm25,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM lex0
+    ),
+    vec0 AS MATERIALIZED (
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (
+            SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+            FROM (
+                SELECT i, min(v[i + 1]) AS mn, max(v[i + 1]) AS mx
+                FROM e, generate_series(0, {DIM - 1}) AS t(i) GROUP BY i
+            )
+        ),
+        c AS MATERIALIZED (
+            SELECT vec_id, v,
+                   list_transform(range({DIM}), i ->
+                       CASE WHEN b.mxs[i+1] > b.mns[i+1]
+                            THEN greatest(0, least(255,
+                                 CAST(floor((v[i+1] - b.mns[i+1]) * 255.0
+                                      / (b.mxs[i+1] - b.mns[i+1])) AS BIGINT)))
+                            ELSE 0 END) AS codes
+            FROM e, b
+        ),
+        q AS (SELECT vec_id AS query_id, codes AS qc, v AS qv FROM c
+              WHERE vec_id < {N_BATCH_QUERIES}),
+        scored AS (
+            SELECT q.query_id, c.vec_id, c.v, q.qv,
+                   CAST(list_sum(list_transform(range({DIM}),
+                        i -> (c.codes[i+1] - 128) * (q.qc[i+1] - 128))) AS BIGINT)
+                       AS sq8_score
+            FROM c, q
+            WHERE c.vec_id <> q.query_id
+        ),
+        cand AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sq8_score DESC, vec_id ASC) AS srn
+                FROM scored)
+            WHERE srn <= {SQ8_RERANK_M}
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               vec_id AS doc_id,
+               round(list_cosine_similarity(v, qv), 6) AS cosine
+        FROM cand
+    ),
+    vec AS (
+        SELECT query_id, doc_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id) AS vec_rank
+        FROM vec0
+        QUALIFY vec_rank <= {BM25_BATCH_TOP}
+    ),
+    fused AS (
+        SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.doc_id, v.doc_id) AS doc_id,
+               CAST(coalesce(l.lex_rank, -1) AS BIGINT) AS lex_rank,
+               CAST(coalesce(v.vec_rank, -1) AS BIGINT) AS vec_rank,
+               coalesce(l.bm25, 0.0) AS bm25,
+               coalesce(v.cosine, 0.0) AS cosine,
+               round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + v.vec_rank), 0.0), 6) AS rrf
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    )
+    SELECT query_id, doc_id, lex_rank, vec_rank, bm25, cosine, rrf
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused)
+    WHERE rn <= {HYBRID_TOP}
+"""
+    )
+
+
+ORACLES["hybrid_batch_indexed"] = _hybrid_batch_indexed_oracle()
+QUERIES["hybrid_batch_indexed"] = hybrid_batch_indexed

@@ -64,3 +64,35 @@ def test_hybrid_indexed_prunes_both_legs(spark, tmp_path, monkeypatch):
     for r in rows:
         assert r.lex_rank >= 1 or r.vec_rank >= 1
         assert r.rrf > 0.0
+
+
+def test_hybrid_batch_indexed_matches_oracle_and_fuses_per_query(
+    spark, duck, tmp_path, monkeypatch
+):
+    """r10: hybrid retrieval at query volume — hash-exact vs the
+    DuckDB twin (both batch programs replayed + identical fusion
+    rounding), one fused top-10 per query, every row carrying at
+    least one real rank, and the lexical leg really ran the
+    WAND-routed batch (telemetry)."""
+    from samza_hello_samza_spark.operators.retrieval import HYBRID_TOP
+    from samza_hello_samza_spark.sources.inverted import BM25_BATCH_QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    assert_matches_oracle(
+        spark,
+        duck,
+        similarity.QUERIES["hybrid_batch_indexed"],
+        similarity.ORACLES["hybrid_batch_indexed"],
+    )
+
+    rows = similarity.hybrid_batch_indexed(spark, SF_DIR).collect()
+    st = inverted.bm25_batch_wand_topk.last_stats
+    assert st["n_queries"] == len(BM25_BATCH_QUERIES)
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.lex_rank >= 1 or r.vec_rank >= 1
+        assert r.rrf > 0.0
+    assert set(by_q) == set(range(len(BM25_BATCH_QUERIES)))
+    for q, qrows in by_q.items():
+        assert len(qrows) == HYBRID_TOP, q

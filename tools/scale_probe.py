@@ -241,8 +241,10 @@ WARMED_PROBE_OPS = (
     # build warmed; the timed run is the two pruned serving probes +
     # the 20-row RRF fusion.
     "hybrid_search_indexed",
-    # r10: one committed-code scan scoring the whole query batch.
+    # r10: one committed-code scan scoring the whole query batch, and
+    # the batch hybrid fusing it with the WAND-routed lexical batch.
     "ann_sq8_batch_topk",
+    "hybrid_batch_indexed",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
