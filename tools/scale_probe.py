@@ -515,7 +515,9 @@ def build_scaled(spark, repl: int) -> str:
     return out_dir
 
 
-def time_ops(spark, queries, sf_dir: str) -> dict[str, float]:
+def time_ops(
+    spark, queries, sf_dir: str, wand_capture: dict | None = None
+) -> dict[str, float]:
     # min-of-2 after GC — the bench.py contention lesson applied here
     # too: the probe runs ~90 ops late in one long-lived JVM, and a
     # single-shot reading under accumulated heap pressure once showed
@@ -538,6 +540,25 @@ def time_ops(spark, queries, sf_dir: str) -> dict[str, float]:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
+        if name == "bm25_batch_wand" and wand_capture is not None:
+            # snapshot RIGHT AFTER the 240-query workload ran — later
+            # ops (the 5-query hybrid batch) overwrite last_stats
+            from samza_hello_samza_spark.sources.inverted import (
+                bm25_batch_wand_topk,
+            )
+
+            st = bm25_batch_wand_topk.last_stats
+            wand_capture.update(
+                {
+                    k: st.get(k)
+                    for k in (
+                        "n_accumulator_rows",
+                        "n_candidate_rows",
+                        "n_prunable",
+                        "n_fallback",
+                    )
+                }
+            )
     return out
 
 
@@ -558,29 +579,13 @@ def main() -> None:
     queries["groupby_count"](spark, BASE_SF_DIR).write.mode("overwrite").format("noop").save()
     queries["groupby_count"](spark, scaled_dir).write.mode("overwrite").format("noop").save()
 
-    def _wand_batch_stats() -> dict:
-        # crossover telemetry (VERDICT r09 #6): snapshot the batch-WAND
-        # accumulator counters right after the tier that ran it — the
-        # (query, doc) accumulator size pre-/post-θ per scale point.
-        from samza_hello_samza_spark.sources.inverted import (
-            bm25_batch_wand_topk,
-        )
-
-        st = bm25_batch_wand_topk.last_stats
-        return {
-            k: st.get(k)
-            for k in (
-                "n_accumulator_rows",
-                "n_candidate_rows",
-                "n_prunable",
-                "n_fallback",
-            )
-        }
-
-    base = time_ops(spark, queries, BASE_SF_DIR)
-    wand_base = _wand_batch_stats()
-    scaled = time_ops(spark, queries, scaled_dir)
-    wand_scaled = _wand_batch_stats()
+    # crossover telemetry (VERDICT r09 #6): the batch-WAND accumulator
+    # counters, snapshotted inside time_ops right after the 240-query
+    # workload runs at each tier.
+    wand_base: dict = {}
+    wand_scaled: dict = {}
+    base = time_ops(spark, queries, BASE_SF_DIR, wand_capture=wand_base)
+    scaled = time_ops(spark, queries, scaled_dir, wand_capture=wand_scaled)
 
     rows = []
     for name in base:
