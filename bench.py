@@ -262,6 +262,10 @@ EXTRA_VOLUME = (
     # lexical batch RRF-fused per query with the 5-query ADC batch +
     # exact rerank; one pruned read per modality for the whole batch.
     "hybrid_batch_indexed",
+    # r10: the tier-cut decision table — 4 configs priced from ONE
+    # bucket-pruned read of the pinned query terms' postings; the
+    # production row is pytest-pinned equal to the served pricing.
+    "wand_tier_sweep",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the

@@ -1954,6 +1954,148 @@ def bm25_search_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["bm25_search_wand"] = _bm25_oracle_for(WAND_QUERY_TERMS)
 
 
+#: tier-cut configurations swept by ``wand_tier_sweep`` — cuts are on
+#: the normalized saturation s/(k1+1) ∈ (0, 1), descending; () is the
+#: untiered layout (one block per term: nothing is skippable).
+#: "t3_60_45" IS the production layout (WAND_TIER_HI/MID).
+WAND_SWEEP_CONFIGS = (
+    ("flat", ()),
+    ("t2_50", (0.50,)),
+    ("t3_60_45", (WAND_TIER_HI, WAND_TIER_MID)),
+    ("t4_65_50_35", (0.65, 0.50, 0.35)),
+)
+
+
+def wand_tier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The impact-tier decision table — the ``lsh_band_sweep`` /
+    ``ann_recall_curve`` discipline applied to the LAST unmeasured
+    dial of the ranked-retrieval family: how many tiers, cut where?
+    For the pinned WAND query, each tier-cut configuration is
+    evaluated by re-deriving the per-(word, tier) block bounds
+    DIRECTLY from the layout's postings (one bucket-pruned read of
+    the query terms' postings — tier membership is a pure function of
+    (tf, dl, avgdl, cuts), so no alternative layout is built) and
+    replaying the production MaxScore pricing on them: essential
+    (rare) terms read whole, common terms' best-priced tier only.
+
+    Row per config: blocks total/phase-1, postings scored in phase 1
+    vs deferred behind the bound, and the total unread-tier slack
+    (micro-units) — the quantity θ must beat for the probe to prune
+    at all. The ``flat`` row is the counterfactual that justifies
+    tiering (everything phase-1, zero skippable); the production row
+    is pytest-pinned EQUAL to the served probe's own telemetry
+    (``bm25_wand_topk.last_stats``), so the sweep measures exactly
+    what serving executes. Driver state: ≤ |configs|·|terms|·tiers
+    bounded rows. Rows-only (the slack rides float idf·saturation;
+    the integer columns are exact).
+    """
+    import json as _json
+    import math
+
+    from ..operators.retrieval import BM25_K1
+
+    index_dir = _documents_bm25_index(spark, sf_dir)
+    with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
+        st = _json.load(fh)
+    n_corpus = st["n_docs"]
+    avgdl = st["avgdl"] or 1.0
+    terms = list(WAND_QUERY_TERMS)
+    bmap = _term_bucket_map(spark, terms)
+    paths = sorted(
+        {
+            p
+            for b in set(bmap.values())
+            if os.path.isdir(p := os.path.join(index_dir, f"tbucket={b}"))
+        }
+    )
+    post = (
+        spark.read.option("basePath", index_dir)
+        .parquet(*paths)
+        .filter(F.col("word").isin(*terms))
+        .select("word", "tf", "dl")
+    )
+    snorm = _bm25_sat(F.col("tf"), F.col("dl"), avgdl) / (BM25_K1 + 1)
+    per_config = []
+    for name, cuts in WAND_SWEEP_CONFIGS:
+        tier = F.lit(0)
+        for c in cuts:  # descending cuts: tier = #cuts above snorm
+            tier = tier + F.when(snorm < F.lit(float(c)), 1).otherwise(0)
+        per_config.append(
+            post.withColumn("cfg", F.lit(name)).withColumn(
+                "tier", tier.cast("int")
+            )
+        )
+    allp = per_config[0]
+    for p in per_config[1:]:
+        allp = allp.unionByName(p)
+    rows = (
+        allp.groupBy("cfg", "word", "tier")
+        .agg(
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )  # bounded: |configs| * |terms| * tiers
+
+    out = []
+    order = {name: i for i, (name, _) in enumerate(WAND_SWEEP_CONFIGS)}
+    by_cfg: dict[str, dict] = {}
+    for r in rows:
+        by_cfg.setdefault(r.cfg, {}).setdefault(r.word, {})[r.tier] = (
+            r.max_tf,
+            r.min_dl,
+            r.n,
+        )
+    for name, cuts in WAND_SWEEP_CONFIGS:
+        info = by_cfg.get(name, {})
+        dfreq = {w: float(sum(t[2] for t in ts.values())) for w, ts in info.items()}
+        idf = {
+            w: math.log((n_corpus - dfreq[w] + 0.5) / (dfreq[w] + 0.5) + 1.0)
+            for w in info
+        }
+        ub = {
+            (w, t): idf[w] * _bm25_sat(mx, mn, avgdl)
+            for w, ts in info.items()
+            for t, (mx, mn, _) in ts.items()
+        }
+        # the production MaxScore split, verbatim
+        p1_tiers: dict[str, set] = {}
+        for w, ts in info.items():
+            if dfreq[w] <= WAND_ESSENTIAL_DF_FRAC * n_corpus:
+                p1_tiers[w] = set(ts)
+            else:
+                p1_tiers[w] = {
+                    max(ts, key=lambda t, _w=w: (ub[(_w, t)], -t))
+                }
+        wslack = {
+            w: max(
+                (ub[(w, t)] for t in ts if t not in p1_tiers[w]), default=0.0
+            )
+            for w, ts in info.items()
+        }
+        n_p1 = sum(info[w][t][2] for w, ts in p1_tiers.items() for t in ts)
+        total = int(sum(dfreq.values()))
+        out.append(
+            (
+                name,
+                len(cuts) + 1,
+                int(order[name]),
+                len(ub),
+                sum(len(ts) for ts in p1_tiers.values()),
+                int(n_p1),
+                int(total - n_p1),
+                int(sum(wslack.values()) * 1_000_000),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "config STRING, n_tiers INT, cfg_order INT, n_blocks INT, "
+        "n_blocks_p1 INT, n_postings_p1 BIGINT, n_postings_deferred BIGINT, "
+        "slack_micro BIGINT",
+    )
+
+
 def bm25_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pinned five-query batch (``BM25_BATCH_QUERIES``) ranked
     from the BM25 posting layout in one pruned read — see
@@ -2251,4 +2393,5 @@ QUERIES = {
     "bm25_batch_wide": bm25_batch_wide,
     "bm25_batch_wand": bm25_batch_wand,
     "bm25_ingest_audit": bm25_ingest_audit,
+    "wand_tier_sweep": wand_tier_sweep,
 }

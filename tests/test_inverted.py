@@ -1115,3 +1115,44 @@ def test_bm25_wide_batch_empty_corpus_returns_empty(spark, tmp_path):
         out = fn(spark, idx, (), 5)
         assert out.columns == ["query_id", "doc_id", "bm25", "n_terms_matched"]
         assert out.count() == 0
+
+
+def test_wand_tier_sweep_production_row_equals_served_pricing(spark, tmp_path, monkeypatch):
+    """r10: the tier-cut decision table measures exactly what serving
+    executes — its production config row must equal the real probe's
+    own pricing telemetry (same layout, same MaxScore split), the
+    untiered counterfactual defers nothing (why tiering exists), and
+    posting counts are conserved across configs."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    rows = {r.config: r for r in inverted.wand_tier_sweep(spark, SF_DIR).collect()}
+    assert set(rows) == {name for name, _ in inverted.WAND_SWEEP_CONFIGS}
+
+    # flat: one block per term, all postings phase-1, zero skippable
+    flat = rows["flat"]
+    assert flat.n_tiers == 1
+    assert flat.n_postings_deferred == 0 and flat.slack_micro == 0
+    assert flat.n_blocks == flat.n_blocks_p1
+
+    # conservation: every config prices the same posting universe
+    totals = {
+        c: r.n_postings_p1 + r.n_postings_deferred for c, r in rows.items()
+    }
+    assert len(set(totals.values())) == 1, totals
+
+    # tiered configs actually defer bytes behind the bound
+    for c in ("t2_50", "t3_60_45", "t4_65_50_35"):
+        assert rows[c].n_postings_deferred > 0, c
+
+    # production row == the served probe's own telemetry
+    idx = inverted._documents_bm25_index(spark, SF_DIR)
+    inverted.bm25_wand_topk(
+        spark, idx, list(inverted.WAND_QUERY_TERMS), 10
+    ).collect()
+    st = inverted.bm25_wand_topk.last_stats
+    prod = rows["t3_60_45"]
+    assert prod.n_blocks == st["n_blocks_total"]
+    assert prod.n_blocks_p1 == st["n_blocks_p1"]
+    assert prod.n_postings_p1 == st["n_postings_p1"]
+    assert prod.n_postings_deferred == st["n_postings_deferred"]
+    assert abs(prod.slack_micro - round(st["total_slack"] * 1_000_000)) <= 1

@@ -245,6 +245,8 @@ WARMED_PROBE_OPS = (
     # the batch hybrid fusing it with the WAND-routed lexical batch.
     "ann_sq8_batch_topk",
     "hybrid_batch_indexed",
+    # r10: tier-cut decision table over the pinned terms' postings.
+    "wand_tier_sweep",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
