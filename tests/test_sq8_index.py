@@ -402,3 +402,41 @@ def test_pack_words_py_roundtrips_and_matches_stored(spark, tmp_path):
         stored = [r[c] for c in meta["sq8_cols"]]
         assert packed == stored, r.vec_id
         assert sq8.unpack_codes_py(packed, meta["dim"]) == codes
+
+
+def test_adc_batch_col_equals_literal_col_incl_sign_lane(spark):
+    """The batch scorer (query words as a column) must equal the
+    single-query scorer (query codes as literals) for every vector —
+    including codes ≥ 128 in lane 7, where the packed word's sign bit
+    is set and an arithmetic shift would smear the mask."""
+    dim = 16  # 2 words — lane 7 of each word exercises the sign bit
+    corpus_codes = [
+        [0] * dim,
+        [255] * dim,
+        [128] * dim,
+        [(7 * i + 3) % 256 for i in range(dim)],
+        [255 if i % 8 == 7 else 0 for i in range(dim)],  # sign lanes hot
+    ]
+    qcodes = [(11 * i + 200) % 256 for i in range(dim)]  # q lane-7 ≥ 128
+    rows = [
+        (vid, *sq8.pack_words_py(c)) for vid, c in enumerate(corpus_codes)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, " + ", ".join(f"s{w} LONG" for w in range(dim // 8))
+    )
+    lit_scores = {
+        r.vec_id: r.s
+        for r in df.withColumn("s", sq8.adc_score_col(qcodes)).collect()
+    }
+    qw = sq8.pack_words_py(qcodes)
+    batch = df.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(0, qw)], "query_id LONG, qw ARRAY<BIGINT>")
+        )
+    ).withColumn("s", sq8.adc_score_batch_col(dim, F.col("qw")))
+    batch_scores = {r.vec_id: r.s for r in batch.collect()}
+    assert batch_scores == lit_scores
+    # and both equal the integer model
+    for vid, codes in enumerate(corpus_codes):
+        want = sum((c - 128) * (q - 128) for c, q in zip(codes, qcodes))
+        assert lit_scores[vid] == want, vid
