@@ -96,3 +96,46 @@ def test_hybrid_batch_indexed_matches_oracle_and_fuses_per_query(
     assert set(by_q) == set(range(len(BM25_BATCH_QUERIES)))
     for q, qrows in by_q.items():
         assert len(qrows) == HYBRID_TOP, q
+
+
+def test_hybrid_indexed_survives_wand_fallback_corpus(spark, tmp_path, monkeypatch):
+    """Degenerate-path discipline: on a corpus SMALLER than the
+    lexical top-k, θ is not a valid k-th bound — bm25_wand_topk falls
+    back (under_k) to the full pruned read — and the hybrid must
+    still serve the correct fused relation (the fallback is
+    relation-invisible by contract)."""
+    import numpy as np
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    # 12 docs < BM25_TOP=20 → fewer than k phase-1 docs → under_k
+    docs = spark.createDataFrame(
+        [(i, "dup join window common words " * (i % 3 + 1)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.normal(size=64)], i % 3)
+            for i in range(12)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    emb.write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    similarity._QUERY_VEC_CACHE.pop(sf, None)
+    rows = similarity.hybrid_search_indexed(spark, sf).collect()
+    st = inverted.bm25_wand_topk.last_stats
+    assert st["fallback"] is not None  # the bound really could not prune
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r.lex_rank >= 1 or r.vec_rank >= 1
+        assert r.rrf > 0.0
+    # the lexical leg still served the exact BM25 ranking: every doc
+    # matches all 3 terms, so the fused lex side must carry real ranks
+    assert any(r.lex_rank >= 1 for r in rows)
+    assert any(r.vec_rank >= 1 for r in rows)
