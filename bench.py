@@ -266,6 +266,16 @@ EXTRA_VOLUME = (
     # bucket-pruned read of the pinned query terms' postings; the
     # production row is pytest-pinned equal to the served pricing.
     "wand_tier_sweep",
+    # r11: filtered hybrid serving — label predicate pre-cut on BOTH
+    # legs (attr-bearing BM25 layout with label-segmented impacts +
+    # attr-bearing SQ8 codes); both layout builds are warmed.
+    "hybrid_filtered_indexed",
+    # r11: the 240-query wide ADC batch — ONE committed-code scan for
+    # the whole batch (vector twin of bm25_batch_wide).
+    "ann_sq8_batch_wide",
+    # r11: the tier-cut decision table priced over the 240-query
+    # mixed workload (production row pinned to batch telemetry).
+    "wand_tier_sweep_workload",
 )
 
 #: Registry keys deliberately NOT in either bench tier, each with the
@@ -425,6 +435,62 @@ SF1_EXCLUDE = {
 #: carries only what fits the driver's 2000-char tail window.
 DETAIL_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 
+BASELINE_JSON = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE.json"
+)
+
+
+def load_freezes() -> dict[str, dict]:
+    """The machine-readable per-key frozen-baseline table (r11, VERDICT
+    r10 #1). BASELINE.json's "freezes" block — extracted once from
+    BASELINE.md prose with the supersede chains applied — is what the
+    2× checker reads; BASELINE.md carries only narrative from r11 on.
+    The prose-parsed ad-hoc check let a 2.16× `bm25_batch_wide` sf1
+    row ship under a "worst 1.48×" claim; a checker that consumes this
+    table and REPORTS unmatched keys cannot repeat that."""
+    with open(BASELINE_JSON) as fh:
+        return json.load(fh).get("freezes", {})
+
+
+def freeze_check(
+    timings: dict[str, float], tier: str, freezes: dict[str, dict] | None = None
+) -> dict:
+    """Per-row (value, freeze, ratio) for one bench tier ("sf0.1" |
+    "sf1"). Every timed key must resolve to a freeze — keys without
+    one land in "missing_freeze" (loud, never silently skipped).
+    "violations" lists rows above 2×; adjudication (ambient-vs-plan,
+    per the BASELINE.md triage rule) stays a human step, but the
+    detection is now an artifact the run itself writes."""
+    if freezes is None:
+        freezes = load_freezes()
+    rows: dict[str, dict] = {}
+    missing: list[str] = []
+    worst_key, worst_ratio = None, 0.0
+    violations: list[str] = []
+    v_sum = f_sum = 0.0
+    for k in sorted(timings):
+        v = timings[k]
+        f = freezes.get(k, {}).get(tier)
+        if f is None:
+            missing.append(k)
+            continue
+        r = round(v / f, 3)
+        rows[k] = {"value": v, "freeze": f, "ratio": r}
+        v_sum += v
+        f_sum += f
+        if r > worst_ratio:
+            worst_key, worst_ratio = k, r
+        if r > 2.0:
+            violations.append(k)
+    return {
+        "tier": tier,
+        "rows": rows,
+        "worst": [worst_key, worst_ratio],
+        "violations": violations,
+        "missing_freeze": missing,
+        "aggregate_ratio": round(v_sum / f_sum, 3) if f_sum else None,
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
@@ -569,6 +635,7 @@ def main() -> None:
             "orders_restore_audit",  # cold 4-version table + MV build
             "bm25_search_indexed",  # cold BM25 posting-layout build
             "bm25_ingest_audit",  # cold two-batch BM25 ingest build
+            "hybrid_filtered_indexed",  # cold label-attr BM25+SQ8 builds
         ):
             queries[q](spark, sf1_dir).write.mode("overwrite").format("noop").save()
         sf1_names = [
@@ -615,6 +682,44 @@ def main() -> None:
     detail["contended"] = result["contended"]
     detail["load"] = load
     detail["ncpu"] = os.cpu_count()
+
+    # 2× checker (r11): per-row (value, freeze, ratio) against the
+    # machine-readable BASELINE.json freezes, written into the
+    # committed number-of-record artifact; the stdout line only gets
+    # the violation COUNT (tail budget). Full rows + a stderr table
+    # replace the ad-hoc prose parsing that missed a 2.16× row in r10.
+    if sf == 0.1:
+        freezes = load_freezes()
+        fc = {"sf0.1": freeze_check(detail["queries"], "sf0.1", freezes)}
+        if "tiers" in detail:
+            fc["sf1"] = freeze_check(
+                detail["tiers"]["sf1"]["queries"], "sf1", freezes
+            )
+        detail["freeze_check"] = fc
+        n_viol = sum(len(c["violations"]) for c in fc.values())
+        n_nofrz = sum(len(c["missing_freeze"]) for c in fc.values())
+        result["fviol"] = n_viol
+        for tier, c in fc.items():
+            print(
+                f"[freeze {tier}] worst {c['worst'][0]} {c['worst'][1]}x, "
+                f"aggregate {c['aggregate_ratio']}x, "
+                f"violations {c['violations']}, "
+                f"missing_freeze {c['missing_freeze']}",
+                file=sys.stderr,
+            )
+            for k in c["violations"]:
+                r = c["rows"][k]
+                print(
+                    f"[freeze {tier}] VIOLATION {k}: {r['value']} vs "
+                    f"freeze {r['freeze']} = {r['ratio']}x",
+                    file=sys.stderr,
+                )
+        if n_nofrz:
+            print(
+                f"[freeze] {n_nofrz} benched keys lack a freeze — add "
+                "them to BASELINE.json before trusting this run",
+                file=sys.stderr,
+            )
 
     with open(DETAIL_FILE, "w") as fh:
         json.dump(detail, fh, indent=1)

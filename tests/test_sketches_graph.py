@@ -268,11 +268,23 @@ def test_orphan_builds_reclaimed_age_gated(spark, tmp_path, monkeypatch):
     for root in roots:
         stale = os.path.join(root, "build-deadbeefcrashed")
         fresh = os.path.join(root, "build-feedfaceinflight")
+        slow = os.path.join(root, "build-0ddjobslowwriter")
         os.makedirs(stale)
         open(os.path.join(stale, "part-0.parquet"), "w").close()
         old = time.time() - 7200
+        # the age gate reads the NEWEST recursive mtime (r11 ADVICE
+        # fix), so a truly-dead build must be old all the way down
+        os.utime(os.path.join(stale, "part-0.parquet"), (old, old))
         os.utime(stale, (old, old))
         os.makedirs(fresh)
+        # a long-running builder: top-level dir mtime is OLD (Spark
+        # task writes land under _temporary/ and never refresh it),
+        # but a task file inside is fresh — must NOT be reclaimed.
+        os.makedirs(os.path.join(slow, "_temporary", "0"))
+        open(
+            os.path.join(slow, "_temporary", "0", "task-attempt.parquet"), "w"
+        ).close()
+        os.utime(slow, (old, old))
     e2 = sorted(
         (r.doc_a, r.doc_b) for r in graph._pairs_cached(spark, SF_DIR).collect()
     )
@@ -285,6 +297,9 @@ def test_orphan_builds_reclaimed_age_gated(spark, tmp_path, monkeypatch):
         left = sorted(d for d in os.listdir(root) if d.startswith("build-"))
         assert "build-deadbeefcrashed" not in left, root  # stale: reclaimed
         assert "build-feedfaceinflight" in left, root  # in-flight: kept
+        # slow writer: stale dir mtime but a fresh _temporary/ task
+        # file — the recursive gate keeps it (r11 ADVICE fix)
+        assert "build-0ddjobslowwriter" in left, root
 
 
 def test_kcore_fixpoint_and_model(spark):
