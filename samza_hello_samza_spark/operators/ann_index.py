@@ -297,6 +297,37 @@ def _sq8_meta_path(index_dir: str) -> str:
     return os.path.join(index_dir, "_SQ8.json")
 
 
+#: plain-data sidecar cache (r11, VERDICT r10 #6): the SQ8 codec meta
+#: and the current index manifest are tiny JSON files a serving tier
+#: re-reads on EVERY probe — at bench scale a local stat+parse, in
+#: production an object-store GET per call. Cache the parsed dict
+#: keyed on the file's (path, mtime_ns, size) fingerprint — the same
+#: restart-safe plain-data discipline as the WAND pricing cache (no
+#: Spark objects; a publish rewrites the file and moves the
+#: fingerprint, so staleness is impossible without clock aliasing a
+#: byte-identical rewrite, which changes nothing). Bounded FIFO.
+_SIDECAR_JSON_CACHE: dict[tuple, dict] = {}
+_SIDECAR_JSON_CACHE_MAX = 256
+
+
+def _cached_sidecar_json(path: str) -> tuple[dict, bool]:
+    """(parsed json, was_cache_hit) for a small sidecar file. Returns
+    a DEEP COPY so callers can never mutate the cached entry."""
+    import copy
+    import json
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = key in _SIDECAR_JSON_CACHE
+    if not hit:
+        with open(path) as f:
+            data = json.load(f)
+        while len(_SIDECAR_JSON_CACHE) >= _SIDECAR_JSON_CACHE_MAX:
+            _SIDECAR_JSON_CACHE.pop(next(iter(_SIDECAR_JSON_CACHE)))
+        _SIDECAR_JSON_CACHE[key] = data
+    return copy.deepcopy(_SIDECAR_JSON_CACHE[key]), hit
+
+
 def read_sq8_meta(index_dir: str) -> dict | None:
     """The layout's SQ8 codec declaration, or None.
 
@@ -308,14 +339,20 @@ def read_sq8_meta(index_dir: str) -> dict | None:
     code always means the same float interval across the whole file
     set, and a probe's query codes compare against every vector ever
     written. Same marker discipline as ``_SIGS.json``.
-    """
-    import json
 
+    Served from the fingerprint-keyed sidecar cache (r11) — repeat
+    probes skip the file read; ``read_sq8_meta.last_cached`` records
+    the hit for serving telemetry."""
     p = _sq8_meta_path(index_dir)
     if not os.path.exists(p):
+        read_sq8_meta.last_cached = False
         return None
-    with open(p) as f:
-        return json.load(f)
+    data, hit = _cached_sidecar_json(p)
+    read_sq8_meta.last_cached = hit
+    return data
+
+
+read_sq8_meta.last_cached = False
 
 
 def _write_sq8_meta(
@@ -645,9 +682,12 @@ def gc_orphan_builds(
     manifest link, would otherwise leak its build forever (pair and
     component relations are sizable). The caller's OWN losing build is
     removed unconditionally; OTHER unreferenced builds only once older
-    than ``min_age_s`` (mtime), so a concurrent builder that simply
-    has not committed yet never has its in-flight dir deleted from
-    under it. Returns the removed paths."""
+    than ``min_age_s`` judged by the NEWEST mtime found recursively
+    inside the dir — Spark task writes land under ``_temporary/`` and
+    never refresh the top-level dir's mtime, so a top-level gate could
+    rmtree an in-flight build slower than ``min_age_s`` out from under
+    its concurrent builder (its job commit would then fail). Returns
+    the removed paths."""
     import shutil
     import time
 
@@ -664,13 +704,29 @@ def gc_orphan_builds(
     except OSError:
         return removed
     now = time.time()
+
+    def _newest_mtime(d: str) -> float:
+        # recursive: a write in flight under _temporary/ keeps the
+        # build "young" even when the top-level dir's mtime is stale.
+        newest = os.path.getmtime(d)
+        for dirpath, _dirs, files in os.walk(d):
+            try:
+                newest = max(newest, os.path.getmtime(dirpath))
+                for f in files:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(dirpath, f))
+                    )
+            except OSError:
+                continue  # racing writer/GC — skip the vanished entry
+        return newest
+
     for e in entries:
         p = os.path.join(rootp, e)
         if not e.startswith("build-") or not os.path.isdir(p) or p in live:
             continue
         try:
             is_own = own_build is not None and os.path.realpath(own_build) == p
-            if is_own or (now - os.path.getmtime(p)) > min_age_s:
+            if is_own or (now - _newest_mtime(p)) > min_age_s:
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(p)
         except OSError:
@@ -915,13 +971,19 @@ def read_index_manifest(
             return json.load(f)
     path = _index_manifest_path(index_dir)
     if os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
+        data, hit = _cached_sidecar_json(path)
+        read_index_manifest.last_cached = hit
+        return data
     legacy = _legacy_manifest_path(index_dir)  # pre-rename cached dirs
     if os.path.exists(legacy):
-        with open(legacy) as f:
-            return json.load(f)
+        data, hit = _cached_sidecar_json(legacy)
+        read_index_manifest.last_cached = hit
+        return data
+    read_index_manifest.last_cached = False
     return {"version": 0, "files": []}
+
+
+read_index_manifest.last_cached = False
 
 
 def commit_index_snapshot(index_dir: str) -> dict:

@@ -449,7 +449,12 @@ def _impacts_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "_impacts")
 
 
-def _write_bm25_impacts(postings: DataFrame, index_dir: str, mode: str) -> None:
+def _write_bm25_impacts(
+    postings: DataFrame,
+    index_dir: str,
+    mode: str,
+    attr_cols: tuple[str, ...] = (),
+) -> None:
     """Per-(tbucket, word, tier) block bounds — the max-impact sidecar
     the WAND probe prices blocks with: (max_tf, min_dl) bound every
     member's saturation from above; ``n_postings`` rows SUM to the
@@ -457,9 +462,18 @@ def _write_bm25_impacts(postings: DataFrame, index_dir: str, mode: str) -> None:
     probe derives idf without reading a single posting block. Appends
     add rows for the batch's blocks and the query-side (max, min, sum)
     aggregate folds them exactly — the same add-only discipline as the
-    (n_docs, total_dl) sidecar."""
+    (n_docs, total_dl) sidecar.
+
+    ``attr_cols`` (r11): attribute-bearing layouts SEGMENT the bounds
+    per attr value — (tbucket, word, tier, label) rows. Unfiltered
+    pricing re-aggregates across segments (max of maxima / min of
+    minima / sum of counts — EXACTLY the unsegmented values), while a
+    filtered probe prices from its own segment's rows alone: tight
+    slack for the allowed subset, and tiers holding no allowed
+    posting are skipped outright. Sidecar size multiplies by the attr
+    cardinality — still |vocab|·tiers·|labels| bounded rows."""
     (
-        postings.groupBy("tbucket", "word", "tier")
+        postings.groupBy("tbucket", "word", "tier", *attr_cols)
         .agg(
             F.max("tf").alias("max_tf"),
             F.min("dl").alias("min_dl"),
@@ -472,7 +486,12 @@ def _write_bm25_impacts(postings: DataFrame, index_dir: str, mode: str) -> None:
     )
 
 
-def build_bm25_index(spark: SparkSession, docs: DataFrame, out_dir: str) -> str:
+def build_bm25_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    attr_cols: tuple[str, ...] = (),
+) -> str:
     """Materialize BM25-scoring postings — (word, doc_id, tf, dl) in
     the same stable ``tbucket`` scheme, impact-tiered inside each
     bucket (``partitionBy(tbucket, tier)`` — see ``WAND_TIERS``) —
@@ -485,12 +504,21 @@ def build_bm25_index(spark: SparkSession, docs: DataFrame, out_dir: str) -> str:
     both read paths. One tokenize pass, the build cost every search
     index pays once. Commit order: postings → impacts → stats (the
     built-gate requires the stats sidecar, so a crash between any
-    two steps rebuilds instead of serving a partial layout)."""
+    two steps rebuilds instead of serving a partial layout).
+
+    ``attr_cols`` (r11): per-doc metadata columns on ``docs`` (e.g. a
+    label) denormalized onto every posting row, exactly like ``dl`` —
+    the attribute-bearing layout filtered retrieval serves from (a
+    metadata equality then pushes to the posting scan itself, the
+    same pre-filter discipline as the attr-bearing IVF layouts). The
+    ``_impacts`` bounds stay label-blind: block maxima over ALL docs
+    bound any subset's, so the WAND bound remains admissible under
+    any attr predicate."""
     import json as _json
 
     from ..operators.dedup import _words, explode_nonempty
 
-    words = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    words = docs.select("doc_id", *attr_cols, _words(F.col("text")).alias("words"))
     lengths = words.select("doc_id", F.size("words").alias("dl"))
     st = lengths.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -502,12 +530,16 @@ def build_bm25_index(spark: SparkSession, docs: DataFrame, out_dir: str) -> str:
     postings = (
         explode_nonempty(
             words,
-            ["doc_id", F.size("words").alias("dl")],
+            ["doc_id", F.size("words").alias("dl"), *attr_cols],
             F.col("words"),
             "word",
         )
         .groupBy("word", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.max("dl").alias("dl"),
+            *[F.max(a).alias(a) for a in attr_cols],
+        )
         .withColumn(
             "tbucket", F.pmod(F.xxhash64("word"), F.lit(N_TBUCKETS)).cast("int")
         )
@@ -521,7 +553,7 @@ def build_bm25_index(spark: SparkSession, docs: DataFrame, out_dir: str) -> str:
         .partitionBy("tbucket", "tier")
         .parquet(out_dir)
     )
-    _write_bm25_impacts(postings, out_dir, "overwrite")
+    _write_bm25_impacts(postings, out_dir, "overwrite", attr_cols=attr_cols)
     _write_bm25_stats(out_dir, n_docs, total_dl)
     return out_dir
 
@@ -657,14 +689,26 @@ def bm25_postings_updater(
 
 
 def bm25_topk_from_index(
-    spark: SparkSession, index_dir: str, terms: list[str], top: int
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    top: int,
+    where: F.Column | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-``top`` for ``terms`` served from the layout:
     ≤|terms| of ``N_TBUCKETS`` bucket dirs listed, word filter pushed
     to parquet, ``df`` counted from the pruned read itself, corpus
     stats from the sidecar — identical scores to the scan path (same
     expressions, same 4-dp round + doc_id tiebreak), with per-query
-    cost ∝ the query terms' postings, never the corpus."""
+    cost ∝ the query terms' postings, never the corpus.
+
+    ``where`` (r11): a metadata predicate over attr columns the
+    layout denormalizes (``build_bm25_index(attr_cols=...)``) —
+    filtered retrieval's "top-k among allowed docs". The Lucene
+    filter contract: scores are UNCHANGED (idf from corpus-wide df —
+    computed from the pruned read BEFORE the predicate — and sidecar
+    N/avgdl); only the ranked universe shrinks. A post-filter of an
+    unfiltered top-k would UNDER-fill; this ranks the filtered set."""
     import json as _json
 
     from ..functions.hints import maybe_broadcast
@@ -678,7 +722,11 @@ def bm25_topk_from_index(
         .filter(F.col("tbucket").isin(buckets))
         .filter(F.col("word").isin(*terms))
     )
+    # corpus-wide df (score-identical to the unfiltered probe) —
+    # BEFORE the metadata predicate cuts the ranked universe
     df = p.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    if where is not None:
+        p = p.filter(where)
     scored = (
         p.join(maybe_broadcast(df), "word")
         .withColumn(
@@ -761,18 +809,25 @@ def _wand_pricing(
     avgdl: float,
     n_corpus: float,
     stats: dict,
+    attr_eq: tuple[str, object] | None = None,
 ) -> dict | None:
-    key = (index_dir, tuple(terms), _stats_fingerprint(index_dir))
+    key = (index_dir, tuple(terms), _stats_fingerprint(index_dir), attr_eq)
     hit = _PRICING_CACHE.get(key)
     if hit is not None:
         plain, telemetry = hit
         stats.update(telemetry)
         stats["pricing_cached"] = True
+        # replayed telemetry must not replay round-trips that did not
+        # happen: a cache hit prices with ZERO driver jobs
+        stats["n_pricing_round_trips"] = 0
     else:
         telemetry = {}
         plain = _wand_pricing_uncached(
-            spark, index_dir, terms, avgdl, n_corpus, telemetry
+            spark, index_dir, terms, avgdl, n_corpus, telemetry, attr_eq=attr_eq
         )
+        # two driver actions priced this layout: the |terms|-row
+        # bucket-map job and the bounded sidecar-blocks collect
+        stats["n_pricing_round_trips"] = 2
         while len(_PRICING_CACHE) >= _PRICING_CACHE_MAX:
             _PRICING_CACHE.pop(next(iter(_PRICING_CACHE)))
         _PRICING_CACHE[key] = (plain, telemetry)
@@ -812,6 +867,7 @@ def _wand_pricing_uncached(
     avgdl: float,
     n_corpus: float,
     stats: dict,
+    attr_eq: tuple[str, object] | None = None,
 ) -> dict | None:
     """Price every (word, tier) block of ``terms`` from the
     ``_impacts`` sidecar alone — zero posting bytes: per-word df
@@ -822,7 +878,16 @@ def _wand_pricing_uncached(
     slack, and the phase-1 paths/filter/relation. Shared by the
     single-query and batch impact-bound probes; telemetry fields are
     written into ``stats``. Returns None when no query term has any
-    block (nothing to price)."""
+    block (nothing to price).
+
+    ``attr_eq`` (r11, filtered retrieval over an attr-bearing layout
+    with a SEGMENTED sidecar): df/idf stay corpus-wide (summed across
+    all segments — the filter contract keeps scores unchanged), but
+    the bounds/phase-split/slack price the allowed SEGMENT alone:
+    tight θ-competition for the filtered subset, and (word, tier)
+    blocks holding no allowed posting drop out of the read set
+    entirely (no allowed doc has a posting there — skipping reads
+    nothing an allowed doc's score needs)."""
     import math
 
     bmap = _term_bucket_map(spark, terms)
@@ -836,24 +901,47 @@ def _wand_pricing_uncached(
     )
     if not imp_paths:
         return None
-    blocks = (
+    imp = (
         spark.read.option("basePath", imp_dir)
         .parquet(*imp_paths)
         .filter(F.col("word").isin(*terms))
-        .groupBy("word", "tier")
-        .agg(
+    )
+    if attr_eq is None:
+        agg = imp.groupBy("word", "tier").agg(
             F.max("max_tf").alias("max_tf"),
             F.min("min_dl").alias("min_dl"),
             F.sum("n_postings").alias("n"),
+            F.sum("n_postings").alias("n_seg"),
         )
-        .collect()
-    )  # bounded: <= |terms| * WAND_TIERS rows
+    else:
+        seg = F.col(attr_eq[0]) == F.lit(attr_eq[1])
+        agg = imp.groupBy("word", "tier").agg(
+            F.max(F.when(seg, F.col("max_tf"))).alias("max_tf"),
+            F.min(F.when(seg, F.col("min_dl"))).alias("min_dl"),
+            F.sum("n_postings").alias("n"),
+            F.sum(F.when(seg, F.col("n_postings")).otherwise(F.lit(0))).alias(
+                "n_seg"
+            ),
+        )
+    blocks = agg.collect()  # bounded: <= |terms| * WAND_TIERS rows
     info: dict[str, dict[int, tuple]] = {}
     for r in blocks:
-        info.setdefault(r.word, {})[r.tier] = (r.max_tf, r.min_dl, r.n)
+        info.setdefault(r.word, {})[r.tier] = (r.max_tf, r.min_dl, r.n, r.n_seg)
     if not info:
         return None
+    # corpus-wide df across ALL segments — idf must not drift with the
+    # filter (the Lucene filter contract: same scores, smaller universe)
     dfreq = {w: float(sum(t[2] for t in tiers.values())) for w, tiers in info.items()}
+    if attr_eq is not None:
+        # prune (word, tier) blocks with zero allowed postings: no
+        # allowed doc scores there, so the probe never reads them
+        info = {
+            w: {t: v for t, v in tiers.items() if v[3]}
+            for w, tiers in info.items()
+        }
+        info = {w: tiers for w, tiers in info.items() if tiers}
+        if not info:
+            return None
     idf = {
         w: math.log((n_corpus - dfreq[w] + 0.5) / (dfreq[w] + 0.5) + 1.0)
         for w in info
@@ -861,7 +949,7 @@ def _wand_pricing_uncached(
     ub = {
         (w, t): idf[w] * _bm25_sat(mx, mn, avgdl)
         for w, tiers in info.items()
-        for t, (mx, mn, _) in tiers.items()
+        for t, (mx, mn, _n, _ns) in tiers.items()
     }
     # MaxScore split: ESSENTIAL (rare, high-idf) terms' posting lists
     # are short — read them whole in phase 1, so every doc carrying a
@@ -886,13 +974,16 @@ def _wand_pricing_uncached(
     # exact block sizes from the sidecar: the bytes-read claim in
     # numbers — phase 1 scores n_postings_p1 rows; the remaining
     # n_postings_deferred are never read at full width (skipped
-    # outright when no candidate needs them, else candidate-pruned)
-    n_p1_rows = sum(info[w][t][2] for w, ts in p1_tiers.items() for t in ts)
+    # outright when no candidate needs them, else candidate-pruned).
+    # Counts are SEGMENT rows (== all rows when unfiltered): the rows
+    # the probe actually scores after any attr predicate.
+    n_p1_rows = sum(info[w][t][3] for w, ts in p1_tiers.items() for t in ts)
+    n_seg_total = sum(v[3] for tiers in info.values() for v in tiers.values())
     stats.update(
         n_blocks_total=len(ub),
         n_blocks_p1=sum(len(ts) for ts in p1_tiers.values()),
         n_postings_p1=int(n_p1_rows),
-        n_postings_deferred=int(sum(d for d in dfreq.values()) - n_p1_rows),
+        n_postings_deferred=int(n_seg_total - n_p1_rows),
     )
     p1_paths = sorted(
         {
@@ -933,7 +1024,11 @@ def _wand_pricing_uncached(
 
 
 def bm25_wand_topk(
-    spark: SparkSession, index_dir: str, terms: list[str], top: int
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    top: int,
+    attr_eq: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-``top`` via impact-bound two-phase pruning — the
     WAND/MaxScore family adapted to the tiered posting layout. Same
@@ -979,6 +1074,22 @@ def bm25_wand_topk(
     Reference: the per-word KeyValueStore serving contract of
     WikipediaStatsStreamTask.java:30-75 at toy scale; Broder et al.
     (CIKM'03) WAND and the MaxScore family for the bound discipline.
+
+    ``attr_eq`` (r11, filtered retrieval): an ``(attr, value)``
+    equality over a metadata column the layout denormalizes onto
+    postings AND segments the ``_impacts`` sidecar by
+    (``build_bm25_index(attr_cols=...)``). The predicate is applied
+    to EVERY posting read — phase 1 (so θ is the k-th best partial
+    AMONG ALLOWED DOCS), phase 2 completion, and the fallback — so a
+    filtered-out doc can never enter the accumulator, survive the θ
+    cut, or be resurrected by candidate completion. Pricing reads the
+    predicate's own sidecar SEGMENT: bounds/slack are maxima over the
+    allowed subset (admissible for it by definition, and TIGHT — a
+    corpus-wide bound would rarely beat the filtered θ), and blocks
+    with no allowed posting leave the read set entirely. Scores are
+    UNCHANGED from the unfiltered probe (idf from df summed across
+    all segments; sidecar N/avgdl — the Lucene filter contract);
+    only the ranked universe shrinks.
     """
     import json as _json
     import math
@@ -989,14 +1100,20 @@ def bm25_wand_topk(
     n_corpus = st["n_docs"]
     avgdl = st["avgdl"] or 1.0
     terms = list(dict.fromkeys(terms))
+    where = None if attr_eq is None else (F.col(attr_eq[0]) == F.lit(attr_eq[1]))
 
     def _fallback(reason: str, stats: dict) -> DataFrame:
         stats["fallback"] = reason
+        stats.setdefault(
+            "n_round_trips", stats.get("n_pricing_round_trips", 0)
+        )
         bm25_wand_topk.last_stats = stats
-        return bm25_topk_from_index(spark, index_dir, terms, top)
+        return bm25_topk_from_index(spark, index_dir, terms, top, where=where)
 
     stats: dict = {"fallback": None}
-    pr = _wand_pricing(spark, index_dir, terms, avgdl, n_corpus, stats)
+    pr = _wand_pricing(
+        spark, index_dir, terms, avgdl, n_corpus, stats, attr_eq=attr_eq
+    )
     if pr is None:
         return _fallback("no_blocks", stats)
     info, p1_tiers, wslack = pr["info"], pr["p1_tiers"], pr["wslack"]
@@ -1011,7 +1128,7 @@ def bm25_wand_topk(
     contrib = (
         spark.read.option("basePath", index_dir)
         .parquet(*p1_paths)
-        .filter(p1_cond)
+        .filter(p1_cond if where is None else (p1_cond & where))
         .join(F.broadcast(qinfo), "word")
         .select(
             "doc_id",
@@ -1045,6 +1162,11 @@ def bm25_wand_topk(
         .limit(WAND_CANDIDATE_CAP + 1)
         .collect()
     )
+    # serving round-trip telemetry (r11, VERDICT r10 #6): pricing jobs
+    # (0 on a cache hit) + the accumulator checkpoint + the θ/cand
+    # collect — the probe's total driver actions before the lazy final
+    # plan. The fallback paths inherit whatever ran before they bailed.
+    stats["n_round_trips"] = stats.get("n_pricing_round_trips", 0) + 2
     if not cand_rows or cand_rows[0].k < top:
         # fewer than k phase-1 docs: θ is not a valid k-th bound
         return _fallback("under_k", stats)
@@ -1081,7 +1203,9 @@ def bm25_wand_topk(
         add = (
             spark.read.option("basePath", index_dir)
             .parquet(*pr["p2_paths"])
-            .filter(pr["p2_cond"])
+            .filter(
+                pr["p2_cond"] if where is None else (pr["p2_cond"] & where)
+            )
             .join(need_df, "doc_id", "left_semi")
             .join(F.broadcast(qinfo), "word")
             .groupBy("doc_id")
@@ -1409,6 +1533,7 @@ def bm25_batch_wand_topk(
     index_dir: str,
     queries: tuple[tuple[str, ...], ...],
     top: int,
+    collect_stats: bool | None = None,
 ) -> DataFrame:
     """Per-query impact-bound pruning composed with the batch fanout —
     ``bm25_wand_topk``'s discipline at query volume: ONE phase-1 read
@@ -1429,6 +1554,11 @@ def bm25_batch_wand_topk(
     never a doc list. Telemetry in ``last_stats``."""
     import json as _json
 
+    if collect_stats is None:
+        # default ON (bench/tests pin the crossover telemetry); a
+        # latency-sensitive serving caller passes False (or sets the
+        # env) to skip the two extra count() actions per probe.
+        collect_stats = os.environ.get("SPARK_GRAFT_WAND_STATS", "1") != "0"
     eps = 1e-9
     with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
         st = _json.load(fh)
@@ -1522,9 +1652,11 @@ def bm25_batch_wand_topk(
         # 100 TB — record its size before the θ cut (matches ≈
         # Σ_q df(q)) and after (candidates ≈ k·queries + slack), so
         # the shrink is a measured curve per scale point, not an
-        # argument. Two bounded counts over checkpointed relations.
-        stats["n_accumulator_rows"] = agg1.count()
-        stats["n_candidate_rows"] = cand.count()
+        # argument. Two bounded counts over checkpointed relations —
+        # gated (ADVICE r10): serving callers skip the extra actions.
+        if collect_stats:
+            stats["n_accumulator_rows"] = agg1.count()
+            stats["n_candidate_rows"] = cand.count()
         if pr["p2_paths"]:
             p2c = (
                 spark.read.option("basePath", index_dir)
@@ -1848,6 +1980,32 @@ def _documents_bm25_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _documents_bm25_label_index(spark: SparkSession, sf_dir: str) -> str:
+    """The ATTRIBUTE-BEARING BM25 layout filtered retrieval serves
+    from: each posting row carries the doc's ``label`` (joined from
+    the embeddings side of the corpus at build time, ``doc_id ≡
+    vec_id``), so a label equality pushes to the posting parquet scan
+    itself — the lexical twin of the attr-bearing IVF layouts
+    (``ann_index.build_ivf_index(attrs=...)``). Docs without an
+    embedding row index with a NULL label (they can never match an
+    equality — the same inner-join semantics as the oracle). A
+    separate layout dir from the plain index: attribute denormalizing
+    is a build-time schema choice, exactly as in production."""
+    from ..operators.ann_index import _index_root, _tag
+    from ..session import load_table
+
+    out = os.path.join(_index_root(), _tag(sf_dir), "bm25_documents_label")
+    if not _bm25_built(out):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        lab = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "label"
+        )
+        build_bm25_index(
+            spark, docs.join(lab, "doc_id", "left"), out, attr_cols=("label",)
+        )
+    return out
+
+
 def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``bm25_search``'s ranked top-20 served from the BM25 posting
     layout instead of a per-query corpus tokenize — the fourth member
@@ -1889,15 +2047,27 @@ ORACLES["bm25_search_indexed"] = _bm25_oracle()
 WAND_QUERY_TERMS = ("dup", "join", "window")
 
 
-def _bm25_oracle_for(terms: tuple[str, ...]) -> str:
+def _bm25_oracle_for(terms: tuple[str, ...], label: int | None = None) -> str:
     """The bm25_search DuckDB program with a parameterized term list —
     character-identical scoring (same idf, same saturation, same 4-dp
     round + doc_id tiebreak), so the WAND key's oracle is the SAME
-    first-principles replay the scan path answers to."""
+    first-principles replay the scan path answers to.
+
+    ``label`` (r11): the filtered-retrieval twin — ranked universe
+    restricted to docs whose embeddings-side label matches, with df /
+    N / avgdl still corpus-wide (the Lucene filter contract the
+    filtered probes implement: same scores, smaller universe)."""
     from ..operators.retrieval import BM25_B, BM25_K1, BM25_TOP
     from ..operators.text_analysis import _WORDS_SQL
 
     terms_sql = ", ".join(f"'{t}'" for t in terms)
+    label_join = (
+        ""
+        if label is None
+        else f"""
+        JOIN (SELECT vec_id AS doc_id FROM embeddings
+              WHERE label = {label}) USING (doc_id)"""
+    )
     return f"""
         WITH w AS (
             SELECT doc_id, {_WORDS_SQL} AS words FROM documents
@@ -1925,7 +2095,7 @@ def _bm25_oracle_for(terms: tuple[str, ...]) -> str:
                    / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
                ), 4) AS bm25,
                CAST(count(*) AS BIGINT) AS n_terms_matched
-        FROM hits JOIN dfreq USING (word) CROSS JOIN stats
+        FROM hits JOIN dfreq USING (word) CROSS JOIN stats{label_join}
         GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id
         LIMIT {BM25_TOP}
@@ -1963,6 +2133,12 @@ WAND_SWEEP_CONFIGS = (
     ("t2_50", (0.50,)),
     ("t3_60_45", (WAND_TIER_HI, WAND_TIER_MID)),
     ("t4_65_50_35", (0.65, 0.50, 0.35)),
+)
+
+_WAND_SWEEP_SCHEMA = (
+    "config STRING, n_tiers INT, cfg_order INT, n_blocks INT, "
+    "n_blocks_p1 INT, n_postings_p1 BIGINT, n_postings_deferred BIGINT, "
+    "slack_micro BIGINT"
 )
 
 
@@ -2008,6 +2184,12 @@ def wand_tier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             if os.path.isdir(p := os.path.join(index_dir, f"tbucket={b}"))
         }
     )
+    if not paths:
+        # degenerate corpus: none of the pinned query terms has a
+        # posting bucket — return the typed empty decision table
+        # instead of letting spark.read.parquet() raise on zero paths
+        # (mirrors bm25_batch_from_index's empty-workload guard).
+        return spark.createDataFrame([], _WAND_SWEEP_SCHEMA)
     post = (
         spark.read.option("basePath", index_dir)
         .parquet(*paths)
@@ -2088,12 +2270,155 @@ def wand_tier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(sum(wslack.values()) * 1_000_000),
             )
         )
-    return spark.createDataFrame(
-        out,
-        "config STRING, n_tiers INT, cfg_order INT, n_blocks INT, "
-        "n_blocks_p1 INT, n_postings_p1 BIGINT, n_postings_deferred BIGINT, "
-        "slack_micro BIGINT",
+    return spark.createDataFrame(out, _WAND_SWEEP_SCHEMA)
+
+
+_WAND_WORKLOAD_SWEEP_SCHEMA = (
+    "config STRING, n_tiers INT, cfg_order INT, n_queries INT, "
+    "n_blocks INT, n_blocks_p1 INT, n_postings_p1 BIGINT, "
+    "n_postings_deferred BIGINT, workload_slack_micro BIGINT, "
+    "n_zero_slack_queries INT"
+)
+
+
+def wand_tier_sweep_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tier-cut decision table priced against the WORKLOAD (r11,
+    VERDICT r10 #5): ``wand_tier_sweep`` prices configs for ONE
+    pinned query, but real tier cuts are chosen against a query MIX —
+    so this sweeps the same configs over the 240-query mixed-
+    vocabulary workload ``bm25_batch_wand`` actually serves
+    (``_mixed_vocab`` head+tail × ``_wide_queries``), replaying the
+    batch probe's own pricing structure per config:
+
+    - union-level (the batch plan reads phase 1 ONCE for the union
+      vocabulary): blocks total / phase-1, postings scored in phase 1
+      vs deferred — for the production config these integers are
+      pytest-pinned EQUAL to the served ``bm25_batch_wand``
+      telemetry, so the sweep prices exactly what serving executes;
+    - per-query: Σ_q slack_q (micro-units — the pressure each
+      query's θ_q must beat; lower ⇒ more of the workload prunes)
+      and the count of zero-slack queries (all-essential term sets —
+      prunable whenever they fill their top-k, regardless of θ).
+
+    One bucket-pruned posting read of the union vocabulary prices
+    every config (tier membership re-derived in-query, no alternative
+    layouts built); driver state ≤ |configs|·|union|·tiers rows plus
+    the 240 query slack sums. Rows-only like ``wand_tier_sweep``
+    (slack rides float idf·saturation; the integer columns are
+    exact)."""
+    import json as _json
+    import math
+
+    from ..operators.retrieval import BM25_K1
+
+    index_dir = _documents_bm25_index(spark, sf_dir)
+    with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
+        st = _json.load(fh)
+    n_corpus = st["n_docs"]
+    avgdl = st["avgdl"] or 1.0
+    vocab = _mixed_vocab(spark, index_dir)
+    queries = _wide_queries(vocab)
+    union_terms = sorted({t for q in queries for t in q})
+    if not union_terms:
+        return spark.createDataFrame([], _WAND_WORKLOAD_SWEEP_SCHEMA)
+    bmap = _term_bucket_map(spark, union_terms)
+    paths = sorted(
+        {
+            p
+            for b in set(bmap.values())
+            if os.path.isdir(p := os.path.join(index_dir, f"tbucket={b}"))
+        }
     )
+    if not paths:
+        return spark.createDataFrame([], _WAND_WORKLOAD_SWEEP_SCHEMA)
+    post = (
+        spark.read.option("basePath", index_dir)
+        .parquet(*paths)
+        .filter(F.col("word").isin(*union_terms))
+        .select("word", "tf", "dl")
+    )
+    snorm = _bm25_sat(F.col("tf"), F.col("dl"), avgdl) / (BM25_K1 + 1)
+    per_config = []
+    for name, cuts in WAND_SWEEP_CONFIGS:
+        tier = F.lit(0)
+        for c in cuts:
+            tier = tier + F.when(snorm < F.lit(float(c)), 1).otherwise(0)
+        per_config.append(
+            post.withColumn("cfg", F.lit(name)).withColumn(
+                "tier", tier.cast("int")
+            )
+        )
+    allp = per_config[0]
+    for p in per_config[1:]:
+        allp = allp.unionByName(p)
+    rows = (
+        allp.groupBy("cfg", "word", "tier")
+        .agg(
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )  # bounded: |configs| * |union| * tiers
+
+    by_cfg: dict[str, dict] = {}
+    for r in rows:
+        by_cfg.setdefault(r.cfg, {}).setdefault(r.word, {})[r.tier] = (
+            r.max_tf,
+            r.min_dl,
+            r.n,
+        )
+    order = {name: i for i, (name, _) in enumerate(WAND_SWEEP_CONFIGS)}
+    out = []
+    for name, cuts in WAND_SWEEP_CONFIGS:
+        info = by_cfg.get(name, {})
+        dfreq = {w: float(sum(t[2] for t in ts.values())) for w, ts in info.items()}
+        idf = {
+            w: math.log((n_corpus - dfreq[w] + 0.5) / (dfreq[w] + 0.5) + 1.0)
+            for w in info
+        }
+        ub = {
+            (w, t): idf[w] * _bm25_sat(mx, mn, avgdl)
+            for w, ts in info.items()
+            for t, (mx, mn, _) in ts.items()
+        }
+        # the production MaxScore split over the UNION vocabulary —
+        # exactly what bm25_batch_wand's shared phase-1 read prices
+        p1_tiers: dict[str, set] = {}
+        for w, ts in info.items():
+            if dfreq[w] <= WAND_ESSENTIAL_DF_FRAC * n_corpus:
+                p1_tiers[w] = set(ts)
+            else:
+                p1_tiers[w] = {
+                    max(ts, key=lambda t, _w=w: (ub[(_w, t)], -t))
+                }
+        wslack = {
+            w: max(
+                (ub[(w, t)] for t in ts if t not in p1_tiers[w]), default=0.0
+            )
+            for w, ts in info.items()
+        }
+        n_p1 = sum(info[w][t][2] for w, ts in p1_tiers.items() for t in ts)
+        total = int(sum(dfreq.values()))
+        slack_q = [
+            sum(wslack[w] for w in dict.fromkeys(q) if w in info)
+            for q in queries
+        ]
+        out.append(
+            (
+                name,
+                len(cuts) + 1,
+                int(order[name]),
+                len(queries),
+                len(ub),
+                sum(len(ts) for ts in p1_tiers.values()),
+                int(n_p1),
+                int(total - n_p1),
+                int(sum(slack_q) * 1_000_000),
+                sum(1 for s in slack_q if s == 0.0),
+            )
+        )
+    return spark.createDataFrame(out, _WAND_WORKLOAD_SWEEP_SCHEMA)
 
 
 def bm25_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2394,4 +2719,5 @@ QUERIES = {
     "bm25_batch_wand": bm25_batch_wand,
     "bm25_ingest_audit": bm25_ingest_audit,
     "wand_tier_sweep": wand_tier_sweep,
+    "wand_tier_sweep_workload": wand_tier_sweep_workload,
 }

@@ -433,6 +433,76 @@ def ann_serving_job(
     )
 
 
+def hybrid_serving_job(
+    query_stream: DataFrame,
+    bm25_index_dir: str,
+    sq8_index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    attr_eq: tuple[str, object] | None = None,
+) -> StreamingQuery:
+    """Serve HYBRID (lexical + vector) queries from a stream against
+    the CURRENT committed layouts — the streaming twin of
+    ``similarity.hybrid_search_indexed`` (r11, VERDICT r10 #3) and the
+    enrich-at-query-time contract of the reference's
+    StreamTableJoinExample (cookbook/StreamTableJoinExample.java):
+    each streamed (query_id, terms, v) row is answered by joining it
+    against committed index state, never by scanning the corpus.
+
+    Per micro-batch: resolve the SQ8 corpus manifest ONCE (every
+    query in the batch reads one committed snapshot — a mid-batch
+    commit is invisible until the next batch, the trilogy's
+    snapshot-isolation discipline), then serve each query through
+    ``similarity.hybrid_topk_from_layouts`` — the SAME function the
+    batch keys call, so batch-parity is structural: the WAND
+    tier-pruned BM25 leg (layout_version-keyed pricing cache makes
+    repeat vocabularies cheap across batches AND restarts), the SQ8
+    ADC shortlist + exact snapshot rerank, rank-only RRF. Results
+    land exactly-once under replay (``_write_results_idempotent``).
+    ``attr_eq`` serves the FILTERED hybrid (label predicate pre-cut
+    on both legs) when the layouts are attribute-bearing.
+
+    Scale: per-query cost is index-sized on both legs (tier-pruned
+    posting blocks, DIM-byte code words, M rerank vectors); driver
+    state is the micro-batch's query rows plus bounded WAND pricing.
+    """
+    from ..operators.ann_index import read_index_manifest
+    from ..operators.similarity import hybrid_topk_from_layouts
+
+    def _serve(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        queries = batch.select("query_id", "terms", "v").collect()
+        # one manifest read per batch: snapshot isolation for the
+        # whole micro-batch (same contract as ivf/pq serving)
+        man = read_index_manifest(f"{sq8_index_dir}/corpus")
+        per_query = []
+        for q in queries:
+            fused = hybrid_topk_from_layouts(
+                spark,
+                bm25_index_dir,
+                sq8_index_dir,
+                [str(t) for t in q.terms],
+                np.asarray(q.v, dtype=float),
+                attr_eq=attr_eq,
+                man=man,
+            )
+            per_query.append(
+                fused.select(
+                    F.lit(int(q.query_id)).alias("query_id"), "*"
+                )
+            )
+        _write_results_idempotent(per_query, out_dir, batch_id)
+
+    return (
+        query_stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def ivf_serving_job(
     query_stream: DataFrame,
     index_dir: str,

@@ -127,7 +127,9 @@ def test_hybrid_indexed_survives_wand_fallback_corpus(spark, tmp_path, monkeypat
     )
     emb.write.parquet(os.path.join(sf, "embeddings.parquet"))
 
-    similarity._QUERY_VEC_CACHE.pop(sf, None)
+    # no manual cache pop needed: _QUERY_VEC_CACHE keys on the
+    # embeddings-file fingerprint, so this fresh corpus dir can never
+    # be served a stale vector (the r10 footgun, ADVICE-fixed in r11).
     rows = similarity.hybrid_search_indexed(spark, sf).collect()
     st = inverted.bm25_wand_topk.last_stats
     assert st["fallback"] is not None  # the bound really could not prune
@@ -139,3 +141,99 @@ def test_hybrid_indexed_survives_wand_fallback_corpus(spark, tmp_path, monkeypat
     # matches all 3 terms, so the fused lex side must carry real ranks
     assert any(r.lex_rank >= 1 for r in rows)
     assert any(r.vec_rank >= 1 for r in rows)
+
+
+def test_query_vec_cache_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """r11 (ADVICE r10): the per-corpus query-vector cache keys on the
+    embeddings-file fingerprint (mtime_ns, size), so a process that
+    REWRITES embeddings in the same corpus dir gets the fresh vector —
+    the stale-vector footgun the r10 fallback test had to dodge with a
+    manual cache pop."""
+    import os
+    import time
+
+    import numpy as np
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+
+    def write(scale: float) -> None:
+        emb = spark.createDataFrame(
+            [
+                (i, [float(scale * (j + 1 + i)) for j in range(64)])
+                for i in range(3)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        emb.write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+
+    write(1.0)
+    v1 = similarity._query_vector(spark, sf)
+    # cache hit: same fingerprint returns the identical object
+    assert similarity._query_vector(spark, sf) is v1
+    time.sleep(0.02)  # ensure distinguishable mtime_ns on coarse clocks
+    write(2.0)
+    v2 = similarity._query_vector(spark, sf)
+    assert not np.allclose(v1, v2)
+    assert np.allclose(2.0 * v1, v2)
+
+
+def test_hybrid_round_trip_telemetry_and_sidecar_caches(
+    spark, tmp_path, monkeypatch
+):
+    """r11 (VERDICT r10 #6): the hybrid probe records its driver
+    round-trips, and a REPEATED probe executes only the WAND
+    accumulator/candidate actions — pricing, SQ8 codec meta, and the
+    corpus manifest all serve from restart-safe plain-data caches
+    (fingerprint-keyed, zero Spark objects)."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    similarity.hybrid_search_indexed(spark, SF_DIR).collect()
+    st1 = dict(similarity.hybrid_topk_from_layouts.last_stats)
+    # fresh layout dir: the first probe priced (2 jobs) + checkpoint +
+    # candidate collect, and read both sidecars from disk
+    assert st1["wand_pricing_cached"] is False
+    assert st1["wand_round_trips"] == 4
+
+    similarity.hybrid_search_indexed(spark, SF_DIR).collect()
+    st2 = dict(similarity.hybrid_topk_from_layouts.last_stats)
+    assert st2["wand_pricing_cached"] is True
+    assert st2["wand_round_trips"] == 2  # checkpoint + θ/cand collect only
+    assert st2["sq8_meta_cached"] is True
+    assert st2["manifest_cached"] is True
+
+
+def test_sidecar_cache_copy_safe_and_invalidates_on_publish(
+    spark, tmp_path, monkeypatch
+):
+    """The sidecar cache hands out deep copies (a caller mutating its
+    manifest cannot poison later probes) and keys on the file
+    fingerprint (a new snapshot commit moves it — no stale manifest
+    can ever be served)."""
+    from samza_hello_samza_spark.operators import ann_index
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    idx = similarity._sq8_index(spark, SF_DIR)
+    corpus = f"{idx}/corpus"
+
+    man = ann_index.read_index_manifest(corpus)
+    v0 = man["version"]
+    man["files"].append("poison.parquet")  # caller-side mutation
+    again = ann_index.read_index_manifest(corpus)
+    assert "poison.parquet" not in again["files"]
+    assert ann_index.read_index_manifest.last_cached is True
+
+    # no Spark objects in the cache (restart-safe plain data)
+    for v in ann_index._SIDECAR_JSON_CACHE.values():
+        assert isinstance(v, dict)
+
+    # a publish moves the fingerprint: the next read is fresh
+    import time
+
+    time.sleep(0.02)
+    ann_index.commit_index_snapshot(corpus)
+    man2 = ann_index.read_index_manifest(corpus)
+    assert man2["version"] >= v0
+    # and SQ8 meta hits on repeat
+    ann_index.read_sq8_meta(idx)
+    ann_index.read_sq8_meta(idx)
+    assert ann_index.read_sq8_meta.last_cached is True

@@ -1156,3 +1156,131 @@ def test_wand_tier_sweep_production_row_equals_served_pricing(spark, tmp_path, m
     assert prod.n_postings_p1 == st["n_postings_p1"]
     assert prod.n_postings_deferred == st["n_postings_deferred"]
     assert abs(prod.slack_micro - round(st["total_slack"] * 1_000_000)) <= 1
+
+
+def test_wand_tier_sweep_empty_corpus_returns_typed_empty(spark, tmp_path, monkeypatch):
+    """r11 (ADVICE r10): when none of the pinned query terms has a
+    posting bucket (empty/degenerate corpus), the sweep returns the
+    typed empty decision table instead of raising on a zero-path
+    parquet read — mirroring the batch plans' empty-workload guard."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(8)], "doc_id long, text string"
+    )
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+
+    out = inverted.wand_tier_sweep(spark, sf)
+    assert out.count() == 0
+    assert out.columns == [
+        "config", "n_tiers", "cfg_order", "n_blocks", "n_blocks_p1",
+        "n_postings_p1", "n_postings_deferred", "slack_micro",
+    ]
+
+
+def test_batch_wand_stats_gate_skips_counts_same_relation(spark, tmp_path, monkeypatch):
+    """r11 (ADVICE r10): the crossover-telemetry counts are two extra
+    count() jobs per probe — a latency-sensitive serving caller passes
+    collect_stats=False (or SPARK_GRAFT_WAND_STATS=0) and must get the
+    IDENTICAL relation with the accumulator/candidate keys absent."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    idx = inverted._documents_bm25_index(spark, SF_DIR)
+    queries = inverted.BM25_BATCH_QUERIES
+
+    on = sorted(
+        map(tuple, inverted.bm25_batch_wand_topk(spark, idx, queries, 10).collect())
+    )
+    st_on = dict(inverted.bm25_batch_wand_topk.last_stats)
+
+    off = sorted(
+        map(
+            tuple,
+            inverted.bm25_batch_wand_topk(
+                spark, idx, queries, 10, collect_stats=False
+            ).collect(),
+        )
+    )
+    st_off = dict(inverted.bm25_batch_wand_topk.last_stats)
+
+    assert on == off  # the gate is telemetry-only, relation-invisible
+    if st_on.get("n_prunable", 0) > 0:
+        assert "n_accumulator_rows" in st_on and "n_candidate_rows" in st_on
+    assert "n_accumulator_rows" not in st_off
+    assert "n_candidate_rows" not in st_off
+    # routing telemetry (cheap driver ints) stays in both modes
+    assert st_off["n_prunable"] + st_off["n_fallback"] == len(queries)
+
+    # env toggle path: SPARK_GRAFT_WAND_STATS=0 defaults the gate off
+    monkeypatch.setenv("SPARK_GRAFT_WAND_STATS", "0")
+    inverted.bm25_batch_wand_topk(spark, idx, queries, 10).collect()
+    assert "n_accumulator_rows" not in inverted.bm25_batch_wand_topk.last_stats
+
+
+def test_wand_workload_sweep_production_row_equals_batch_pricing(
+    spark, tmp_path, monkeypatch
+):
+    """r11 (VERDICT r10 #5): the workload sweep's production config
+    must price EXACTLY what the served 240-query batch executes — the
+    union-level integers equal `bm25_batch_wand`'s own telemetry, and
+    the counterfactual configs carry the decision-table structure
+    (flat defers nothing with zero slack; deeper cuts defer more while
+    raising the slack each query's θ must beat)."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    out = {
+        r.config: r
+        for r in inverted.wand_tier_sweep_workload(spark, SF_DIR).collect()
+    }
+    assert set(out) == {n for n, _ in inverted.WAND_SWEEP_CONFIGS}
+
+    inverted.bm25_batch_wand(spark, SF_DIR).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    st = inverted.bm25_batch_wand_topk.last_stats
+    prod = out["t3_60_45"]  # the production WAND_TIER_HI/MID cuts
+    assert prod.n_queries == st["n_queries"]
+    assert prod.n_blocks == st["n_blocks_total"]
+    assert prod.n_blocks_p1 == st["n_blocks_p1"]
+    assert prod.n_postings_p1 == st["n_postings_p1"]
+    assert prod.n_postings_deferred == st["n_postings_deferred"]
+
+    flat = out["flat"]
+    assert flat.n_postings_deferred == 0
+    assert flat.workload_slack_micro == 0
+    assert flat.n_zero_slack_queries == flat.n_queries
+    # deeper tiering defers weakly more postings and costs weakly
+    # more workload slack — the tradeoff the table prices
+    ordered = [out[n] for n, _ in inverted.WAND_SWEEP_CONFIGS]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.n_postings_deferred <= b.n_postings_deferred
+        assert a.workload_slack_micro <= b.workload_slack_micro
+    # conservation: every config prices the same workload postings
+    for r in out.values():
+        assert r.n_postings_p1 + r.n_postings_deferred == (
+            flat.n_postings_p1
+        )
+
+
+def test_wand_workload_sweep_empty_corpus_returns_typed_empty(
+    spark, tmp_path, monkeypatch
+):
+    """Empty/degenerate corpus → the typed empty decision table, like
+    the single-query sweep's r11 guard."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(8)], "doc_id long, text string"
+    )
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    out = inverted.wand_tier_sweep_workload(spark, sf)
+    assert out.count() == 0
+    assert out.columns == [
+        "config", "n_tiers", "cfg_order", "n_queries", "n_blocks",
+        "n_blocks_p1", "n_postings_p1", "n_postings_deferred",
+        "workload_slack_micro", "n_zero_slack_queries",
+    ]

@@ -2303,3 +2303,107 @@ def test_restore_flows_through_join_mv_applier_exactly_once(spark, tmp_path):
     assert n > 0  # drained the re-publication ...
     assert mv_rows() == v1_rows  # ... changed nothing
     assert mv.versions() == v_before  # ... and committed nothing
+
+
+# -- hybrid serving (r11, VERDICT r10 #3) -----------------------------------
+
+
+def test_hybrid_serving_job_matches_batch_core(spark, tmp_path, monkeypatch):
+    """Streamed (query_id, terms, v) rows must return EXACTLY what the
+    batch core (`hybrid_topk_from_layouts` — the same function the
+    registered keys call) returns for the same inputs: parity is
+    structural, and this pins the plumbing (per-batch manifest pin,
+    collect shape, idempotent sink) around it."""
+    from samza_hello_samza_spark.sources import inverted
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    bm25_idx = inverted._documents_bm25_index(spark, SF_DIR)
+    sq8_idx = similarity._sq8_index(spark, SF_DIR)
+
+    rng = np.random.default_rng(11)
+    qvec0 = similarity._query_vector(spark, SF_DIR)
+    qvec1 = qvec0 + rng.normal(scale=0.05, size=qvec0.shape)
+    workload = [
+        (0, list(inverted.WAND_QUERY_TERMS), [float(x) for x in qvec0]),
+        (1, ["spark", "join", "window"], [float(x) for x in qvec1]),
+    ]
+    schema = "query_id BIGINT, terms ARRAY<STRING>, v ARRAY<DOUBLE>"
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(workload, schema).write.parquet(qdir)
+    stream = spark.readStream.schema(schema).parquet(qdir)
+    out = str(tmp_path / "results")
+    q = maintenance.hybrid_serving_job(
+        stream, bm25_idx, sq8_idx, out, str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got: dict[int, list] = {}
+    for r in spark.read.parquet(out).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.doc_id, r.lex_rank, r.vec_rank, r.bm25, r.cosine, r.rrf)
+        )
+    for qid, terms, v in workload:
+        want = [
+            tuple(r)
+            for r in similarity.hybrid_topk_from_layouts(
+                spark, bm25_idx, sq8_idx, terms, np.asarray(v)
+            ).collect()
+        ]
+        assert sorted(got[qid]) == sorted(want), qid
+        assert len(want) > 0
+
+
+def test_hybrid_serving_job_snapshot_isolation(spark, tmp_path, monkeypatch):
+    """The trilogy's snapshot discipline on the hybrid tier: batch 1
+    is served against snapshot v1; a writer commits an exact clone of
+    the query vector between batches; batch 2 (same query) sees the
+    clone at vec rank 1 while batch 1's results are untouched."""
+    from samza_hello_samza_spark.sources import inverted
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    bm25_idx = inverted._documents_bm25_index(spark, SF_DIR)
+    sq8_idx = similarity._sq8_index(spark, SF_DIR)
+    corpus_dir = os.path.join(sq8_idx, "corpus")
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+    row = [float(x) for x in qvec]
+    terms = list(inverted.WAND_QUERY_TERMS)
+    schema = "query_id BIGINT, terms ARRAY<STRING>, v ARRAY<DOUBLE>"
+    qdir = str(tmp_path / "queries")
+    os.makedirs(qdir)
+    spark.createDataFrame([(100, terms, row)], schema).write.parquet(
+        os.path.join(qdir, "f1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(qdir, "*"))
+    )
+    out = str(tmp_path / "results")
+    q = maintenance.hybrid_serving_job(
+        stream, bm25_idx, sq8_idx, out, str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()  # batch 1: snapshot v1
+        ann_index.append_ivf_index(spark, sq8_idx, _query_clone_df(spark))
+        ann_index.commit_index_snapshot(corpus_dir)
+        spark.createDataFrame([(101, terms, row)], schema).write.parquet(
+            os.path.join(qdir, "f2")
+        )
+        q.processAllAvailable()  # batch 2: snapshot v2
+    finally:
+        q.stop()
+
+    got: dict[int, dict] = {}
+    for r in spark.read.parquet(out).collect():
+        got.setdefault(r.query_id, {})[r.doc_id] = r
+    assert NEW_VEC_ID not in got[100], "batch 1 leaked the mid-stream commit"
+    assert NEW_VEC_ID in got[101], "batch 2 missed the committed snapshot"
+    # the clone IS the query: cosine exactly 1.0, and only the corpus
+    # copy of the query vector itself (lower vec_id wins the tie) can
+    # outrank it
+    assert got[101][NEW_VEC_ID].cosine == 1.0
+    assert got[101][NEW_VEC_ID].vec_rank <= 2

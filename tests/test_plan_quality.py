@@ -63,6 +63,7 @@ NONEQUI_OK = {
     "ann_ivf_topk",
     "ann_batch_topk",       # query-batch broadcast scoring
     "ann_sq8_batch_topk",   # query-batch broadcast ADC scoring (5-row build side)
+    "ann_sq8_batch_wide",   # query-batch broadcast ADC scoring (240-row build side)
     "hybrid_batch_indexed",  # inherits the batch ADC's 5-row broadcast scoring
     "hard_negative_mining",  # anchor-batch broadcast scoring
     "audience_kmv_setops",  # bounded |event_types|² pair-frame cross

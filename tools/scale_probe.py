@@ -247,6 +247,14 @@ WARMED_PROBE_OPS = (
     "hybrid_batch_indexed",
     # r10: tier-cut decision table over the pinned terms' postings.
     "wand_tier_sweep",
+    # r11: filtered hybrid — label-attr BM25 (segmented impacts) +
+    # attr SQ8 layouts build warmed; timed run is the two
+    # label-pushed pruned probes + 20-row RRF fusion.
+    "hybrid_filtered_indexed",
+    # r11: wide ADC batch (one code scan, 240-query window fanout)
+    # and the workload tier sweep (one pruned union posting read).
+    "ann_sq8_batch_wide",
+    "wand_tier_sweep_workload",
 )
 
 #: join/agg/window headliners probed under planted key skew — the ops
