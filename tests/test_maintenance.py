@@ -2407,3 +2407,52 @@ def test_hybrid_serving_job_snapshot_isolation(spark, tmp_path, monkeypatch):
     # outrank it
     assert got[101][NEW_VEC_ID].cosine == 1.0
     assert got[101][NEW_VEC_ID].vec_rank <= 2
+
+
+def test_hybrid_serving_job_filtered_variant(spark, tmp_path, monkeypatch):
+    """attr_eq on the serving job serves the FILTERED hybrid: results
+    match the batch core with the same predicate, and every returned
+    doc satisfies it (no resurrection through either leg)."""
+    from samza_hello_samza_spark.sources import inverted
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    bm25_idx = inverted._documents_bm25_label_index(spark, SF_DIR)
+    sq8_idx = similarity._sq8_index(spark, SF_DIR, attrs=("label",))
+    attr = ("label", similarity.FILTER_LABEL)
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+    terms = list(inverted.WAND_QUERY_TERMS)
+    schema = "query_id BIGINT, terms ARRAY<STRING>, v ARRAY<DOUBLE>"
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(7, terms, [float(x) for x in qvec])], schema
+    ).write.parquet(qdir)
+    stream = spark.readStream.schema(schema).parquet(qdir)
+    out = str(tmp_path / "results")
+    q = maintenance.hybrid_serving_job(
+        stream, bm25_idx, sq8_idx, out, str(tmp_path / "ck"), attr_eq=attr
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        tuple(r)[1:-1]  # drop query_id and _batch_id
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity.hybrid_topk_from_layouts(
+            spark, bm25_idx, sq8_idx, terms, qvec, attr_eq=attr
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    allowed = {
+        r.vec_id
+        for r in similarity._embeddings(spark, SF_DIR)
+        .filter(F.col("label") == attr[1])
+        .select("vec_id")
+        .collect()
+    }
+    assert all(t[0] in allowed for t in got)
