@@ -554,11 +554,16 @@ def build_bm25_index(
         .parquet(out_dir)
     )
     _write_bm25_impacts(postings, out_dir, "overwrite", attr_cols=attr_cols)
-    _write_bm25_stats(out_dir, n_docs, total_dl)
+    _write_bm25_stats(out_dir, n_docs, total_dl, attr_cols=attr_cols)
     return out_dir
 
 
-def _write_bm25_stats(index_dir: str, n_docs: int, total_dl: int) -> None:
+def _write_bm25_stats(
+    index_dir: str,
+    n_docs: int,
+    total_dl: int,
+    attr_cols: tuple[str, ...] = (),
+) -> None:
     """Publish the stats sidecar atomically. ``n_docs``/``total_dl``
     are EXACT integers, so ``avgdl = total_dl / n_docs`` equals both
     engines' avg-of-integer-dl to the double — and the sidecar folds
@@ -581,6 +586,11 @@ def _write_bm25_stats(index_dir: str, n_docs: int, total_dl: int) -> None:
         # still invalidate (stale idf/bounds would be a CORRECTNESS
         # bug for the impact-bound probes, not just a perf one).
         "layout_version": _uuid.uuid4().hex,
+        # r11: attr columns denormalized onto postings AND segmenting
+        # the _impacts sidecar — the append guard reads this (an
+        # attr-less append would write schema-mismatched impacts rows
+        # that a later read could silently drop or null out).
+        "attr_cols": list(attr_cols),
     }
     tmp = os.path.join(index_dir, "_bm25_stats.json.tmp")
     with open(tmp, "w") as fh:
@@ -609,6 +619,19 @@ def append_documents_bm25(
 
     with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
         st = _json.load(fh)
+    if st.get("attr_cols"):
+        # r11 guard: this append path is attr-less — folding it into
+        # an attribute-bearing layout would write posting rows with a
+        # NULL label and impacts rows MISSING the segment column
+        # (schema drift a later parquet read could silently null or
+        # drop), poisoning filtered pricing forever. Rebuild the attr
+        # layout instead (its builder joins the attrs at build time).
+        raise ValueError(
+            f"append_documents_bm25: layout {index_dir} carries attr "
+            f"columns {st['attr_cols']} — the attr-less ingest path "
+            "cannot fold into a segmented layout; rebuild it via "
+            "build_bm25_index(attr_cols=...)"
+        )
     words = docs.select("doc_id", _words(F.col("text")).alias("words"))
     lengths = words.select("doc_id", F.size("words").alias("dl"))
     batch = lengths.agg(
@@ -714,6 +737,14 @@ def bm25_topk_from_index(
     from ..functions.hints import maybe_broadcast
     from ..operators.retrieval import BM25_B, BM25_K1
 
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        # empty query: the typed empty ranking — a streamed query with
+        # no terms must not crash the serving tier (isin() with zero
+        # args raises), it must contribute an empty lexical leg
+        return spark.createDataFrame(
+            [], "doc_id LONG, bm25 DOUBLE, n_terms_matched LONG"
+        )
     with open(os.path.join(index_dir, "_bm25_stats.json")) as fh:
         st = _json.load(fh)
     buckets = term_buckets(spark, list(set(terms)))

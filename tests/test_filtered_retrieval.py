@@ -225,3 +225,68 @@ def test_filtered_wand_pricing_cache_keyed_per_segment(spark, tmp_path):
     assert st2["n_postings_p1"] != st3["n_postings_p1"]
     inverted.bm25_wand_topk(spark, idx, terms, 3, attr_eq=("label", 2)).collect()
     assert inverted.bm25_wand_topk.last_stats["pricing_cached"] is True
+
+
+def test_empty_term_query_serves_typed_empty_not_crash(
+    spark, tmp_path, monkeypatch
+):
+    """r11 hardening: a query with NO terms must yield the typed
+    empty lexical relation through both probes (isin() with zero args
+    raises — a streamed empty query must not crash the serving tier),
+    and the hybrid serving job must answer it with a vec-only fused
+    list."""
+    import os
+
+    import numpy as np
+
+    from samza_hello_samza_spark.streaming import maintenance
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    idx = inverted._documents_bm25_index(spark, SF_DIR)
+    cols = ["doc_id", "bm25", "n_terms_matched"]
+    flat = inverted.bm25_topk_from_index(spark, idx, [], 10)
+    assert flat.collect() == [] and flat.columns == cols
+    wand = inverted.bm25_wand_topk(spark, idx, [], 10)
+    assert wand.collect() == [] and wand.columns == cols
+
+    sq8_idx = similarity._sq8_index(spark, SF_DIR)
+    qvec = similarity._query_vector(spark, SF_DIR)
+    schema = "query_id BIGINT, terms ARRAY<STRING>, v ARRAY<DOUBLE>"
+    qdir = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(5, [], [float(x) for x in qvec])], schema
+    ).write.parquet(qdir)
+    stream = spark.readStream.schema(schema).parquet(qdir)
+    out = str(tmp_path / "results")
+    q = maintenance.hybrid_serving_job(
+        stream, idx, sq8_idx, out, str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) > 0
+    assert all(r.lex_rank == -1 and r.vec_rank >= 1 for r in rows)
+
+
+def test_attr_layout_rejects_attrless_append(spark, tmp_path):
+    """r11 hardening: the attr-less ingest path must refuse to fold
+    into an attribute-bearing layout — a blind append would write
+    NULL-label postings and schema-drifted impacts rows, silently
+    poisoning filtered pricing."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}", i % 3) for i in range(20)],
+        "doc_id long, text string, label int",
+    )
+    idx = inverted.build_bm25_index(
+        spark, docs, str(tmp_path / "idx"), attr_cols=("label",)
+    )
+    more = spark.createDataFrame(
+        [(100 + i, f"gamma delta doc{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="attr"):
+        inverted.append_documents_bm25(spark, idx, more)
