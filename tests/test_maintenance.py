@@ -2523,3 +2523,74 @@ def test_hybrid_serving_job_restart_resumes_exactly_once(
     # identical query vectors: same fused relation modulo query_id
     strip = lambda rs: sorted((r.doc_id, r.lex_rank, r.vec_rank, r.bm25, r.cosine, r.rrf) for r in rs)
     assert strip(by_q[1]) == strip(by_q[2])
+
+
+def test_hybrid_serving_sees_ingested_doc_on_both_legs(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end freshness drill for the hybrid tier: between two
+    micro-batches a writer folds a NEW document into the BM25 posting
+    layout (`append_documents_bm25` — sidecar counters fold, a fresh
+    layout_version invalidates the pricing cache) AND commits its
+    vector to the SQ8 snapshot. The SAME query served again must
+    surface the new doc on BOTH legs — lexical (it carries all three
+    query terms in a short doc) and vector (its embedding is an exact
+    clone of the query) — while batch 1's results stay untouched."""
+    from samza_hello_samza_spark.sources import inverted
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    bm25_idx = inverted._documents_bm25_index(spark, SF_DIR)
+    sq8_idx = similarity._sq8_index(spark, SF_DIR)
+    corpus_dir = os.path.join(sq8_idx, "corpus")
+
+    qvec = similarity._query_vector(spark, SF_DIR)
+    row = [float(x) for x in qvec]
+    terms = list(inverted.WAND_QUERY_TERMS)
+    schema = "query_id BIGINT, terms ARRAY<STRING>, v ARRAY<DOUBLE>"
+    qdir = str(tmp_path / "queries")
+    os.makedirs(qdir)
+    spark.createDataFrame([(200, terms, row)], schema).write.parquet(
+        os.path.join(qdir, "f1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(qdir, "*"))
+    )
+    out = str(tmp_path / "results")
+    q = maintenance.hybrid_serving_job(
+        stream, bm25_idx, sq8_idx, out, str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()  # batch 1: pre-ingest state
+
+        new_doc = spark.createDataFrame(
+            [(NEW_VEC_ID, "dup join window " * 3)],
+            "doc_id long, text string",
+        )
+        n = inverted.append_documents_bm25(spark, bm25_idx, new_doc)
+        assert n == 3  # three distinct (word, doc) postings folded
+        ann_index.append_ivf_index(spark, sq8_idx, _query_clone_df(spark))
+        ann_index.commit_index_snapshot(corpus_dir)
+
+        spark.createDataFrame([(201, terms, row)], schema).write.parquet(
+            os.path.join(qdir, "f2")
+        )
+        q.processAllAvailable()  # batch 2: post-ingest state
+    finally:
+        q.stop()
+
+    got: dict[int, dict] = {}
+    for r in spark.read.parquet(out).collect():
+        got.setdefault(r.query_id, {})[r.doc_id] = r
+    assert NEW_VEC_ID not in got[200], "batch 1 leaked post-ingest state"
+    assert NEW_VEC_ID in got[201], "batch 2 missed the ingested doc"
+    fresh = got[201][NEW_VEC_ID]
+    # lexical: a short doc carrying ALL query terms ranks (it matched
+    # on the folded postings, scored under the folded sidecar stats)
+    assert fresh.lex_rank >= 1 and fresh.bm25 > 0.0
+    # vector: the exact clone reranks at cosine 1.0
+    assert fresh.cosine == 1.0 and fresh.vec_rank >= 1
+    # and the fused rank reflects both legs (top of the fused list)
+    top_doc = min(got[201].values(), key=lambda r: (-r.rrf, r.doc_id))
+    assert top_doc.doc_id == NEW_VEC_ID
