@@ -668,6 +668,32 @@ def main() -> None:
 
     canary_last = _time(["groupby_count"], sf_dir, best_of=2)["groupby_count"]
     _load_mark("end")
+
+    # In-bench re-time hook (r11): SPARK_GRAFT_RETIME=key1,key2 runs
+    # three extra sf0.1 passes of the named keys HERE — after the
+    # whole bench has warmed the JVM — and records them in the DETAIL
+    # artifact. This is the adjudication context a standalone solo
+    # script cannot reproduce: the r11 orders_restore_audit re-time
+    # attempts read their own canary 2-3x high because ~40 warmup
+    # plans still leave a JVM far colder than a full bench run.
+    retime = [
+        k
+        for k in os.environ.get("SPARK_GRAFT_RETIME", "").split(",")
+        if k and k in queries
+    ]
+    if retime:
+        detail["retime"] = {}
+        for k in retime:
+            passes = [
+                _time([k], sf_dir, best_of=1)[k] for _ in range(3)
+            ]
+            detail["retime"][k] = {"passes": passes, "min": min(passes)}
+            print(
+                f"[retime] {k} sf0.1 passes "
+                + "/".join(f"{p:.3f}" for p in passes)
+                + f" -> min {min(passes):.3f}",
+                file=sys.stderr,
+            )
     ratio = round(canary_last / canary_first, 2) if canary_first else 1.0
     result["canary"] = {"first": canary_first, "last": canary_last, "ratio": ratio}
     result["contended"] = ratio > 1.5
