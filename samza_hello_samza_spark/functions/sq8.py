@@ -162,6 +162,51 @@ def pack_words_py(codes: list[int]) -> list[int]:
     return out
 
 
+def unpack_centered_cols(dim: int) -> list[F.Column]:
+    """One centered int column per code byte, extracted from the
+    packed word columns: ``_b{d} = lane_byte(s_w) − 128``. The batch
+    scoring paths project these BEFORE the broadcast cross join, so
+    the 3-op shift/mask/center extraction runs once per DOC ROW
+    instead of once per (doc, query) pair — at 240 queries that is
+    240× fewer extractions feeding the exact same integer products
+    (``adc_score_unpacked_col``). Bit-for-bit the same score."""
+    cols: list[F.Column] = []
+    for w in range(n_words(dim)):
+        word = F.col(f"s{w}")
+        for lane in range(LANES):
+            cols.append(
+                (
+                    F.shiftrightunsigned(word, 8 * lane).bitwiseAND(F.lit(255))
+                    - F.lit(128)
+                )
+                .cast("int")
+                .alias(f"_b{w * LANES + lane}")
+            )
+    return cols
+
+
+def centered_codes_py(codes: list[int]) -> list[int]:
+    """Driver-side query twin of ``unpack_centered_cols``: the plain
+    centered byte list (code − 128) a batch query relation carries as
+    ``array<int>`` instead of packed words."""
+    return [c - 128 for c in codes]
+
+
+def adc_score_unpacked_col(dim: int, qbytes: F.Column) -> F.Column:
+    """The batch ADC dot product over pre-unpacked centered doc bytes
+    (``unpack_centered_cols``) and a centered query byte array
+    (``centered_codes_py``): Σ _b{d} · qbytes[d] — one multiply-add
+    per dimension per (doc, query) pair, no per-pair bit extraction.
+    Integer-exact equal to ``adc_score_batch_col`` (same centered
+    products, integer addition reassociates freely)."""
+    score: F.Column = F.lit(0).cast("long")
+    for d in range(dim):
+        score = score + (
+            F.col(f"_b{d}") * F.element_at(qbytes, d + 1)
+        ).cast("long")
+    return score.cast("long")
+
+
 def adc_score_batch_col(dim: int, qwords: F.Column) -> F.Column:
     """``adc_score_col`` with the QUERY side as a column — the batch
     fanout shape: the query's packed words ride a broadcast relation
