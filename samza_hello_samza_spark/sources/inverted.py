@@ -754,8 +754,24 @@ def bm25_topk_from_index(
         .filter(F.col("word").isin(*terms))
     )
     # corpus-wide df (score-identical to the unfiltered probe) —
-    # BEFORE the metadata predicate cuts the ranked universe
-    df = p.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    # BEFORE the metadata predicate cuts the ranked universe. Read
+    # from the |vocab|-sized ``_impacts`` sidecar (``n_postings``
+    # sums to the exact df — the same fold WAND prices idf from, and
+    # summing across attr segments re-aggregates to the corpus-wide
+    # count) instead of a second pass over the pruned postings: one
+    # posting read per probe, not two (guide §2.1). Same integers →
+    # same idf, bit-for-bit.
+    imp = _impacts_relation(spark, index_dir)
+    if imp is not None:
+        df = (
+            imp.filter(F.col("word").isin(*terms))
+            .groupBy("word")
+            .agg(F.sum("n_postings").cast("double").alias("df"))
+        )
+    else:  # degenerate empty layout: keep the in-plan derivation
+        df = p.groupBy("word").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
     if where is not None:
         p = p.filter(where)
     scored = (
@@ -1325,7 +1341,24 @@ def bm25_batch_from_index(
         .filter(F.col("tbucket").isin(buckets))
         .filter(F.col("word").isin(*union_terms))
     )
-    df_tbl = p.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    # per-term df from the |vocab|-sized ``_impacts`` sidecar instead
+    # of a second pass over the pruned postings: ``n_postings`` rows
+    # SUM to the term's exact df by construction (the sidecar is the
+    # fold the WAND probe already prices idf from), so this removes a
+    # whole posting read + shuffle per batch call (guide §2.1 — the
+    # r11 plan audit showed the union-term postings scanned twice,
+    # once for df and once for scoring). Same integers → same idf.
+    imp = _impacts_relation(spark, index_dir)
+    if imp is not None:
+        df_tbl = (
+            imp.filter(F.col("word").isin(*union_terms))
+            .groupBy("word")
+            .agg(F.sum("n_postings").cast("double").alias("df"))
+        )
+    else:  # degenerate empty layout: keep the in-plan derivation
+        df_tbl = p.groupBy("word").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
     qterms = spark.createDataFrame(
         [(i, t) for i, q in enumerate(queries) for t in q],
         "query_id INT, word STRING",
