@@ -125,9 +125,18 @@ def _doc_shingles(
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tokenized = docs.select("doc_id", _words(F.col("text")).alias("words"))
-    sh = explode_nonempty(
-        tokenized, ["doc_id"], _shingles(F.col("words"), k), "shingle"
-    ).distinct()
+    sh = (
+        explode_nonempty(
+            tokenized, ["doc_id"], _shingles(F.col("words"), k), "shingle"
+        )
+        .distinct()
+        # consumed by the hot-shingle derivation AND the anti-join
+        # below — and every caller then reuses the returned relation
+        # 1-3× (counts + both self-join sides in dedup_ngram_jaccard):
+        # one tokenize+distinct pass instead of one per consumer (the
+        # r11 plan audit read 15 exchanges on the jaccard key).
+        .localCheckpoint()
+    )
     # hot-shingle set is tiny in absolute terms (≤ |shingle rows|/cap,
     # realistically a handful of boilerplate strings) — the anti-join
     # is left unhinted so AQE broadcasts it from runtime shuffle stats.
@@ -284,9 +293,17 @@ def dedup_prefix_filter(
     """
     docs_t = docs if docs is not None else load_table(spark, sf_dir, "documents")
     tokenized = docs_t.select("doc_id", _words(F.col("text")).alias("words"))
-    sh = explode_nonempty(
-        tokenized, ["doc_id"], _shingles(F.col("words"), 3), "shingle"
-    ).distinct()
+    sh = (
+        explode_nonempty(
+            tokenized, ["doc_id"], _shingles(F.col("words"), 3), "shingle"
+        )
+        .distinct()
+        # consumed 4× (df table, the prefix-array derivation below and
+        # BOTH verification self-join sides) — one tokenize+dedup pass
+        # instead of one per consumer; the relation is the same
+        # distinct (doc, shingle) set every consumer shuffles anyway
+        .localCheckpoint()
+    )
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     docs = (
         sh.join(df_tbl, "shingle")
@@ -380,8 +397,16 @@ def _minhash_bands(
     (``dedup_incremental``) and the calibration estimator
     (``minhash_jaccard_estimate``).
     """
-    mins = _minhash_sigs(spark, sf_dir, docs=docs)
-    return mins.select(
+    return _bands_from_sigs(_minhash_sigs(spark, sf_dir, docs=docs))
+
+
+def _bands_from_sigs(sigs: DataFrame) -> DataFrame:
+    """The band derivation alone (posexplode of the 12 concat'd
+    2-row bands), factored out so a caller holding a materialized
+    signature relation can band it WITHOUT re-running the shingle +
+    minhash scan (``minhash_jaccard_estimate`` re-derived signatures
+    from the corpus once per consumer before this split)."""
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -426,8 +451,18 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     its cost is candidates-sized, never corpus². Fully oracle-checked
     — the md5-slice family makes the whole estimator SQL-expressible.
     """
-    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint()  # reused 2×
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    # ONE shingle+minhash scan: the checkpointed signatures feed the
+    # band join AND both pair-side lookups (pre-r11 the band join
+    # re-derived signatures from the corpus — plan-audited at 9
+    # documents scans for this key; now 2: signatures + the
+    # candidate-doc tokenize below).
+    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint()
+    pairs = (
+        _bucket_pairs(_bands_from_sigs(sigs), ["band", "sig"], "doc_id")
+        .select(F.col("p.pa").alias("doc_a"), F.col("p.pb").alias("doc_b"))
+        .distinct()
+        .localCheckpoint()  # candidate-pair sized; consumed 2× below
+    )
     n_match = sum(
         (F.col(f"a.m{i}") == F.col(f"b.m{i}")).cast("int") for i in range(N_PERMS)
     )
@@ -444,9 +479,15 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenized = docs.join(cand_docs, "doc_id", "left_semi").select(
         "doc_id", _words(F.col("text")).alias("words")
     )
-    shd = explode_nonempty(
-        tokenized, ["doc_id"], _shingles(F.col("words"), 3), "shingle"
-    ).distinct()
+    shd = (
+        explode_nonempty(
+            tokenized, ["doc_id"], _shingles(F.col("words"), 3), "shingle"
+        )
+        .distinct()
+        # candidate-docs sized; consumed 3× (sizes + both self-join
+        # sides) — one tokenize pass instead of three
+        .localCheckpoint()
+    )
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shd.alias("sa")
     b = shd.alias("sb")
@@ -809,9 +850,16 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenized = docs.join(cand_docs, "doc_id", "left_semi").select(
         "doc_id", _words(F.col("text")).alias("words")
     )
-    shd = explode_nonempty(
-        tokenized, ["doc_id"], _shingles(F.col("words"), 3), "shingle"
-    ).distinct()
+    shd = (
+        explode_nonempty(
+            tokenized, ["doc_id"], _shingles(F.col("words"), 3), "shingle"
+        )
+        .distinct()
+        # candidate-docs sized; consumed 3× (sizes + both verify join
+        # sides) — one tokenize pass, the minhash_jaccard_estimate
+        # discipline applied to the decontamination twin.
+        .localCheckpoint()
+    )
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(
@@ -1391,7 +1439,11 @@ def dedup_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select("doc_id", _words(F.col("text")).alias("words")).filter(
         F.size("words") > 0
     )
-    wins = window_fingerprints(words)
+    # ONE fingerprint explode for the whole key: `wins` feeds the
+    # index derivation AND the new batch's two consumers (probe join,
+    # per-doc totals) — pre-r11 each consumer re-ran the corpus-wide
+    # tokenize+window-hash scan.
+    wins = window_fingerprints(words).localCheckpoint()
     is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
     idx = (
         wins.filter(~is_new)

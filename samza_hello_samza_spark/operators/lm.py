@@ -54,7 +54,9 @@ def trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode_nonempty: plain explode's inferred size()>0 guard would
     # re-derive the whole trigram pipeline twice per row pre-Generate.
     tri = explode_nonempty(words, [], _shingles(F.col("words"), 3), "tg")
-    tri_counts = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("cnt"))
+    # trigram-vocabulary sized; consumed by the context totals AND the
+    # conditional join — one corpus explode+aggregate instead of two.
+    tri_counts = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
     with_ctx = tri_counts.select(
         "tg",
         "cnt",

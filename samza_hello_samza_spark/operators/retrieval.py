@@ -71,6 +71,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        # query-terms-sized after the pre-explode filter; consumed by
+        # the df aggregate AND the scoring join — one tokenize scan
+        # for both instead of one each.
+        .localCheckpoint()
     )
     df = hits.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
@@ -195,7 +199,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     words = explode_nonempty(docs, ["doc_id"], _words(F.col("text")), "word")
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # (doc, word) counts consumed TWICE (df + the weighted join): one
+    # tokenize+aggregate pass instead of two.
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     weighted = (
@@ -249,7 +259,7 @@ def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, bigram: STRING>>)"))
     occ = explode_nonempty(tokenized, ["doc_id"], occ_arr, "o").select(
         "doc_id", "o.w1", "o.bigram"
-    )
+    ).localCheckpoint()  # consumed 3× (pair counts, prefix counts, scoring join)
     pair_cnt = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("pair_cnt"))
     prefix_cnt = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("prefix_cnt"))
     return (

@@ -78,7 +78,9 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     in every engine, so the floor'd integer rates match exactly.
     """
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # languages-sized; consumed by its own min AND the rate table —
+    # one docs aggregation instead of two.
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).localCheckpoint()
     min_n = counts.agg(F.min(F.col("n_docs")).alias("min_n"))
     rates = (
         counts.crossJoin(F.broadcast(min_n))  # languages-sized: ≤ dozens of rows
@@ -157,10 +159,12 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.count_distinct("lang").alias("n_langs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-    )
-    totals = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("all_docs"),
-        F.sum("n_chars").cast("double").alias("all_chars"),
+    ).localCheckpoint()  # sources-sized; feeds the totals AND the report
+    # corpus totals = exact integer sums of the per-source sums — no
+    # second corpus scan (same integers → same doubles).
+    totals = per_src.agg(
+        F.sum("n_docs").cast("double").alias("all_docs"),
+        F.sum("total_chars").cast("double").alias("all_chars"),
     )
     return per_src.crossJoin(F.broadcast(totals)).select(
         "source",
@@ -283,10 +287,14 @@ def curriculum_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text_analysis import quality_cols
 
     docs = load_table(spark, sf_dir, "documents")
+    # docs-sized two-column relation consumed TWICE (the percentile
+    # aggregate and the bucketing select): materialize once so the
+    # quality_cols regex scan runs one time, not one per consumer —
+    # and once per curriculum-packing caller chain instead of twice.
     scored = docs.select(
         "doc_id",
         F.round(quality_cols(F.col("text"))["quality_score"], 2).alias("q"),
-    )
+    ).localCheckpoint()
     # exact interpolated percentiles: engine-identical arithmetic (the
     # event_value_percentiles pairing with DuckDB quantile_cont);
     # sketch variant (percentile_approx) is the unbounded-cardinality
@@ -342,6 +350,9 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "w", F.floor(F.sqrt(F.col("n_tokens")) * W_SCALE).cast("long")
         )
+        # sources-sized; consumed by the weight total AND the quota
+        # rows — one tokenize scan instead of two.
+        .localCheckpoint()
     )
     tot = per_src.agg(F.sum("w").alias("w_total"))
     return (
@@ -381,8 +392,18 @@ def domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     words = explode_nonempty(docs, ["source"], _words(F.col("text")), "word")
-    sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c_sw"))
-    w = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    # (source, word)-bounded counts consumed by FOUR branches (the KL
+    # join, the corpus word table, per-source totals, and the corpus
+    # total through `w`): materialize once so the corpus tokenize scan
+    # runs ONE time — the plan audit showed it once per branch (4 full
+    # scans, 8 exchanges). `w` itself feeds two consumers; both
+    # relations are vocabulary-bounded, never corpus-sized.
+    sw = (
+        words.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+        .localCheckpoint()
+    )
+    w = sw.groupBy("word").agg(F.sum("c_sw").alias("c_w")).localCheckpoint()
     s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
     n_tot = w.agg(F.sum("c_w").alias("n_total"))
     p_s = F.col("c_sw") / F.col("n_s")
@@ -464,11 +485,17 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint()
     )
-    raw = doc_feat.groupBy("b").agg(F.sum("c").alias("c_r"))
+    # B-bounded (≤DSIR_BUCKETS rows) distributions, each consumed
+    # twice (the bucket join AND its own total): materialize so the
+    # corpus-sized doc_feat aggregation runs ONCE per distribution —
+    # the plan audit showed each groupBy("b") shuffle running again
+    # under its total's aggregate (4 corpus-sized passes, now 2).
+    raw = doc_feat.groupBy("b").agg(F.sum("c").alias("c_r")).localCheckpoint()
     tgt = (
         doc_feat.filter(F.col("is_target") == 1)
         .groupBy("b")
         .agg(F.sum("c").alias("c_t"))
+        .localCheckpoint()
     )
     n_t = tgt.agg(F.sum("c_t").alias("n_t"))
     n_r = raw.agg(F.sum("c_r").alias("n_r"))
@@ -556,8 +583,10 @@ def export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
             F.countDistinct("lang").alias("n_langs"),
         )
+        .localCheckpoint()  # N_SHARDS rows; feeds the total AND the report
     )
-    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    # corpus total = sum of the per-shard counts — no second corpus scan
+    total = per_shard.agg(F.sum("n_docs").alias("n_total"))
     return (
         per_shard.crossJoin(F.broadcast(total))
         .select(
@@ -612,8 +641,10 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
             F.countDistinct("lang").cast("long").alias("n_langs"),
         )
+        .localCheckpoint()  # 3 rows; feeds the total AND the report
     )
-    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    # corpus total = sum of the per-split counts — no second corpus scan
+    total = per_split.agg(F.sum("n_docs").alias("n_total"))
     return (
         per_split.crossJoin(F.broadcast(total))
         .select(
@@ -665,8 +696,11 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("gid").cast("long").alias("n_groups"),
         )
+        .localCheckpoint()  # 3 rows; feeds the total AND the report
     )
-    total = grouped.agg(F.count(F.lit(1)).alias("n_total"))
+    # corpus total = sum of the per-split counts — skips re-running the
+    # docs ⋈ clusters join a second time just to count rows
+    total = per_split.agg(F.sum("n_docs").alias("n_total"))
     return (
         per_split.crossJoin(F.broadcast(total))
         .select(

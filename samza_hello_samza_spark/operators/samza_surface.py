@@ -405,6 +405,14 @@ def wikipedia_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_bot_edit").alias("bot_edits"),
         F.sum("is_special").alias("special_edits"),
     )
+    # windows-sized relation consumed by THREE branches below (the
+    # cumulative sum, the bucket totals and the offset join). Column
+    # pruning makes the branches' agg subtrees differ, so exchange
+    # reuse never fires and the events scan + regex parse + window
+    # aggregation ran once PER BRANCH (plan-audited: 3 full scans).
+    # Materializing the tiny aggregate makes it one pass — at 100 TB
+    # the difference between one corpus read and three.
+    windowed = windowed.localCheckpoint()
     # edits_all_time (the KeyValueStore running total) as a two-phase
     # distributed prefix sum: cumulative sum inside day-sized buckets,
     # plus each bucket's offset (total of all earlier buckets) from a

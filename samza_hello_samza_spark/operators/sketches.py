@@ -243,7 +243,11 @@ def audience_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select("event_type", "user_id").distinct()
+    # distinct (type, user) pairs consumed FIVE ways (sketch build,
+    # exact counts, the type list, and both exact-intersection join
+    # sides): one events scan + distinct shuffle instead of one per
+    # consumer — the plan audit read 14 exchanges on this key.
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint()
     hashed = du.select(
         "event_type", "user_id", _user_hash(F.col("user_id")).alias("h")
     )

@@ -235,7 +235,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.transform(_shingles(F.col("words"), k=SHINGLE_K), F.md5)
         ).alias("sh"),
-    )
+    ).localCheckpoint()  # consumed 3x (benchmark side, corpus explode, totals): one tokenize+md5 pass
     corpus = shingled.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
     # explode_nonempty: the plain-explode inferred guard re-derives the
     # whole shingle pipeline twice per row (34 s → 5.7 s at sf0.1).
@@ -306,7 +306,7 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.transform(_shingles(F.col("words"), k=SHINGLE_K), F.md5)
         ).alias("sh"),
-    )
+    ).localCheckpoint()  # consumed 3x (benchmark side, corpus explode, totals): one tokenize+md5 pass
     corpus = shingled.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
     bench_sh = explode_nonempty(
         shingled.filter(F.col("doc_id") % BENCHMARK_MOD == 0), [], F.col("sh"), "h"
@@ -358,6 +358,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_words").cast("long").alias("n_words"),
         )
+        .localCheckpoint()  # ~32 rows; feeds the total AND the report
     )
     total = per_bucket.agg(F.sum("n_docs").alias("t"))
     return per_bucket.crossJoin(maybe_broadcast(total)).select(
@@ -434,17 +435,22 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, so ties are engine-exact.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # vocabulary-bounded counts consumed TWICE (corpus total + top-k
+    # cut), and the ranked top-k is consumed once per coverage k:
+    # materialize both so the corpus tokenize+aggregate runs ONCE —
+    # the lazy chain re-ran it for the total and per loop row.
     vocab = (
         explode_nonempty(docs, [], _words(F.col("text")), "word")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
     )
     total = vocab.agg(F.sum("freq").alias("total"))
     top = vocab.orderBy(F.desc("freq"), "word").limit(max(COVERAGE_KS))
     from pyspark.sql import Window
 
     rn = F.row_number().over(Window.orderBy(F.desc("freq"), "word"))
-    ranked = top.withColumn("rn", rn)
+    ranked = top.withColumn("rn", rn).localCheckpoint()  # ≤1000 rows
     per_k = None
     for k in COVERAGE_KS:
         row = ranked.agg(
@@ -667,10 +673,15 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # materialized once (docs-sized, 4 narrow columns): `toks` is
+    # consumed by the window AND the bucket totals, whose pruned agg
+    # subtree defeats exchange reuse — without this the tokenize scan
+    # runs twice; totals now derive FROM the windowed rows (same rows,
+    # same sum), so one pass feeds both phases.
     within = toks.withColumn(
         "_cum_in", F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0))
-    )
-    totals = toks.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
+    ).localCheckpoint()
+    totals = within.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
     earlier = totals.select(F.col("_bucket").alias("_b2"), F.col("_total").alias("_t2"))
     # bucket-totals is bounded by construction (corpus_size /
     # PACK_BUCKET_DOCS rows) → forced broadcast is safe, same pattern
@@ -720,10 +731,12 @@ def sequence_packing_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # same one-pass materialization as sequence_packing: totals derive
+    # from the checkpointed windowed rows instead of re-tokenizing.
     within = toks.withColumn(
         "_cum_in", F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0))
-    )
-    totals = toks.groupBy("lang", "_bucket").agg(F.sum("n_tokens").alias("_total"))
+    ).localCheckpoint()
+    totals = within.groupBy("lang", "_bucket").agg(F.sum("n_tokens").alias("_total"))
     earlier = totals.select(
         F.col("lang").alias("_l2"), F.col("_bucket").alias("_b2"), F.col("_total").alias("_t2")
     )
@@ -786,10 +799,13 @@ def sequence_packing_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # same one-pass materialization as sequence_packing — doubly
+    # valuable here because re-deriving `toks` also re-runs the
+    # curriculum_assign quality scan + percentile join upstream.
     within = toks.withColumn(
         "_cum_in", F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0))
-    )
-    totals = toks.groupBy("lang", "stage", "_bucket").agg(
+    ).localCheckpoint()
+    totals = within.groupBy("lang", "stage", "_bucket").agg(
         F.sum("n_tokens").alias("_total")
     )
     earlier = totals.select(
@@ -838,7 +854,9 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the sketch path, as with events_dau_approx.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", _words(F.col("text")).alias("words"))
+    # tokenized arrays consumed by BOTH independent aggregations (word
+    # explode + bigram explode): one regex tokenize pass instead of two.
+    tok = docs.select("doc_id", _words(F.col("text")).alias("words")).localCheckpoint()
     words = tok.select(F.explode("words").alias("word"))
     bigrams = explode_nonempty(tok, [], _shingles(F.col("words"), k=2), "bigram")
     w_stats = words.agg(
@@ -1038,7 +1056,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     p = perplexity_proxy(spark, sf_dir).select("doc_id", "avg_nll")
-    j = docs.join(p, "doc_id")
+    # docs-sized, 3 narrow columns, consumed TWICE (tercile thresholds
+    # + bucketing): materialize once so the LM scorer (tokenize, two
+    # hash aggregates, vocabulary join) runs one corpus pass, not two.
+    j = docs.join(p, "doc_id").localCheckpoint()
     th = j.groupBy("lang").agg(
         F.round(F.percentile("avg_nll", F.lit(1.0 / 3)), 6).alias("t1"),
         F.round(F.percentile("avg_nll", F.lit(2.0 / 3)), 6).alias("t2"),

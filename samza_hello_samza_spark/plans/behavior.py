@@ -213,8 +213,11 @@ def user_recency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(day).alias("last_day"),
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,2)").alias("ltv"),
-    )
-    anchor = ev.agg(F.max(day).alias("max_day"))
+    ).localCheckpoint()  # users-sized; feeds the anchor AND the rollup
+    # corpus max day == max over the per-user maxima: derive the anchor
+    # from the materialized per-user relation instead of a second
+    # events scan (same integer, one corpus pass total).
+    anchor = per_user.agg(F.max("last_day").alias("max_day"))
     return (
         per_user.crossJoin(maybe_broadcast(anchor))
         .groupBy((F.col("max_day") - F.col("last_day")).cast("long").alias("days_inactive"))
@@ -303,7 +306,9 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.select(
         "o_custkey", ym.alias("ym"), F.col("o_totalprice").cast("decimal(18,4)").alias("price")
     )
-    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort"))
+    # customers-sized; consumed by the cohort sizes AND the grid join —
+    # one orders aggregation instead of one per consumer.
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort")).localCheckpoint()
     sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_customers"))
     grid = (
         o.join(first, "o_custkey")
@@ -353,7 +358,9 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical division in both engines).
     """
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # distinct (user, type) pairs consumed 3× (sizes + both self-join
+    # sides): one events scan + distinct shuffle instead of three.
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint()
     sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = ut.alias("a")
     b = ut.alias("b")

@@ -70,8 +70,14 @@ def basket_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= PMI_MIN_SUPPORT)
     )
-    items = baskets.select(F.explode("parts").alias("part")).groupBy("part").agg(
-        F.count(F.lit(1)).alias("n_item")
+    items = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        # parts-sized, consumed by BOTH pair-side joins (n_a and n_b):
+        # materialize once so the basket explode+agg runs one time —
+        # the plan audit showed it once per join side.
+        .localCheckpoint()
     )
     total = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
     ia = items.select(F.col("part").alias("part_a"), F.col("n_item").alias("n_a"))
@@ -125,6 +131,10 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= RULE_MIN_SUPPORT)
+        # supported-pairs-sized, consumed by BOTH direction branches of
+        # the union below: materialize once so the in-row pair explode
+        # + aggregation runs one time, not once per branch.
+        .localCheckpoint()
     )
     # both rule directions from each unordered pair
     directed = pairs.select(
@@ -134,8 +144,13 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_ab"
         )
     )
-    items = baskets.select(F.explode("parts").alias("part")).groupBy("part").agg(
-        F.count(F.lit(1)).alias("n_item")
+    items = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        # parts-sized, consumed by BOTH rule-side joins: one explode+agg
+        # pass instead of one per side (same as basket_pmi).
+        .localCheckpoint()
     )
     ia = items.select(F.col("part").alias("antecedent"), F.col("n_item").alias("n_a"))
     ib = items.select(F.col("part").alias("consequent"), F.col("n_item").alias("n_b"))

@@ -326,10 +326,15 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (three 1-row aggregates broadcast-crossed, no global ordering).
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # each stage relation is users-sized and consumed TWICE (the next
+    # stage's join + its own funnel count): materialize so each stage's
+    # events pass runs once — lazily, users_purchased re-ran the whole
+    # v → c → p chain (6 events scans for the 3 counts; now 3).
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -337,6 +342,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -426,6 +432,10 @@ def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~100-wide price bands; tune with the price domain (bucket count
     # only needs to be ≫ cores and ≪ rows).
     pts = pts.withColumn("_bucket", F.floor(F.col("price") / 100))
+    # distinct-points sized; consumed by the in-bucket window, the
+    # bucket maxima AND the survivor filter — one part scan+dedup
+    # instead of one per consumer.
+    pts = pts.localCheckpoint()
     w_in = (
         Window.partitionBy("_bucket")
         .orderBy(F.asc("price"), F.desc("size"))

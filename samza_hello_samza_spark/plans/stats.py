@@ -106,6 +106,9 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(maybe_broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name", "s_suppkey")
         .agg(rev.alias("srev"))
+        # suppliers-sized; consumed by the nation totals AND the HHI
+        # aggregate — one lineitem join+reduction instead of two.
+        .localCheckpoint()
     )
     totals = per_supp.groupBy("n_name").agg(F.sum("srev").alias("trev"))
     share = F.col("srev").cast("double") / F.col("trev").cast("double")
@@ -233,7 +236,7 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Round in the DECIMAL domain (HALF_UP in both engines) before
         # the double cast — double-domain round() diverges on .XX50.
         F.sum("price").cast("decimal(18,2)").cast("double").alias("rev")
-    )
+    ).localCheckpoint()  # customers-sized; consumed by cuts AND assignment
     cuts = per_cust.groupBy("period").agg(
         F.round(F.percentile("rev", 0.25), 6).alias("q1"),
         F.round(F.percentile("rev", 0.5), 6).alias("q2"),
@@ -247,7 +250,7 @@ def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = per_cust.join(maybe_broadcast(cuts), "period").select(
         "o_custkey", "period", seg.alias("seg")
-    )
+    ).localCheckpoint()  # consumed by BOTH period sides of the matrix join
     p1 = assigned.filter(F.col("period") == 1).select(
         "o_custkey", F.col("seg").alias("seg_from")
     )
@@ -283,6 +286,7 @@ def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # ≤9 rows; consumed by the total AND the report
     )
     total = counts.agg(F.sum("n").alias("total"))
     expected = F.log10(1 + 1 / F.col("digit").cast("double"))
@@ -314,7 +318,7 @@ def price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     priced = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey).select(
         "p_type", F.col("l_extendedprice").alias("x")
-    )
+    ).localCheckpoint()  # 2 narrow cols; consumed by all 3 percentile passes
     med = priced.groupBy("p_type").agg(
         F.round(F.percentile("x", 0.5), 6).alias("med")
     )
@@ -350,7 +354,9 @@ def priority_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cells = orders.groupBy(
         F.year("o_orderdate").alias("yr"), F.col("o_orderpriority").alias("pr")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    # ^ years×priorities bounded; consumed by 3 marginal aggregates +
+    #   the χ² join — one orders scan instead of four.
     row_tot = cells.groupBy("yr").agg(F.sum("n").alias("rn"))
     col_tot = cells.groupBy("pr").agg(F.sum("n").alias("cn"))
     total = cells.agg(F.sum("n").alias("t"))
@@ -410,7 +416,7 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n_purch") >= AB_MIN_PURCHASES).cast("long")).alias(
             "n_converters"
         ),
-    )
+    ).localCheckpoint()  # 2 rows; consumed by itself AND the other-arm side
     other = per_arm.select(
         (1 - F.col("arm")).alias("arm"),
         F.col("n_users").alias("o_users"),
@@ -462,6 +468,8 @@ def daily_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
     ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,2)").alias("v"))
+    # (type, day)-bounded; consumed by the totals AND the prefix window
+    daily = daily.localCheckpoint()
     totals = daily.groupBy("event_type").agg(
         F.sum("v").alias("tv"), F.count(F.lit(1)).alias("nd")
     )

@@ -228,7 +228,9 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     day = (F.unix_timestamp("ts") / 86400).cast("bigint")
-    user_days = ev.select(day.alias("day"), "user_id").distinct()
+    # distinct (day, user) consumed TWICE (day set + anchor fanout):
+    # one events scan + distinct shuffle instead of two.
+    user_days = ev.select(day.alias("day"), "user_id").distinct().localCheckpoint()
     days = user_days.select("day").distinct()
     anchors = user_days.select(
         F.explode(
@@ -261,6 +263,9 @@ def rolling_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(day.alias("day"), "user_id")
         .groupBy("day")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        # days-sized (~KB sketches); consumed by the day set AND the
+        # anchor fanout — one events scan + sketch fold instead of two.
+        .localCheckpoint()
     )
     days = day_sketches.select("day")
     anchors = day_sketches.select(
@@ -1396,7 +1401,12 @@ def customer_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
+        # customers-sized relation consumed 3× (decile cuts, the total
+        # and the bucketing itself): materialize once — the plan audit
+        # showed the lineitem⋈orders join + aggregation running once
+        # per consumer (3 full fact scans)
         .agg(F.sum(term).cast("decimal(18,2)").cast("double").alias("rev"))
+        .localCheckpoint()
     )
     qs = [i / PARETO_NBUCKETS for i in range(1, PARETO_NBUCKETS)]
     cuts = rev.agg(F.percentile("rev", F.lit(qs)).alias("cuts"))
