@@ -539,6 +539,27 @@ def main() -> None:
     # builds the composed IVFPQ layout if absent.
     queries["ann_ivfpq_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    def _release_blocks() -> None:
+        """Free every persistent RDD block between timed passes (r11
+        measurement-hygiene fix, documented in OPTIMIZATION_r11.md).
+
+        Query plans materialize bounded intermediates via
+        ``localCheckpoint()``; each bench pass creates fresh ones and
+        nothing ever referenced a previous pass's blocks — but the
+        blocks stayed pinned in the 8 GB local-mode BlockManager, so a
+        full two-tier run accumulated hundreds of dead relations and
+        the storage/execution memory squeeze inflated every key timed
+        late in the run (the r11b diagnostic run read untouched keys
+        like ann_sq8_topk at 10× their freeze purely from run
+        position). Cross-key corpus state is all ON DISK (parquet
+        layouts under the index root), so dropping in-memory blocks
+        between keys only isolates measurements — it cannot evict
+        anything a later key serves from. Runs OUTSIDE the timed
+        region."""
+        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
     def _time(names, target_dir, best_of: int = 1) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -547,11 +568,13 @@ def main() -> None:
                 continue
             best = None
             for _ in range(best_of):
+                _release_blocks()
                 t0 = time.perf_counter()
                 fn(spark, target_dir).write.mode("overwrite").format("noop").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             out[name] = round(best, 3)
+        _release_blocks()
         return out
 
     # Contention canary (r05 post-mortem): the driver's single-shot

@@ -1325,7 +1325,7 @@ def ann_sq8_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 int(r.vec_id),
-                _sq8.centered_codes_py(
+                _sq8.pack_words_py(
                     _sq8.sq8_codes_py(
                         np.asarray(r.v), meta["mins"], meta["maxs"]
                     )
@@ -1333,7 +1333,7 @@ def ann_sq8_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for r in qrows
         ],
-        "query_id LONG, qb ARRAY<INT>",
+        "query_id LONG, qw ARRAY<BIGINT>",
     )
     codes = (
         ann_index.snapshot_scan(spark, corpus_dir, man=man)
@@ -1342,18 +1342,13 @@ def ann_sq8_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = ann_index._apply_tombstones(
         spark, idx, codes, tomb_files=man.get("tombstones")
     )
-    # unpack the doc bytes ONCE per doc row (3-op shift/mask/center per
-    # dim) BEFORE the broadcast fanout, so the per-(doc, query) scoring
-    # term is a bare multiply-add (guide §2.2: shrink per-pair work;
-    # same centered integer products, bit-for-bit the same score).
-    codes = codes.select("vec_id", *_sq8.unpack_centered_cols(meta["dim"]))
     from pyspark.sql import Window
 
     scored = (
         codes.crossJoin(F.broadcast(qrel))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
-            "sq8_score", _sq8.adc_score_unpacked_col(meta["dim"], F.col("qb"))
+            "sq8_score", _sq8.adc_score_batch_col(meta["dim"], F.col("qw"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1422,7 +1417,7 @@ def ann_sq8_batch_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 int(r.vec_id),
-                _sq8.centered_codes_py(
+                _sq8.pack_words_py(
                     _sq8.sq8_codes_py(
                         np.asarray(r.v), meta["mins"], meta["maxs"]
                     )
@@ -1430,7 +1425,7 @@ def ann_sq8_batch_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for r in qrows
         ],
-        "query_id LONG, qb ARRAY<INT>",
+        "query_id LONG, qw ARRAY<BIGINT>",
     )
     codes = (
         ann_index.snapshot_scan(spark, corpus_dir, man=man)
@@ -1439,15 +1434,11 @@ def ann_sq8_batch_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = ann_index._apply_tombstones(
         spark, idx, codes, tomb_files=man.get("tombstones")
     )
-    # per-doc byte unpack hoisted out of the 240-query fanout: the
-    # shift/mask/center extraction runs once per DOC ROW, not once per
-    # (doc, query) pair — 240× fewer extractions, identical integers.
-    codes = codes.select("vec_id", *_sq8.unpack_centered_cols(meta["dim"]))
     scored = (
         codes.crossJoin(F.broadcast(qrel))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
-            "sq8_score", _sq8.adc_score_unpacked_col(meta["dim"], F.col("qb"))
+            "sq8_score", _sq8.adc_score_batch_col(meta["dim"], F.col("qw"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1516,7 +1507,7 @@ def hybrid_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 int(r.vec_id),
-                _sq8.centered_codes_py(
+                _sq8.pack_words_py(
                     _sq8.sq8_codes_py(
                         np.asarray(r.v), meta["mins"], meta["maxs"]
                     )
@@ -1526,7 +1517,7 @@ def hybrid_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for r in qrows
         ],
-        "query_id LONG, qb ARRAY<INT>, qv ARRAY<DOUBLE>, qnorm DOUBLE",
+        "query_id LONG, qw ARRAY<BIGINT>, qv ARRAY<DOUBLE>, qnorm DOUBLE",
     )
     codes = ann_index.snapshot_scan(spark, corpus_dir, man=man).select(
         "vec_id", *meta["sq8_cols"]
@@ -1534,17 +1525,14 @@ def hybrid_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = ann_index._apply_tombstones(
         spark, idx, codes, tomb_files=man.get("tombstones")
     )
-    # same hoisted per-doc unpack as ann_sq8_batch_topk: extraction
-    # once per doc row, bare multiply-add per (doc, query) pair.
-    codes = codes.select("vec_id", *_sq8.unpack_centered_cols(meta["dim"]))
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("sq8_score"), F.asc("vec_id")
     )
     shortlist = (
-        codes.crossJoin(F.broadcast(qrel.select("query_id", "qb")))
+        codes.crossJoin(F.broadcast(qrel.select("query_id", "qw")))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
-            "sq8_score", _sq8.adc_score_unpacked_col(meta["dim"], F.col("qb"))
+            "sq8_score", _sq8.adc_score_batch_col(meta["dim"], F.col("qw"))
         )
         .withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= SQ8_RERANK_M)
