@@ -556,9 +556,12 @@ def main() -> None:
         between keys only isolates measurements — it cannot evict
         anything a later key serves from. Runs OUTSIDE the timed
         region."""
-        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
+        # blocking=True: the removal must COMPLETE outside the timed
+        # region — an async unpersist drains block-removal work into
+        # the next timed pass (observed as order-dependent 5-10×
+        # inflation of whichever key follows a checkpoint-heavy one).
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(True)
 
     def _time(names, target_dir, best_of: int = 1) -> dict[str, float]:
         out: dict[str, float] = {}

@@ -71,10 +71,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        # query-terms-sized after the pre-explode filter; consumed by
-        # the df aggregate AND the scoring join — one tokenize scan
-        # for both instead of one each.
-        .localCheckpoint()
+        # NOTE (r11): tried checkpointing this tiny relation so the
+        # tokenize scan runs once for df + scoring — on-box A/B read
+        # the key 2.4× SLOWER (the duplicated scans run concurrently
+        # in one job; the checkpoint adds a serial job). Reverted.
     )
     df = hits.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (

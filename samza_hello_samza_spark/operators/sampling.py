@@ -287,14 +287,15 @@ def curriculum_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text_analysis import quality_cols
 
     docs = load_table(spark, sf_dir, "documents")
-    # docs-sized two-column relation consumed TWICE (the percentile
-    # aggregate and the bucketing select): materialize once so the
-    # quality_cols regex scan runs one time, not one per consumer —
-    # and once per curriculum-packing caller chain instead of twice.
+    # NOTE (r11): tried checkpointing this docs-sized relation so the
+    # quality regex scan runs once for both consumers — on-box A/B
+    # read the curriculum-packing chain 2.3× SLOWER with it (the two
+    # consumers' scans run concurrently in one job on spare cores;
+    # the checkpoint serializes them into extra jobs). Reverted.
     scored = docs.select(
         "doc_id",
         F.round(quality_cols(F.col("text"))["quality_score"], 2).alias("q"),
-    ).localCheckpoint()
+    )
     # exact interpolated percentiles: engine-identical arithmetic (the
     # event_value_percentiles pairing with DuckDB quantile_cont);
     # sketch variant (percentile_approx) is the unbounded-cardinality

@@ -673,15 +673,18 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # materialized once (docs-sized, 4 narrow columns): `toks` is
-    # consumed by the window AND the bucket totals, whose pruned agg
-    # subtree defeats exchange reuse — without this the tokenize scan
-    # runs twice; totals now derive FROM the windowed rows (same rows,
-    # same sum), so one pass feeds both phases.
+    # NOTE (r11): tried materializing `within` so the tokenize scan
+    # feeds both the window and the bucket totals once — an on-box A/B
+    # read it SLOWER (sf0.1 0.83→0.76 flat but the curriculum chain
+    # 2.4→5.5 s): at bench SFs the duplicated subtrees execute
+    # CONCURRENTLY inside one job on spare cores, while the eager
+    # checkpoint serializes the plan into extra jobs and pays a
+    # docs-sized window serialization. Reverted — redundant-but-
+    # parallel beats materialized-but-serial until cores saturate.
     within = toks.withColumn(
         "_cum_in", F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0))
-    ).localCheckpoint()
-    totals = within.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
+    )
+    totals = toks.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
     earlier = totals.select(F.col("_bucket").alias("_b2"), F.col("_total").alias("_t2"))
     # bucket-totals is bounded by construction (corpus_size /
     # PACK_BUCKET_DOCS rows) → forced broadcast is safe, same pattern
@@ -731,12 +734,12 @@ def sequence_packing_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # same one-pass materialization as sequence_packing: totals derive
-    # from the checkpointed windowed rows instead of re-tokenizing.
+    # (same r11 revert note as sequence_packing: parallel redundant
+    # subtrees beat a serial checkpoint at bench SFs)
     within = toks.withColumn(
         "_cum_in", F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0))
-    ).localCheckpoint()
-    totals = within.groupBy("lang", "_bucket").agg(F.sum("n_tokens").alias("_total"))
+    )
+    totals = toks.groupBy("lang", "_bucket").agg(F.sum("n_tokens").alias("_total"))
     earlier = totals.select(
         F.col("lang").alias("_l2"), F.col("_bucket").alias("_b2"), F.col("_total").alias("_t2")
     )
@@ -799,13 +802,13 @@ def sequence_packing_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # same one-pass materialization as sequence_packing — doubly
-    # valuable here because re-deriving `toks` also re-runs the
-    # curriculum_assign quality scan + percentile join upstream.
+    # (same r11 revert note as sequence_packing: parallel redundant
+    # subtrees beat a serial checkpoint at bench SFs — measured 2.4 s
+    # → 5.5 s with the checkpoint on this chain)
     within = toks.withColumn(
         "_cum_in", F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0))
-    ).localCheckpoint()
-    totals = within.groupBy("lang", "stage", "_bucket").agg(
+    )
+    totals = toks.groupBy("lang", "stage", "_bucket").agg(
         F.sum("n_tokens").alias("_total")
     )
     earlier = totals.select(
@@ -1056,10 +1059,11 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     p = perplexity_proxy(spark, sf_dir).select("doc_id", "avg_nll")
-    # docs-sized, 3 narrow columns, consumed TWICE (tercile thresholds
-    # + bucketing): materialize once so the LM scorer (tokenize, two
-    # hash aggregates, vocabulary join) runs one corpus pass, not two.
-    j = docs.join(p, "doc_id").localCheckpoint()
+    # NOTE (r11): tried checkpointing this join so the LM scorer runs
+    # one corpus pass for thresholds + bucketing — on-box A/B read the
+    # key SLOWER on both tiers (the two scorer subtrees execute
+    # concurrently in one job; the checkpoint serializes). Reverted.
+    j = docs.join(p, "doc_id")
     th = j.groupBy("lang").agg(
         F.round(F.percentile("avg_nll", F.lit(1.0 / 3)), 6).alias("t1"),
         F.round(F.percentile("avg_nll", F.lit(2.0 / 3)), 6).alias("t2"),
