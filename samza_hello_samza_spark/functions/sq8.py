@@ -230,3 +230,98 @@ def unpack_codes_py(words: list[int], dim: int) -> list[int]:
     return [
         (words[d // LANES] >> (8 * (d % LANES))) & 255 for d in range(dim)
     ]
+
+
+#: below any real composite key (|score·2^32 − vec_id| ≤ 2^53 + 2^32):
+#: marks self-pairs so the in-kernel top-k never selects them. MIN+1,
+#: not MIN: the selection negates the key array, and −INT64_MIN wraps
+#: back to INT64_MIN — a MIN sentinel would sort FIRST after negation
+#: and displace a real candidate from its batch's top-k.
+_SELF_PAIR_KEY = np.iinfo(np.int64).min + 1
+
+
+def adc_batch_candidates(
+    codes: DataFrame,
+    dim: int,
+    queries: list[tuple[int, list[int]]],
+    k: int,
+) -> DataFrame:
+    """Batch-ADC scoring as ONE vectorized GEMM per Arrow batch — the
+    guide-§4.2 kernel for the query-fanout keys: instead of |codes| ×
+    |queries| per-pair shift/mask/multiply-add expression trees in
+    JVM codegen (measured 27.2 s for the 240-query scoring stage on
+    the 10× tier, tools/adc_ab_probe.py), each ``mapInArrow`` batch
+    unpacks its packed words ONCE via a little-endian byte view and
+    scores every (doc, query) pair as a dense matrix product, then
+    keeps only the per-batch top-``k`` candidates per query.
+
+    Returns (vec_id, query_id, sq8_score) — for every query, each
+    input batch's top-``k`` eligible pairs (self-pairs ``vec_id ==
+    query_id`` excluded) under the serving order (sq8_score DESC,
+    vec_id ASC). The union over batches is a SUPERSET of the global
+    top-k under the same total order, so a downstream row_number
+    window over these candidates returns bit-identical rows to
+    ranking the full cross join — the standard partial top-k
+    argument, pinned by ``test_adc_batch_candidates_kernel``.
+
+    Exactness: products |(c_v−128)·(c_q−128)| ≤ 128², a dim-term sum
+    ≤ dim·2^14 (< 2^21 for dim ≤ 128), and every float64 intermediate
+    of an integer-valued GEMM below 2^53 is exact regardless of BLAS
+    summation order — so ``float64 GEMM → int64`` equals the JVM
+    integer kernel bit for bit. Ties are broken WITHIN the kernel by
+    the composite integer key ``score·2^32 − vec_id`` (score < 2^21,
+    vec_id < 2^32 ⇒ the key is the lexicographic (score DESC, vec_id
+    ASC) order, no overflow at |key| ≤ 2^53 + 2^32).
+
+    Scale: Arrow moves DIM+8 bytes/vector once; the kernel emits
+    ≤ batches·|queries|·k rows (thousands) instead of the
+    |codes|·|queries| scored relation, so the window ranks a bounded
+    candidate set. Batch-level Python (MapInArrow), not row-wise."""
+    import pyarrow as pa
+
+    nw = n_words(dim)
+    nq = len(queries)
+    qids = np.asarray([q[0] for q in queries], dtype=np.int64)
+    # centered float64 query matrix, transposed for the (docs × dim)
+    # @ (dim × queries) product
+    qt = (
+        np.asarray([q[1] for q in queries], dtype=np.float64) - 128.0
+    ).T.copy()
+
+    def _score(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            vid = np.asarray(rb.column("vec_id")).astype(np.int64)
+            words = np.empty((n, nw), dtype=np.int64)
+            for w in range(nw):
+                words[:, w] = np.asarray(rb.column(f"s{w}"))
+            # little-endian int64 view → bytes in lane order == code
+            # order (lane d%8 of word d//8 is byte 8·(d//8)+(d%8))
+            centered = words.view(np.uint8).astype(np.float64)
+            centered -= 128.0
+            scores = (centered @ qt).astype(np.int64)  # exact (< 2^53)
+            key = (scores << np.int64(32)) - vid[:, None]
+            key[vid[:, None] == qids[None, :]] = _SELF_PAIR_KEY
+            kk = min(k, n)
+            sel = np.argpartition(-key, kk - 1, axis=0)[:kk]
+            out_v, out_q, out_s = [], [], []
+            for j in range(nq):
+                idx = sel[:, j]
+                idx = idx[key[idx, j] != _SELF_PAIR_KEY]
+                out_v.append(vid[idx])
+                out_q.append(np.full(len(idx), qids[j], dtype=np.int64))
+                out_s.append(scores[idx, j])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_v)),
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_s)),
+                ],
+                names=["vec_id", "query_id", "sq8_score"],
+            )
+
+    return codes.select("vec_id", *sq8_col_names(dim)).mapInArrow(
+        _score, "vec_id long, query_id long, sq8_score long"
+    )

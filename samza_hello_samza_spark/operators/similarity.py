@@ -1253,6 +1253,24 @@ N_BATCH_QUERIES = 5
 BATCH_TOP_K = 5
 
 
+def _spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin the committed-code scan across every core before a
+    broadcast query fanout (guide §2.4 — stragglers/parallelism): the
+    snapshot's ``list_id`` layout yields ONE task per parquet file (16
+    at bench scale on 32 cores) and IVF lists are size-skewed, so the
+    |codes|·|queries| scoring stage ran at half parallelism with a
+    straggling hot list (profiled: 20.9 s of a 27.6 s key in one
+    16-task stage). The codes relation is DIM bytes/vector, so this
+    exchange is tiny next to the scoring stage it feeds; when the scan
+    already has ≥ cores partitions (the 100 TB layout) it is a no-op.
+    Scale-adaptive by construction: the target is the session's
+    defaultParallelism, never a constant."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN: top-5 neighbors for each of 5 query vectors at once.
 
@@ -1295,10 +1313,11 @@ def ann_sq8_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (training-data curation, eval-set mining, hard-negative sweeps)
     runs queries in batches, and the scan that dominates is the code
     read — so the corpus code words are scanned ONCE for all
-    ``N_BATCH_QUERIES`` queries, each query's packed words riding a
-    broadcast relation (``functions/sq8.adc_score_batch_col`` — the
-    query side as a column instead of literals), and the per-query
-    top-k is a row_number window partitioned by query_id.
+    ``N_BATCH_QUERIES`` queries, scored per Arrow batch as one exact
+    integer GEMM with in-kernel partial top-k
+    (``functions/sq8.adc_batch_candidates`` — guide §4.2), and the
+    per-query top-k is a row_number window over the bounded
+    candidate set, partitioned by query_id.
 
     Exactness: every query is quantized under the layout's FROZEN
     bounds (``read_sq8_meta``) with the same IEEE-identical
@@ -1321,20 +1340,13 @@ def ann_sq8_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     man = ann_index.read_index_manifest(corpus_dir)
     e = _embeddings(spark, sf_dir)
     qrows = e.filter(F.col("vec_id") < N_BATCH_QUERIES).collect()  # bounded
-    qrel = spark.createDataFrame(
-        [
-            (
-                int(r.vec_id),
-                _sq8.pack_words_py(
-                    _sq8.sq8_codes_py(
-                        np.asarray(r.v), meta["mins"], meta["maxs"]
-                    )
-                ),
-            )
-            for r in qrows
-        ],
-        "query_id LONG, qw ARRAY<BIGINT>",
-    )
+    qcands = [
+        (
+            int(r.vec_id),
+            _sq8.sq8_codes_py(np.asarray(r.v), meta["mins"], meta["maxs"]),
+        )
+        for r in qrows
+    ]
     codes = (
         ann_index.snapshot_scan(spark, corpus_dir, man=man)
         .select("vec_id", *meta["sq8_cols"])
@@ -1342,20 +1354,21 @@ def ann_sq8_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = ann_index._apply_tombstones(
         spark, idx, codes, tomb_files=man.get("tombstones")
     )
+    codes = _spread_scan(spark, codes)
     from pyspark.sql import Window
 
-    scored = (
-        codes.crossJoin(F.broadcast(qrel))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "sq8_score", _sq8.adc_score_batch_col(meta["dim"], F.col("qw"))
-        )
+    # r11 kernel swap (guide §4.2): the |codes|·|queries| scoring is
+    # one exact GEMM per Arrow batch with in-kernel per-batch top-k;
+    # the window ranks the bounded candidate set — same rows, same
+    # order, same hash (equivalence pinned in test_sq8_index.py).
+    cand = _sq8.adc_batch_candidates(
+        codes, meta["dim"], qcands, BATCH_TOP_K
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sq8_score"), F.asc("vec_id")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= BATCH_TOP_K)
         .select("query_id", "vec_id", "sq8_score")
     )
@@ -1385,11 +1398,11 @@ def ann_sq8_batch_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ``bm25_batch_wide``: the lexical side proved the per-query
     window fanout holds at 48× the pinned batch; this proves it at
     vector width. ONE committed-code scan (DIM bytes/vector, raw
-    ``v`` never in the read schema) scores every query via a
-    broadcast 240-row packed-words relation
-    (``adc_score_batch_col`` — pure shifts/masks/integer math in
-    codegen), per-query top-k by a query_id-partitioned row_number
-    window. The query set is the pinned stepped-id generator
+    ``v`` never in the read schema) scores every query via one exact
+    GEMM per Arrow batch with in-kernel partial top-k
+    (``adc_batch_candidates`` — guide §4.2), per-query top-k by a
+    query_id-partitioned row_number window over the candidates.
+    The query set is the pinned stepped-id generator
     (``_wide_vec_ids``) quantized under the layout's FROZEN bounds.
 
     Integer-exact end to end, so the WHOLE 240-query batch is
@@ -1413,20 +1426,13 @@ def ann_sq8_batch_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.count()
     ids = _wide_vec_ids(n)
     qrows = e.filter(F.col("vec_id").isin(ids)).collect()  # 240-row bound
-    qrel = spark.createDataFrame(
-        [
-            (
-                int(r.vec_id),
-                _sq8.pack_words_py(
-                    _sq8.sq8_codes_py(
-                        np.asarray(r.v), meta["mins"], meta["maxs"]
-                    )
-                ),
-            )
-            for r in qrows
-        ],
-        "query_id LONG, qw ARRAY<BIGINT>",
-    )
+    qcands = [
+        (
+            int(r.vec_id),
+            _sq8.sq8_codes_py(np.asarray(r.v), meta["mins"], meta["maxs"]),
+        )
+        for r in qrows
+    ]
     codes = (
         ann_index.snapshot_scan(spark, corpus_dir, man=man)
         .select("vec_id", *meta["sq8_cols"])
@@ -1434,18 +1440,19 @@ def ann_sq8_batch_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = ann_index._apply_tombstones(
         spark, idx, codes, tomb_files=man.get("tombstones")
     )
-    scored = (
-        codes.crossJoin(F.broadcast(qrel))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "sq8_score", _sq8.adc_score_batch_col(meta["dim"], F.col("qw"))
-        )
+    codes = _spread_scan(spark, codes)
+    # r11 kernel swap (guide §4.2): 240-query GEMM scoring with
+    # in-kernel partial top-k — the 27 s JVM per-pair scoring stage
+    # (tools/adc_ab_probe.py, 10× tier) becomes one exact matrix
+    # product per Arrow batch; rows/order/hash unchanged.
+    cand = _sq8.adc_batch_candidates(
+        codes, meta["dim"], qcands, BATCH_TOP_K
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sq8_score"), F.asc("vec_id")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= BATCH_TOP_K)
         .select("query_id", "vec_id", "sq8_score")
     )
@@ -1464,7 +1471,8 @@ def hybrid_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
       routing over the tiered posting layout (ONE phase-1 tier read
       for the union terms), top-``BM25_BATCH_TOP`` per query;
     - vector: ONE committed-code scan scores all queries
-      (``adc_score_batch_col``), per-query ADC top-``SQ8_RERANK_M``
+      (``adc_batch_candidates`` GEMM kernel), per-query ADC
+      top-``SQ8_RERANK_M``
       shortlist, exact cosine re-rank of the finalists rehydrated
       from the SAME snapshot against each query's raw vector
       (broadcast 5-row query relation), top-``BM25_BATCH_TOP``;
@@ -1507,33 +1515,35 @@ def hybrid_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 int(r.vec_id),
-                _sq8.pack_words_py(
-                    _sq8.sq8_codes_py(
-                        np.asarray(r.v), meta["mins"], meta["maxs"]
-                    )
-                ),
                 [float(x) for x in r.v],
                 float(np.linalg.norm(np.asarray(r.v))),
             )
             for r in qrows
         ],
-        "query_id LONG, qw ARRAY<BIGINT>, qv ARRAY<DOUBLE>, qnorm DOUBLE",
+        "query_id LONG, qv ARRAY<DOUBLE>, qnorm DOUBLE",
     )
+    qcands = [
+        (
+            int(r.vec_id),
+            _sq8.sq8_codes_py(np.asarray(r.v), meta["mins"], meta["maxs"]),
+        )
+        for r in qrows
+    ]
     codes = ann_index.snapshot_scan(spark, corpus_dir, man=man).select(
         "vec_id", *meta["sq8_cols"]
     )
     codes = ann_index._apply_tombstones(
         spark, idx, codes, tomb_files=man.get("tombstones")
     )
+    codes = _spread_scan(spark, codes)
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("sq8_score"), F.asc("vec_id")
     )
+    # r11 kernel swap (guide §4.2): GEMM candidates + window replace
+    # the per-pair JVM scoring; same shortlist set, pinned by the
+    # unchanged oracle hash.
     shortlist = (
-        codes.crossJoin(F.broadcast(qrel.select("query_id", "qw")))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "sq8_score", _sq8.adc_score_batch_col(meta["dim"], F.col("qw"))
-        )
+        _sq8.adc_batch_candidates(codes, meta["dim"], qcands, SQ8_RERANK_M)
         .withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= SQ8_RERANK_M)
         .select("query_id", "vec_id")

@@ -482,6 +482,68 @@ def test_adc_unpacked_col_equals_literal_col_incl_sign_lane(spark):
     assert batch_scores == lit_scores
 
 
+def test_adc_batch_candidates_kernel(spark):
+    """r11 GEMM kernel (guide §4.2): adc_batch_candidates + the
+    serving window must return bit-identical rows to the JVM packed
+    scorer + window — across multiple partitions (the partial-top-k
+    union argument), on sign-lane-hot codes (lane 7 ≥ 128 sets the
+    packed word's sign bit), and under massive score ties (constant
+    codes force the vec_id ASC tie-break through the composite key)."""
+    import random
+
+    from pyspark.sql import Window
+
+    random.seed(11)
+    dim = 16
+    corpus = []
+    for i in range(300):
+        c = [random.randrange(256) for _ in range(dim)]
+        if i % 7 == 0:
+            c = [255 if d % 8 == 7 else c[d] for d in range(dim)]  # sign lanes
+        if i % 13 == 0:
+            c = [128] * dim  # tie block
+        corpus.append(c)
+    rows = [(vid, *sq8.pack_words_py(c)) for vid, c in enumerate(corpus)]
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, " + ", ".join(f"s{w} LONG" for w in range(dim // 8))
+    )
+    queries = [
+        (0, [255] * dim),
+        (5, [0] * dim),
+        (12, [128] * dim),  # ties everywhere
+        (299, [(3 * d + 200) % 256 for d in range(dim)]),  # q sign lane hot
+    ]
+    k = 12
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sq8_score"), F.asc("vec_id")
+    )
+    qrel = spark.createDataFrame(
+        [(q, sq8.pack_words_py(c)) for q, c in queries],
+        "query_id LONG, qw ARRAY<BIGINT>",
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.sq8_score)
+        for r in df.crossJoin(F.broadcast(qrel))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sq8_score", sq8.adc_score_batch_col(dim, F.col("qw")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "sq8_score")
+        .collect()
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.sq8_score)
+        for r in sq8.adc_batch_candidates(df.repartition(7), dim, queries, k)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "sq8_score")
+        .collect()
+    )
+    assert got == want
+    # self-pair exclusion: no query ranks itself
+    assert all(q != v for q, v, _ in got)
+
+
 def test_sq8_batch_wide_matches_oracle_and_plan(spark, duck, tmp_path, monkeypatch):
     """r11 (VERDICT r10 #4): the 240-query wide ADC batch — hash-exact
     vs the DuckDB twin (the stepped-id generator replayed from

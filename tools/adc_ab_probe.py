@@ -109,13 +109,50 @@ def main() -> None:
             .select("query_id", "vec_id", "sq8_score")
         )
 
+    def plan_a_spread():
+        scored = (
+            similarity._spread_scan(spark, base_codes())
+            .crossJoin(F.broadcast(qrel_packed))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "sq8_score", _sq8.adc_score_batch_col(meta["dim"], F.col("qw"))
+            )
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= similarity.BATCH_TOP_K)
+            .select("query_id", "vec_id", "sq8_score")
+        )
+
+    def plan_c():
+        # r11 production shape: spread scan + one exact GEMM per
+        # Arrow batch with in-kernel partial top-k (guide §4.2)
+        cand = _sq8.adc_batch_candidates(
+            similarity._spread_scan(spark, base_codes()),
+            meta["dim"],
+            codes_rows,
+            similarity.BATCH_TOP_K,
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= similarity.BATCH_TOP_K)
+            .select("query_id", "vec_id", "sq8_score")
+        )
+
     # equality gate before timing
     ra = sorted(map(tuple, plan_a().collect()))
     rb = sorted(map(tuple, plan_b().collect()))
+    rc = sorted(map(tuple, plan_c().collect()))
     assert ra == rb, "kernel results differ!"
-    print(f"equality gate: {len(ra)} rows identical", flush=True)
+    assert ra == rc, "GEMM kernel results differ!"
+    print(f"equality gate: {len(ra)} rows identical (A=B=C)", flush=True)
 
-    for label, fn in (("A:packed", plan_a), ("B:unpacked", plan_b)):
+    for label, fn in (
+        ("A:packed", plan_a),
+        ("B:unpacked", plan_b),
+        ("A2:packed+spread", plan_a_spread),
+        ("C:gemm+spread", plan_c),
+    ):
         # warm one pass, then timed passes
         fn().write.mode("overwrite").format("noop").save()
         times = []
