@@ -915,6 +915,37 @@ def test_bm25_batch_wand_routes_per_query_and_matches_plain(spark, duck, tmp_pat
     assert got_h == want_h
 
 
+def test_vocab_cache_hits_and_invalidates_on_ingest(spark, tmp_path):
+    """r11: the workload-vocabulary selections (mixed head+tail, wide
+    top-df) are pure functions of the committed layout, so they cache
+    per layout fingerprint as PLAIN string tuples (the pricing-cache
+    discipline) — and an ingest append that bumps layout_version MUST
+    invalidate them so the workload tracks the corpus."""
+    from samza_hello_samza_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    inverted.build_bm25_index(spark, docs.filter(F.col("doc_id") % 2 == 0), idx)
+
+    v1 = inverted._mixed_vocab(spark, idx)
+    key = ("mixed", idx, inverted._stats_fingerprint(idx))
+    assert key in inverted._VOCAB_CACHE
+    # cache hit returns an equal, independent list (plain data only)
+    v1b = inverted._mixed_vocab(spark, idx)
+    assert v1b == v1 and v1b is not v1
+    assert all(isinstance(w, str) for w in inverted._VOCAB_CACHE[key])
+
+    inverted.append_documents_bm25(
+        spark, idx, docs.filter(F.col("doc_id") % 2 == 1)
+    )
+    v2 = inverted._mixed_vocab(spark, idx)
+    # the post-append selection prices from the NEW sidecar: it must
+    # equal a from-scratch build over the full corpus
+    full = str(tmp_path / "full")
+    inverted.build_bm25_index(spark, docs, full)
+    assert v2 == inverted._mixed_vocab(spark, full)
+
+
 def test_wand_pricing_cache_hits_and_invalidates_on_ingest(spark, tmp_path):
     """r09: repeated queries reuse the block pricing (what a serving
     tier keeps warm) — the second identical probe is a cache hit with
