@@ -62,9 +62,10 @@ NONEQUI_OK = {
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_batch_topk",       # query-batch broadcast scoring
-    "ann_sq8_batch_topk",   # query-batch broadcast ADC scoring (5-row build side)
-    "ann_sq8_batch_wide",   # query-batch broadcast ADC scoring (240-row build side)
-    "hybrid_batch_indexed",  # inherits the batch ADC's 5-row broadcast scoring
+    # (r11: ann_sq8_batch_topk / ann_sq8_batch_wide / hybrid_batch_
+    # indexed left this list — the GEMM kernel replaced their
+    # broadcast cross join, so a BroadcastNestedLoopJoin reappearing
+    # in those plans is now a regression this test catches)
     "hard_negative_mining",  # anchor-batch broadcast scoring
     "audience_kmv_setops",  # bounded |event_types|² pair-frame cross
     "embedding_knn_eval",   # query-batch broadcast scoring (ann_batch shape)
@@ -119,6 +120,12 @@ ARROW_OK = {
     # (Arrow UDF) are the declared Python stages — the tar bytes have
     # no JVM reader, same class as the multimodal codecs above.
     "packed_webdataset_audit",
+    # r11 batch-ADC GEMM kernel (functions/sq8.adc_batch_candidates,
+    # mapInArrow): one exact float64 GEMM per Arrow batch with
+    # in-kernel partial top-k — guide §4.2, oracle hashes unchanged.
+    "ann_sq8_batch_topk",
+    "ann_sq8_batch_wide",
+    "hybrid_batch_indexed",
 }
 
 #: queries ending in a global ORDER BY ... LIMIT k.
@@ -149,9 +156,11 @@ def test_no_rowwise_python_udf(spark, name):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan, f"{name} runs a row-at-a-time Python UDF"
     if name not in ARROW_OK:
-        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
-            f"{name} has an undeclared Python stage"
-        )
+        assert (
+            "ArrowEvalPython" not in plan
+            and "MapInPandas" not in plan
+            and "MapInArrow" not in plan  # r11: close the mapInArrow hole
+        ), f"{name} has an undeclared Python stage"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -99,6 +99,8 @@ def main() -> None:
             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
             .config("spark.eventLog.enabled", "true")
             .config("spark.eventLog.dir", EVENT_DIR)
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
         )
         return b.getOrCreate()
 
@@ -124,6 +126,11 @@ def main() -> None:
             print(f"skip {k}: not registered", file=sys.stderr)
             continue
         sc = spark.sparkContext
+        # bench.py's r11 measurement-hygiene discipline: release dead
+        # checkpoint blocks BETWEEN keys (blocking), outside the timed
+        # region, so late keys aren't inflated by block buildup.
+        for rdd in sc._jsc.getPersistentRDDs().values():
+            rdd.unpersist(True)
         sc.setJobGroup(k, k)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -138,9 +145,26 @@ def main() -> None:
     # ---- parse the event log ----
     log_path = os.path.join(EVENT_DIR, app_id)
     if not os.path.exists(log_path):
-        cands = [p for p in os.listdir(EVENT_DIR) if p.startswith(app_id)]
+        cands = [
+            p
+            for p in os.listdir(EVENT_DIR)
+            if p.startswith(app_id) or p.endswith(app_id)
+        ]
         if cands:
             log_path = os.path.join(EVENT_DIR, cands[0])
+    if os.path.isdir(log_path):
+        # rolling event log (eventlog_v2_<app>): concatenate the parts
+        parts = sorted(
+            os.path.join(log_path, p)
+            for p in os.listdir(log_path)
+            if p.startswith("events_")
+        )
+        merged = log_path + ".merged.jsonl"
+        with open(merged, "w") as out:
+            for part in parts:
+                with open(part) as fh:
+                    out.write(fh.read())
+        log_path = merged
     jobs = {}  # job_id -> dict
     stages = {}  # stage_id -> dict
     job_of_stage = {}
