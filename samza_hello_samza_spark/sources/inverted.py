@@ -760,14 +760,13 @@ def bm25_topk_from_index(
     # summing across attr segments re-aggregates to the corpus-wide
     # count) instead of a second pass over the pruned postings: one
     # posting read per probe, not two (guide §2.1). Same integers →
-    # same idf, bit-for-bit.
-    imp = _impacts_relation(spark, index_dir)
-    if imp is not None:
-        df = (
-            imp.filter(F.col("word").isin(*terms))
-            .groupBy("word")
-            .agg(F.sum("n_postings").cast("double").alias("df"))
-        )
+    # same idf, bit-for-bit. r11: the df values cache as plain floats
+    # per layout fingerprint (``_term_df_map``), so a warm probe's
+    # plan carries a LOCAL (word, df) relation — no sidecar scan in
+    # the serving path at all.
+    dfm = _term_df_map(spark, index_dir, terms)
+    if dfm is not None:
+        df = _df_relation(spark, dfm)
     else:  # degenerate empty layout: keep the in-plan derivation
         df = p.groupBy("word").agg(
             F.count(F.lit(1)).cast("double").alias("df")
@@ -1348,13 +1347,13 @@ def bm25_batch_from_index(
     # whole posting read + shuffle per batch call (guide §2.1 — the
     # r11 plan audit showed the union-term postings scanned twice,
     # once for df and once for scoring). Same integers → same idf.
-    imp = _impacts_relation(spark, index_dir)
-    if imp is not None:
-        df_tbl = (
-            imp.filter(F.col("word").isin(*union_terms))
-            .groupBy("word")
-            .agg(F.sum("n_postings").cast("double").alias("df"))
-        )
+    # r11: cached as plain floats per layout fingerprint
+    # (``_term_df_map``) — a warm batch's plan broadcasts a LOCAL
+    # (word, df) relation instead of rebuilding the sidecar
+    # aggregation subtree inside every probe.
+    dfm = _term_df_map(spark, index_dir, union_terms)
+    if dfm is not None:
+        df_tbl = _df_relation(spark, dfm)
     else:  # degenerate empty layout: keep the in-plan derivation
         df_tbl = p.groupBy("word").agg(
             F.count(F.lit(1)).cast("double").alias("df")
@@ -1589,6 +1588,52 @@ def _vocab_cached(key: tuple, build) -> list[str]:
             _VOCAB_CACHE.pop(next(iter(_VOCAB_CACHE)))
         _VOCAB_CACHE[key] = hit
     return list(hit)
+
+
+#: plain-data per-term df cache (r11, guide §2.1 — one sidecar read
+#: per (layout, term set) instead of one broadcast-subtree build per
+#: PROBE): df is a pure function of the committed layout, exactly the
+#: integers the sidecar's ``n_postings`` fold sums to. Same
+#: fingerprint discipline as the pricing/vocab caches.
+_DF_CACHE: dict[tuple, dict[str, float] | None] = {}
+_DF_CACHE_MAX = 64
+
+
+def _term_df_map(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> dict[str, float] | None:
+    """Exact corpus-wide df per term from the ``_impacts`` sidecar,
+    cached as plain floats per (layout fingerprint, term set). Words
+    absent from the sidecar are absent from the map (the in-plan
+    aggregation produced no row for them either — the scoring join is
+    inner both ways). Returns None for a degenerate layout with no
+    sidecar; callers keep their in-plan derivation for that case."""
+    key = (index_dir, _stats_fingerprint(index_dir), tuple(sorted(set(terms))))
+    if key not in _DF_CACHE:
+        imp = _impacts_relation(spark, index_dir)
+        if imp is None:
+            val = None
+        else:
+            rows = (
+                imp.filter(F.col("word").isin(*terms))
+                .groupBy("word")
+                .agg(F.sum("n_postings").cast("double").alias("df"))
+                .collect()
+            )  # bounded: <= |terms| rows
+            val = {r.word: float(r.df) for r in rows}
+        while len(_DF_CACHE) >= _DF_CACHE_MAX:
+            _DF_CACHE.pop(next(iter(_DF_CACHE)))
+        _DF_CACHE[key] = val
+    hit = _DF_CACHE[key]
+    return dict(hit) if hit is not None else None
+
+
+def _df_relation(spark: SparkSession, dfm: dict[str, float]) -> DataFrame:
+    """The cached df map as the tiny (word, df) relation the scoring
+    join broadcasts — a local relation, no scan in the probe plan."""
+    return spark.createDataFrame(
+        sorted(dfm.items()), "word STRING, df DOUBLE"
+    )
 
 
 def _mixed_vocab(spark: SparkSession, index_dir: str) -> list[str]:

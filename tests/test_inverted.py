@@ -935,15 +935,24 @@ def test_vocab_cache_hits_and_invalidates_on_ingest(spark, tmp_path):
     assert v1b == v1 and v1b is not v1
     assert all(isinstance(w, str) for w in inverted._VOCAB_CACHE[key])
 
+    # same discipline for the per-term df cache (plain floats)
+    terms = list(inverted.WAND_QUERY_TERMS)
+    d1 = inverted._term_df_map(spark, idx, terms)
+    d1b = inverted._term_df_map(spark, idx, terms)
+    assert d1b == d1 and d1b is not d1  # hit returns an independent copy
+
     inverted.append_documents_bm25(
         spark, idx, docs.filter(F.col("doc_id") % 2 == 1)
     )
     v2 = inverted._mixed_vocab(spark, idx)
-    # the post-append selection prices from the NEW sidecar: it must
+    d2 = inverted._term_df_map(spark, idx, terms)
+    # the post-append selections price from the NEW sidecar: they must
     # equal a from-scratch build over the full corpus
     full = str(tmp_path / "full")
     inverted.build_bm25_index(spark, docs, full)
     assert v2 == inverted._mixed_vocab(spark, full)
+    assert d2 == inverted._term_df_map(spark, full, terms)
+    assert d2 != d1  # the append genuinely changed df
 
 
 def test_wand_pricing_cache_hits_and_invalidates_on_ingest(spark, tmp_path):
