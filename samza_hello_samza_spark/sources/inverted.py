@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1182,46 +1183,53 @@ def bm25_wand_topk(
             "wslack",
         )
     )
-    agg1 = (
-        contrib.groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("partial"),
-            F.sum("wslack").alias("seen_slack"),
-            F.count(F.lit(1)).alias("n_seen"),
-        )
-        .localCheckpoint()  # priced once, consumed by θ-filter + final
+    agg1 = contrib.groupBy("doc_id").agg(
+        F.sum("c").alias("partial"),
+        F.sum("wslack").alias("seen_slack"),
+        F.count(F.lit(1)).alias("n_seen"),
     )
-    # θ (the k-th best phase-1 partial) and the candidate survivors in
-    # ONE action: the 1-row θ aggregate broadcast-joins back onto the
-    # checkpointed accumulator table, so no extra driver round-trip
-    theta_row = (
-        agg1.orderBy(F.desc("partial"), F.asc("doc_id"))
-        .limit(top)
-        .agg(F.min("partial").alias("theta"), F.count(F.lit(1)).alias("k"))
-    )
+    # θ AND the candidate survivors from ONE TakeOrdered job (r12,
+    # VERDICT r11 #6 — the probe previously spent an accumulator
+    # localCheckpoint plus a θ/candidate collect, i.e. two driver
+    # round-trips and a materialized block set, on the same decision).
+    # Order by the candidate criterion itself ("upper" = partial +
+    # unseen slack): every true top-k-by-partial row has upper ≥
+    # partial ≥ θ, so the top-(CAP+1) rows by upper contain (a) the
+    # whole top-k by partial — θ is computable in Python from the
+    # collected rows — and (b) EVERY candidate (any row above the θ
+    # cut outranks every row below it in upper), or else more than CAP
+    # survivors, which is exactly the over-cap fallback. Bounded
+    # driver state: ≤ CAP+1 rows, same cap as before.
+    upper = F.col("partial") + F.lit(total_slack) - F.col("seen_slack")
     cand_rows = (
-        agg1.crossJoin(F.broadcast(theta_row))
-        .filter(
-            F.col("partial") + F.lit(total_slack) - F.col("seen_slack")
-            >= F.col("theta") - (WAND_ROUND_MARGIN + eps)
-        )
+        agg1.select("doc_id", "partial", "seen_slack", "n_seen")
+        .orderBy(upper.desc(), F.asc("doc_id"))
         .limit(WAND_CANDIDATE_CAP + 1)
         .collect()
     )
     # serving round-trip telemetry (r11, VERDICT r10 #6): pricing jobs
-    # (0 on a cache hit) + the accumulator checkpoint + the θ/cand
-    # collect — the probe's total driver actions before the lazy final
-    # plan. The fallback paths inherit whatever ran before they bailed.
-    stats["n_round_trips"] = stats.get("n_pricing_round_trips", 0) + 2
-    if not cand_rows or cand_rows[0].k < top:
+    # (0 on a cache hit) + the fused θ/candidate TakeOrdered — the
+    # probe's total driver actions before the lazy final plan. The
+    # fallback paths inherit whatever ran before they bailed.
+    stats["n_round_trips"] = stats.get("n_pricing_round_trips", 0) + 1
+    if len(cand_rows) < top:
         # fewer than k phase-1 docs: θ is not a valid k-th bound
         return _fallback("under_k", stats)
-    theta = cand_rows[0].theta
+    # θ = the k-th best phase-1 partial — identical to the previous
+    # in-plan (orderBy partial DESC, doc_id ASC).limit(top).min():
+    # duplicates count, and the k-th largest VALUE needs no tiebreak.
+    theta = sorted((r.partial for r in cand_rows), reverse=True)[top - 1]
     stats["theta"] = round(theta, 6)
     if total_slack >= theta - (WAND_ROUND_MARGIN + eps):
         # an entirely-unseen doc could still reach the (rounded)
         # top-k: no block is provably skippable
         return _fallback("slack_ge_theta", stats)
+    cand_rows = [
+        r
+        for r in cand_rows
+        if r.partial + total_slack - r.seen_slack
+        >= theta - (WAND_ROUND_MARGIN + eps)
+    ]
     stats["n_candidates"] = len(cand_rows)
     if len(cand_rows) > WAND_CANDIDATE_CAP:
         return _fallback("over_cap", stats)
@@ -1229,15 +1237,16 @@ def bm25_wand_topk(
     need = sorted(r.doc_id for r in cand_rows if r.n_seen < n_terms_avail)
     stats["n_need_completion"] = len(need)
 
-    # candidate/completion id relations: broadcast SEMI-JOINs, the
-    # same shape as the batch variant — a ≤4096-element literal
-    # ``isin`` is the literal-bloat family the bloom work measured
-    # (codegen cost grows with the list), a ≤4096-row broadcast
-    # hash join does not.
-    cand_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(r.doc_id),) for r in cand_rows], "doc_id LONG"
-        )
+    # candidate relation: the collected rows themselves (r12 — the
+    # accumulator is no longer kept alive for the final plan; its
+    # surviving ≤CAP rows carry partial/n_seen already). Completion
+    # ids stay a broadcast SEMI-JOIN, the same shape as the batch
+    # variant — a ≤4096-element literal ``isin`` is the literal-bloat
+    # family the bloom work measured (codegen cost grows with the
+    # list), a ≤4096-row broadcast hash join does not.
+    cand_df = spark.createDataFrame(
+        [(int(r.doc_id), float(r.partial), int(r.n_seen)) for r in cand_rows],
+        "doc_id LONG, partial DOUBLE, n_seen LONG",
     )
 
     # ---- phase 2: complete ONLY the surviving docs ----
@@ -1267,18 +1276,14 @@ def bm25_wand_topk(
         add = spark.createDataFrame([], "doc_id LONG, c2 DOUBLE, n2 LONG")
     bm25_wand_topk.last_stats = stats
 
-    scored = (
-        agg1.join(cand_df, "doc_id", "left_semi")
-        .join(add, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.round(
-                F.col("partial") + F.coalesce(F.col("c2"), F.lit(0.0)), 4
-            ).alias("bm25"),
-            (F.col("n_seen") + F.coalesce(F.col("n2"), F.lit(0)))
-            .cast("long")
-            .alias("n_terms_matched"),
-        )
+    scored = cand_df.join(add, "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.col("partial") + F.coalesce(F.col("c2"), F.lit(0.0)), 4
+        ).alias("bm25"),
+        (F.col("n_seen") + F.coalesce(F.col("n2"), F.lit(0)))
+        .cast("long")
+        .alias("n_terms_matched"),
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top)
 
@@ -1597,6 +1602,9 @@ def _vocab_cached(key: tuple, build) -> list[str]:
 #: fingerprint discipline as the pricing/vocab caches.
 _DF_CACHE: dict[tuple, dict[str, float] | None] = {}
 _DF_CACHE_MAX = 64
+#: distinguishes "never computed" from a cached None (degenerate
+#: no-sidecar layout): None is a legitimate cached value here.
+_DF_MISS = object()
 
 
 def _term_df_map(
@@ -1608,8 +1616,10 @@ def _term_df_map(
     aggregation produced no row for them either — the scoring join is
     inner both ways). Returns None for a degenerate layout with no
     sidecar; callers keep their in-plan derivation for that case."""
-    key = (index_dir, _stats_fingerprint(index_dir), tuple(sorted(set(terms))))
-    if key not in _DF_CACHE:
+    fp = _stats_fingerprint(index_dir)
+    key = (index_dir, fp, tuple(sorted(set(terms))))
+    hit = _DF_CACHE.get(key, _DF_MISS)
+    if hit is _DF_MISS:
         imp = _impacts_relation(spark, index_dir)
         if imp is None:
             val = None
@@ -1621,10 +1631,17 @@ def _term_df_map(
                 .collect()
             )  # bounded: <= |terms| rows
             val = {r.word: float(r.df) for r in rows}
-        while len(_DF_CACHE) >= _DF_CACHE_MAX:
-            _DF_CACHE.pop(next(iter(_DF_CACHE)))
-        _DF_CACHE[key] = val
-    hit = _DF_CACHE[key]
+        # ADVICE r11: append_documents_bm25 writes the impacts sidecar
+        # BEFORE bumping _bm25_stats.json, so a concurrent append could
+        # land post-append df under the pre-append fingerprint. Re-read
+        # the fingerprint AFTER the collect and only cache when the
+        # layout version did not move underneath us; the fresh value is
+        # still returned either way (it is what the sidecar holds NOW).
+        if _stats_fingerprint(index_dir) == fp:
+            while len(_DF_CACHE) >= _DF_CACHE_MAX:
+                _DF_CACHE.pop(next(iter(_DF_CACHE)))
+            _DF_CACHE[key] = val
+        hit = val
     return dict(hit) if hit is not None else None
 
 
@@ -1687,13 +1704,19 @@ def bm25_batch_wand_topk(
     candidate set, which is the stage that dominates batch ranking at
     100 TB — and complete them exactly from the lower tiers via a
     semi-join (no driver doc-id list at batch width); non-prunable
-    queries fall back to the plain batch plan for exactly their
-    subset. Every query's result is EXACT (the admissible-bound
-    argument applies per query), so the relation equals
-    ``bm25_batch_from_index`` row-for-row and answers to the same
-    oracle. Driver state stays bounded: the |union|·tiers sidecar
-    rows, one θ row per query, the prunable/fallback id split —
-    never a doc list. Telemetry in ``last_stats``."""
+    queries complete UNPRUNED from the SAME two reads (r12: their
+    exact score is the phase-1 partial ⊕ their full phase-2
+    contributions via a full outer join — pre-r12 each fallback
+    subset re-read ALL tiers of its terms through a second
+    ``bm25_batch_from_index`` scan). Every query's result is EXACT
+    (the admissible-bound argument applies per query; the fallback
+    sum covers every posting of every query term exactly once —
+    p1_cond/p2_cond partition the (word, tier) space), so the
+    relation equals ``bm25_batch_from_index`` row-for-row and
+    answers to the same oracle. Driver state stays bounded: the
+    |union|·tiers sidecar rows, one θ row per query, the
+    prunable/fallback id split — never a doc list. Telemetry in
+    ``last_stats``."""
     import json as _json
 
     if collect_stats is None:
@@ -1752,16 +1775,29 @@ def bm25_batch_wand_topk(
             F.sum("wslack").alias("seen_slack"),
             F.count(F.lit(1)).alias("n_seen"),
         )
-        .localCheckpoint()  # consumed by θ, candidates and the final
+        # consumed by θ, candidates and the final. Recomputable disk
+        # persist, not an eager localCheckpoint (r12, VERDICT r11
+        # #3/#4): the (query, doc) accumulator is corpus-linear, and
+        # the lazy persist folds its materialization into the θ job
+        # below — one driver round-trip fewer per batch call.
+        .persist(StorageLevel.DISK_ONLY)
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("partial"), F.asc("doc_id")
     )
+    # θ per query AND the accumulator-size telemetry from ONE window
+    # pass (r12, VERDICT r11 #3 — previously a separate agg1.count()
+    # job): rn ≤ top aggregates to exactly the old
+    # limit(top)→min/count pair, and count(*) per query sums to the
+    # old whole-relation count.
     theta_rows = (
         agg1.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= top)
         .groupBy("query_id")
-        .agg(F.min("partial").alias("theta"), F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.min(F.when(F.col("rn") <= top, F.col("partial"))).alias("theta"),
+            F.count(F.when(F.col("rn") <= top, F.lit(1))).alias("k"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
         .collect()
     )  # bounded: one row per query
     theta_q = {r.query_id: (r.theta, r.k) for r in theta_rows}
@@ -1780,55 +1816,102 @@ def bm25_batch_wand_topk(
     bm25_batch_wand_topk.last_stats = stats
 
     parts = []
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rn", F.row_number().over(w_final))
+            .filter(F.col("rn") <= top)
+            .select(
+                F.col("query_id").cast("long").alias("query_id"),
+                "doc_id",
+                "bm25",
+                "n_terms_matched",
+            )
+        )
+
+    cand = None
     if prunable:
         qmeta = spark.createDataFrame(
             [(qid, float(theta_q[qid][0]), float(slack_q[qid])) for qid in prunable],
             "query_id INT, theta DOUBLE, qslack DOUBLE",
         )
-        cand = agg1.join(F.broadcast(qmeta), "query_id").filter(
-            F.col("partial") + F.col("qslack") - F.col("seen_slack")
-            >= F.col("theta") - (WAND_ROUND_MARGIN + eps)
-        ).localCheckpoint()  # priced once: candidates feed phase 2 AND the final
+        cand = (
+            agg1.join(F.broadcast(qmeta), "query_id")
+            .filter(
+                F.col("partial") + F.col("qslack") - F.col("seen_slack")
+                >= F.col("theta") - (WAND_ROUND_MARGIN + eps)
+            )
+            # priced once: candidates feed phase 2 AND the final.
+            # Recomputable persist (r12): recomputing = re-filtering
+            # the already-persisted accumulator, so nothing here needs
+            # a lineage cut.
+            .persist(StorageLevel.DISK_ONLY)
+        )
         # the crossover telemetry (VERDICT r09 #6): the (query, doc)
         # accumulator is THE stage that dominates batch ranking at
         # 100 TB — record its size before the θ cut (matches ≈
         # Σ_q df(q)) and after (candidates ≈ k·queries + slack), so
         # the shrink is a measured curve per scale point, not an
-        # argument. Two bounded counts over checkpointed relations —
-        # gated (ADVICE r10): serving callers skip the extra actions.
+        # argument. r12: the before-count now rides the θ window pass
+        # (Σ per-query n_rows — the same integer, one job fewer); the
+        # after-count stays a bounded count over the persisted
+        # candidates, still gated (ADVICE r10) so serving callers skip
+        # the extra action.
         if collect_stats:
-            stats["n_accumulator_rows"] = agg1.count()
+            stats["n_accumulator_rows"] = sum(r.n_rows for r in theta_rows)
             stats["n_candidate_rows"] = cand.count()
-        if pr["p2_paths"]:
-            p2c = (
-                spark.read.option("basePath", index_dir)
-                .parquet(*pr["p2_paths"])
-                .filter(pr["p2_cond"])
-                .join(F.broadcast(qinfo), "word")
-                .select(
-                    "doc_id",
-                    "word",
-                    (
-                        F.col("idf") * _bm25_sat(F.col("tf"), F.col("dl"), avgdl)
-                    ).alias("c"),
-                )
-                .join(
-                    F.broadcast(qterms.join(qmeta.select("query_id"), "query_id")),
-                    "word",
-                )
-                .join(
-                    cand.select("query_id", "doc_id"),
-                    ["query_id", "doc_id"],
-                    "left_semi",
-                )
+
+    # ---- phase 2, ONE pruned read for BOTH routes (r12, VERDICT r11
+    # #3): per-(doc, word) lower-tier contributions fan out to every
+    # query via the broadcast (query_id, word) relation, then rows are
+    # routed — prunable queries keep only their θ-surviving candidates
+    # (the semi-join, as before), fallback queries keep everything.
+    # Pre-r12 each fallback subset re-read ALL tiers of its terms
+    # through a second bm25_batch_from_index scan; now a fallback
+    # query's exact score is partial (phase-1 read) ⊕ its unpruned
+    # phase-2 contributions — the same two posting reads serve the
+    # whole workload, and every posting row is read exactly once
+    # (p1_cond/p2_cond partition the (word, tier) space).
+    if pr["p2_paths"] and (prunable or fallback):
+        p2c = (
+            spark.read.option("basePath", index_dir)
+            .parquet(*pr["p2_paths"])
+            .filter(pr["p2_cond"])
+            .join(F.broadcast(qinfo), "word")
+            .select(
+                "doc_id",
+                "word",
+                (
+                    F.col("idf") * _bm25_sat(F.col("tf"), F.col("dl"), avgdl)
+                ).alias("c"),
             )
-            add = p2c.groupBy("query_id", "doc_id").agg(
-                F.sum("c").alias("c2"), F.count(F.lit(1)).alias("n2")
+            .join(F.broadcast(qterms), "word")
+        )
+        if prunable and fallback:
+            fb_cond = F.col("query_id").isin([int(q) for q in fallback])
+            p2c = p2c.join(
+                cand.select("query_id", "doc_id").withColumn("_c", F.lit(1)),
+                ["query_id", "doc_id"],
+                "left",
+            ).filter(F.col("_c").isNotNull() | fb_cond).drop("_c")
+        elif prunable:
+            p2c = p2c.join(
+                cand.select("query_id", "doc_id"),
+                ["query_id", "doc_id"],
+                "left_semi",
             )
-        else:
-            add = spark.createDataFrame(
-                [], "query_id INT, doc_id LONG, c2 DOUBLE, n2 LONG"
-            )
+        add = p2c.groupBy("query_id", "doc_id").agg(
+            F.sum("c").alias("c2"), F.count(F.lit(1)).alias("n2")
+        )
+    else:
+        add = spark.createDataFrame(
+            [], "query_id INT, doc_id LONG, c2 DOUBLE, n2 LONG"
+        )
+
+    if prunable:
         scored = cand.join(add, ["query_id", "doc_id"], "left").select(
             "query_id",
             "doc_id",
@@ -1839,35 +1922,39 @@ def bm25_batch_wand_topk(
             .cast("long")
             .alias("n_terms_matched"),
         )
-        w_final = Window.partitionBy("query_id").orderBy(
-            F.desc("bm25"), F.asc("doc_id")
-        )
-        parts.append(
-            scored.withColumn("rn", F.row_number().over(w_final))
-            .filter(F.col("rn") <= top)
-            .select(
-                F.col("query_id").cast("long").alias("query_id"),
-                "doc_id",
-                "bm25",
-                "n_terms_matched",
-            )
-        )
+        parts.append(_topk(scored))
     if fallback:
-        sub = bm25_batch_from_index(
-            spark, index_dir, tuple(queries[q] for q in fallback), top
+        # exact unpruned completion from the SAME two reads: a
+        # fallback (query, doc) pair may hold postings only in phase-1
+        # tiers, only in phase-2 tiers, or both — hence the full outer
+        # join. Scores are the identical term multiset the old
+        # re-read summed (every posting of every query term, each in
+        # exactly one tier), under the same 4-dp round.
+        fb_ids = spark.createDataFrame(
+            [(int(q),) for q in fallback], "query_id INT"
         )
-        remap = spark.createDataFrame(
-            [(i, int(q)) for i, q in enumerate(fallback)],
-            "query_id BIGINT, orig BIGINT",
+        agg1_fb = agg1.join(F.broadcast(fb_ids), "query_id").select(
+            "query_id", "doc_id", "partial", "n_seen"
         )
-        parts.append(
-            sub.join(F.broadcast(remap), "query_id").select(
-                F.col("orig").alias("query_id"),
-                "doc_id",
-                "bm25",
-                "n_terms_matched",
+        add_fb = add.join(F.broadcast(fb_ids), "query_id")
+        scored_fb = agg1_fb.join(
+            add_fb, ["query_id", "doc_id"], "full_outer"
+        ).select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("partial"), F.lit(0.0))
+                + F.coalesce(F.col("c2"), F.lit(0.0)),
+                4,
+            ).alias("bm25"),
+            (
+                F.coalesce(F.col("n_seen"), F.lit(0))
+                + F.coalesce(F.col("n2"), F.lit(0))
             )
+            .cast("long")
+            .alias("n_terms_matched"),
         )
+        parts.append(_topk(scored_fb))
     if not parts:
         return spark.createDataFrame(
             [], "query_id BIGINT, doc_id LONG, bm25 DOUBLE, n_terms_matched BIGINT"

@@ -189,15 +189,16 @@ def test_hybrid_round_trip_telemetry_and_sidecar_caches(
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
     similarity.hybrid_search_indexed(spark, SF_DIR).collect()
     st1 = dict(similarity.hybrid_topk_from_layouts.last_stats)
-    # fresh layout dir: the first probe priced (2 jobs) + checkpoint +
-    # candidate collect, and read both sidecars from disk
+    # fresh layout dir: the first probe priced (2 jobs) + the fused
+    # θ/candidate TakeOrdered (r12, VERDICT r11 #6 — previously a
+    # checkpoint AND a collect), and read both sidecars from disk
     assert st1["wand_pricing_cached"] is False
-    assert st1["wand_round_trips"] == 4
+    assert st1["wand_round_trips"] == 3
 
     similarity.hybrid_search_indexed(spark, SF_DIR).collect()
     st2 = dict(similarity.hybrid_topk_from_layouts.last_stats)
     assert st2["wand_pricing_cached"] is True
-    assert st2["wand_round_trips"] == 2  # checkpoint + θ/cand collect only
+    assert st2["wand_round_trips"] == 1  # the fused θ/cand TakeOrdered only
     assert st2["sq8_meta_cached"] is True
     assert st2["manifest_cached"] is True
 
