@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import random
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -451,12 +452,17 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     its cost is candidates-sized, never corpus². Fully oracle-checked
     — the md5-slice family makes the whole estimator SQL-expressible.
     """
-    # ONE shingle+minhash scan: the checkpointed signatures feed the
+    # ONE shingle+minhash scan: the persisted signatures feed the
     # band join AND both pair-side lookups (pre-r11 the band join
     # re-derived signatures from the corpus — plan-audited at 9
     # documents scans for this key; now 2: signatures + the
-    # candidate-doc tokenize below).
-    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint()
+    # candidate-doc tokenize below). persist(DISK_ONLY), not
+    # localCheckpoint (r12, VERDICT r11 #4): the signature relation is
+    # CORPUS-LINEAR — an eager localCheckpoint pins it deserialized in
+    # executor memory AND truncates lineage (one lost executor fails
+    # the job at 100 TB); a recomputable disk persist spills nothing
+    # into the memory pool and survives block loss by recomputing.
+    sigs = _minhash_sigs(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     pairs = (
         _bucket_pairs(_bands_from_sigs(sigs), ["band", "sig"], "doc_id")
         .select(F.col("p.pa").alias("doc_a"), F.col("p.pb").alias("doc_b"))
@@ -620,7 +626,12 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint()  # joined once per config
     )
-    sigs = _minhash_sigs(spark, sf_dir, docs=docs).localCheckpoint()
+    # corpus-linear signatures: recomputable disk persist, not a
+    # lineage-truncating in-memory checkpoint (r12, VERDICT r11 #4);
+    # the four config rounds below share the one materialization.
+    sigs = _minhash_sigs(spark, sf_dir, docs=docs).persist(
+        StorageLevel.DISK_ONLY
+    )
     n_true = truth.count()
     out = None
     for n_bands, r in LSH_SWEEP_CONFIGS:
@@ -783,7 +794,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest additionally asserts the pairs equal the full-corpus
     minhash pairs restricted to one-new/one-existing.
     """
-    bands = _minhash_bands(spark, sf_dir).localCheckpoint()  # = index read
+    # = the standing index read; corpus-linear, so recomputable disk
+    # persist instead of an in-memory lineage cut (r12, VERDICT r11 #4)
+    bands = _minhash_bands(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
     new = bands.filter(is_new).select(
         "band", "sig", F.col("doc_id").alias("new_doc")
@@ -828,7 +841,9 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully oracle-checked: md5-slice band family + exact-set Jaccard
     are both SQL-expressible.
     """
-    bands = _minhash_bands(spark, sf_dir).localCheckpoint()
+    # corpus-linear band relation: recomputable disk persist, same
+    # rationale as dedup_incremental's (r12, VERDICT r11 #4)
+    bands = _minhash_bands(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     is_bench = F.col("doc_id") % DECON_MOD == DECON_REM
     bench = bands.filter(is_bench).select(
         "band", "sig", F.col("doc_id").alias("bench_doc")

@@ -27,6 +27,7 @@ kept as strings here so the DuckDB oracle shares the grouping key.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -259,7 +260,13 @@ def bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, bigram: STRING>>)"))
     occ = explode_nonempty(tokenized, ["doc_id"], occ_arr, "o").select(
         "doc_id", "o.w1", "o.bigram"
-    ).localCheckpoint()  # consumed 3× (pair counts, prefix counts, scoring join)
+    ).persist(
+        # consumed 3× (pair counts, prefix counts, scoring join); the
+        # occurrence relation is CORPUS-LINEAR (one row per token), so
+        # recomputable disk persist, not an in-memory lineage cut
+        # (r12, VERDICT r11 #4)
+        StorageLevel.DISK_ONLY
+    )
     pair_cnt = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("pair_cnt"))
     prefix_cnt = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("prefix_cnt"))
     return (
