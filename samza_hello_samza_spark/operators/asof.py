@@ -379,7 +379,17 @@ def session_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bucketed_interval_join(
             sessions, "s_start", "s_end", orders, "w_start", "w_end",
-            ["user_id"], DAY_SEC,
+            # bucket width == the order-window length (r12, guide §2.3
+            # — shuffle/probe fewer rows): the EXPLODED volume is the
+            # join's cost driver, and the heavy side (orders, 10×
+            # sessions) explodes into ⌈len/width⌉+1 buckets, so a
+            # 1-day bucket blew every 3-day order window into 4 rows
+            # (profiled at sf1: the probe stage dominated the key).
+            # With width = window length an order spans ≤2 buckets and
+            # a (short) session almost always 1; the first-shared-
+            # bucket dedup rule is width-independent, so the relation
+            # is IDENTICAL for any width (oracle-pinned).
+            ["user_id"], ORDER_WINDOW_DAYS * DAY_SEC,
         )
         .select(
             "user_id",
