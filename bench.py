@@ -440,6 +440,45 @@ BASELINE_JSON = os.path.join(
 )
 
 
+def cpu_probe(threads: int = 1, mib: int = 192) -> float:
+    """Fixed-work host-throughput probe (r12, VERDICT r11 #2): seconds
+    to sha256 ``mib`` MiB per thread, ``threads`` concurrent threads
+    (sha256 releases the GIL for ≥2 KiB updates, so the 4-thread probe
+    measures real multicore throughput). Runs OUTSIDE every timed
+    region. The r11 round's PERF comparison was invalidated by the box
+    itself getting ~4× slower between driver runs (58/58 'regressions'
+    on mostly-untouched code, 8 cores beating 32); this probe makes
+    the artifact carry its own box-speed evidence, so a cross-round
+    ratio can be normalized mechanically instead of adjudicated from
+    untouched-key controls after the fact."""
+    import hashlib
+    import threading as _th
+
+    buf = bytes(1 << 20)
+
+    def _spin() -> None:
+        h = hashlib.sha256()
+        for _ in range(mib):
+            h.update(buf)
+
+    ts = [_th.Thread(target=_spin) for _ in range(threads)]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return time.perf_counter() - t0
+
+
+def probe_block() -> dict:
+    """The probe rows recorded in the headline JSON + detail artifact:
+    single-thread (min of 3 — scheduling hiccups only ever slow it)
+    and 4-thread wall seconds."""
+    st = round(min(cpu_probe(1) for _ in range(3)), 3)
+    mt = round(min(cpu_probe(4) for _ in range(2)), 3)
+    return {"st": st, "mt": mt}
+
+
 def load_freezes() -> dict[str, dict]:
     """The machine-readable per-key frozen-baseline table (r11, VERDICT
     r10 #1). BASELINE.json's "freezes" block — extracted once from
@@ -453,20 +492,33 @@ def load_freezes() -> dict[str, dict]:
 
 
 def freeze_check(
-    timings: dict[str, float], tier: str, freezes: dict[str, dict] | None = None
+    timings: dict[str, float],
+    tier: str,
+    freezes: dict[str, dict] | None = None,
+    probe_scale: float = 1.0,
 ) -> dict:
     """Per-row (value, freeze, ratio) for one bench tier ("sf0.1" |
     "sf1"). Every timed key must resolve to a freeze — keys without
     one land in "missing_freeze" (loud, never silently skipped).
     "violations" lists rows above 2×; adjudication (ambient-vs-plan,
     per the BASELINE.md triage rule) stays a human step, but the
-    detection is now an artifact the run itself writes."""
+    detection is now an artifact the run itself writes.
+
+    ``probe_scale`` (r12, VERDICT r11 #2): this box's single-thread
+    probe seconds divided by the freeze box's reference probe
+    (BASELINE.json "probe_ref"). Ratios are reported RAW; the 2×
+    verdict uses the probe-normalized ratio (ratio / probe_scale,
+    floored at the raw ratio when the probe says the box is FASTER —
+    a fast box must never excuse a slow plan), so a uniformly slow
+    host no longer manufactures violations on untouched code."""
     if freezes is None:
         freezes = load_freezes()
+    scale = max(probe_scale, 1.0)
     rows: dict[str, dict] = {}
     missing: list[str] = []
     worst_key, worst_ratio = None, 0.0
     violations: list[str] = []
+    raw_violations: list[str] = []
     v_sum = f_sum = 0.0
     for k in sorted(timings):
         v = timings[k]
@@ -475,18 +527,23 @@ def freeze_check(
             missing.append(k)
             continue
         r = round(v / f, 3)
-        rows[k] = {"value": v, "freeze": f, "ratio": r}
+        rn = round(r / scale, 3)
+        rows[k] = {"value": v, "freeze": f, "ratio": r, "ratio_norm": rn}
         v_sum += v
         f_sum += f
         if r > worst_ratio:
             worst_key, worst_ratio = k, r
         if r > 2.0:
+            raw_violations.append(k)
+        if rn > 2.0:
             violations.append(k)
     return {
         "tier": tier,
         "rows": rows,
         "worst": [worst_key, worst_ratio],
         "violations": violations,
+        "raw_violations": raw_violations,
+        "probe_scale": round(scale, 3),
         "missing_freeze": missing,
         "aggregate_ratio": round(v_sum / f_sum, 3) if f_sum else None,
     }
@@ -495,6 +552,9 @@ def freeze_check(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    # host-throughput probe BEFORE the JVM exists (and again at the
+    # end): pure-Python fixed work, outside every timed region.
+    probe_start = probe_block()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -555,10 +615,29 @@ def main() -> None:
         layouts under the index root), so dropping in-memory blocks
         between keys only isolates measurements — it cannot evict
         anything a later key serves from. Runs OUTSIDE the timed
-        region."""
-        # blocking=True: the removal must COMPLETE outside the timed
-        # region — an async unpersist drains block-removal work into
-        # the next timed pass (observed as order-dependent 5-10×
+        region.
+
+        INVARIANT (ADVICE r11): every module-level cache in the
+        package must hold PLAIN DATA ONLY (floats/strings/paths —
+        the pricing/vocab/df caches all do). This release destroys
+        every persistent RDD block between keys, and a cached
+        localCheckpoint'd DataFrame is UNRECOVERABLE once its blocks
+        are unpersisted (lineage truncated) — a future DataFrame-
+        holding cache would be silently corrupted here. It also uses
+        the private _jsc handle because PySpark exposes no public
+        enumeration of persistent RDDs; if that breaks on a Spark
+        upgrade, spark.catalog.clearCache() covers DataFrame persist()
+        blocks and only the raw-RDD localCheckpoint blocks need a new
+        route."""
+        # r12: corpus-linear subtrees now use recomputable persist()
+        # instead of localCheckpoint (VERDICT r11 #4) — clear the
+        # CacheManager first so (a) its entry list does not grow for
+        # the whole run (every cached-plan lookup scans it) and (b)
+        # the entries' blocks are actually released, then...
+        spark.catalog.clearCache()
+        # ...blocking=True: the removal must COMPLETE outside the
+        # timed region — an async unpersist drains block-removal work
+        # into the next timed pass (observed as order-dependent 5-10×
         # inflation of whichever key follows a checkpoint-heavy one).
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(True)
@@ -720,9 +799,32 @@ def main() -> None:
                 + f" -> min {min(passes):.3f}",
                 file=sys.stderr,
             )
+    probe_end = probe_block()
     ratio = round(canary_last / canary_first, 2) if canary_first else 1.0
     result["canary"] = {"first": canary_first, "last": canary_last, "ratio": ratio}
     result["contended"] = ratio > 1.5
+    # probe rows in the stdout line (compact): this box's fixed-work
+    # seconds at start/end plus the freeze box's reference, so the
+    # artifact itself says "this box is N× the freeze box".
+    try:
+        with open(BASELINE_JSON) as fh:
+            probe_ref = json.load(fh).get("probe_ref")
+    except (OSError, ValueError):
+        probe_ref = None
+    probe_scale = (
+        round(probe_start["st"] / probe_ref["st"], 3)
+        if probe_ref and probe_ref.get("st")
+        else 1.0
+    )
+    result["probe"] = {
+        "st": probe_start["st"],
+        "mt": probe_start["mt"],
+        "end_st": probe_end["st"],
+        "ref_st": probe_ref.get("st") if probe_ref else None,
+        "x": probe_scale,
+    }
+    detail["probe"] = {"start": probe_start, "end": probe_end,
+                       "ref": probe_ref, "scale": probe_scale}
     # 1-min loadavg per tier boundary in the stdout line (compact);
     # the full (1, 5, 15) triples live in the DETAIL artifact. The
     # bench itself drives load (local[32] executes on every core), so
@@ -742,10 +844,17 @@ def main() -> None:
     # replace the ad-hoc prose parsing that missed a 2.16× row in r10.
     if sf == 0.1:
         freezes = load_freezes()
-        fc = {"sf0.1": freeze_check(detail["queries"], "sf0.1", freezes)}
+        fc = {
+            "sf0.1": freeze_check(
+                detail["queries"], "sf0.1", freezes, probe_scale=probe_scale
+            )
+        }
         if "tiers" in detail:
             fc["sf1"] = freeze_check(
-                detail["tiers"]["sf1"]["queries"], "sf1", freezes
+                detail["tiers"]["sf1"]["queries"],
+                "sf1",
+                freezes,
+                probe_scale=probe_scale,
             )
         detail["freeze_check"] = fc
         n_viol = sum(len(c["violations"]) for c in fc.values())
@@ -755,7 +864,9 @@ def main() -> None:
             print(
                 f"[freeze {tier}] worst {c['worst'][0]} {c['worst'][1]}x, "
                 f"aggregate {c['aggregate_ratio']}x, "
-                f"violations {c['violations']}, "
+                f"probe_scale {c['probe_scale']}x, "
+                f"violations(norm) {c['violations']}, "
+                f"raw>2x {len(c['raw_violations'])}, "
                 f"missing_freeze {c['missing_freeze']}",
                 file=sys.stderr,
             )
@@ -763,7 +874,8 @@ def main() -> None:
                 r = c["rows"][k]
                 print(
                     f"[freeze {tier}] VIOLATION {k}: {r['value']} vs "
-                    f"freeze {r['freeze']} = {r['ratio']}x",
+                    f"freeze {r['freeze']} = {r['ratio']}x raw, "
+                    f"{r['ratio_norm']}x probe-normalized",
                     file=sys.stderr,
                 )
         if n_nofrz:
