@@ -164,12 +164,17 @@ def pack_words_py(codes: list[int]) -> list[int]:
 
 def unpack_centered_cols(dim: int) -> list[F.Column]:
     """One centered int column per code byte, extracted from the
-    packed word columns: ``_b{d} = lane_byte(s_w) − 128``. The batch
-    scoring paths project these BEFORE the broadcast cross join, so
-    the 3-op shift/mask/center extraction runs once per DOC ROW
-    instead of once per (doc, query) pair — at 240 queries that is
-    240× fewer extractions feeding the exact same integer products
-    (``adc_score_unpacked_col``). Bit-for-bit the same score."""
+    packed word columns: ``_b{d} = lane_byte(s_w) − 128``.
+
+    DECISION RECORD, not a production path (ADVICE r11): this
+    "hoist the unpack out of the per-pair expression" JVM kernel was
+    A/B'd against the packed kernel in r11 (tools/adc_ab_probe.py:
+    30.5 s vs 27.2 s on the 10× tier — SLOWER, the element_at
+    bounds/null checks and 8×-wider stream row outweigh the saved
+    extraction) and both were then superseded by the Arrow GEMM
+    kernel ``adc_batch_candidates``, which is what the batch
+    operators call. Kept, with its test, so the losing shape is not
+    re-tried; bit-for-bit the same score as the packed kernel."""
     cols: list[F.Column] = []
     for w in range(n_words(dim)):
         word = F.col(f"s{w}")
@@ -186,17 +191,19 @@ def unpack_centered_cols(dim: int) -> list[F.Column]:
 
 
 def centered_codes_py(codes: list[int]) -> list[int]:
-    """Driver-side query twin of ``unpack_centered_cols``: the plain
-    centered byte list (code − 128) a batch query relation carries as
-    ``array<int>`` instead of packed words."""
+    """Driver-side query twin of ``unpack_centered_cols`` (same
+    decision-record status — see its docstring): the plain centered
+    byte list (code − 128) that rejected kernel's query relation
+    would carry as ``array<int>`` instead of packed words."""
     return [c - 128 for c in codes]
 
 
 def adc_score_unpacked_col(dim: int, qbytes: F.Column) -> F.Column:
-    """The batch ADC dot product over pre-unpacked centered doc bytes
-    (``unpack_centered_cols``) and a centered query byte array
-    (``centered_codes_py``): Σ _b{d} · qbytes[d] — one multiply-add
-    per dimension per (doc, query) pair, no per-pair bit extraction.
+    """The rejected hoisted-unpack kernel's scoring half (same
+    decision-record status as ``unpack_centered_cols`` — see its
+    docstring): Σ _b{d} · qbytes[d] over pre-unpacked centered doc
+    bytes and a centered query byte array — one multiply-add per
+    dimension per (doc, query) pair, no per-pair bit extraction.
     Integer-exact equal to ``adc_score_batch_col`` (same centered
     products, integer addition reassociates freely)."""
     score: F.Column = F.lit(0).cast("long")
@@ -297,9 +304,16 @@ def adc_batch_candidates(
             words = np.empty((n, nw), dtype=np.int64)
             for w in range(nw):
                 words[:, w] = np.asarray(rb.column(f"s{w}"))
-            # little-endian int64 view → bytes in lane order == code
-            # order (lane d%8 of word d//8 is byte 8·(d//8)+(d%8))
-            centered = words.view(np.uint8).astype(np.float64)
+            # little-endian int64 bytes → lane order == code order
+            # (lane d%8 of word d//8 is byte 8·(d//8)+(d%8)). The
+            # '<i8' astype pins the layout regardless of host
+            # endianness (ADVICE r11): a no-op view on little-endian
+            # hosts, an explicit byteswapped copy on big-endian ones —
+            # a bare .view(np.uint8) would silently reverse the lanes
+            # there and mis-score every pair.
+            centered = (
+                words.astype("<i8", copy=False).view(np.uint8).astype(np.float64)
+            )
             centered -= 128.0
             scores = (centered @ qt).astype(np.int64)  # exact (< 2^53)
             key = (scores << np.int64(32)) - vid[:, None]
