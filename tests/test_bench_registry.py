@@ -118,8 +118,11 @@ def test_freeze_check_math_and_missing_detection():
     out = bench.freeze_check(
         {"a": 2.5, "b": 0.4, "c": 9.9}, "sf0.1", freezes
     )
-    assert out["rows"]["a"] == {"value": 2.5, "freeze": 1.0, "ratio": 2.5}
+    assert out["rows"]["a"] == {
+        "value": 2.5, "freeze": 1.0, "ratio": 2.5, "ratio_norm": 2.5
+    }
     assert out["violations"] == ["a"]
+    assert out["raw_violations"] == ["a"]
     assert out["worst"] == ["a", 2.5]
     assert out["missing_freeze"] == ["c"]
     # tier-aware: b has no sf1 freeze
@@ -128,3 +131,17 @@ def test_freeze_check_math_and_missing_detection():
     assert out1["violations"] == []
     assert out1["missing_freeze"] == ["b"]
     assert out1["aggregate_ratio"] == 1.0
+    # r12 probe normalization: a 2x-slow box halves the normalized
+    # ratio (the 2x verdict), raw ratios are reported unchanged, and
+    # a FAST box (scale < 1) never shrinks the bar below raw.
+    out2 = bench.freeze_check(
+        {"a": 2.5}, "sf0.1", freezes, probe_scale=2.0
+    )
+    assert out2["rows"]["a"]["ratio"] == 2.5
+    assert out2["rows"]["a"]["ratio_norm"] == 1.25
+    assert out2["violations"] == [] and out2["raw_violations"] == ["a"]
+    out3 = bench.freeze_check(
+        {"a": 2.5}, "sf0.1", freezes, probe_scale=0.5
+    )
+    assert out3["rows"]["a"]["ratio_norm"] == 2.5
+    assert out3["violations"] == ["a"]
