@@ -1782,16 +1782,20 @@ def bm25_batch_wand_topk(
         # below — one driver round-trip fewer per batch call.
         .persist(StorageLevel.DISK_ONLY)
     )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.desc("partial"), F.asc("doc_id")
-    )
+    # θ ranks by partial ALONE (no doc_id tiebreak): θ = the k-th
+    # largest VALUE, k = min(top, group size) and n_rows = the group
+    # size are all tie-invariant, and dropping the tiebreak column
+    # narrows the window exchange to (query_id, partial) — the
+    # accumulator is the batch's biggest shuffle (guide §2.3).
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("partial"))
     # θ per query AND the accumulator-size telemetry from ONE window
     # pass (r12, VERDICT r11 #3 — previously a separate agg1.count()
     # job): rn ≤ top aggregates to exactly the old
     # limit(top)→min/count pair, and count(*) per query sums to the
     # old whole-relation count.
     theta_rows = (
-        agg1.withColumn("rn", F.row_number().over(w_rank))
+        agg1.select("query_id", "partial")
+        .withColumn("rn", F.row_number().over(w_rank))
         .groupBy("query_id")
         .agg(
             F.min(F.when(F.col("rn") <= top, F.col("partial"))).alias("theta"),
