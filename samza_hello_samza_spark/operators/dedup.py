@@ -136,7 +136,10 @@ def _doc_shingles(
         # 1-3× (counts + both self-join sides in dedup_ngram_jaccard):
         # one tokenize+distinct pass instead of one per consumer (the
         # r11 plan audit read 15 exchanges on the jaccard key).
-        .localCheckpoint()
+        # CORPUS-LINEAR (one row per distinct (doc, shingle)) →
+        # recomputable spillable persist, not an in-memory lineage cut
+        # (r12, VERDICT r11 #4 discipline).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # hot-shingle set is tiny in absolute terms (≤ |shingle rows|/cap,
     # realistically a handful of boilerplate strings) — the anti-join
@@ -302,15 +305,20 @@ def dedup_prefix_filter(
         # consumed 4× (df table, the prefix-array derivation below and
         # BOTH verification self-join sides) — one tokenize+dedup pass
         # instead of one per consumer; the relation is the same
-        # distinct (doc, shingle) set every consumer shuffles anyway
-        .localCheckpoint()
+        # distinct (doc, shingle) set every consumer shuffles anyway.
+        # CORPUS-LINEAR → recomputable spillable persist, not an
+        # in-memory lineage cut (r12, VERDICT r11 #4 discipline).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     docs = (
         sh.join(df_tbl, "shingle")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("arr"))
-        .localCheckpoint()  # reused by prefix explode AND size lookup
+        # reused by prefix explode AND size lookup; one row per doc but
+        # the arrays hold every shingle — corpus-sized in BYTES, so
+        # spillable persist, not pinned deserialized memory (r12, #4).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = F.size("arr")
     # τ = 1/2 prefix: p = n − ceil(n/2) + 1, integer-exact
@@ -456,13 +464,14 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band join AND both pair-side lookups (pre-r11 the band join
     # re-derived signatures from the corpus — plan-audited at 9
     # documents scans for this key; now 2: signatures + the
-    # candidate-doc tokenize below). persist(DISK_ONLY), not
+    # candidate-doc tokenize below). persist(MEMORY_AND_DISK), not
     # localCheckpoint (r12, VERDICT r11 #4): the signature relation is
     # CORPUS-LINEAR — an eager localCheckpoint pins it deserialized in
     # executor memory AND truncates lineage (one lost executor fails
-    # the job at 100 TB); a recomputable disk persist spills nothing
-    # into the memory pool and survives block loss by recomputing.
-    sigs = _minhash_sigs(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    # the job at 100 TB); a recomputable spillable persist pins
+    # nothing (columnar cache, evicts to disk under pressure) and
+    # survives block loss by recomputing.
+    sigs = _minhash_sigs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (
         _bucket_pairs(_bands_from_sigs(sigs), ["band", "sig"], "doc_id")
         .select(F.col("p.pa").alias("doc_a"), F.col("p.pb").alias("doc_b"))
@@ -626,11 +635,11 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint()  # joined once per config
     )
-    # corpus-linear signatures: recomputable disk persist, not a
+    # corpus-linear signatures: recomputable spillable persist, not a
     # lineage-truncating in-memory checkpoint (r12, VERDICT r11 #4);
     # the four config rounds below share the one materialization.
     sigs = _minhash_sigs(spark, sf_dir, docs=docs).persist(
-        StorageLevel.DISK_ONLY
+        StorageLevel.MEMORY_AND_DISK
     )
     n_true = truth.count()
     out = None
@@ -796,7 +805,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # = the standing index read; corpus-linear, so recomputable disk
     # persist instead of an in-memory lineage cut (r12, VERDICT r11 #4)
-    bands = _minhash_bands(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    bands = _minhash_bands(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
     new = bands.filter(is_new).select(
         "band", "sig", F.col("doc_id").alias("new_doc")
@@ -841,9 +850,9 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully oracle-checked: md5-slice band family + exact-set Jaccard
     are both SQL-expressible.
     """
-    # corpus-linear band relation: recomputable disk persist, same
+    # corpus-linear band relation: recomputable spillable persist, same
     # rationale as dedup_incremental's (r12, VERDICT r11 #4)
-    bands = _minhash_bands(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    bands = _minhash_bands(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     is_bench = F.col("doc_id") % DECON_MOD == DECON_REM
     bench = bands.filter(is_bench).select(
         "band", "sig", F.col("doc_id").alias("bench_doc")
@@ -913,22 +922,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates collide on any band; verified by bit_count(xor). The
     word hash is the engine-portable md5-slice32 family, so the entire
     signature→band→pair pipeline oracle-checks against DuckDB.
+
+    r12 (guide §2.4): the per-(doc, word) count pre-aggregation is
+    gone — bit votes are occurrence-additive (Σ_words cnt·(±1) ≡
+    Σ_occurrences ±1, exact integers), so ONE groupBy(doc_id) over
+    the raw token explode computes the identical signature with ONE
+    token-scale shuffle instead of two; partial (map-side)
+    aggregation reduces the shuffle to 32 partial sums per doc per
+    map task. The oracle (and every emitted row) is unchanged.
     """
     docs = load_table(spark, sf_dir, "documents")
-    wc = (
-        explode_nonempty(docs, ["doc_id"], _words(F.col("text")), "word")
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("wh", _md5_slice32(F.col("word")))
+    occ = explode_nonempty(docs, ["doc_id"], _words(F.col("text")), "word").select(
+        "doc_id", _md5_slice32(F.col("word")).alias("wh")
     )
     bit_votes = [
         F.sum(
-            F.when(F.shiftrightunsigned(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-            .otherwise(-F.col("cnt"))
+            F.when(
+                F.shiftrightunsigned(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
-    sigs = wc.groupBy("doc_id").agg(*bit_votes).select(
+    sigs = occ.groupBy("doc_id").agg(*bit_votes).select(
         "doc_id",
         sum(
             (F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(SIMHASH_BITS)),
@@ -1458,14 +1474,18 @@ def dedup_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index derivation AND the new batch's two consumers (probe join,
     # per-doc totals) — pre-r11 each consumer re-ran the corpus-wide
     # tokenize+window-hash scan.
-    wins = window_fingerprints(words).localCheckpoint()
+    # CORPUS-LINEAR (one row per token window) → recomputable
+    # spillable persist, not an in-memory lineage cut (r12, #4).
+    wins = window_fingerprints(words).persist(StorageLevel.MEMORY_AND_DISK)
     is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
     idx = (
         wins.filter(~is_new)
         .groupBy("h")
         .agg(F.min(F.struct("doc_id", "pos")).alias("first_at"))
         .select("h", F.col("first_at.doc_id").alias("owner"))
-        .localCheckpoint()  # = the standing index read
+        # = the standing index read; one row per DISTINCT window hash —
+        # still corpus-linear, so spillable persist, not pinned memory.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     new_win = wins.filter(is_new)
     hits = new_win.join(idx, "h").groupBy("doc_id").agg(

@@ -239,9 +239,9 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(
         # consumed 3x (benchmark side, corpus explode, totals): one
         # tokenize+md5 pass. Corpus-linear shingle arrays, so
-        # recomputable disk persist, not an in-memory lineage cut
+        # recomputable spillable persist, not an in-memory lineage cut
         # (r12, VERDICT r11 #4).
-        StorageLevel.DISK_ONLY
+        StorageLevel.MEMORY_AND_DISK
     )
     corpus = shingled.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
     # explode_nonempty: the plain-explode inferred guard re-derives the
@@ -316,9 +316,9 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(
         # consumed 3x (benchmark side, corpus explode, totals): one
         # tokenize+md5 pass. Corpus-linear shingle arrays, so
-        # recomputable disk persist, not an in-memory lineage cut
+        # recomputable spillable persist, not an in-memory lineage cut
         # (r12, VERDICT r11 #4).
-        StorageLevel.DISK_ONLY
+        StorageLevel.MEMORY_AND_DISK
     )
     corpus = shingled.filter(F.col("doc_id") % BENCHMARK_MOD != 0)
     bench_sh = explode_nonempty(
@@ -411,7 +411,9 @@ def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     sents = explode_nonempty(docs, ["doc_id"], sent_arr, "sent").select(
         "doc_id", F.md5("sent").alias("h")
     )
-    sents = sents.localCheckpoint()  # df-table and per-doc join share it
+    # df-table and per-doc join share it; one row per SENTENCE —
+    # corpus-linear → spillable persist, not pinned memory (r12, #4).
+    sents = sents.persist(StorageLevel.MEMORY_AND_DISK)
     df_tbl = sents.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     return (
         sents.join(df_tbl, "h")
@@ -540,8 +542,10 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = explode_nonempty(
         tok, ["doc_id"], F.array_distinct(_shingles(F.col("words"), 2)), "bigram"
     )
-    # materialize once: the df-table and the per-doc join share it
-    bg = bg.localCheckpoint()
+    # materialize once: the df-table and the per-doc join share it;
+    # one row per (doc, distinct bigram) — corpus-linear → spillable
+    # persist, not pinned memory (r12, #4).
+    bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
     df_tbl = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
     return (
         bg.join(df_tbl, "bigram")
@@ -871,8 +875,12 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     # tokenized arrays consumed by BOTH independent aggregations (word
-    # explode + bigram explode): one regex tokenize pass instead of two.
-    tok = docs.select("doc_id", _words(F.col("text")).alias("words")).localCheckpoint()
+    # explode + bigram explode): one regex tokenize pass instead of
+    # two. Corpus-sized in bytes (every token) → spillable persist,
+    # not pinned deserialized memory (r12, #4).
+    tok = docs.select("doc_id", _words(F.col("text")).alias("words")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     words = tok.select(F.explode("words").alias("word"))
     bigrams = explode_nonempty(tok, [], _shingles(F.col("words"), k=2), "bigram")
     w_stats = words.agg(

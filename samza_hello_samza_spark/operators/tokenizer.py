@@ -152,13 +152,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("symbols"),
     ).persist(
         # the corpus scan happens exactly once, here. Recomputable
-        # disk persist, not an in-memory lineage cut (r12, VERDICT
+        # spillable persist, not an in-memory lineage cut (r12, VERDICT
         # r11 #4): this relation grows with the corpus vocabulary.
         # The IN-LOOP localCheckpoint below stays — it truncates
         # ITERATIVE lineage (the plan would otherwise grow by one
         # merge-UDF layer per round), which is exactly what
         # localCheckpoint is for (guide §5).
-        StorageLevel.DISK_ONLY
+        StorageLevel.MEMORY_AND_DISK
     )
 
     # Batched rounds (VERDICT r04 #8): each Spark round takes the

@@ -26,6 +26,7 @@ affect row membership).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -62,7 +63,10 @@ def basket_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    baskets = baskets.localCheckpoint()  # pairs + item counts + total share one derivation
+    # pairs + item counts + total share one derivation; one row per
+    # ORDER with the full part array — fact-linear in bytes →
+    # spillable persist, not pinned deserialized memory (r12, #4).
+    baskets = baskets.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (
         baskets.filter(F.size("parts") > 1)
         .select(F.expr(_PAIR_EXPR).alias("p"))
@@ -124,7 +128,10 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    baskets = baskets.localCheckpoint()  # pairs + item counts + total share one derivation
+    # pairs + item counts + total share one derivation; one row per
+    # ORDER with the full part array — fact-linear in bytes →
+    # spillable persist, not pinned deserialized memory (r12, #4).
+    baskets = baskets.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (
         baskets.filter(F.size("parts") > 1)
         .select(F.expr(_PAIR_EXPR).alias("p"))

@@ -27,6 +27,7 @@ engines (two-sum entropy form proven by text_entropy).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -316,9 +317,12 @@ def price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # 2 narrow cols; consumed by all 3 percentile passes — but one row
+    # per LINEITEM (fact-linear) → recomputable spillable persist,
+    # not an in-memory lineage cut (r12, VERDICT r11 #4 discipline).
     priced = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey).select(
         "p_type", F.col("l_extendedprice").alias("x")
-    ).localCheckpoint()  # 2 narrow cols; consumed by all 3 percentile passes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     med = priced.groupBy("p_type").agg(
         F.round(F.percentile("x", 0.5), 6).alias("med")
     )

@@ -139,20 +139,65 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+#: Tables whose per-byte compute is dominated by downstream work
+#: (regex tokenization of text, array math over vectors) and that no
+#: operator reads with file-identity semantics (``input_file_name``,
+#: physical-order tiebreaks). These get the scan-parallelism floor
+#: below; the fact tables (lineitem/orders/part) feed the
+#: zonemap/bloom per-FILE builds and must keep their native file
+#: granularity, and events feeds topic_log offset assignment whose
+#: tiebreak is physical order.
+_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+
+
+def _n_parquet_files(path: str) -> int:
+    """Driver-side stat of a table's parquet file count (no Spark
+    job). A single small parquet file is ONE row group, hence ONE
+    scan task no matter how many cores wait on it — byte-range
+    splitting cannot cross a row-group boundary."""
+    if os.path.isdir(path):
+        return sum(
+            1
+            for dirpath, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return 1
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table.
 
     A plain ``spark.read.parquet`` keeps the scan a v1 FileScan with
     full predicate pushdown + column pruning; callers filter/select
     directly on the result so Catalyst prunes at the source.
+
+    r12 scan-parallelism floor (guide §2.5 "input skew: one huge
+    unsplittable file" + the r11-accepted ``similarity._spread_scan``
+    discipline): when a compute-heavy table's committed layout has
+    fewer parquet files than the session has cores, every tokenize/
+    vector stage above the scan runs on that handful of tasks while
+    the rest of the box idles — at bench scale ``documents`` is ONE
+    single-row-group file, so one task regex-tokenizes the whole
+    corpus. Round-robin the scan to ``defaultParallelism`` first:
+    filters/pruning still push to the scan below the exchange, the
+    shuffled bytes are the (pruned) scan output, and a layout with
+    ≥ cores files — every layout at the 100 TB shape — is a no-op by
+    the same gate. Scale-adaptive by construction: the target is the
+    session's parallelism, never a constant.
     """
     # Runtime-set (not only in our builder): the driver harness hands us
     # ITS session, which won't have this conf. It is a SQL conf, so
     # setting it per-session here is safe and idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         df = normalize_nanos_ts(df, col)
+    if name in _SPREAD_TABLES:
+        par = spark.sparkContext.defaultParallelism
+        if _n_parquet_files(path) < par:
+            df = df.repartition(par)
     return df
 
 

@@ -97,7 +97,11 @@ def append_documents(spark: SparkSession, index_dir: str, docs: DataFrame) -> in
         .withColumn(
             "tbucket", F.pmod(F.xxhash64("word"), F.lit(N_TBUCKETS)).cast("int")
         )
-        .localCheckpoint()  # count + write without re-tokenizing
+        # count + write without re-tokenizing; token-linear posting
+        # rows → recomputable spillable persist, not pinned memory (r12,
+        # VERDICT r11 #4 — the docs source outlives the build, so
+        # block loss recomputes instead of failing the ingest).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = postings.count()
     if n:
@@ -107,6 +111,7 @@ def append_documents(spark: SparkSession, index_dir: str, docs: DataFrame) -> in
             .partitionBy("tbucket")
             .parquet(index_dir)
         )
+    postings.unpersist()  # streaming updaters fold many batches per process
     return n
 
 
@@ -220,7 +225,9 @@ def append_documents_positional(
         .withColumn(
             "tbucket", F.pmod(F.xxhash64("word"), F.lit(N_TBUCKETS)).cast("int")
         )
-        .localCheckpoint()  # count + write without re-tokenizing
+        # count + write without re-tokenizing; token-linear (one row
+        # per position) → spillable persist, not pinned memory (r12, #4).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = postings.count()
     if n:
@@ -230,6 +237,7 @@ def append_documents_positional(
             .partitionBy("tbucket")
             .parquet(index_dir)
         )
+    postings.unpersist()  # streaming updaters fold many batches per process
     return n
 
 
@@ -545,7 +553,9 @@ def build_bm25_index(
             "tbucket", F.pmod(F.xxhash64("word"), F.lit(N_TBUCKETS)).cast("int")
         )
         .withColumn("tier", _tier_col(avgdl or 1.0))
-        .localCheckpoint()  # postings + impacts from ONE tokenize pass
+        # postings + impacts from ONE tokenize pass; token-linear →
+        # spillable persist, not pinned memory (r12, VERDICT r11 #4).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     (
         postings.repartition("tbucket")
@@ -556,6 +566,7 @@ def build_bm25_index(
     )
     _write_bm25_impacts(postings, out_dir, "overwrite", attr_cols=attr_cols)
     _write_bm25_stats(out_dir, n_docs, total_dl, attr_cols=attr_cols)
+    postings.unpersist()
     return out_dir
 
 
@@ -654,7 +665,9 @@ def append_documents_bm25(
         # choice only (block bounds are re-derived at query time), so
         # batches tiered under different avgdl snapshots stay correct
         .withColumn("tier", _tier_col(st["avgdl"] or 1.0))
-        .localCheckpoint()  # count + write without re-tokenizing
+        # count + write without re-tokenizing; token-linear → spillable
+        # persist, not pinned memory (r12, VERDICT r11 #4).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = postings.count()
     if int(batch.n_docs):
@@ -674,6 +687,7 @@ def append_documents_bm25(
             int(st["n_docs"]) + int(batch.n_docs),
             old_total + int(batch.total_dl or 0),
         )
+    postings.unpersist()  # streaming updaters fold many batches per process
     return n
 
 
@@ -1780,7 +1794,7 @@ def bm25_batch_wand_topk(
         # #3/#4): the (query, doc) accumulator is corpus-linear, and
         # the lazy persist folds its materialization into the θ job
         # below — one driver round-trip fewer per batch call.
-        .persist(StorageLevel.DISK_ONLY)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # θ ranks by partial ALONE (no doc_id tiebreak): θ = the k-th
     # largest VALUE, k = min(top, group size) and n_rows = the group
@@ -1852,7 +1866,7 @@ def bm25_batch_wand_topk(
             # Recomputable persist (r12): recomputing = re-filtering
             # the already-persisted accumulator, so nothing here needs
             # a lineage cut.
-            .persist(StorageLevel.DISK_ONLY)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # the crossover telemetry (VERDICT r09 #6): the (query, doc)
         # accumulator is THE stage that dominates batch ranking at

@@ -79,7 +79,11 @@ def test_weighted_sample_is_distributed_topk(spark):
 
 def test_quality_classifier_no_shuffle_no_python(spark):
     """fasttext-shaped inference rides the scan: one FileScan, zero
-    Exchange, zero BatchEvalPython."""
+    computation-required shuffles, zero BatchEvalPython. The only
+    exchange allowed is the r12 scan-parallelism floor (a round-robin
+    spread of an under-parallel committed layout — session.load_table;
+    a no-op when the layout has ≥ cores files, i.e. at scale): the
+    inference itself must never need a hash repartition."""
     plan = (
         sampling.quality_classifier(spark, SF_DIR)
         ._jdf.queryExecution()
@@ -87,7 +91,8 @@ def test_quality_classifier_no_shuffle_no_python(spark):
         .toString()
     )
     assert plan.count("FileScan parquet") == 1
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
 
 
@@ -98,13 +103,17 @@ def test_quality_classifier_keep_matches_prob(spark):
 
 
 def test_phrase_search_no_shuffle(spark):
+    # same contract as the classifier test above: the match itself is
+    # map-shaped — only the load_table scan-parallelism floor (round
+    # robin, layout-gated, inert at scale) may appear.
     plan = (
         sampling.phrase_search(spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
 
 
 def test_phrase_search_finds_real_adjacency(spark):
